@@ -1,0 +1,511 @@
+"""HelixSpark — the KV/time-series engine facade.
+
+Public surface mirrors the reference ``HelixDB::{open, open_default, put,
+direct_put, get, direct_get, scan, close}`` (reference src/db.rs:32-80), built
+entirely from DataFrame plans:
+
+====================  =========================================================
+reference              this engine
+====================  =========================================================
+shard (db.rs:108-132)  hash partitioning on ``key`` (Spark tasks replace
+                       glommio executors); ``shard_of`` kept only for parity
+rick L0 (file/rick.rs) ``hot/`` parquet, partitioned by ``time_bucket``
+L>=1 + SSTable         ``cold/`` parquet, one row per (key,bucket) with the
+(level.rs:356-459)     key's sorted series; parquet min/max stats = the index
+LevelInfo              partition-pruned reads + a tiny JSON state file for the
+(level_info.rs)        reviewer watermarks (metadata, not data)
+MemIndex (index.rs)    not needed — parquet footers survive restart (S8)
+k-way merge            ``orderBy`` (sort shuffle); toLocalIterator preserves
+(iterator.rs:111-195)  order for streamed consumption
+====================  =========================================================
+
+Scale posture (100 TB): every job here touches only the partitions named by
+its predicate — ``get`` prunes to one ``time_bucket`` directory and then to
+row groups via key min/max; ``compact`` is an incremental per-bucket job
+(idempotent MERGE-style: late data re-compacts a bucket by rewriting that
+bucket only — SURVEY.md §7.2 late-data stance); ``outdate`` drops whole
+partition directories without reading them. Nothing ever collects data to the
+driver except the user-requested point value.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from helixdb_spark import comparators
+from helixdb_spark.codecs import ARRAY_CODEC, CodecRegistry
+from helixdb_spark.layout import CHUNK_TYPE, COLD_SCHEMA, ENTRY_SCHEMA, HOT_SCHEMA, Layout
+from helixdb_spark.maintenance import (
+    Compact,
+    Outdate,
+    SimpleTimestampReviewer,
+    TimestampAction,
+)
+
+
+@dataclass
+class HelixOptions:
+    """Engine options (reference src/option.rs). ``rick_range`` is the time
+    width of one compacted bucket; ``outdate_range`` the retention horizon;
+    ``num_shard`` only sizes write parallelism (Spark owns scheduling)."""
+
+    rick_range: int = 1024
+    outdate_range: int = 8192
+    num_shard: int = 8
+    auto_maintain: bool = True  # run reviewer-driven compaction on put
+
+
+class HelixSpark:
+    """One opened engine instance rooted at ``base_path``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        options: Optional[HelixOptions] = None,
+        codecs: Optional[CodecRegistry] = None,
+    ) -> None:
+        self.spark = spark
+        self.options = options or HelixOptions()
+        self.layout = Layout(base_path, self.options.rick_range)
+        self.codecs = codecs or CodecRegistry()
+        self._closed = False
+        self._state = self._load_state()
+        self.reviewer = SimpleTimestampReviewer.from_state(self._state["reviewer"])
+
+    # ------------------------------------------------------------------ open
+    @classmethod
+    def open(
+        cls,
+        spark: SparkSession,
+        base_path: str,
+        options: Optional[HelixOptions] = None,
+        codecs: Optional[CodecRegistry] = None,
+    ) -> "HelixSpark":
+        """Open or create a DB at ``base_path`` (reference src/db.rs:33-43).
+        Restart durability needs no index rebuild (reference rebuilds its
+        MemIndex by scanning the rick log — src/file/rick.rs:164-189): the
+        parquet files + the JSON watermark state ARE the recovered state."""
+        return cls(spark, base_path, options, codecs)
+
+    @classmethod
+    def open_default(cls, spark: SparkSession, base_path: str) -> "HelixSpark":
+        return cls.open(spark, base_path)
+
+    # ----------------------------------------------------------------- state
+    def _load_state(self) -> dict:
+        if os.path.exists(self.layout.meta_path):
+            with open(self.layout.meta_path) as f:
+                return json.load(f)
+        return {
+            "seq": 0,
+            "reviewer": SimpleTimestampReviewer(
+                self.options.rick_range, self.options.outdate_range
+            ).to_state(),
+            "outdate_cutoff": None,  # ts <= cutoff is retired
+        }
+
+    def _save_state(self) -> None:
+        self._state["reviewer"] = self.reviewer.to_state()
+        os.makedirs(os.path.dirname(self.layout.meta_path), exist_ok=True)
+        tmp = self.layout.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._state, f)
+        os.replace(tmp, self.layout.meta_path)
+
+    def _check_open(self) -> None:
+        if self._closed:
+            raise RuntimeError("DB is closed")  # reference db.rs:143-147
+
+    # ------------------------------------------------------------------ put
+    def put(self, entries: DataFrame | Sequence[tuple[int, bytes, bytes]]) -> None:
+        """Durable batch write (reference src/db.rs:45-47, sharding_put
+        db.rs:143-160). The reference routes entries to shard threads by a
+        key hash; Spark's writer parallelizes by partition instead — we
+        repartition by key hash so each task writes a coherent key range per
+        bucket, which is exactly the sharding semantics, minus the channels.
+        """
+        self._check_open()
+        if not isinstance(entries, DataFrame):
+            entries = self.spark.createDataFrame(
+                [(int(t), bytes(k), bytes(v)) for t, k, v in entries], ENTRY_SCHEMA
+            )
+        seq = self._state["seq"]
+        df = (
+            entries.select("ts", "key", "value")
+            .withColumn("seq", F.lit(seq).cast("long"))
+            .withColumn("time_bucket", self.layout.bucket_expr())
+        )
+        (
+            df.repartition(self.options.num_shard, "key")
+            .write.mode("append")
+            .partitionBy("time_bucket")
+            .parquet(self.layout.hot_path)
+        )
+        self._state["seq"] = seq + 1
+
+        max_ts = entries.agg(F.max("ts")).first()[0]  # A3 fold (level.rs:105-109)
+        if max_ts is not None and self.options.auto_maintain:
+            self._handle_actions(self.reviewer.observe(int(max_ts)))
+        self._save_state()
+
+    def direct_put(self, shard_id: int, entries) -> None:
+        """Parity shim for reference db.rs:49-51 — shard routing is Spark's
+        job now, so this is put() (documented no-op distinction)."""
+        self.put(entries)
+
+    # ------------------------------------------------------------- get/scan
+    @staticmethod
+    def _has_data(path: str) -> bool:
+        # local-FS fast path; remote URIs fall through to the reader
+        if "://" in path:
+            return True
+        return os.path.isdir(path) and any(
+            n.startswith("time_bucket=") for n in os.listdir(path)
+        )
+
+    def _hot_df(self) -> Optional[DataFrame]:
+        if not self._has_data(self.layout.hot_path):
+            return None
+        try:
+            return self.spark.read.schema(HOT_SCHEMA).parquet(self.layout.hot_path)
+        except Exception:
+            return None
+
+    def _cold_df(self) -> Optional[DataFrame]:
+        if not self._has_data(self.layout.cold_path):
+            return None
+        try:
+            return self.spark.read.schema(COLD_SCHEMA).parquet(self.layout.cold_path)
+        except Exception:
+            return None
+
+    def _decode_cold(self, cold: DataFrame) -> DataFrame:
+        """Explode cold chunks back to entry rows; blob codecs go through one
+        Arrow-batched pandas UDF (the UDCF decompress path — reference
+        fn_registry.rs:14-16, applied at level.rs:496-499)."""
+        registry = self.codecs
+
+        @F.pandas_udf(CHUNK_TYPE)
+        def decompress(codec_s, key_s, blob_s):
+            import pandas as pd
+
+            out = []
+            # when()/otherwise() does not short-circuit pandas UDFs — array
+            # rows reach here too and must pass through untouched.
+            for codec, key, blob in zip(codec_s, key_s, blob_s):
+                if codec == ARRAY_CODEC or blob is None:
+                    out.append(None)
+                    continue
+                pairs = registry.get(codec).decompress(bytes(key), bytes(blob))
+                out.append([{"ts": ts, "value": v} for ts, v in pairs])
+            return pd.Series(out)
+
+        decoded = cold.withColumn(
+            "chunk",
+            F.when(F.col("codec") == F.lit(ARRAY_CODEC), F.col("chunk")).otherwise(
+                decompress("codec", "key", "blob")
+            ),
+        )
+        return decoded.select(
+            "key",
+            "time_bucket",
+            F.explode("chunk").alias("e"),
+        ).select(
+            F.col("e.ts").alias("ts"),
+            "key",
+            F.col("e.value").alias("value"),
+            F.lit(-1).cast("long").alias("seq"),
+            "time_bucket",
+        )
+
+    def _entries_df(
+        self,
+        ts_lo: Optional[int] = None,
+        ts_hi: Optional[int] = None,
+    ) -> DataFrame:
+        """Union hot + cold as logical entries with last-write-wins dedup on
+        (ts, key) (overwrite semantics — reference src/file/rick.rs:403-417).
+
+        Bucket predicates derived from the ts range reach the parquet scan as
+        partition filters (this is the reference's level pruning,
+        level_info.rs:98-111, done by Catalyst instead of by hand). Unlike
+        the reference — whose scan misses keys that live only in compacted
+        levels (SURVEY.md §3.3) — this view sees all levels; the survey calls
+        that strictly-more-correct and we keep it.
+        """
+        parts = []
+        hot = self._hot_df()
+        if hot is not None:
+            parts.append(hot)
+        cold = self._cold_df()
+        if cold is not None:
+            parts.append(self._decode_cold(cold))
+        if not parts:
+            return self.spark.createDataFrame([], HOT_SCHEMA)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+
+        if ts_lo is not None:
+            df = df.where(
+                (F.col("time_bucket") >= self.layout.bucket_of(ts_lo))
+                & (F.col("ts") >= ts_lo)
+            )
+        if ts_hi is not None:
+            df = df.where(
+                (F.col("time_bucket") <= self.layout.bucket_of(ts_hi))
+                & (F.col("ts") <= ts_hi)
+            )
+        cutoff = self._state.get("outdate_cutoff")
+        if cutoff is not None:
+            df = df.where(F.col("ts") > int(cutoff))
+
+        w = Window.partitionBy("ts", "key").orderBy(F.col("seq").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def get(self, ts: int, key: bytes) -> Optional[bytes]:
+        """Point lookup (reference src/db.rs:53-55, level routing
+        level.rs:123-134). Outdated timestamps return None
+        (level_info.rs:98-111 ``None`` branch). The plan prunes to a single
+        time_bucket partition, then parquet key min/max stats skip row groups
+        — the SSTable index's job (src/file/sstable.rs), for free."""
+        self._check_open()
+        cutoff = self._state.get("outdate_cutoff")
+        if cutoff is not None and ts <= cutoff:
+            return None
+        row = (
+            self._entries_df(ts_lo=ts, ts_hi=ts)
+            .where(F.col("key") == F.lit(bytes(key)))
+            .select("value")
+            .first()
+        )
+        return bytes(row[0]) if row is not None else None
+
+    def get_many(self, probes: Sequence[tuple[int, bytes]]) -> dict[tuple[int, bytes], bytes]:
+        """Batched point lookups — one job for N probes (the reference
+        coalesces batched rick reads the same way, src/file/rick.rs:116-154).
+        This is the shape benchmarks should use: per-get job launch is
+        Spark's latency floor, amortized here."""
+        self._check_open()
+        if not probes:
+            return {}
+        probe_df = self.spark.createDataFrame(
+            [(int(t), bytes(k)) for t, k in probes],
+            T.StructType(
+                [
+                    T.StructField("p_ts", T.LongType(), False),
+                    T.StructField("p_key", T.BinaryType(), False),
+                ]
+            ),
+        )
+        lo = min(t for t, _ in probes)
+        hi = max(t for t, _ in probes)
+        hits = (
+            self._entries_df(ts_lo=lo, ts_hi=hi)
+            .join(
+                F.broadcast(probe_df),
+                (F.col("ts") == F.col("p_ts")) & (F.col("key") == F.col("p_key")),
+                "inner",
+            )
+            .select("ts", "key", "value")
+            .collect()
+        )
+        return {(r["ts"], bytes(r["key"])): bytes(r["value"]) for r in hits}
+
+    def scan(
+        self,
+        time_range: tuple[int, int],
+        key_range: Optional[tuple[bytes, bytes]] = None,
+        comparator: comparators.Comparator = comparators.lexical,
+    ) -> DataFrame:
+        """Range scan (reference src/db.rs:67-74, per-shard level.rs:137-165).
+
+        Returns a DataFrame ordered by (comparator(key), ts) — the reference's
+        contract of key-major, then time order (src/level.rs:150-163). Both
+        time bounds are inclusive, matching the *documented/tested* get-path
+        semantics (TimeRange.contains, src/types/entry.rs:113-117) rather
+        than the internal end-exclusive iteration quirk (SURVEY.md §1.1).
+        Key range inclusive both ends (level.rs:145-149).
+
+        The reference implements scan as a key-ordered loop of point gets per
+        shard plus a k-way heap merge on the client (iterator.rs:111-195);
+        here it is one declarative plan — filter (pushed to parquet) + global
+        sort (range-partitioned shuffle) — which scales out instead of
+        serializing through one consumer. Use ``.toLocalIterator()`` for the
+        streamed, backpressured consumption the reference's bounded channels
+        provide (option.rs:150-153).
+        """
+        self._check_open()
+        ts_lo, ts_hi = time_range
+        df = self._entries_df(ts_lo=ts_lo, ts_hi=ts_hi)
+        if key_range is not None:
+            lo, hi = key_range
+            df = df.where(
+                (F.col("key") >= F.lit(bytes(lo))) & (F.col("key") <= F.lit(bytes(hi)))
+            )
+        df = df.select("ts", "key", "value")
+        if comparator is not None:
+            df = df.orderBy(comparator(F.col("key")), F.col("ts"))
+        return df
+
+    # ------------------------------------------------------------ maintenance
+    def _handle_actions(self, actions: Iterable[TimestampAction]) -> None:
+        """Reference src/level.rs:307-346 minus the shard mesh (one Spark job
+        covers all partitions — SURVEY.md M5)."""
+        for action in actions:
+            if isinstance(action, Compact):
+                self.compact(action.start, action.end)
+            elif isinstance(action, Outdate):
+                self.outdate(action.ts)
+
+    def compact(self, start_ts: int, end_ts: int) -> None:
+        """Move [start_ts, end_ts] (inclusive) from hot to cold
+        (reference src/level.rs:356-459).
+
+        Per bucket: last-write-wins dedup, group by key,
+        ``sort_array(collect_list(struct(ts,value)))`` — exactly the
+        reference's HashMap group + sort (level.rs:387-397, SURVEY A1) as one
+        shuffle — then the dispatch fn picks a codec per key (fn_registry.rs:
+        46-49) and blob codecs run in one pandas UDF pass (UDCF compress,
+        fn_registry.rs:8-12). Idempotent per bucket: cold rows for the bucket
+        are replaced, and hot partition dirs are dropped afterwards — so
+        re-compacting after late data is safe (unlike the reference, whose
+        late puts become unreachable — SURVEY.md §2.10 caveat).
+        """
+        self._check_open()
+        hot = self._hot_df()
+        if hot is None:
+            return
+        b_lo, b_hi = self.layout.bucket_of(start_ts), self.layout.bucket_of(end_ts)
+        src = hot.where(
+            (F.col("time_bucket") >= b_lo)
+            & (F.col("time_bucket") <= b_hi)
+            & (F.col("ts") >= start_ts)
+            & (F.col("ts") <= end_ts)
+        )
+        if src.isEmpty():
+            return
+
+        w = Window.partitionBy("ts", "key").orderBy(F.col("seq").desc())
+        deduped = (
+            src.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        grouped = deduped.groupBy("key", "time_bucket").agg(
+            F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("chunk")
+        )
+
+        registry = self.codecs
+
+        @F.pandas_udf(T.StringType())
+        def pick_codec(key_s):
+            import pandas as pd
+
+            return pd.Series([registry.dispatch(bytes(k)) for k in key_s])
+
+        @F.pandas_udf(T.BinaryType())
+        def compress(codec_s, key_s, chunk_s):
+            import pandas as pd
+
+            out = []
+            # when()/otherwise() does not short-circuit pandas UDFs — array
+            # rows reach here too and must yield a null blob.
+            for codec, key, chunk in zip(codec_s, key_s, chunk_s):
+                if codec == ARRAY_CODEC:
+                    out.append(None)
+                    continue
+                pairs = [(int(e["ts"]), bytes(e["value"])) for e in chunk]
+                out.append(registry.get(codec).compress(bytes(key), pairs))
+            return pd.Series(out)
+
+        cold_new = (
+            grouped.withColumn("codec", pick_codec("key"))
+            .withColumn(
+                "blob",
+                F.when(F.col("codec") == F.lit(ARRAY_CODEC), F.lit(None).cast("binary"))
+                .otherwise(compress("codec", "key", "chunk")),
+            )
+            .withColumn(
+                "chunk",
+                F.when(F.col("codec") == F.lit(ARRAY_CODEC), F.col("chunk")).otherwise(
+                    F.lit(None).cast(CHUNK_TYPE)
+                ),
+            )
+            .select("key", "codec", "chunk", "blob", "time_bucket")
+        )
+
+        # Replace the affected cold bucket partitions (idempotent MERGE).
+        staging = f"{self.layout.base_path}/_staging_cold"
+        cold_new.write.mode("overwrite").partitionBy("time_bucket").parquet(staging)
+        for b in range(b_lo, b_hi + 1):
+            src_dir = f"{staging}/time_bucket={b}"
+            dst_dir = f"{self.layout.cold_path}/time_bucket={b}"
+            if os.path.exists(src_dir):
+                if os.path.exists(dst_dir):
+                    shutil.rmtree(dst_dir)
+                os.makedirs(self.layout.cold_path, exist_ok=True)
+                shutil.move(src_dir, dst_dir)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        # Drop compacted hot partitions (the reference purges its memindex
+        # range + advances the rick GC offset — level.rs:430-459; for us the
+        # unit of GC is the partition directory).
+        full_lo = start_ts // self.layout.rick_range
+        if start_ts % self.layout.rick_range:
+            full_lo += 1  # never drop a bucket the range only partially covers
+        full_hi = (end_ts + 1) // self.layout.rick_range - 1
+        for b in range(full_lo, full_hi + 1):
+            shutil.rmtree(f"{self.layout.hot_path}/time_bucket={b}", ignore_errors=True)
+
+    def outdate(self, cutoff_ts: int) -> None:
+        """Retention: retire data with ts <= cutoff (reference
+        TimestampAction::Outdate, src/level.rs:535-536; the reference's
+        actual deletion is ``todo!()`` — level.rs:476-484 — ours works).
+        Whole partition directories are dropped without reading them; a
+        cutoff inside a bucket is enforced by the read-path filter until the
+        bucket fully ages out."""
+        self._check_open()
+        prev = self._state.get("outdate_cutoff")
+        cutoff = max(int(cutoff_ts), prev) if prev is not None else int(cutoff_ts)
+        self._state["outdate_cutoff"] = cutoff
+        last_full_bucket = (cutoff + 1) // self.layout.rick_range - 1
+        for path in (self.layout.hot_path, self.layout.cold_path):
+            if not os.path.isdir(path):
+                continue
+            for name in os.listdir(path):
+                if not name.startswith("time_bucket="):
+                    continue
+                if int(name.split("=", 1)[1]) <= last_full_bucket:
+                    shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        self._save_state()
+
+    # ------------------------------------------------------------------ misc
+    def user_keys(self) -> DataFrame:
+        """Distinct user keys (reference MemIndex.user_keys, src/index.rs:80-86)."""
+        return self._entries_df().select("key").distinct()
+
+    def key_counts(self) -> DataFrame:
+        """Per-key entry counts (reference src/index.rs:13-14)."""
+        return self._entries_df().groupBy("key").agg(F.count("*").alias("count"))
+
+    def close(self) -> None:
+        """Graceful shutdown (reference src/db.rs:76-79). State is already
+        durable after every put; nothing to drain."""
+        self._save_state()
+        self._closed = True
+

@@ -1,0 +1,155 @@
+"""E2E parity with the reference's public-API tests (SURVEY.md §5):
+
+- put→get roundtrip (reference src/db.rs:281-298 ``example``)
+- scan cardinality = num_ts × num_key grid (db.rs:300-354 scan_test_scaffold)
+- overwrite same (ts, key) ⇒ last write wins (level.rs:787-819, rick.rs:403-417)
+- compaction transparency: reads identical across hot/cold (level.rs:823-875)
+- outdated reads return None / retention boundary
+- restart durability (db.rs:372-402)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from helixdb_spark import comparators
+from helixdb_spark.engine import HelixOptions, HelixSpark
+
+
+def le_u64(i: int) -> bytes:
+    return struct.pack("<Q", i)
+
+
+@pytest.fixture
+def db_path(tmp_path):
+    return str(tmp_path / "db")
+
+
+def test_put_get_roundtrip(spark, db_path):
+    db = HelixSpark.open(spark, db_path)
+    db.put([(0, b"key", b"value")])
+    assert db.get(0, b"key") == b"value"
+    assert db.get(0, b"missing") is None
+    assert db.get(999, b"key") is None
+    db.close()
+    with pytest.raises(RuntimeError):
+        db.put([(1, b"k", b"v")])
+
+
+def test_scan_grid_cardinality(spark, db_path):
+    """Grid (ts=8, keys=16): scan returns exactly ts×keys rows, key-major
+    then ts order (reference scan_test_scaffold, db.rs:300-354, scaled
+    down for CI speed)."""
+    num_ts, num_key = 8, 16
+    db = HelixSpark.open(spark, db_path, HelixOptions(rick_range=1024, auto_maintain=False))
+    rows = [(t, le_u64(k), b"v") for t in range(num_ts) for k in range(num_key)]
+    db.put(rows)
+    got = db.scan((0, num_ts - 1), comparator=comparators.le_u64).collect()
+    assert len(got) == num_ts * num_key
+    keys_order = [struct.unpack("<Q", bytes(r["key"]))[0] for r in got]
+    assert keys_order == sorted(keys_order)
+    # per-key ts ordering (SURVEY.md O5: assert set + per-key ts order)
+    per_key_ts = {}
+    for r in got:
+        per_key_ts.setdefault(bytes(r["key"]), []).append(r["ts"])
+    for ts_list in per_key_ts.values():
+        assert ts_list == list(range(num_ts))
+
+
+def test_scan_ranges_inclusive(spark, db_path):
+    db = HelixSpark.open(spark, db_path, HelixOptions(auto_maintain=False))
+    rows = [(t, le_u64(k), b"v") for t in range(10) for k in range(4)]
+    db.put(rows)
+    got = db.scan((2, 5), (le_u64(1), le_u64(2))).collect()
+    assert len(got) == 4 * 2  # ts 2..5 inclusive × keys 1..2 inclusive
+
+
+def test_overwrite_last_write_wins(spark, db_path):
+    db = HelixSpark.open(spark, db_path, HelixOptions(auto_maintain=False))
+    db.put([(5, b"key1", b"old")])
+    db.put([(5, b"key1", b"new")])
+    assert db.get(5, b"key1") == b"new"
+    got = db.scan((0, 10)).collect()
+    assert len(got) == 1 and bytes(got[0]["value"]) == b"new"
+
+
+def test_compaction_transparency(spark, db_path):
+    """One key, ts 0..25, rick_range=10: reads identical across the hot/cold
+    boundary (reference level.rs:823-875)."""
+    db = HelixSpark.open(
+        spark, db_path, HelixOptions(rick_range=10, outdate_range=1000, num_shard=2)
+    )
+    for t in range(26):
+        db.put([(t, b"key", f"value{t}".encode())])
+    # reviewer should have compacted [0,9] and [10,19] by now
+    assert db.reviewer.last_compacted == 20
+    for t in range(26):
+        assert db.get(t, b"key") == f"value{t}".encode(), f"ts={t}"
+    got = db.scan((0, 25)).collect()
+    assert [r["ts"] for r in got] == list(range(26))
+
+
+def test_compaction_with_blob_codec(spark, db_path):
+    from helixdb_spark.codecs import CodecRegistry
+
+    reg = CodecRegistry()
+    reg.register_dispatch(lambda key: "delta_zlib")
+    db = HelixSpark.open(
+        spark,
+        db_path,
+        HelixOptions(rick_range=10, outdate_range=1000, auto_maintain=False),
+        codecs=reg,
+    )
+    rows = [(t, le_u64(k), f"v{k}@{t}".encode()) for t in range(10) for k in range(3)]
+    db.put(rows)
+    db.compact(0, 9)
+    for t in (0, 5, 9):
+        for k in range(3):
+            assert db.get(t, le_u64(k)) == f"v{k}@{t}".encode()
+    assert len(db.scan((0, 9)).collect()) == 30
+
+
+def test_outdate_retention(spark, db_path):
+    db = HelixSpark.open(
+        spark, db_path, HelixOptions(rick_range=10, outdate_range=30, num_shard=2)
+    )
+    for t in range(40):
+        db.put([(t, b"k", le_u64(t))])
+    # per the reviewer trace (level.rs:734-753): ts<=19 outdated by now
+    assert db.get(5, b"k") is None
+    assert db.get(19, b"k") is None
+    assert db.get(20, b"k") == le_u64(20)
+    assert db.get(39, b"k") == le_u64(39)
+    got = db.scan((0, 100)).collect()
+    assert [r["ts"] for r in got] == list(range(20, 40))
+
+
+def test_restart_durability(spark, db_path):
+    """50 ts spanning compactions; reopen and re-read all
+    (reference db.rs:372-402: compact_interval=5, retention=100)."""
+    db = HelixSpark.open(spark, db_path, HelixOptions(rick_range=5, outdate_range=100))
+    db.put([(t, b"durable", le_u64(t)) for t in range(50)])
+    db.close()
+    db2 = HelixSpark.open(spark, db_path, HelixOptions(rick_range=5, outdate_range=100))
+    probes = db2.get_many([(t, b"durable") for t in range(50)])
+    assert len(probes) == 50
+    for t in range(50):
+        assert probes[(t, b"durable")] == le_u64(t)
+
+
+def test_get_many_batched(spark, db_path):
+    db = HelixSpark.open(spark, db_path, HelixOptions(auto_maintain=False))
+    db.put([(t, le_u64(k), le_u64(t * k)) for t in range(4) for k in range(4)])
+    out = db.get_many([(1, le_u64(2)), (3, le_u64(3)), (99, le_u64(0))])
+    assert out == {(1, le_u64(2)): le_u64(2), (3, le_u64(3)): le_u64(9)}
+
+
+def test_user_keys_and_counts(spark, db_path):
+    db = HelixSpark.open(spark, db_path, HelixOptions(auto_maintain=False))
+    db.put([(1, b"a", b"x"), (2, b"a", b"y"), (3, b"b", b"z")])
+    keys = {bytes(r["key"]) for r in db.user_keys().collect()}
+    assert keys == {b"a", b"b"}
+    counts = {bytes(r["key"]): r["count"] for r in db.key_counts().collect()}
+    assert counts == {b"a": 2, b"b": 1}
