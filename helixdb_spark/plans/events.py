@@ -1,0 +1,281 @@
+"""Event-stream analytics over the ``events`` table — the time-series query
+surface of the engine. The events table is exactly the reference's Entry
+shape (FIXTURES.md F5: event time → ts, user_id → key, props → value), so
+these queries are the analytical counterpart of the KV scan path.
+
+Scale notes: every query shuffles at most once on its natural key
+(user_id or the (hour, type) group), all predicates/projections push to
+parquet, and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from helixdb_spark.operators.asof import asof_join
+from helixdb_spark.sources import load_table
+
+SESSION_GAP_S = 1800
+
+
+def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (the batch analog of the reference's
+    rick_range bucketing — SURVEY.md §2.5)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EV_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session (lag + running sum
+    of boundaries — one shuffle on user_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                    > SESSION_GAP_S
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_SESSIONIZE_SQL = f"""
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session
+  FROM (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM marked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def ev_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users by total value per event type (window rank over an
+    aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    w = W.partitionBy("event_type").orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        per_user.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .orderBy("event_type", "rk")
+    )
+
+
+EV_TOPK_SQL = """
+SELECT event_type, user_id, total_value, rk
+FROM (
+  SELECT event_type, user_id, total_value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY total_value DESC, user_id ASC) AS rk
+  FROM (
+    SELECT event_type, user_id, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+  )
+)
+WHERE rk <= 5
+ORDER BY event_type, rk
+"""
+
+
+def ev_click_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the most recent prior (or simultaneous)
+    purchase value of the same user."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_values=["p_value"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("p_value", 2).alias("last_purchase_value"),
+    ).orderBy("event_id")
+
+
+EV_ASOF_SQL = """
+SELECT c.event_id, c.user_id, round(p.value, 2) AS last_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props payload (scalar-function surface —
+    absent in the reference, SURVEY.md §2.8)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_JSON_SQL = """
+SELECT event_type,
+       round(avg(k), 4) AS avg_k,
+       max(k) AS max_k,
+       count(*) FILTER (WHERE k > 50) AS n_high
+FROM (SELECT event_type, json_extract(props, '$.k')::INT AS k FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def ev_kv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's scan semantics as a declarative plan over events-as-
+    entries (time range × key range, key-major then ts order — reference
+    src/db.rs:67-74). This is what ``HelixSpark.scan`` compiles to."""
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("props").alias("value"),
+        "event_id",
+    )
+    return (
+        entries.where(
+            (F.col("ts") >= 1704067200)  # 2024-01-01
+            & (F.col("ts") <= 1704672000)  # 2024-01-08
+            & (F.col("key") >= "10")
+            & (F.col("key") <= "60")
+        )
+        .orderBy("key", "ts", "event_id")
+    )
+
+
+EV_KV_SCAN_SQL = """
+SELECT ts, key, value, event_id FROM (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts, user_id::VARCHAR AS key, props AS value, event_id
+  FROM events
+)
+WHERE ts >= 1704067200 AND ts <= 1704672000 AND key >= '10' AND key <= '60'
+ORDER BY key, ts, event_id
+"""
+
+
+def ev_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event per user via min_by/max_by over a unique (ts,
+    event_id) ordering key."""
+    ev = load_table(spark, sf_dir, "events")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", okey).alias("first_type"),
+            F.max_by("event_type", okey).alias("last_type"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_MINMAX_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id,
+       max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+       max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM ranked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "ev_hourly_rollup": ev_hourly_rollup,
+    "ev_sessionize": ev_sessionize,
+    "ev_topk_users": ev_topk_users,
+    "ev_click_asof_purchase": ev_click_asof_purchase,
+    "ev_json_props": ev_json_props,
+    "ev_kv_scan": ev_kv_scan,
+    "ev_minmax_by": ev_minmax_by,
+}
+
+ORACLES = {
+    "ev_hourly_rollup": EV_HOURLY_SQL,
+    "ev_sessionize": EV_SESSIONIZE_SQL,
+    "ev_topk_users": EV_TOPK_SQL,
+    "ev_click_asof_purchase": EV_ASOF_SQL,
+    "ev_json_props": EV_JSON_SQL,
+    "ev_kv_scan": EV_KV_SCAN_SQL,
+    "ev_minmax_by": EV_MINMAX_SQL,
+}
