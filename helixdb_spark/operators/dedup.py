@@ -1,0 +1,332 @@
+"""Document deduplication operators for training-data pipelines.
+
+Five families, all partition-parallel and oracle-checkable:
+
+- **exact** — hash-groupBy on (normalized) text.
+- **n-gram Jaccard** — inverted shingle index self-join (NOT an O(n²) cross
+  join: pairs only materialize when they share a shingle).
+- **MinHash + LSH** — shingle → 32 minhashes → 16 bands of 2 → band-bucket
+  join → Jaccard verification of candidates.
+- **SimHash** — 32-bit sign-of-weighted-sum fingerprint, 4 blocks of 8 bits
+  (pigeonhole: hamming<=3 ⇒ at least one identical block), block-bucket join
+  → hamming verification.
+- **embedding cosine** — near-duplicate vectors above a cosine threshold
+  (brute force here; the LSH-bucketed scale path lives in
+  operators/similarity.py).
+
+Every hash is derived from md5 (ubiquitous, deterministic), so the DuckDB
+oracles replicate the *entire* pipeline bit-for-bit — including which
+candidate pairs LSH happens to miss. At 100 TB: shingle/band joins shuffle
+on the shingle/bucket key (frequency-capped to bound skew), and nothing
+ever builds an n×n matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from helixdb_spark.functions.text import normalized_text, word_shingles, words
+from helixdb_spark.functions.vector import cosine_similarity
+
+NUM_MINHASHES = 32
+LSH_BANDS = 16  # 2 rows per band
+SIMHASH_BITS = 32
+SIMHASH_BLOCKS = 4  # 8 bits each; hamming<=3 guaranteed caught
+
+
+def _hex_long(col: Column, nchars: int = 15) -> Column:
+    """First ``nchars`` hex chars of md5 → non-negative int64 (same value as
+    DuckDB ``('0x' || substr(md5(x),1,n))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, nchars), 16, 10).cast("long")
+
+
+# ------------------------------------------------------------------- exact
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalize: bool = True
+) -> DataFrame:
+    """Docs that are byte- (or normalized-) identical to an earlier doc:
+    one hash-groupBy, the canonical survivor is the min id."""
+    text = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
+    hashed = docs.select(F.col(id_col), F.md5(text).alias("text_hash"))
+    groups = hashed.groupBy("text_hash").agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id")
+    )
+    return (
+        hashed.join(groups, "text_hash")
+        .where(F.col(id_col) != F.col("keep_id"))
+        .select(F.col(id_col).alias("dup_id"), "keep_id", "text_hash")
+        .orderBy("dup_id")
+    )
+
+
+def dedup_summary(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level dedup stats: total / distinct raw / distinct normalized."""
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(text_col).alias("n_distinct_raw"),
+        F.countDistinct(F.md5(normalized_text(F.col(text_col)))).alias(
+            "n_distinct_normalized"
+        ),
+    )
+
+
+# -------------------------------------------------------------- shingling
+def doc_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingles array) with distinct word n-grams of normalized text."""
+    return docs.select(
+        F.col(id_col),
+        word_shingles(words(normalized_text(F.col(text_col))), n).alias("shingles"),
+    )
+
+
+def _pair_jaccard(shingled: DataFrame, id_col: str, candidates: DataFrame | None) -> DataFrame:
+    """Jaccard for (id_a, id_b) pairs via the inverted shingle index.
+
+    With ``candidates`` given, only those pairs are scored; otherwise every
+    pair sharing >=1 shingle is scored (still never a cross join).
+    """
+    sizes = shingled.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    common = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "id_a"), "id_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b"), "id_b")
+        .withColumnRenamed("n_sh", "n_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All near-duplicate pairs with word-n-gram Jaccard >= threshold."""
+    shingled = doc_shingles(docs, id_col, text_col, n)
+    return (
+        _pair_jaccard(shingled, id_col, None)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+def minhash_signatures(
+    shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = NUM_MINHASHES
+) -> DataFrame:
+    """(id, h0..h{k-1}) minhash signature: h_i = min over shingles of
+    hex64(md5('i:' || shingle)). One explode + one groupBy with k min
+    aggregates — all JVM-side."""
+    exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    hash_cols = [
+        _hex_long(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        exploded.select(F.col(id_col), *hash_cols)
+        .groupBy(id_col)
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+    num_hashes: int = NUM_MINHASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash-LSH near-dup detection: signature → band keys → bucket join
+    for candidates → exact Jaccard verification. Returns verified pairs.
+
+    The band join shuffles on band_key only; at 100 TB candidates ≪ n², and
+    the verification join touches only candidate docs.
+    """
+    rows = num_hashes // bands
+    shingled = doc_shingles(docs, id_col, text_col, n).where(F.size("shingles") > 0)
+    sig = minhash_signatures(shingled, id_col, num_hashes)
+
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_keys)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_key"
+        ),
+    )
+    candidates = (
+        stacked.alias("a")
+        .join(
+            stacked.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return (
+        _pair_jaccard(shingled, id_col, candidates)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash over distinct normalized words: bit b is the sign of
+    sum(±1) of word-hash bit b across the doc's words."""
+    ws = docs.select(
+        F.col(id_col),
+        F.explode(words(normalized_text(F.col(text_col)))).alias("word"),
+    ).distinct()
+    hashed = ws.select(F.col(id_col), _hex_long(F.col("word"), 8).alias("wh"))
+    bit_sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("wh"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = bit_sums.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(0)
+                for b in range(SIMHASH_BITS)
+            ],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("simhash"),
+    )
+    return sim
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming, found by
+    block-LSH: split into 4 byte blocks; any pair within hamming 3 shares at
+    least one identical block (pigeonhole), so candidates come from a block-
+    bucket join, then exact hamming verifies."""
+    sim = simhash_fingerprints(docs, id_col, text_col)
+    blocks = sim.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(blk)),
+                        F.shiftright(F.col("simhash"), blk * 8)
+                        .bitwiseAND(F.lit(255))
+                        .cast("string"),
+                    )
+                    for blk in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("block_key"),
+    )
+    cand = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ------------------------------------------------------- embedding cosine
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Vector near-dup pairs with cosine >= threshold. Brute-force pair scan
+    (the verification-grade path); use operators.similarity for the
+    LSH-bucketed candidate generation at scale."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )

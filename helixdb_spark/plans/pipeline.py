@@ -1,0 +1,223 @@
+"""Training-data pipeline queries (dedup family) with DuckDB oracles.
+
+The oracles replicate the ENTIRE pipeline — same md5-derived hash functions,
+same band/block structure — so even the candidate pairs LSH misses are missed
+identically on both sides, making approximate algorithms hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from helixdb_spark.operators import dedup
+from helixdb_spark.operators.dedup import (
+    LSH_BANDS,
+    NUM_MINHASHES,
+    SIMHASH_BITS,
+    SIMHASH_BLOCKS,
+)
+from helixdb_spark.sources import load_table
+
+JACCARD_THRESHOLD = 0.4
+COSINE_THRESHOLD = 0.45
+MAX_HAMMING = 3
+
+# SQL fragments mirroring helixdb_spark.functions.text (note the 'g' flag:
+# DuckDB regexp_replace is single-match by default, Spark is global).
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_SHINGLES = f"""
+norm AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                   i -> array_to_string(ws[i:i+2], ' ')))
+              ELSE [] END AS shingles
+  FROM norm
+)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = f"""
+WITH h AS (SELECT doc_id, md5({_NORM}) AS text_hash FROM documents),
+g AS (SELECT text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+      FROM h GROUP BY 1)
+SELECT h.doc_id AS dup_id, g.keep_id, h.text_hash
+FROM h JOIN g USING (text_hash)
+WHERE h.doc_id != g.keep_id
+ORDER BY dup_id
+"""
+
+
+def dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_summary(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_STATS_SQL = f"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT text) AS n_distinct_raw,
+       count(DISTINCT md5({_NORM})) AS n_distinct_normalized
+FROM documents
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH {_SHINGLES},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM scored
+WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+def _minhash_sql() -> str:
+    rows = NUM_MINHASHES // LSH_BANDS
+    min_cols = ", ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS h{i}"
+        for i in range(NUM_MINHASHES)
+    )
+    band_keys = ", ".join(
+        "md5(concat_ws(',', '%d', %s)) AS band%d"
+        % (
+            b,
+            ", ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows)),
+            b,
+        )
+        for b in range(LSH_BANDS)
+    )
+    band_list = ", ".join(f"band{b}" for b in range(LSH_BANDS))
+    return f"""
+WITH {_SHINGLES},
+nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM nonempty),
+sig AS (SELECT doc_id, {min_cols} FROM ex GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_keys} FROM sig),
+stacked AS (SELECT doc_id, unnest([{band_list}]) AS band_key FROM banded),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM stacked a JOIN stacked b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM nonempty),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common c
+  JOIN cand USING (id_a, id_b)
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM scored
+WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=MAX_HAMMING
+    )
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (wh >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    block_keys = ", ".join(
+        f"concat_ws(':', '{blk}', ((simhash >> {blk * 8}) & 255)::VARCHAR)"
+        for blk in range(SIMHASH_BLOCKS)
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+w AS (SELECT DISTINCT doc_id, unnest(ws) AS word FROM norm),
+wh AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS wh FROM w),
+bits AS (SELECT doc_id, {bit_sums} FROM wh GROUP BY doc_id),
+sim AS (SELECT doc_id, ({sim_expr}) AS simhash FROM bits),
+blocks AS (SELECT doc_id, simhash, unnest([{block_keys}]) AS block_key FROM sim),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM blocks a JOIN blocks b
+    ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=COSINE_THRESHOLD
+    )
+
+
+DEDUP_COSINE_SQL = f"""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p
+WHERE cosine >= {COSINE_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_stats": dedup_stats,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_stats": DEDUP_STATS_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_embedding_cosine": DEDUP_COSINE_SQL,
+}
