@@ -113,7 +113,7 @@ def _pair_jaccard(shingled: DataFrame, id_col: str, candidates: DataFrame | None
         .withColumnRenamed("n_sh", "n_b")
         .withColumn(
             "jaccard",
-            F.round(
+            F.round(F.lit(1e-9) + 
                 F.col("n_common")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                 6,
@@ -324,7 +324,7 @@ def embedding_dup_pairs(
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6),
+            F.round(F.lit(1e-9) + cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6),
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

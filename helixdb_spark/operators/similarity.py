@@ -1,0 +1,157 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Three tiers, all deterministic and oracle-checkable:
+
+- **brute-force top-k** — exact baseline: query×corpus join, cosine, window
+  rank. At 100 TB this is the verification tier, run on candidate sets, not
+  the whole corpus.
+- **random-hyperplane LSH** — Rademacher (±1) hyperplanes derived from md5,
+  so both engines build identical planes; vectors hash to a P-bit bucket,
+  queries probe their own bucket. Bucket join shuffles on the bucket key
+  only — the scale path.
+- **IVF-flat** — deterministic coarse quantizer (every 50th vector is a
+  centroid); vectors assign to the nearest centroid list, queries probe the
+  nearest centroid's list only.
+
+The cosine math is built-ins (`zip_with`/`aggregate`) accumulating in
+double — no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from helixdb_spark.functions.vector import cosine_similarity
+
+NUM_PLANES = 6
+IVF_CENTROID_STRIDE = 50
+DIM = 64
+
+
+def plane_sign(p: int, d: int) -> int:
+    """±1 from md5 — bit-identical to the SQL
+    ``('0x'||substr(md5(p||':'||d),1,15))::BIGINT & 1``."""
+    h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+    return 1 if (h & 1) == 1 else -1
+
+
+def _plane_dot(vec: Column, p: int, dim: int) -> Column:
+    signs = F.array(*[F.lit(float(plane_sign(p, d))) for d in range(dim)])
+    return F.aggregate(
+        F.zip_with(signs, vec, lambda s, x: s * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucket(vec: Column, num_planes: int = NUM_PLANES, dim: int = DIM) -> Column:
+    """P-bit hyperplane bucket id: bit p = sign(plane_p · v)."""
+    bits = [
+        F.when(_plane_dot(vec, p, dim) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(num_planes)
+    ]
+    return sum(bits[1:], bits[0]).cast("int")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast (they are small by
+    definition); the corpus streams once."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.join(F.broadcast(q)).withColumn(
+        "cosine", F.round(F.lit(1e-9) + cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6)
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "rk", F.col(id_col).alias("neighbor_id"), "cosine")
+        .orderBy(query_id_col, "rk")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_planes: int = NUM_PLANES,
+    dim: int = DIM,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's hyperplane
+    bucket are scored. Recall < 1 by design; deterministic, so the oracle
+    reproduces the same approximation."""
+    c = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), num_planes, dim))
+    q = queries.select(query_id_col, F.col(vec_col).alias("_qvec")).withColumn(
+        "_bucket", lsh_bucket(F.col("_qvec"), num_planes, dim)
+    )
+    scored = c.join(F.broadcast(q), "_bucket").withColumn(
+        "cosine", F.round(F.lit(1e-9) + cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6)
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "rk", F.col(id_col).alias("neighbor_id"), "cosine")
+        .orderBy(query_id_col, "rk")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    stride: int = IVF_CENTROID_STRIDE,
+) -> DataFrame:
+    """IVF-flat with a deterministic coarse quantizer: centroids are the
+    vectors with ``id % stride == 0``. Vectors join their nearest centroid's
+    inverted list; queries probe one list. At scale the quantizer would be
+    k-means run as a separate job; the probe/list structure is identical."""
+    centroids = corpus.where((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec")
+    )
+
+    def nearest_centroid(df: DataFrame, vcol: str, part_col: str) -> DataFrame:
+        scored = df.join(F.broadcast(centroids)).withColumn(
+            "_csim", cosine_similarity(F.col(vcol), F.col("_cvec"))
+        )
+        w = W.partitionBy(part_col).orderBy(F.desc("_csim"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("_crk", F.row_number().over(w))
+            .where(F.col("_crk") == 1)
+            .drop("_csim", "_crk", "_cvec")
+        )
+
+    c = nearest_centroid(corpus, vec_col, id_col)
+    q = nearest_centroid(
+        queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
+        "_qvec",
+        query_id_col,
+    )
+    scored = c.join(F.broadcast(q), "centroid_id").withColumn(
+        "cosine", F.round(F.lit(1e-9) + cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6)
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "rk", F.col(id_col).alias("neighbor_id"), "cosine")
+        .orderBy(query_id_col, "rk")
+    )

@@ -31,7 +31,7 @@ def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.lit(1e-9) + F.sum("value"), 2).alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("hour", "event_type")
@@ -41,7 +41,7 @@ def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value,
+       round(1e-9 + sum(value), 2) AS total_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -105,7 +105,7 @@ def ev_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate)."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("event_type", "user_id").agg(
-        F.round(F.sum("value"), 2).alias("total_value")
+        F.round(F.lit(1e-9) + F.sum("value"), 2).alias("total_value")
     )
     w = W.partitionBy("event_type").orderBy(F.desc("total_value"), F.asc("user_id"))
     return (
@@ -122,7 +122,7 @@ FROM (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY total_value DESC, user_id ASC) AS rk
   FROM (
-    SELECT event_type, user_id, round(sum(value), 2) AS total_value
+    SELECT event_type, user_id, round(1e-9 + sum(value), 2) AS total_value
     FROM events GROUP BY 1, 2
   )
 )
@@ -153,12 +153,12 @@ def ev_click_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.round("p_value", 2).alias("last_purchase_value"),
+        F.round(F.lit(1e-9) + F.col("p_value"), 2).alias("last_purchase_value"),
     ).orderBy("event_id")
 
 
 EV_ASOF_SQL = """
-SELECT c.event_id, c.user_id, round(p.value, 2) AS last_purchase_value
+SELECT c.event_id, c.user_id, round(1e-9 + p.value, 2) AS last_purchase_value
 FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND c.ts >= p.ts
@@ -174,7 +174,7 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.round(F.lit(1e-9) + F.avg("k"), 4).alias("avg_k"),
             F.max("k").alias("max_k"),
             F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
         )
@@ -184,7 +184,7 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EV_JSON_SQL = """
 SELECT event_type,
-       round(avg(k), 4) AS avg_k,
+       round(1e-9 + avg(k), 4) AS avg_k,
        max(k) AS max_k,
        count(*) FILTER (WHERE k > 50) AS n_high
 FROM (SELECT event_type, json_extract(props, '$.k')::INT AS k FROM events)

@@ -82,7 +82,7 @@ common AS (
 ),
 scored AS (
   SELECT id_a, id_b,
-         round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+         round(1e-9 + n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
   FROM common
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
@@ -135,7 +135,7 @@ common AS (
 ),
 scored AS (
   SELECT c.id_a, c.id_b,
-         round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+         round(1e-9 + n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
   FROM common c
   JOIN cand USING (id_a, id_b)
   JOIN sizes sa ON sa.doc_id = c.id_a
@@ -195,7 +195,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_COSINE_SQL = f"""
 WITH p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+         round(1e-9 + list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM p
@@ -221,3 +221,160 @@ ORACLES = {
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
 }
+
+# ----------------------------------------------------------- similarity ----
+from helixdb_spark.operators import similarity as _sim
+from helixdb_spark.operators import text_analysis as _ta
+
+ANN_K = 5
+N_QUERY_VECS = 5
+
+
+def _query_vecs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    return emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), _query_vecs(spark, sf_dir), k=ANN_K
+    )
+
+
+ANN_BRUTE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(1e-9 + list_cosine_similarity(q.qvec::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
+SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= {ANN_K}
+ORDER BY query_id, rk
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), _query_vecs(spark, sf_dir), k=ANN_K
+    )
+
+
+def _lsh_sql() -> str:
+    def bucket_expr(vec: str) -> str:
+        bits = []
+        for p in range(_sim.NUM_PLANES):
+            signs = ", ".join(
+                str(float(_sim.plane_sign(p, d))) for d in range(_sim.DIM)
+            )
+            dot = (
+                f"list_sum(list_transform(range(1, {_sim.DIM + 1}), "
+                f"i -> ([{signs}])[i] * ({vec}::DOUBLE[])[i]))"
+            )
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        return "(" + " + ".join(bits) + ")"
+
+    return f"""
+WITH c AS (SELECT vec_id, embedding, {bucket_expr('embedding')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec,
+             {bucket_expr('embedding')} AS bucket
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(1e-9 + list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM c JOIN q USING (bucket)
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
+SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= {ANN_K}
+ORDER BY query_id, rk
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), _query_vecs(spark, sf_dir), k=ANN_K
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+              WHERE vec_id % {_sim.IVF_CENTROID_STRIDE} = 0),
+c_assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_cosine_similarity(e.embedding::DOUBLE[], cent.cvec::DOUBLE[]) DESC,
+             cent.centroid_id ASC) AS crk
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE crk = 1
+),
+q_assign AS (
+  SELECT query_id, qvec, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qvec, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_cosine_similarity(e.embedding::DOUBLE[], cent.cvec::DOUBLE[]) DESC,
+             cent.centroid_id ASC) AS crk
+    FROM embeddings e CROSS JOIN cent
+    WHERE e.vec_id < {N_QUERY_VECS}
+  ) WHERE crk = 1
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(1e-9 + list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM c_assign c JOIN q_assign q USING (centroid_id)
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
+SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= {ANN_K}
+ORDER BY query_id, rk
+"""
+
+
+# ------------------------------------------------------------ text analysis
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ta.quality_metrics(load_table(spark, sf_dir, "documents"))
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ta.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ta.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ta.fingerprint_docs(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update(
+    {
+        "ann_bruteforce_topk": ann_bruteforce_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "text_quality": text_quality,
+        "text_lang_id": text_lang_id,
+        "text_token_stats": text_token_stats,
+        "text_fingerprint": text_fingerprint,
+    }
+)
+
+ORACLES.update(
+    {
+        "ann_bruteforce_topk": ANN_BRUTE_SQL,
+        "ann_lsh_topk": _lsh_sql(),
+        "ann_ivf_topk": ANN_IVF_SQL,
+        "text_quality": _ta.quality_sql(_NORM),
+        "text_lang_id": _ta.lang_id_sql(_NORM),
+        "text_token_stats": _ta.TOKEN_STATS_SQL,
+        "text_fingerprint": _ta.fingerprint_sql(_NORM),
+    }
+)

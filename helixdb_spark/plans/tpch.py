@@ -35,13 +35,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.lit(1e-9) + F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.lit(1e-9) + F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.lit(1e-9) + F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.lit(1e-9) + F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.lit(1e-9) + F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.lit(1e-9) + F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.lit(1e-9) + F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -50,13 +50,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(1e-9 + sum(l_quantity), 2) AS sum_qty,
+       round(1e-9 + sum(l_extendedprice), 2) AS sum_base_price,
+       round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(1e-9 + sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(1e-9 + avg(l_quantity), 4) AS avg_qty,
+       round(1e-9 + avg(l_extendedprice), 4) AS avg_price,
+       round(1e-9 + avg(l_discount), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -80,7 +80,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
+            F.round(F.lit(1e-9) + 
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -91,7 +91,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -126,7 +126,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
+            F.round(F.lit(1e-9) + 
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -135,7 +135,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -165,7 +165,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            F.round(F.lit(1e-9) + F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
                 "revenue"
             )
         )
@@ -173,7 +173,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(1e-9 + sum(l_extendedprice * l_discount), 2) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -198,7 +198,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
+            F.round(F.lit(1e-9) + 
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -209,7 +209,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -238,14 +238,14 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_part_avg, "l_partkey")
         .where(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(F.lit(1e-9) + F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
             F.count("*").alias("n_items"),
         )
     )
 
 
 Q17_SQL = """
-SELECT round(sum(l1.l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_items
+SELECT round(1e-9 + sum(l1.l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_items
 FROM lineitem l1
 JOIN part ON l1.l_partkey = p_partkey
 WHERE p_brand = 'Brand#1'
@@ -263,7 +263,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(F.round(F.lit(1e-9) + F.sum("l_quantity"), 2).alias("total_qty"))
         .where(F.col("total_qty") > 150)
     )
     return (
@@ -278,7 +278,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q18_SQL = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
 FROM (
-  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  SELECT l_orderkey, round(1e-9 + sum(l_quantity), 2) AS total_qty
   FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
 ) big
 JOIN orders ON l_orderkey = o_orderkey
@@ -296,7 +296,7 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.lit(1e-9) + F.sum("o_totalprice"), 2).alias("total_price"),
         )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
@@ -307,7 +307,7 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       round(1e-9 + sum(o_totalprice), 2) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -321,7 +321,7 @@ def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.lit(1e-9) + F.avg("l_quantity"), 4).alias("avg_qty"),
         )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
@@ -331,7 +331,7 @@ def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CUBE_SQL = """
-SELECT l_returnflag, l_linestatus, count(*) AS n, round(avg(l_quantity), 4) AS avg_qty
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(1e-9 + avg(l_quantity), 4) AS avg_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
@@ -375,13 +375,13 @@ def running_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "n_name", F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.round(F.lit(1e-9) + F.sum("o_totalprice"), 2).alias("revenue"))
     )
     w = W.partitionBy("n_name").orderBy("month")
     return (
         monthly.withColumn(
             "cum_revenue",
-            F.round(F.sum("revenue").over(w.rowsBetween(W.unboundedPreceding, 0)), 2),
+            F.round(F.lit(1e-9) + F.sum("revenue").over(w.rowsBetween(W.unboundedPreceding, 0)), 2),
         )
         .withColumn("prev_revenue", F.lag("revenue").over(w))
         .orderBy("n_name", "month")
@@ -390,12 +390,12 @@ def running_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RUNNING_SQL = """
 SELECT n_name, month, revenue,
-       round(sum(revenue) OVER (PARTITION BY n_name ORDER BY month
+       round(1e-9 + sum(revenue) OVER (PARTITION BY n_name ORDER BY month
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue,
        lag(revenue) OVER (PARTITION BY n_name ORDER BY month) AS prev_revenue
 FROM (
   SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-         round(sum(o_totalprice), 2) AS revenue
+         round(1e-9 + sum(o_totalprice), 2) AS revenue
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
@@ -534,9 +534,9 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
-            F.round(F.percentile("l_quantity", F.lit(0.99)), 4).alias("p99"),
+            F.round(F.lit(1e-9) + F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.lit(1e-9) + F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.lit(1e-9) + F.percentile("l_quantity", F.lit(0.99)), 4).alias("p99"),
         )
         .orderBy("l_returnflag")
     )
@@ -544,9 +544,9 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PERCENTILE_SQL = """
 SELECT l_returnflag,
-       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
-       round(quantile_cont(l_quantity, 0.9), 4) AS p90,
-       round(quantile_cont(l_quantity, 0.99), 4) AS p99
+       round(1e-9 + quantile_cont(l_quantity, 0.5), 4) AS p50,
+       round(1e-9 + quantile_cont(l_quantity, 0.9), 4) AS p90,
+       round(1e-9 + quantile_cont(l_quantity, 0.99), 4) AS p99
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
