@@ -1,0 +1,120 @@
+"""Multimodal (image/audio/video-shaped) column handling.
+
+Pattern: media is an opaque ``binary`` payload column + a typed metadata
+struct; decode / feature-extract / frame-sample run as Arrow-batched
+``mapInPandas`` operators so each executor processes whole record batches —
+the shape a real decoder (PIL/ffmpeg/torchaudio) plugs into. Those libraries
+are not in this container, so ``decode_image`` raises ``NotImplementedError``
+unless available, and the *feature* path uses a deterministic byte-level
+extractor (length / boundary bytes / md5 checksum) that keeps all the Spark
+plumbing — schema, partitioning, UDF signature, batch shape — real and
+testable.
+
+At 100 TB: payloads stay columnar in parquet (no driver round-trip), the
+mapInPandas operators are embarrassingly parallel, and metadata predicates
+(width/height/codec) prune at the scan before any payload byte is read
+(column pruning means the binary column is not even fetched for
+metadata-only queries).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FRAME_STRIDE = 4
+BYTES_PER_FRAME = 16
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, payload binary, format string, width int, height int, "
+    "n_frames int"
+)
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, first_byte int, last_byte int, "
+    "checksum_hex string"
+)
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build a media table from documents: utf-8 payload bytes standing in
+    for image data, plus deterministic metadata (a real pipeline reads these
+    from the container header)."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.lit("fake/raw").alias("format"),
+        (F.length(payload) % 64 + 16).cast("int").alias("width"),
+        (F.length(payload) % 48 + 12).cast("int").alias("height"),
+        F.floor(F.length(payload) / BYTES_PER_FRAME).cast("int").alias("n_frames"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - container lacks PIL
+    """Real image decode — stubbed: the container ships no imaging libs.
+    The surrounding operators never call this in tests; swap it in by
+    installing PIL and replacing `_fake_features`."""
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires PIL, not present in this environment"
+        ) from e
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Byte-level feature extraction over Arrow batches (the deterministic
+    stand-in for an embedding/decoder model)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1),
+                    "last_byte": payloads.map(lambda b: b[-1] if len(b) else -1),
+                    "checksum_hex": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()[:8]
+                    ),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(op, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling for video-shaped payloads: every ``stride``-th frame,
+    each fingerprinted by md5(payload_utf8 + ':' + idx). Emits one row per
+    sampled frame from a batch iterator (1→N fan-out inside mapInPandas)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out_ids, out_idx, out_md5 = [], [], []
+            for doc_id, payload, n_frames in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                for idx in range(0, int(n_frames), stride):
+                    out_ids.append(doc_id)
+                    out_idx.append(idx)
+                    out_md5.append(
+                        hashlib.md5(bytes(payload) + f":{idx}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame_md5": out_md5}
+            )
+
+    return media.select("doc_id", "payload", "n_frames").mapInPandas(op, FRAME_SCHEMA)

@@ -1,0 +1,166 @@
+"""Structured Streaming ingest + stateful operators.
+
+The reference's only streaming-ish machinery is its write-batch micro-batcher
+(reference src/level.rs:593-721) and the logical-time tumbling compaction
+policy (src/level.rs:550-591); real streaming semantics (watermarks, windows,
+state) are engine additions mapped onto Structured Streaming (SURVEY.md
+§2.10).
+
+For deterministic local runs the parquet testdata drives the stream
+(one file → one micro-batch) into a memory sink via
+``processAllAvailable()``; in production the same plans read Kafka/files and
+write to the hot table (the streaming form of ``HelixSpark.put``).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_COUNTER = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded stream. ts arrives as long nanoseconds
+    (TIMESTAMP(NANOS) + nanosAsLong) and converts exactly like the batch
+    loader so streaming results hash-match batch oracles."""
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file stream source requires a directory; glob-filter to the table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+    name = f"stream_out_{next(_COUNTER)}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation over the event stream (complete
+    mode so every window is emitted deterministically on a bounded source)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.lit(1e-9) + F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("win.start").alias("hour"), "event_type", "n_events", "total_value"
+    ).orderBy("hour", "event_type")
+
+
+STREAM_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(1e-9 + sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: per-user
+    running (count, total value, max value). On the bounded testdata stream
+    the final state equals the batch aggregate, so it stays oracle-checkable.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(1e-9 + total, 2)],
+                "max_value": [round(1e-9 + mx, 2)],
+            }
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    out = _run_to_memory(agg, "update")
+    # on a bounded single-batch source each user emits once; keep the final
+    # state per user in case the source split into multiple batches
+    w_latest = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return w_latest.orderBy("user_id")
+
+
+STREAM_USER_STATE_SQL = """
+SELECT user_id, count(*) AS n_events,
+       round(1e-9 + sum(value), 2) AS total_value,
+       round(1e-9 + max(value), 2) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def stream_ingest_to_engine(spark: SparkSession, sf_dir: str, db) -> None:
+    """Streaming form of ``HelixSpark.put``: micro-batches append to the hot
+    table via foreachBatch (exactly the reference's WriteBatch micro-batching
+    — src/level.rs:593-721 — with Spark owning the trigger)."""
+    ev = _events_stream(spark, sf_dir)
+    entries = ev.select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.col("props"), "utf-8").alias("value"),
+    )
+    q = entries.writeStream.foreachBatch(
+        lambda batch_df, epoch_id: db.put(batch_df)
+    ).start()
+    q.processAllAvailable()
+    q.stop()
