@@ -34,6 +34,12 @@ NO_ORDER: Comparator = None
 
 def le_u64(key_col: Column) -> Column:
     """Sort 8-byte little-endian u64 keys numerically (the shape the
-    reference's benchmark uses — reference benchmarks/src/main.rs:220-234)."""
-    big_endian = F.reverse(key_col)
-    return F.conv(F.hex(big_endian), 16, 10).cast("decimal(20,0)")
+    reference's benchmark uses — reference benchmarks/src/main.rs:220-234).
+
+    Works on the hex encoding (reversing the raw binary would round-trip it
+    through a UTF-8 string and corrupt non-ASCII bytes): swap the 8 hex byte
+    pairs into big-endian order, then parse base-16.
+    """
+    h = F.hex(key_col)
+    swapped = F.concat(*[F.substring(h, i, 2) for i in (15, 13, 11, 9, 7, 5, 3, 1)])
+    return F.conv(swapped, 16, 10).cast("decimal(20,0)")

@@ -339,7 +339,11 @@ class HelixSpark:
         time bounds are inclusive, matching the *documented/tested* get-path
         semantics (TimeRange.contains, src/types/entry.rs:113-117) rather
         than the internal end-exclusive iteration quirk (SURVEY.md §1.1).
-        Key range inclusive both ends (level.rs:145-149).
+        Key range inclusive both ends and evaluated THROUGH the comparator
+        (reference level.rs:145-149 passes cmp to the range check), so e.g.
+        little-endian u64 keys range numerically, not bytewise. A None
+        comparator (NoOrderComparator) makes the key-range predicate always
+        true — an unordered full scan (reference util.rs:54-80, SURVEY F3).
 
         The reference implements scan as a key-ordered loop of point gets per
         shard plus a k-way heap merge on the client (iterator.rs:111-195);
@@ -352,10 +356,12 @@ class HelixSpark:
         self._check_open()
         ts_lo, ts_hi = time_range
         df = self._entries_df(ts_lo=ts_lo, ts_hi=ts_hi)
-        if key_range is not None:
+        if key_range is not None and comparator is not None:
             lo, hi = key_range
+            kexpr = comparator(F.col("key"))
             df = df.where(
-                (F.col("key") >= F.lit(bytes(lo))) & (F.col("key") <= F.lit(bytes(hi)))
+                (kexpr >= comparator(F.lit(bytes(lo))))
+                & (kexpr <= comparator(F.lit(bytes(hi))))
             )
         df = df.select("ts", "key", "value")
         if comparator is not None:

@@ -198,19 +198,21 @@ def ev_kv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries (time range × key range, key-major then ts order — reference
     src/db.rs:67-74). This is what ``HelixSpark.scan`` compiles to."""
     ev = load_table(spark, sf_dir, "events")
-    entries = ev.select(
+    # range the raw timestamp column so the predicate pushes down to the
+    # parquet scan (floor(epoch(ts)) in [lo, hi] ⇔ ts in [lo, hi+1) );
+    # deriving epoch seconds first would block pushdown
+    filtered = ev.where(
+        (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-08 00:00:01").cast("timestamp"))
+    )
+    entries = filtered.select(
         F.unix_timestamp("ts").alias("ts"),
         F.col("user_id").cast("string").alias("key"),
         F.col("props").alias("value"),
         "event_id",
     )
     return (
-        entries.where(
-            (F.col("ts") >= 1704067200)  # 2024-01-01
-            & (F.col("ts") <= 1704672000)  # 2024-01-08
-            & (F.col("key") >= "10")
-            & (F.col("key") <= "60")
-        )
+        entries.where((F.col("key") >= "10") & (F.col("key") <= "60"))
         .orderBy("key", "ts", "event_id")
     )
 

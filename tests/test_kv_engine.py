@@ -153,3 +153,14 @@ def test_user_keys_and_counts(spark, db_path):
     assert keys == {b"a", b"b"}
     counts = {bytes(r["key"]): r["count"] for r in db.key_counts().collect()}
     assert counts == {b"a": 2, b"b": 1}
+
+
+def test_scan_key_range_uses_comparator(spark, db_path):
+    """LE-u64 keys range numerically through the comparator, not bytewise
+    (reference passes cmp into the range check — level.rs:145-149)."""
+    db = HelixSpark.open(spark, db_path, HelixOptions(auto_maintain=False))
+    db.put([(0, le_u64(k), b"v") for k in range(300)])
+    got = db.scan((0, 0), (le_u64(0), le_u64(299)), comparator=comparators.le_u64)
+    assert got.count() == 300  # bytewise would exclude most keys >= 256
+    got2 = db.scan((0, 0), (le_u64(10), le_u64(20)), comparator=comparators.le_u64)
+    assert got2.count() == 11
