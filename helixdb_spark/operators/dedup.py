@@ -23,16 +23,49 @@ ever builds an n×n matrix.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from helixdb_spark.functions.text import normalized_text, word_shingles, words
-from helixdb_spark.functions.vector import cosine_similarity
+from helixdb_spark.functions.vector import cosine_similarity_arrow
 
 NUM_MINHASHES = 32
 LSH_BANDS = 16  # 2 rows per band
 SIMHASH_BITS = 32
 SIMHASH_BLOCKS = 4  # 8 bits each; hamming<=3 guaranteed caught
+
+# Affine universal-hash family for minhash: h_i(x) = (a_i * base(x) + b_i)
+# mod P, with ONE md5-derived 32-bit base hash per shingle instead of k md5s.
+# a_i is odd and < 2^29, base < 2^32, so a*base + b < 2^62 — no 64-bit
+# overflow on either engine (DuckDB raises on BIGINT overflow, so this bound
+# is a correctness requirement for the oracle, not just hygiene).
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def minhash_coeffs(num_hashes: int = NUM_MINHASHES) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs derived from md5 so the SQL oracle can
+    embed the identical literals."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16)
+        out.append((a, b))
+    return out
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the session's full parallelism before the
+    CPU-heavy shingling/hashing stages. At 100 TB the scan already arrives
+    in thousands of partitions and this is a no-op; locally a small parquet
+    file reads as ONE partition and would serialize every downstream stage
+    onto one core."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _hex_long(col: Column, nchars: int = 15) -> Column:
@@ -78,6 +111,7 @@ def doc_shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, shingles array) with distinct word n-grams of normalized text."""
+    docs = _spread(docs)
     return docs.select(
         F.col(id_col),
         word_shingles(words(normalized_text(F.col(text_col))), n).alias("shingles"),
@@ -130,8 +164,16 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
 ) -> DataFrame:
-    """All near-duplicate pairs with word-n-gram Jaccard >= threshold."""
-    shingled = doc_shingles(docs, id_col, text_col, n)
+    """All near-duplicate pairs with word-n-gram Jaccard >= threshold.
+
+    The shingle table feeds three branches of the plan (both sides of the
+    inverted-index self-join + the size lookup), so it is persisted: without
+    that, Spark re-shingles the corpus once per branch. At 100 TB this
+    materialization is the standard "build the index once" step.
+    """
+    shingled = doc_shingles(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return (
         _pair_jaccard(shingled, id_col, None)
         .where(F.col("jaccard") >= threshold)
@@ -145,15 +187,18 @@ def minhash_signatures(
     shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = NUM_MINHASHES
 ) -> DataFrame:
     """(id, h0..h{k-1}) minhash signature: h_i = min over shingles of
-    hex64(md5('i:' || shingle)). One explode + one groupBy with k min
-    aggregates — all JVM-side."""
+    (a_i * md5_32(shingle) + b_i) mod P. ONE md5 per shingle plus k cheap
+    affine maps — all JVM-side; one explode + one groupBy with k min
+    aggregates."""
     exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    base = _hex_long(F.col("shingle"), 8).alias("bh")
     hash_cols = [
-        _hex_long(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
+        ((F.lit(a) * F.col("bh") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return (
-        exploded.select(F.col(id_col), *hash_cols)
+        exploded.select(F.col(id_col), base)
+        .select(F.col(id_col), *hash_cols)
         .groupBy(id_col)
         .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
     )
@@ -172,10 +217,18 @@ def minhash_lsh_pairs(
     for candidates → exact Jaccard verification. Returns verified pairs.
 
     The band join shuffles on band_key only; at 100 TB candidates ≪ n², and
-    the verification join touches only candidate docs.
+    the verification join touches only candidate docs: each candidate pair
+    pulls the two shingle arrays and counts ``array_intersect`` JVM-side —
+    it never rebuilds the full inverted index the way the exhaustive
+    n-gram-Jaccard operator must.
     """
     rows = num_hashes // bands
-    shingled = doc_shingles(docs, id_col, text_col, n).where(F.size("shingles") > 0)
+    # no size>0 filter: docs with no shingles produce no bands and no
+    # candidates, and a filter here would be predicate-pushed below the
+    # spread exchange and re-evaluate the shingling serially
+    shingled = doc_shingles(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signatures(shingled, id_col, num_hashes)
 
     band_keys = [
@@ -189,12 +242,15 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_keys)
+    # persisted: both sides of the band-bucket self-join read it; without
+    # this the whole signature computation (explode + k md5s + groupBy)
+    # runs twice
     stacked = banded.select(
         F.col(id_col),
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
             "band_key"
         ),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     candidates = (
         stacked.alias("a")
         .join(
@@ -207,8 +263,24 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    sh_a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        _pair_jaccard(shingled, id_col, candidates)
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.lit(1e-9)
+                + n_common / (F.size("sh_a") + F.size("sh_b") - n_common),
+                6,
+            ),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -221,6 +293,7 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """32-bit SimHash over distinct normalized words: bit b is the sign of
     sum(±1) of word-hash bit b across the doc's words."""
+    docs = _spread(docs)
     ws = docs.select(
         F.col(id_col),
         F.explode(words(normalized_text(F.col(text_col)))).alias("word"),
@@ -259,8 +332,14 @@ def simhash_pairs(
     """Near-dup pairs with SimHash hamming distance <= max_hamming, found by
     block-LSH: split into 4 byte blocks; any pair within hamming 3 shares at
     least one identical block (pigeonhole), so candidates come from a block-
-    bucket join, then exact hamming verifies."""
-    sim = simhash_fingerprints(docs, id_col, text_col)
+    bucket join, then exact hamming verifies.
+
+    The fingerprint table is persisted: both sides of the block-bucket
+    self-join read it, and recomputing it means re-running the word explode
+    + 32 bit-sum aggregation twice."""
+    sim = simhash_fingerprints(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     blocks = sim.select(
         F.col(id_col),
         "simhash",
@@ -313,8 +392,12 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Vector near-dup pairs with cosine >= threshold. Brute-force pair scan
     (the verification-grade path); use operators.similarity for the
-    LSH-bucketed candidate generation at scale."""
-    a = embeddings.select(
+    LSH-bucketed candidate generation at scale.
+
+    The id_a < id_b condition makes this a broadcast-nested-loop join whose
+    parallelism is the STREAM side's partition count, so the stream side is
+    spread to full parallelism first."""
+    a = _spread(embeddings).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
     b = embeddings.select(
@@ -324,7 +407,10 @@ def embedding_dup_pairs(
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(F.lit(1e-9) + cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6),
+            F.round(
+                F.lit(1e-9) + cosine_similarity_arrow(F.col("vec_a"), F.col("vec_b")),
+                6,
+            ),
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -44,6 +44,16 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate duplicates the generator's child
+        # expression into a filter that predicate-pushdown then moves BELOW
+        # the repartition exchange — for explode(expensive_expr) (the
+        # shingling path) that re-evaluates the whole expression serially on
+        # the narrow pre-shuffle side. The inferred filter only skips empty
+        # arrays, which Generate drops anyway.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # driver testdata writes events.ts as TIMESTAMP(NANOS), which Spark
         # cannot map to TimestampType; read it as long and convert in the
         # loader (helixdb_spark.sources.tables).
