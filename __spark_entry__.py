@@ -26,22 +26,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from helixdb_spark.plans import events, media, pipeline, tpch
+    from helixdb_spark.plans import events, kv, media, pipeline, tpch
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(tpch.QUERIES)
     out.update(events.QUERIES)
     out.update(pipeline.QUERIES)
     out.update(media.QUERIES)
+    out.update(kv.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from helixdb_spark.plans import events, media, pipeline, tpch
+    from helixdb_spark.plans import events, kv, media, pipeline, tpch
 
     out: dict[str, str] = {}
     out.update(tpch.ORACLES)
     out.update(events.ORACLES)
     out.update(pipeline.ORACLES)
     out.update(media.ORACLES)
+    out.update(kv.ORACLES)
     return out
