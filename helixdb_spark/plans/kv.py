@@ -1,8 +1,8 @@
-"""KV-engine and streaming queries for the graded contract.
+"""KV-engine queries for the graded contract.
 
 These put the reference's actual surface — put / compact / scan
-(reference src/db.rs:32-80) — and the Structured Streaming additions under
-the same DuckDB-oracle gate as the relational plans: the roundtrip query
+(reference src/db.rs:32-80) — under the same DuckDB-oracle gate as the
+relational plans: the roundtrip query
 writes the events table through the engine (hot parquet), compacts a
 sub-range (hot → cold chunks, reference src/level.rs:356-459), and scans it
 back; the result must equal a plain SQL range select over the source table,
@@ -115,36 +115,12 @@ ORDER BY key
 """
 
 
-def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from helixdb_spark import streaming
-
-    return streaming.stream_hourly_rollup(spark, sf_dir)
-
-
-def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from helixdb_spark import streaming
-
-    return streaming.stream_user_state(spark, sf_dir)
-
-
-def _streaming_sqls() -> dict[str, str]:
-    from helixdb_spark import streaming
-
-    return {
-        "stream_hourly_rollup": streaming.STREAM_HOURLY_SQL,
-        "stream_user_state": streaming.STREAM_USER_STATE_SQL,
-    }
-
-
 QUERIES = {
     "kv_roundtrip_scan": kv_roundtrip_scan,
     "kv_key_counts": kv_key_counts,
-    "stream_hourly_rollup": stream_hourly_rollup,
-    "stream_user_state": stream_user_state,
 }
 
 ORACLES = {
     "kv_roundtrip_scan": KV_ROUNDTRIP_SQL,
     "kv_key_counts": KV_KEY_COUNTS_SQL,
-    **_streaming_sqls(),
 }
