@@ -42,16 +42,28 @@ HEADLINE = [
     "stream_hourly_rollup",
 ]
 
-# db_bench-shaped KV micro-bench (scaled to keep the wall clock sane on CI;
-# the shape — key/value layout, batched probes — matches BASELINE.md)
-KV_NUM_KEY = 256
-KV_NUM_TS = 64
+# db_bench-shaped KV micro-bench. Default is scaled down to keep the bench
+# wall clock sane; SPARK_GRAFT_KV_FULL=1 runs the reference's exact default
+# shape (1024 keys x 1024 timestamps x 1 KiB values = 2^20 entries, ~1 GiB
+# — BASELINE.md config column).
+_KV_FULL = os.environ.get("SPARK_GRAFT_KV_FULL") == "1"
+KV_NUM_KEY = 1024 if _KV_FULL else 256
+KV_NUM_TS = 1024 if _KV_FULL else 64
 KV_VALUE_SIZE = 1024
-KV_READ_PROBES = 256
+KV_READ_PROBES = 1024 if _KV_FULL else 256
 
 
 def le_u64(i: int) -> bytes:
     return struct.pack("<Q", i)
+
+
+def le_u64_col(col):
+    """Little-endian u64 key bytes from a long column, JVM-side (the hex
+    byte-pair swap of comparators.le_u64, inverted)."""
+    from pyspark.sql import functions as F
+
+    h = F.lpad(F.hex(col), 16, "0")
+    return F.unhex(F.concat(*[F.substring(h, i, 2) for i in (15, 13, 11, 9, 7, 5, 3, 1)]))
 
 
 def kv_bench(spark) -> dict[str, float]:
@@ -68,11 +80,18 @@ def kv_bench(spark) -> dict[str, float]:
                          num_shard=int(CPUS) if CPUS.isdigit() else 8,
                          auto_maintain=False),
         )
-        value = b"\x00" * KV_VALUE_SIZE
-        rows = [(t, le_u64(k), value) for t in range(KV_NUM_TS) for k in range(KV_NUM_KEY)]
+        # distributed entry generation — no driver-side row list (the fill
+        # set is ~1 GiB at the full db_bench shape)
+        from pyspark.sql import functions as F
+
+        entries = spark.range(KV_NUM_TS * KV_NUM_KEY).select(
+            (F.col("id") / KV_NUM_KEY).cast("long").alias("ts"),
+            le_u64_col(F.col("id") % KV_NUM_KEY).alias("key"),
+            F.lit(b"\x00" * KV_VALUE_SIZE).alias("value"),
+        )
 
         t0 = time.monotonic()
-        db.put(rows)
+        db.put(entries)
         out["kv_fill"] = time.monotonic() - t0
 
         import random
@@ -87,9 +106,10 @@ def kv_bench(spark) -> dict[str, float]:
         out["kv_read"] = time.monotonic() - t0
         assert len(found) > 0
 
+        # BASELINE.md scan shape: ts in [0,4], full key range,
+        # NoOrderComparator (unordered full scan)
         t0 = time.monotonic()
-        n = db.scan((0, 4), (le_u64(0), le_u64(KV_NUM_KEY)),
-                    comparator=comparators.le_u64).count()
+        n = db.scan((0, 4), comparator=comparators.NO_ORDER).count()
         out["kv_scan"] = time.monotonic() - t0
         assert n == 5 * KV_NUM_KEY
 
