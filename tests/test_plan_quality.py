@@ -1,0 +1,106 @@
+"""Physical-plan regression tests — the scale posture, asserted.
+
+At 100 TB the difference between a partition-pruned scan and a full scan, or
+between a broadcast join and a nested-loop join, is the difference between a
+query and an outage. These tests pin the plan properties the engine relies
+on, via ``explain`` output:
+
+- engine reads prune ``time_bucket`` partitions (the reference's level
+  pruning, level_info.rs:98-111, done by Catalyst);
+- analytic predicates and column pruning reach the parquet scan;
+- dimension joins broadcast, and no plan degenerates into a cartesian
+  product;
+- metadata-only multimodal queries never read the payload bytes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from helixdb_spark.engine import HelixOptions, HelixSpark
+from helixdb_spark.sources import load_table
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def kv_db(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("plan_db"))
+    db = HelixSpark.open(
+        spark, base, HelixOptions(rick_range=100, outdate_range=1 << 40, auto_maintain=False)
+    )
+    db.put([(t, f"k{k}".encode(), b"v") for t in range(0, 500, 50) for k in range(4)])
+    return db
+
+
+def test_scan_prunes_time_bucket_partitions(kv_db):
+    plan = plan_of(kv_db.scan((120, 180)))
+    assert "PartitionFilters" in plan
+    # bucket range [1, 1] derived from ts range [120, 180] with rick_range=100
+    assert "time_bucket" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_get_plan_prunes_and_pushes_key(kv_db):
+    df = kv_db._entries_df(ts_lo=120, ts_hi=120).where(F.col("key") == F.lit(b"k1"))
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "key" in pushed  # key equality reaches the parquet scan
+
+
+def test_q1_pushdown_and_column_pruning(spark, sf_dir):
+    from helixdb_spark.plans import tpch
+
+    plan = plan_of(tpch.q1_pricing_summary(spark, sf_dir))
+    pushed = plan.split("PushedFilters", 1)[1]
+    assert "l_shipdate" in pushed[:200]
+    read_schema = plan.split("ReadSchema", 1)[1][:400]
+    # only the 7 needed columns, not the 16-column lineitem
+    assert "l_orderkey" not in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_tpch_joins_broadcast_no_cartesian(spark, sf_dir):
+    from helixdb_spark.plans import tpch
+
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume", "q18_large_orders"):
+        plan = plan_of(tpch.QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_mm_metadata_filter_never_reads_payload(spark, sf_dir):
+    from helixdb_spark.plans import media
+
+    plan = plan_of(media.mm_metadata_filter(spark, sf_dir))
+    read_schema = plan.split("ReadSchema", 1)[1][:300]
+    # the payload synthesis derives from text, but the grouped metadata
+    # aggregate must not carry the payload binary column itself
+    assert "payload" not in read_schema
+
+
+def test_shingle_explode_not_duplicated_below_exchange(spark, sf_dir):
+    """Regression for the InferFiltersFromGenerate pathology: the shingling
+    expression must appear in the post-shuffle Generate/Project, not in a
+    Filter pushed below the spread Exchange (which would re-evaluate it
+    serially on the narrow pre-shuffle side)."""
+    from helixdb_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(docs)
+    plan = plan_of(sh.select("doc_id", F.explode("shingles").alias("s")))
+    exchange_pos = plan.find("Exchange")
+    assert exchange_pos != -1
+    scan_section = plan.split("(1) Scan parquet", 1)[1]
+    filter_before_exchange = "regexp_replace" in scan_section.split("Exchange", 1)[0]
+    assert not filter_before_exchange
