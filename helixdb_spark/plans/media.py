@@ -86,6 +86,8 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
     "mm_metadata_filter": mm_metadata_filter,
     "stream_hourly_rollup": stream.stream_hourly_rollup,
+    "stream_sliding_rollup": stream.stream_sliding_rollup,
+    "stream_session_window": stream.stream_session_window,
     "stream_user_state": stream.stream_user_state,
 }
 
@@ -94,5 +96,7 @@ ORACLES = {
     "mm_frame_sample": MM_FRAME_SQL,
     "mm_metadata_filter": MM_META_SQL,
     "stream_hourly_rollup": stream.STREAM_HOURLY_SQL,
+    "stream_sliding_rollup": stream.STREAM_SLIDING_SQL,
+    "stream_session_window": stream.STREAM_SESSION_SQL,
     "stream_user_state": stream.STREAM_USER_STATE_SQL,
 }

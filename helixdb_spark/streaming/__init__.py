@@ -84,6 +84,76 @@ ORDER BY 1, 2
 """
 
 
+def stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows advancing hourly: each event lands in two
+    windows. Demonstrates overlapping-window state; complete mode on the
+    bounded source keeps it deterministic."""
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.lit(1e-9) + F.sum("value"), 2).alias("total_value"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("win.start").alias("win_start"), "n_events", "total_value"
+    ).orderBy("win_start")
+
+
+STREAM_SLIDING_SQL = """
+SELECT win_start, count(*) AS n_events,
+       round(1e-9 + sum(value), 2) AS total_value
+FROM (
+  SELECT unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+         value
+  FROM events
+)
+GROUP BY win_start
+ORDER BY win_start
+"""
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user via
+    ``F.session_window`` — the built-in form of the sessionization the batch
+    plan does with lag + running sum (plans/events.ev_sessionize)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("win")
+    ).agg(F.count("*").alias("n_events"))
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id", F.col("win.start").alias("session_start"), "n_events"
+    ).orderBy("user_id", "session_start")
+
+
+STREAM_SESSION_SQL = """
+WITH marked AS (
+  -- Spark merges sessions iff ts < prev_ts + gap (end-exclusive window
+  -- overlap), so a new session starts at ts >= prev_ts + 30 minutes
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR ts >= prev_ts + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+  )
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState: per-user
     running (count, total value, max value). On the bounded testdata stream
