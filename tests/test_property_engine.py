@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) — an addition over the reference, which
+has only example-based inline tests (SURVEY.md §5).
+
+Spark-backed properties keep example counts small (a Spark job per example);
+the pure-Python codec properties run at full default example counts.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from helixdb_spark.codecs import CodecRegistry
+from helixdb_spark.engine import HelixOptions, HelixSpark
+
+# ------------------------------------------------------------------ codecs
+pairs_st = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        st.binary(min_size=0, max_size=64),
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+
+@pytest.mark.parametrize("name", ["noop", "delta_zlib"])
+@given(pairs=pairs_st)
+@settings(max_examples=200, deadline=None)
+def test_codec_roundtrip_property(name, pairs):
+    codec = CodecRegistry().get(name)
+    blob = codec.compress(b"k", pairs)
+    assert codec.decompress(b"k", blob) == pairs
+
+
+# ------------------------------------------------------------------ engine
+entries_st = st.dictionaries(
+    keys=st.tuples(
+        st.integers(min_value=0, max_value=499),
+        st.binary(min_size=1, max_size=8),
+    ),
+    values=st.binary(min_size=0, max_size=16),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(entries=entries_st, compact_split=st.integers(min_value=0, max_value=499))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_put_compact_scan_roundtrip_property(spark, entries, compact_split):
+    """For any (ts,key)-unique batch and any compaction split point:
+    scan(full range) returns exactly the input set, before and after
+    compaction (compaction transparency, reference src/level.rs:823-875)."""
+    base = tempfile.mkdtemp(prefix="helix_prop_")
+    db = HelixSpark.open(
+        spark,
+        base,
+        HelixOptions(rick_range=100, outdate_range=1 << 40, auto_maintain=False),
+    )
+    rows = [(ts, key, val) for (ts, key), val in entries.items()]
+    db.put(rows)
+
+    expected = {(ts, key, val) for ts, key, val in rows}
+
+    def scanned_set():
+        return {
+            (r["ts"], bytes(r["key"]), bytes(r["value"]))
+            for r in db.scan((0, 499)).collect()
+        }
+
+    assert scanned_set() == expected
+    db.compact(0, compact_split)
+    assert scanned_set() == expected
+    # point gets agree with the set, including a guaranteed miss
+    ts0, key0, val0 = rows[0]
+    assert db.get(ts0, key0) == val0
+    assert db.get(ts0, b"\x00missing\xff") is None
+    db.close()
