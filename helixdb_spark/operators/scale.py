@@ -1,0 +1,127 @@
+"""Scale-pattern operators: co-located (bucketed) joins and skew salting.
+
+The reference co-locates work by routing keys to shards with a pluggable
+hash (reference src/fn_registry.rs:50-55) so point ops touch one shard.
+The Spark-native generalization is table **bucketing**: both join sides
+pre-hashed into the same bucket layout means a join with NO shuffle at all
+— at 100 TB the difference between moving terabytes and moving nothing.
+
+Skew is the other failure mode of hash distribution (the reference's
+per-key compaction groups have the same exposure, src/level.rs:387-397).
+AQE's skew-join splitting handles sort-merge joins automatically (enabled
+in our session factory); the **salted** helpers here cover the cases AQE
+does not: skewed aggregations and skewed joins against a side too big to
+broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+}
+
+# final-phase re-aggregation for each partial aggregate
+_MERGE_FNS = {
+    "sum": F.sum,
+    "count": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    num_buckets: int,
+    sorted_by: Sequence[str] | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed by ``keys`` (Spark's durable analog of
+    the reference's sharding fn — every row's bucket is decided by the same
+    hash on both sides of a future join, so joins/aggregations on ``keys``
+    read co-located data and skip the shuffle)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a table dir can survive a previous session whose in-memory catalog is
+    # gone; managed-table creation refuses to reuse the location
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        import shutil
+        from urllib.parse import urlparse
+
+        shutil.rmtree(
+            f"{urlparse(warehouse).path}/{table.lower()}", ignore_errors=True
+        )
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *keys)
+    if sorted_by:
+        writer = writer.sortBy(*sorted_by)
+    writer.saveAsTable(table)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Mapping[str, str],
+    num_salts: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial-aggregate on
+    (keys, salt), then merge on keys. Only algebraic aggregates (sum, count,
+    min, max) decompose this way. Output columns are named ``<col>_<fn>``.
+
+    Spark's own map-side partial aggregation covers mild skew; explicit
+    salting is for the pathological case where one reduce key exceeds a
+    single task (the classic hot-user/hot-null problem).
+    """
+    keys = list(keys)
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).alias("_salt")
+    partial = (
+        df.select(*keys, salt, *[F.col(c) for c in aggs])
+        .groupBy(*keys, "_salt")
+        .agg(
+            *[
+                _AGG_FNS[fn](c).alias(f"{c}_{fn}")
+                for c, fn in aggs.items()
+            ]
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _MERGE_FNS[fn](f"{c}_{fn}").alias(f"{c}_{fn}")
+            for c, fn in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-tolerant equi-join: the (big, skewed) left side gets a random
+    salt in [0, num_salts); the right side is replicated num_salts times via
+    an exploded sequence; the join key becomes (on..., salt), spreading each
+    hot key over num_salts reduce partitions.
+
+    Use when the right side is too large to broadcast and AQE's skew
+    splitting doesn't apply (e.g. shuffled hash join, or aggregated
+    downstream state). Cost: right side shuffles num_salts x its size —
+    choose num_salts ~ (hot-key rows / target partition rows).
+    """
+    on = list(on)
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).cast("int")
+    )
+    replicated_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return salted_left.join(replicated_right, on + ["_salt"], how).drop("_salt")

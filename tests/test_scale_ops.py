@@ -1,0 +1,95 @@
+"""Tests for the scale-pattern operators: bucketed shuffle-free joins,
+salted aggregation/join correctness, and the plan properties they exist
+to guarantee."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from helixdb_spark.operators import scale
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_has_no_exchange(spark, no_broadcast):
+    left = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    scale.write_bucketed(left, "t_bleft", ["k"], 8, sorted_by=["k"])
+    scale.write_bucketed(right, "t_bright", ["k"], 8, sorted_by=["k"])
+    joined = spark.table("t_bleft").join(spark.table("t_bright"), "k")
+    plan = plan_of(joined)
+    assert "Exchange" not in plan  # co-located: no shuffle on either side
+    assert joined.count() == 500
+    # same join without bucketing DOES shuffle — the pattern is the point
+    unbucketed = left.join(right, "k")
+    assert "Exchange" in plan_of(unbucketed)
+
+
+def test_salted_agg_matches_plain(spark):
+    # skewed: 90% of rows share key 0
+    df = spark.range(5000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    salted = scale.salted_agg(df, ["k"], {"v": "sum"}, num_salts=8)
+    plain = df.groupBy("k").agg(F.sum("v").alias("v_sum"))
+    a = {(r["k"], r["v_sum"]) for r in salted.collect()}
+    b = {(r["k"], r["v_sum"]) for r in plain.collect()}
+    assert a == b
+
+
+def test_salted_agg_count_min_max(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    salted = scale.salted_agg(df, ["k"], {"v": "count"}, num_salts=4)
+    got = {(r["k"], r["v_count"]) for r in salted.collect()}
+    want = {
+        (r["k"], r["cnt"])
+        for r in df.groupBy("k").agg(F.count("v").alias("cnt")).collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark, no_broadcast):
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 5 < 4, 7).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("a"),
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("b")
+    )
+    salted = scale.salted_join(left, right, ["k"], num_salts=4)
+    plain = left.join(right, "k")
+    a = {(r["k"], r["a"], r["b"]) for r in salted.collect()}
+    b = {(r["k"], r["a"], r["b"]) for r in plain.collect()}
+    assert a == b
+
+
+def test_salted_left_join_keeps_unmatched(spark, no_broadcast):
+    left = spark.range(50).select(F.col("id").alias("k"), F.col("id").alias("a"))
+    right = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("b"))
+    out = scale.salted_join(left, right, ["k"], num_salts=3, how="left")
+    assert out.count() == 50
+    assert out.where(F.col("b").isNull()).count() == 40
