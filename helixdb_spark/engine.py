@@ -500,6 +500,23 @@ class HelixSpark:
                     shutil.rmtree(os.path.join(path, name), ignore_errors=True)
         self._save_state()
 
+    # ------------------------------------------------------------------ SQL
+    def entries_view(self, name: str = "entries") -> DataFrame:
+        """Register the logical entry set (hot ∪ decoded cold, deduped,
+        retention-filtered) as a temp view — the SQL surface the reference
+        lacks entirely (SURVEY.md §7.1 phase 6)."""
+        df = self._entries_df().select("ts", "key", "value")
+        df.createOrReplaceTempView(name)
+        return df
+
+    def sql(self, query: str, view_name: str = "entries") -> DataFrame:
+        """Run SQL over the entry view: ``db.sql("SELECT count(*) FROM
+        entries")``. Joins/aggregates/windows over KV data come from Spark
+        SQL for free once the view exists."""
+        self._check_open()
+        self.entries_view(view_name)
+        return self.spark.sql(query)
+
     # ------------------------------------------------------------------ misc
     def user_keys(self) -> DataFrame:
         """Distinct user keys (reference MemIndex.user_keys, src/index.rs:80-86)."""

@@ -7,6 +7,12 @@ connectors. This engine reads/writes Parquet natively (plus CSV/JSON via
 star schema as its analytics corpus (TESTDATA.md).
 """
 
-from helixdb_spark.sources.tables import TABLE_NAMES, load_table, load_tables, register_views
+from helixdb_spark.sources.tables import (
+    TABLE_NAMES,
+    load_table,
+    load_tables,
+    read_entries,
+    register_views,
+)
 
-__all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views"]
+__all__ = ["TABLE_NAMES", "load_table", "load_tables", "read_entries", "register_views"]

@@ -37,6 +37,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_entries(
+    spark: SparkSession, path: str, fmt: str = "parquet", **options: str
+) -> DataFrame:
+    """Read KV entries from any Spark-supported format into the engine's
+    entry shape (ts long, key binary, value binary) — the connector surface
+    the reference lacks (its only format is its own rick log, SURVEY.md
+    §2.1). Text formats (csv/json) carry key/value as UTF-8 strings and are
+    encoded to binary here; parquet may carry binary natively.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if fmt in ("csv", "json"):
+        schema = "ts long, key string, value string"
+        reader = spark.read.schema(schema)
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        df = getattr(reader.options(**options), fmt)(path)
+        return df.select(
+            "ts",
+            F.encode("key", "utf-8").alias("key"),
+            F.encode("value", "utf-8").alias("value"),
+        )
+    df = spark.read.options(**options).format(fmt).load(path)
+    out = []
+    for name, want in (("ts", T.LongType()), ("key", T.BinaryType()), ("value", T.BinaryType())):
+        col = F.col(name)
+        if df.schema[name].dataType != want:
+            col = (
+                F.encode(col.cast("string"), "utf-8")
+                if isinstance(want, T.BinaryType)
+                else col.cast(want)
+            )
+        out.append(col.alias(name))
+    return df.select(*out)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -164,3 +164,41 @@ def test_scan_key_range_uses_comparator(spark, db_path):
     assert got.count() == 300  # bytewise would exclude most keys >= 256
     got2 = db.scan((0, 0), (le_u64(10), le_u64(20)), comparator=comparators.le_u64)
     assert got2.count() == 11
+
+
+def test_sql_surface_over_entries(spark, db_path):
+    """SQL view over the engine's logical entry set (SURVEY §7.1 phase 6)."""
+    db = HelixSpark.open(spark, db_path, HelixOptions(auto_maintain=False))
+    db.put([(t, b"a" if t % 2 else b"b", str(t).encode()) for t in range(10)])
+    row = db.sql(
+        "SELECT count(*) AS n, count(DISTINCT key) AS k FROM entries"
+    ).first()
+    assert (row["n"], row["k"]) == (10, 2)
+    agg = db.sql(
+        "SELECT key, max(ts) AS max_ts FROM entries GROUP BY key ORDER BY key"
+    ).collect()
+    assert [(bytes(r["key"]), r["max_ts"]) for r in agg] == [(b"a", 9), (b"b", 8)]
+
+
+def test_read_entries_csv_json(spark, tmp_path):
+    """CSV/JSON connector surface feeding the engine's entry schema."""
+    import json as _json
+
+    from helixdb_spark.sources import read_entries
+
+    csv_p = tmp_path / "in_csv"
+    csv_p.mkdir()
+    (csv_p / "part.csv").write_text("ts,key,value\n1,a,v1\n2,b,v2\n")
+    got = read_entries(spark, str(csv_p), fmt="csv").collect()
+    assert {(r["ts"], bytes(r["key"]), bytes(r["value"])) for r in got} == {
+        (1, b"a", b"v1"),
+        (2, b"b", b"v2"),
+    }
+
+    json_p = tmp_path / "in_json"
+    json_p.mkdir()
+    (json_p / "part.json").write_text(
+        "\n".join(_json.dumps({"ts": t, "key": f"k{t}", "value": "x"}) for t in range(3))
+    )
+    got = read_entries(spark, str(json_p), fmt="json").collect()
+    assert {(r["ts"], bytes(r["key"])) for r in got} == {(t, f"k{t}".encode()) for t in range(3)}

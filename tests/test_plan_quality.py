@@ -99,8 +99,11 @@ def test_shingle_explode_not_duplicated_below_exchange(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.doc_shingles(docs)
     plan = plan_of(sh.select("doc_id", F.explode("shingles").alias("s")))
-    exchange_pos = plan.find("Exchange")
-    assert exchange_pos != -1
-    scan_section = plan.split("(1) Scan parquet", 1)[1]
-    filter_before_exchange = "regexp_replace" in scan_section.split("Exchange", 1)[0]
-    assert not filter_before_exchange
+    # Detail blocks print in node order (leaf first). A filter pushed below
+    # the Exchange would place its regexp expression before the Exchange's
+    # detail header "(N) Exchange"; a healthy plan evaluates the shingling
+    # in a Project after it. Positional parse is robust to the scan being an
+    # InMemoryTableScan when another test has cached `documents`.
+    detail = plan.split("== Physical Plan ==", 1)[-1]
+    ex_detail = detail.rindex(") Exchange")
+    assert "regexp_replace" not in detail[:ex_detail]
