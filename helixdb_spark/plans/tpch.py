@@ -654,12 +654,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .where(
             (
-                (F.col("supp_nation") == "FRANCE")
-                & (F.col("cust_nation") == "GERMANY")
+                (F.col("supp_nation") == "NATION_20")
+                & (F.col("cust_nation") == "NATION_11")
             )
             | (
-                (F.col("supp_nation") == "GERMANY")
-                & (F.col("cust_nation") == "FRANCE")
+                (F.col("supp_nation") == "NATION_11")
+                & (F.col("cust_nation") == "NATION_20")
             )
         )
     )
@@ -690,8 +690,8 @@ JOIN nation n1 ON s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c_nationkey = n2.n_nationkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
-  AND ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+  AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
@@ -857,8 +857,469 @@ ORDER BY 1
 """
 
 
+# ----------------------------------------------- Q2-shaped min-cost supplier
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table in this schema, so lineitem's
+    observed unit prices stand in for supply cost): for each LARGE mid-size
+    part, the European supplier(s) offering the minimum unit price.
+    Correlated-min subquery decorrelated into a per-part aggregate; all
+    dims broadcast, lineitem shuffles once on the grouping key."""
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 30)
+    )
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    eu_supp = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+    ).join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    li = _t(spark, sf_dir, "lineitem")
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(
+                eu_supp.select("s_suppkey", "s_name", "s_acctbal", "n_name")
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit_cost"))
+    )
+    min_cost = offers.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("_unit_cost").alias("_min_cost")
+    )
+    return (
+        offers.join(F.broadcast(min_cost), offers.p_partkey == F.col("_pk"))
+        .where(F.col("_unit_cost") == F.col("_min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            F.round(F.lit(1e-9) + F.col("_unit_cost"), 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size BETWEEN 10 AND 30
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+       round(1e-9 + unit_cost, 4) AS unit_cost
+FROM offers o
+WHERE unit_cost = (SELECT min(unit_cost) FROM offers o2
+                   WHERE o2.p_partkey = o.p_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+LIMIT 100
+"""
+
+
+# ------------------------------------------------ Q8-shaped market share
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_21's share of ECONOMY-part revenue sold into
+    AMERICA-region customers, per order year — a conditional-sum ratio over
+    a six-way join. Only orders x lineitem shuffles; every dim broadcasts."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_regionkey").alias("_cn_rkey")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(F.broadcast(region), F.col("_cn_rkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("_sn_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.when(F.col("supp_nation") == "NATION_21", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       round(1e-9 + sum(CASE WHEN n2.n_name = 'NATION_21'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# -------------------------------------------- Q11-shaped important parts
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp, so shipped value = extendedprice x
+    quantity stands in for stock value): parts whose ASIA-supplied value
+    exceeds twice the per-part average (scale-independent, as TPC-H scales
+    its Q11 fraction by SF) — group-agg filtered against a global scalar
+    aggregate, broadcast as a 1-row cross join."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    asia_supp = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+    ).join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    li = _t(spark, sf_dir, "lineitem")
+    asia_lines = li.join(
+        F.broadcast(asia_supp.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    per_part = asia_lines.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("_value")
+    )
+    total = per_part.agg(F.avg("_value").alias("_avg_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("_value") > F.col("_avg_value") * 2.0)
+        .select(
+            "l_partkey", F.round(F.lit(1e-9) + F.col("_value"), 2).alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH asia_lines AS (
+  SELECT l_partkey, l_extendedprice * l_quantity AS v
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA')
+),
+per_part AS (SELECT l_partkey, sum(v) AS value FROM asia_lines GROUP BY 1)
+SELECT l_partkey, round(1e-9 + value, 2) AS part_value
+FROM per_part
+WHERE value > (SELECT avg(value) FROM per_part) * 2.0
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# ---------------------------------------------- Q12-shaped ship-delay bands
+def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode/commitdate/receiptdate columns, so the
+    ship-mode class becomes a ship-delay band): per band, counts of critical
+    vs non-critical priority lines shipped in 1996 — CASE-sum conditional
+    aggregation riding one orders x lineitem shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(delay <= 30, "FAST")
+        .when(delay <= 60, "MEDIUM")
+        .otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(band.alias("delay_band"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_band")
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 'MEDIUM'
+            ELSE 'SLOW' END AS delay_band,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ------------------------------------------ Q13-shaped customer distribution
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: histogram of customers by order count — LEFT OUTER join
+    (customers with zero orders must survive) into a double aggregation.
+    First agg shuffles on custkey, second on the tiny count domain."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ------------------------------------------------- Q15-shaped top supplier
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
+    revenue view reused twice (group-agg, then max as a scalar)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    )
+    max_rev = revenue.agg(F.max("_rev").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .where(F.col("_rev") == F.col("_max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.lit(1e-9) + F.col("_rev"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, round(1e-9 + rev, 2) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# ------------------------------------------- Q16-shaped supplier counts
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem's observed part-supplier pairs stand in
+    for partsupp): distinct supplier counts per (brand, type, size) for
+    non-PROMO, non-Brand#1 parts, excluding negative-balance suppliers
+    (the customer-complaints analog) via NOT IN -> left-anti join."""
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    excl = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------- Q20-shaped part promotion
+def q20_widget_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than 300 units of widget
+    parts during 1996 — a nested semi-join chain (parts by name -> shipped
+    volume threshold -> supplier), ending in a broadcast dim join."""
+    widget_parts = _t(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(
+            F.broadcast(widget_parts.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 300.0)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(shipped), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 300.0)
+ORDER BY s_suppkey
+"""
+
+
+# ------------------------------------------ Q21-shaped waiting suppliers
+def q21_sole_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (l_returnflag = 'R' stands in for the late-receipt
+    condition): per supplier, finalized multi-supplier orders where this
+    supplier returned a line and no other supplier did — EXISTS + NOT
+    EXISTS as semi/anti self-joins on the fact, shuffling on orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    ).alias("l2")
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3"))
+        .alias("l3")
+    )
+    blamed = (
+        l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("_ok2"))
+            & (F.col("l1.l_suppkey") != F.col("_sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("_ok3"))
+            & (F.col("l1.l_suppkey") != F.col("_sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 100
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q8_national_market_share": q8_national_market_share,
+    "q11_important_parts": q11_important_parts,
+    "q12_ship_delay_priority": q12_ship_delay_priority,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_parts_supplier_counts": q16_parts_supplier_counts,
+    "q20_widget_volume_suppliers": q20_widget_volume_suppliers,
+    "q21_sole_blamed_suppliers": q21_sole_blamed_suppliers,
     "q4_late_ship_priority": q4_late_ship_priority,
     "q7_volume_shipping": q7_volume_shipping,
     "q9_product_type_profit": q9_product_type_profit,
@@ -886,6 +1347,15 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q8_national_market_share": Q8_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q12_ship_delay_priority": Q12_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_parts_supplier_counts": Q16_SQL,
+    "q20_widget_volume_suppliers": Q20_SQL,
+    "q21_sole_blamed_suppliers": Q21_SQL,
     "q4_late_ship_priority": Q4_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q9_product_type_profit": Q9_SQL,
