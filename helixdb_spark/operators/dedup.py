@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from helixdb_spark.functions.text import normalized_text, word_shingles, words
 from helixdb_spark.functions.vector import cosine_similarity_arrow
+from helixdb_spark.operators.util import spread as _spread
 
 NUM_MINHASHES = 32
 LSH_BANDS = 16  # 2 rows per band
@@ -56,16 +57,6 @@ def minhash_coeffs(num_hashes: int = NUM_MINHASHES) -> list[tuple[int, int]]:
     return out
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Fan a narrow input out to the session's full parallelism before the
-    CPU-heavy shingling/hashing stages. At 100 TB the scan already arrives
-    in thousands of partitions and this is a no-op; locally a small parquet
-    file reads as ONE partition and would serialize every downstream stage
-    onto one core."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def _hex_long(col: Column, nchars: int = 15) -> Column:

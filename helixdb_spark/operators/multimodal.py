@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from helixdb_spark.operators.util import spread
+
 FRAME_STRIDE = 4
 BYTES_PER_FRAME = 16
 
@@ -45,7 +47,7 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     for image data, plus deterministic metadata (a real pipeline reads these
     from the container header)."""
     payload = F.encode(F.col(text_col), "utf-8")
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col).alias("doc_id"),
         payload.alias("payload"),
         F.lit("fake/raw").alias("format"),

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from helixdb_spark.functions.vector import cosine_similarity
+from helixdb_spark.operators.util import spread
 
 NUM_PLANES = 6
 IVF_CENTROID_STRIDE = 50
@@ -70,7 +71,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
-    scored = corpus.join(F.broadcast(q)).withColumn(
+    scored = spread(corpus).join(F.broadcast(q)).withColumn(
         "cosine", F.round(F.lit(1e-9) + cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6)
     )
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
@@ -95,7 +96,7 @@ def lsh_topk(
     """Approximate top-k: only corpus vectors in the query's hyperplane
     bucket are scored. Recall < 1 by design; deterministic, so the oracle
     reproduces the same approximation."""
-    c = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), num_planes, dim))
+    c = spread(corpus).withColumn("_bucket", lsh_bucket(F.col(vec_col), num_planes, dim))
     q = queries.select(query_id_col, F.col(vec_col).alias("_qvec")).withColumn(
         "_bucket", lsh_bucket(F.col("_qvec"), num_planes, dim)
     )
@@ -139,7 +140,7 @@ def ivf_topk(
             .drop("_csim", "_crk", "_cvec")
         )
 
-    c = nearest_centroid(corpus, vec_col, id_col)
+    c = nearest_centroid(spread(corpus), vec_col, id_col)
     q = nearest_centroid(
         queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
         "_qvec",

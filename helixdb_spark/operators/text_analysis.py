@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from helixdb_spark.operators.util import spread
 from helixdb_spark.functions.text import (
     fingerprint,
     normalized_text,
@@ -94,6 +95,7 @@ ORDER BY doc_id
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Marker-word language heuristic: argmax of per-language marker hit
     counts, ties broken by fixed priority, zero hits → 'und'."""
+    docs = spread(docs)
     ws = words(normalized_text(F.col(text_col)))
     scored = docs.select(
         F.col(id_col),
@@ -142,7 +144,7 @@ ORDER BY doc_id
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """BPE-ish token counts aggregated per source."""
     return (
-        docs.withColumn("n_tokens", token_count(F.col(text_col)))
+        spread(docs).withColumn("n_tokens", token_count(F.col(text_col)))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -168,7 +170,7 @@ ORDER BY source
 def fingerprint_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc OpenRefine-style fingerprint + cluster sizes (docs sharing a
     fingerprint have identical word sets — token-permutation duplicates)."""
-    fp = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    fp = spread(docs).select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
     sizes = fp.groupBy("fp").agg(F.count("*").alias("cluster_size"))
     return (
         fp.join(sizes, "fp")

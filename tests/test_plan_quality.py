@@ -96,6 +96,10 @@ def test_shingle_explode_not_duplicated_below_exchange(spark, sf_dir):
     serially on the narrow pre-shuffle side)."""
     from helixdb_spark.operators import dedup
 
+    # Other tests persist the shingled corpus; the cache manager would
+    # substitute that InMemoryRelation (whose description embeds the
+    # shingling expressions) into this plan and confuse the string checks.
+    spark.catalog.clearCache()
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.doc_shingles(docs)
     plan = plan_of(sh.select("doc_id", F.explode("shingles").alias("s")))
