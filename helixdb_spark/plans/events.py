@@ -262,6 +262,45 @@ ORDER BY user_id
 """
 
 
+def ev_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join without a nested loop: events join *overlapping*
+    value bands [band*30, band*30+45] via the bucketed range join — an
+    equi-shuffle on the bucket grid plus exact refinement
+    (operators/rangejoin.py). A plain BETWEEN join here would plan as
+    BroadcastNestedLoopJoin, O(|events|·|bands|) at scale."""
+    from helixdb_spark.operators.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.range(0, 11).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 30.0).alias("lo"),
+        (F.col("id") * 30.0 + 45.0).alias("hi"),
+    )
+    joined = bucketed_range_join(
+        ev, bands, point_col="value", lo_col="lo", hi_col="hi", bucket_width=30.0
+    )
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.lit(1e-9) + F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("band_id")
+    )
+
+
+EV_BAND_SQL = """
+WITH bands AS (
+  SELECT band_id::INT AS band_id, band_id * 30.0 AS lo, band_id * 30.0 + 45.0 AS hi
+  FROM range(0, 11) t(band_id)
+)
+SELECT band_id, count(*) AS n_events, round(1e-9 + sum(value), 2) AS total_value
+FROM events JOIN bands ON value >= lo AND value <= hi
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "ev_hourly_rollup": ev_hourly_rollup,
     "ev_sessionize": ev_sessionize,
@@ -270,6 +309,7 @@ QUERIES = {
     "ev_json_props": ev_json_props,
     "ev_kv_scan": ev_kv_scan,
     "ev_minmax_by": ev_minmax_by,
+    "ev_value_band_join": ev_value_band_join,
 }
 
 ORACLES = {
@@ -280,4 +320,5 @@ ORACLES = {
     "ev_json_props": EV_JSON_SQL,
     "ev_kv_scan": EV_KV_SCAN_SQL,
     "ev_minmax_by": EV_MINMAX_SQL,
+    "ev_value_band_join": EV_BAND_SQL,
 }

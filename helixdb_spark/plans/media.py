@@ -89,6 +89,7 @@ QUERIES = {
     "stream_sliding_rollup": stream.stream_sliding_rollup,
     "stream_session_window": stream.stream_session_window,
     "stream_user_state": stream.stream_user_state,
+    "stream_click_purchase_join": stream.stream_click_purchase_join,
 }
 
 ORACLES = {
@@ -99,4 +100,5 @@ ORACLES = {
     "stream_sliding_rollup": stream.STREAM_SLIDING_SQL,
     "stream_session_window": stream.STREAM_SESSION_SQL,
     "stream_user_state": stream.STREAM_USER_STATE_SQL,
+    "stream_click_purchase_join": stream.STREAM_JOIN_SQL,
 }

@@ -219,6 +219,60 @@ ORDER BY user_id
 """
 
 
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks: purchases within one hour
+    after a click by the same user. Both sides carry a 2-hour watermark and
+    the join condition bounds event time on both ends, so Spark can expire
+    join state — the canonical unbounded-join pattern. On the bounded
+    testdata stream the append-mode result equals the batch self-join."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    out = _run_to_memory(joined, "append")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("lag_seconds"),
+    ).orderBy("click_id", "purchase_id")
+
+
+STREAM_JOIN_SQL = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       date_diff('second', c.ts, p.ts) AS lag_seconds
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY 1, 2
+"""
+
+
 def stream_ingest_to_engine(spark: SparkSession, sf_dir: str, db) -> None:
     """Streaming form of ``HelixSpark.put``: micro-batches append to the hot
     table via foreachBatch (exactly the reference's WriteBatch micro-batching

@@ -93,3 +93,57 @@ def test_salted_left_join_keeps_unmatched(spark, no_broadcast):
     out = scale.salted_join(left, right, ["k"], num_salts=3, how="left")
     assert out.count() == 50
     assert out.where(F.col("b").isNull()).count() == 40
+
+
+# ------------------------------------------------------ bucketed range join
+def test_bucketed_range_join_matches_nested_loop(spark):
+    from helixdb_spark.operators.rangejoin import bucketed_range_join
+
+    points = spark.range(200).select(
+        F.col("id").alias("pid"), (F.col("id") * 1.5).alias("x")
+    )
+    # overlapping intervals of varied width, some spanning many buckets
+    intervals = spark.range(30).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 9.0).alias("lo"),
+        (F.col("id") * 9.0 + (F.col("id") % 4) * 25.0 + 5.0).alias("hi"),
+    )
+    got = bucketed_range_join(
+        points, intervals, "x", "lo", "hi", bucket_width=10.0
+    )
+    want = points.join(
+        intervals, F.col("x").between(F.col("lo"), F.col("hi"))
+    )
+    g = {(r["pid"], r["iid"]) for r in got.collect()}
+    w = {(r["pid"], r["iid"]) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_bucketed_range_join_inclusive_bounds_and_extra_keys(spark):
+    from helixdb_spark.operators.rangejoin import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 10.0)], "pid int, k string, x double"
+    )
+    intervals = spark.createDataFrame(
+        [(100, "a", 10.0, 20.0), (200, "b", 15.0, 30.0)],
+        "iid int, k string, lo double, hi double",
+    )
+    got = bucketed_range_join(
+        points, intervals, "x", "lo", "hi", bucket_width=7.0, extra_keys=["k"]
+    )
+    pairs = {(r["pid"], r["iid"]) for r in got.collect()}
+    # both ends inclusive; key 'b' point at 10.0 misses [15,30]
+    assert pairs == {(1, 100), (2, 100)}
+    assert got.columns.count("k") == 1
+
+
+def test_bucketed_range_join_plan_has_no_nested_loop(spark, sf_dir):
+    from helixdb_spark.plans import events
+
+    df = events.ev_value_band_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
