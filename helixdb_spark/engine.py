@@ -295,6 +295,14 @@ class HelixSpark:
         )
         return bytes(row[0]) if row is not None else None
 
+    def direct_get(self, shard_id: int, ts: int, key: bytes) -> Optional[bytes]:
+        """Point lookup naming the shard (reference src/db.rs:57-65
+        ``direct_get`` / ``get_unchecked``). Spark owns data placement, so
+        ``shard_id`` is accepted for API parity and ignored — the partition
+        pruning in :meth:`get` already touches only the data that shard
+        would hold."""
+        return self.get(ts, key)
+
     def get_many(self, probes: Sequence[tuple[int, bytes]]) -> dict[tuple[int, bytes], bytes]:
         """Batched point lookups — one job for N probes (the reference
         coalesces batched rick reads the same way, src/file/rick.rs:116-154).

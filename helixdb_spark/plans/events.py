@@ -301,6 +301,43 @@ ORDER BY 1
 """
 
 
+def ev_rolling_hour_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour aggregate over the user's own events — a
+    RANGE window frame keyed on event time (value-based bounds, unlike the
+    ROWS frames in running_revenue_by_nation). At scale this shuffles once
+    on user_id and sorts within partitions; no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count("*").over(w).alias("n_events_1h"),
+            F.round(F.lit(1e-9) + F.sum("value").over(w), 2).alias("value_1h"),
+        )
+        .orderBy("event_id")
+        .select("event_id", "user_id", "n_events_1h", "value_1h")
+    )
+
+
+EV_ROLLING_SQL = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_events_1h,
+       round(1e-9 + sum(value) OVER w, 2) AS value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "ev_hourly_rollup": ev_hourly_rollup,
     "ev_sessionize": ev_sessionize,
@@ -310,6 +347,7 @@ QUERIES = {
     "ev_kv_scan": ev_kv_scan,
     "ev_minmax_by": ev_minmax_by,
     "ev_value_band_join": ev_value_band_join,
+    "ev_rolling_hour_user": ev_rolling_hour_user,
 }
 
 ORACLES = {
@@ -321,4 +359,5 @@ ORACLES = {
     "ev_kv_scan": EV_KV_SCAN_SQL,
     "ev_minmax_by": EV_MINMAX_SQL,
     "ev_value_band_join": EV_BAND_SQL,
+    "ev_rolling_hour_user": EV_ROLLING_SQL,
 }

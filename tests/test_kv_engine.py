@@ -33,6 +33,9 @@ def test_put_get_roundtrip(spark, db_path):
     assert db.get(0, b"key") == b"value"
     assert db.get(0, b"missing") is None
     assert db.get(999, b"key") is None
+    # direct_get names a shard for API parity (reference db.rs:57-65);
+    # placement is Spark's, so any shard id resolves identically
+    assert db.direct_get(3, 0, b"key") == b"value"
     db.close()
     with pytest.raises(RuntimeError):
         db.put([(1, b"k", b"v")])
