@@ -407,3 +407,63 @@ def embedding_dup_pairs(
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")
     )
+
+
+# ------------------------------------------------- connected components
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair set by iterative
+    min-label propagation: every node starts labeled with its own id; each
+    round a node takes the minimum of its label and its neighbors' labels;
+    at convergence the label is the component's minimum id.
+
+    This is the transitive-closure step a dedup pipeline needs to pick ONE
+    canonical document per near-duplicate *cluster* (pairwise results alone
+    over-delete: a~b, b~c must keep exactly one of {a,b,c}). Each iteration
+    is one shuffle join + one min aggregate, both partition-parallel;
+    iteration count is bounded by the cluster diameter, which for near-dup
+    graphs is tiny. The driver only evaluates a convergence count per round
+    — no data is collected.
+
+    Returns (node, cluster_id) for every node that appears in ``pairs``
+    (singletons never enter the pair set).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iterations):
+        neighbor_labels = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "_old"), "node"
+            )
+            .where(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))

@@ -8,6 +8,7 @@ identically on both sides, making approximate algorithms hash-checkable.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from helixdb_spark.operators import dedup
 from helixdb_spark.operators.dedup import (
@@ -99,7 +100,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_cte_body() -> str:
+    """CTE chain ending in ``scored`` (id_a, id_b, jaccard) — shared by the
+    pair query and the clustering query's recursive closure."""
     rows = NUM_MINHASHES // LSH_BANDS
     prime = dedup.MINHASH_PRIME
     min_cols = ", ".join(
@@ -116,8 +119,7 @@ def _minhash_sql() -> str:
         for b in range(LSH_BANDS)
     )
     band_list = ", ".join(f"band{b}" for b in range(LSH_BANDS))
-    return f"""
-WITH {_SHINGLES},
+    return f"""{_SHINGLES},
 nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
 ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM nonempty),
 exh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS bh FROM ex),
@@ -137,10 +139,55 @@ scored AS (
   FROM cand c
   JOIN nonempty sa ON sa.doc_id = c.id_a
   JOIN nonempty sb ON sb.doc_id = c.id_b
-)
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_cte_body()}
 SELECT id_a, id_b, jaccard FROM scored
 WHERE jaccard >= {JACCARD_THRESHOLD}
 ORDER BY id_a, id_b
+"""
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate *clusters*: transitive closure over the MinHash-LSH
+    pair set via iterative min-label propagation (a~b, b~c ⇒ one cluster
+    {a,b,c} even if a,c never paired). The oracle computes the identical
+    closure with a recursive CTE."""
+    from pyspark.sql.window import Window as W
+
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+    comp = dedup.connected_components(pairs)
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            F.count("*").over(W.partitionBy("cluster_id")).alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cte_body()},
+pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, root) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY 1)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+ORDER BY doc_id
 """
 
 
@@ -224,6 +271,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
@@ -233,6 +281,7 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
+    "dedup_clusters": _clusters_sql(),
 }
 
 # ----------------------------------------------------------- similarity ----

@@ -147,3 +147,15 @@ def test_bucketed_range_join_plan_has_no_nested_loop(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# -------------------------------------------------- connected components
+def test_connected_components_transitive_closure(spark):
+    from helixdb_spark.operators.dedup import connected_components
+
+    # two chains (1-2-3-4, 10-11) and an isolated pair (20,21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
