@@ -414,6 +414,23 @@ class HelixSpark:
         if src.isEmpty():
             return
 
+        # A re-compaction (the late-data path) REPLACES the affected cold
+        # bucket partitions below, so the previously compacted rows of those
+        # buckets must ride along — all of them, not just [start_ts, end_ts]:
+        # an earlier partial-range compaction may have left rows outside this
+        # range in the same bucket. Cold rows carry seq=-1, so any hot
+        # overwrite of the same (ts, key) still wins the dedup.
+        cold_prev = self._cold_df()
+        if cold_prev is not None:
+            src = src.unionByName(
+                self._decode_cold(
+                    cold_prev.where(
+                        (F.col("time_bucket") >= b_lo)
+                        & (F.col("time_bucket") <= b_hi)
+                    )
+                )
+            )
+
         w = Window.partitionBy("ts", "key").orderBy(F.col("seq").desc())
         deduped = (
             src.withColumn("_rn", F.row_number().over(w))

@@ -205,3 +205,25 @@ def test_read_entries_csv_json(spark, tmp_path):
     )
     got = read_entries(spark, str(json_p), fmt="json").collect()
     assert {(r["ts"], bytes(r["key"])) for r in got} == {(t, f"k{t}".encode()) for t in range(3)}
+
+
+def test_compaction_late_data_recompact(spark, db_path):
+    """Re-compacting a bucket after late puts must MERGE with the existing
+    cold rows, not replace them (SURVEY.md §7.2 late-data stance; the
+    reference loses late puts instead — §2.10 caveat)."""
+    db = HelixSpark.open(spark, db_path, HelixOptions(rick_range=10, auto_maintain=False))
+    db.put([(t, b"k%d" % t, b"v%d" % t) for t in range(10)])
+    db.compact(0, 9)
+    assert db.scan((0, 9)).count() == 10
+    # late arrival: one new key, one overwrite of a compacted entry
+    db.put([(5, b"late", b"lv"), (3, b"k3", b"v3new")])
+    db.compact(0, 9)
+    assert db.scan((0, 9)).count() == 11
+    assert db.get(5, b"late") == b"lv"
+    assert db.get(3, b"k3") == b"v3new"  # hot overwrite beats cold
+    assert db.get(7, b"k7") == b"v7"     # untouched cold entry survives
+    # partial-range compaction first must not lose out-of-range cold rows
+    db.put([(15, b"p", b"q"), (16, b"r", b"s")])
+    db.compact(10, 15)
+    db.compact(10, 19)
+    assert db.get(16, b"r") == b"s"
