@@ -111,3 +111,35 @@ def test_shingle_explode_not_duplicated_below_exchange(spark, sf_dir):
     detail = plan.split("== Physical Plan ==", 1)[-1]
     ex_detail = detail.rindex(") Exchange")
     assert "regexp_replace" not in detail[:ex_detail]
+
+
+def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
+    """Sweep every batch graded query's physical plan: CartesianProduct is
+    never acceptable; BroadcastNestedLoopJoin only where it is the point —
+    1-row scalar-aggregate broadcasts (q11, q22) and the deliberately
+    brute-force verification tiers (ANN / embedding cosine), whose loop side
+    is a broadcast small enough to be a design choice, not an accident."""
+    import __spark_entry__ as entrymod
+
+    ALLOWED_BNLJ = {
+        "ann_bruteforce_topk",
+        "ann_ivf_topk",
+        "dedup_embedding_cosine",
+        "q11_important_parts",
+        "q22_rich_without_orders",
+    }
+    # streaming queries execute on construction; dedup_clusters runs its
+    # iterative job on construction — both covered by their own tests
+    SKIP = {"dedup_clusters"}
+    qs = entrymod.queries()
+    offenders = []
+    for name, fn in sorted(qs.items()):
+        if name.startswith("stream_") or name in SKIP:
+            continue
+        df = fn(spark, sf_dir)
+        plan = plan_of(df)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
