@@ -232,6 +232,8 @@ class HelixSpark:
         self,
         ts_lo: Optional[int] = None,
         ts_hi: Optional[int] = None,
+        pre_filter=None,
+        probe_df: Optional[DataFrame] = None,
     ) -> DataFrame:
         """Union hot + cold as logical entries with last-write-wins dedup on
         (ts, key) (overwrite semantics — reference src/file/rick.rs:403-417).
@@ -242,6 +244,13 @@ class HelixSpark:
         the reference — whose scan misses keys that live only in compacted
         levels (SURVEY.md §3.3) — this view sees all levels; the survey calls
         that strictly-more-correct and we keep it.
+
+        ``pre_filter`` (a key/ts predicate Column) and ``probe_df`` (exact
+        (p_ts, p_key) probes, broadcast-semi-joined) apply BELOW the dedup
+        window: the dedup groups by (ts, key), so dropping whole groups
+        early is equivalent — and the window shuffle then carries only the
+        selected rows instead of every entry in the ts range (at scale, the
+        difference between shuffling kilobytes and shuffling the table).
         """
         parts = []
         hot = self._hot_df()
@@ -269,6 +278,14 @@ class HelixSpark:
         cutoff = self._state.get("outdate_cutoff")
         if cutoff is not None:
             df = df.where(F.col("ts") > int(cutoff))
+        if pre_filter is not None:
+            df = df.where(pre_filter)
+        if probe_df is not None:
+            df = df.join(
+                F.broadcast(probe_df),
+                (F.col("ts") == F.col("p_ts")) & (F.col("key") == F.col("p_key")),
+                "left_semi",
+            )
 
         w = Window.partitionBy("ts", "key").orderBy(F.col("seq").desc())
         return (
@@ -288,8 +305,9 @@ class HelixSpark:
         if cutoff is not None and ts <= cutoff:
             return None
         row = (
-            self._entries_df(ts_lo=ts, ts_hi=ts)
-            .where(F.col("key") == F.lit(bytes(key)))
+            self._entries_df(
+                ts_lo=ts, ts_hi=ts, pre_filter=F.col("key") == F.lit(bytes(key))
+            )
             .select("value")
             .first()
         )
@@ -323,12 +341,7 @@ class HelixSpark:
         lo = min(t for t, _ in probes)
         hi = max(t for t, _ in probes)
         hits = (
-            self._entries_df(ts_lo=lo, ts_hi=hi)
-            .join(
-                F.broadcast(probe_df),
-                (F.col("ts") == F.col("p_ts")) & (F.col("key") == F.col("p_key")),
-                "inner",
-            )
+            self._entries_df(ts_lo=lo, ts_hi=hi, probe_df=probe_df)
             .select("ts", "key", "value")
             .collect()
         )
@@ -363,14 +376,16 @@ class HelixSpark:
         """
         self._check_open()
         ts_lo, ts_hi = time_range
-        df = self._entries_df(ts_lo=ts_lo, ts_hi=ts_hi)
+        key_pred = None
         if key_range is not None and comparator is not None:
             lo, hi = key_range
             kexpr = comparator(F.col("key"))
-            df = df.where(
-                (kexpr >= comparator(F.lit(bytes(lo))))
-                & (kexpr <= comparator(F.lit(bytes(hi))))
+            # key-only predicate — safe below the dedup window (whole (ts,key)
+            # groups drop together), so the shuffle carries only the range
+            key_pred = (kexpr >= comparator(F.lit(bytes(lo)))) & (
+                kexpr <= comparator(F.lit(bytes(hi)))
             )
+        df = self._entries_df(ts_lo=ts_lo, ts_hi=ts_hi, pre_filter=key_pred)
         df = df.select("ts", "key", "value")
         if comparator is not None:
             df = df.orderBy(comparator(F.col("key")), F.col("ts"))
