@@ -56,12 +56,21 @@ from helixdb_spark.maintenance import (
 class HelixOptions:
     """Engine options (reference src/option.rs). ``rick_range`` is the time
     width of one compacted bucket; ``outdate_range`` the retention horizon;
-    ``num_shard`` only sizes write parallelism (Spark owns scheduling)."""
+    ``num_shard`` only sizes write parallelism (Spark owns scheduling).
+
+    ``sharding_expr`` is the reference's pluggable ``ShardingKeyFn``
+    (fn_registry.rs:50-55, applied db.rs:149,182): a function from the key
+    Column to the expression entries are hash-partitioned by on write. None
+    = partition by the key itself (Spark's hash of the bytes — equivalent to
+    the reference routing by key hash). Reads never depend on it; Spark
+    finds rows wherever they landed, so a changed sharding_expr is not the
+    corruption hazard it is in the reference."""
 
     rick_range: int = 1024
     outdate_range: int = 8192
     num_shard: int = 8
     auto_maintain: bool = True  # run reviewer-driven compaction on put
+    sharding_expr: Optional[object] = None  # Callable[[Column], Column]
 
 
 class HelixSpark:
@@ -145,8 +154,13 @@ class HelixSpark:
             .withColumn("seq", F.lit(seq).cast("long"))
             .withColumn("time_bucket", self.layout.bucket_expr())
         )
+        shard_on = (
+            self.options.sharding_expr(F.col("key"))
+            if self.options.sharding_expr is not None
+            else F.col("key")
+        )
         (
-            df.repartition(self.options.num_shard, "key")
+            df.repartition(self.options.num_shard, shard_on)
             .write.mode("append")
             .partitionBy("time_bucket")
             .parquet(self.layout.hot_path)

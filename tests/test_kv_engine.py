@@ -227,3 +227,23 @@ def test_compaction_late_data_recompact(spark, db_path):
     db.compact(10, 15)
     db.compact(10, 19)
     assert db.get(16, b"r") == b"s"
+
+
+def test_custom_sharding_expr(spark, db_path):
+    """Pluggable ShardingKeyFn analog (reference fn_registry.rs:50-55):
+    entries route to write partitions by a user expression; reads are
+    placement-independent."""
+    from pyspark.sql import functions as F
+
+    db = HelixSpark.open(
+        spark,
+        db_path,
+        HelixOptions(
+            auto_maintain=False,
+            num_shard=4,
+            sharding_expr=lambda key: F.crc32(key) % 2,
+        ),
+    )
+    db.put([(t, le_u64(k), le_u64(t + k)) for t in range(4) for k in range(8)])
+    assert db.get(2, le_u64(5)) == le_u64(7)
+    assert db.scan((0, 3)).count() == 32
