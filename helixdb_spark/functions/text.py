@@ -38,6 +38,92 @@ def token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
 
 
+ROLLING_BASE = 257
+ROLLING_PRIME = 1_000_000_007  # fits acc*B+c in int64 on both engines
+WINNOW_K = 8  # char-gram width
+WINNOW_W = 4  # winnowing window (grams per window)
+
+
+def char_codes(text: Column) -> Column:
+    """``array<long>`` of the char codes of ``text`` (1 char = 1 code).
+
+    Stage 1 of winnowing. Must be materialized as its own projected column
+    before the gram stage: higher-order-function lambdas re-evaluate their
+    captured subtrees PER ELEMENT, so feeding a composite expression into
+    `gram_hashes` turns O(n*k) work into O(n^2*k).
+    """
+    n = F.length(text)
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.ascii(text.substr(i, F.lit(1))).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def gram_hashes(codes: Column, k: int = WINNOW_K) -> Column:
+    """Rabin-Karp hash ``fold(acc*B + code) mod P`` of every k-gram of a
+    *materialized* char-code array column (stage 2 of winnowing — pass an
+    attribute reference, not a composite expression; see `char_codes`)."""
+    n = F.size(codes)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.aggregate(
+                F.slice(codes, i, k),
+                F.lit(0).cast("long"),
+                lambda a, c: (a * ROLLING_BASE + c) % ROLLING_PRIME,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def window_min_fingerprints(grams: Column, w: int = WINNOW_W) -> Column:
+    """Sorted distinct minima of every w-window of a *materialized* gram-hash
+    array column (stage 3 of winnowing; see `char_codes` for why)."""
+    ng = F.size(grams)
+    mins = F.when(
+        ng >= w,
+        F.transform(
+            F.sequence(F.lit(1), ng - w + 1),
+            lambda i: F.array_min(F.slice(grams, i, w)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.array_sort(F.array_distinct(mins))
+
+
+def with_winnow_fingerprints(
+    df, text_col: Column, out: str = "fps", k: int = WINNOW_K, w: int = WINNOW_W
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03)
+    over a polynomial rolling hash:
+
+    1. every k-char gram hashes to ``fold(acc*B + code) mod P`` — the
+       Rabin-Karp rolling-hash value (computed windowed here; SQL has no
+       carry-state, and k is constant so it stays O(n*k) work);
+    2. each window of w consecutive gram hashes contributes its minimum;
+    3. the distinct minima, sorted, are the document's fingerprint set —
+       guaranteed to share members for any sufficiently long shared
+       substring, the property plagiarism/near-dup detectors rely on.
+
+    Adds ``out`` as a sorted ``array<long>`` column (empty when the text is
+    shorter than k chars or yields fewer than w grams). DataFrame-level
+    (not Column-level) on purpose: each stage must land in its own
+    projection so it is evaluated once per row — the multiple non-cheap
+    references between stages stop Catalyst's CollapseProject from inlining
+    them back into one exponential expression.
+    """
+    return (
+        df.withColumn("__wn_codes", char_codes(text_col))
+        .withColumn("__wn_grams", gram_hashes(F.col("__wn_codes"), k))
+        .withColumn(out, window_min_fingerprints(F.col("__wn_grams"), w))
+        .drop("__wn_codes", "__wn_grams")
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """OpenRefine-style key-collision fingerprint: md5 of the sorted distinct
     normalized words — a rolling-hash-free deterministic document signature

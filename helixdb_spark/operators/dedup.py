@@ -101,11 +101,20 @@ def dedup_summary(
 def doc_shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingles array) with distinct word n-grams of normalized text."""
+    """(id, shingles array) with distinct word n-grams of normalized text.
+
+    The word array is staged as its own projected column before shingling:
+    the `word_shingles` lambda re-evaluates captured composite subtrees per
+    element, so inlining `words(normalized_text(...))` would re-run the
+    regex split once per shingle (see functions.text.char_codes).
+    """
     docs = _spread(docs)
-    return docs.select(
-        F.col(id_col),
-        word_shingles(words(normalized_text(F.col(text_col))), n).alias("shingles"),
+    return (
+        docs.withColumn("__ws", words(normalized_text(F.col(text_col))))
+        .select(
+            F.col(id_col),
+            word_shingles(F.col("__ws"), n).alias("shingles"),
+        )
     )
 
 

@@ -40,7 +40,11 @@ def quality_metrics(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     length-normalized word count, mean word length band, stopword presence.
     The score formula is arbitrary but fixed — what matters for a pipeline
     is determinism and filterability."""
-    ws = words(normalized_text(F.col(text_col)))
+    # Stage the word array once: every reference to a composite
+    # words(normalized_text(...)) expression re-runs the regex split, and
+    # this select references it ~6 times (see functions.text.char_codes).
+    docs = docs.withColumn("__ws", words(normalized_text(F.col(text_col))))
+    ws = F.col("__ws")
     n_words = F.size(ws)
     n_chars = F.length(F.col(text_col))
     avg_word_len = F.when(n_words > 0, (
@@ -96,7 +100,9 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """Marker-word language heuristic: argmax of per-language marker hit
     counts, ties broken by fixed priority, zero hits → 'und'."""
     docs = spread(docs)
-    ws = words(normalized_text(F.col(text_col)))
+    # Staged once — referenced per language below (see quality_metrics).
+    docs = docs.withColumn("__ws", words(normalized_text(F.col(text_col))))
+    ws = F.col("__ws")
     scored = docs.select(
         F.col(id_col),
         F.col("lang").alias("true_lang"),

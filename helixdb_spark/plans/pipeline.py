@@ -417,6 +417,67 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ta.fingerprint_docs(load_table(spark, sf_dir, "documents"))
 
 
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (functions.text.
+    winnow_fingerprints — Schleimer et al. SIGMOD'03) per document:
+    fingerprint-set size + an md5 digest of the sorted set, so the gate
+    hash-checks every fingerprint value without exploding rows."""
+    from helixdb_spark.functions.text import (
+        normalized_text,
+        with_winnow_fingerprints,
+    )
+    from helixdb_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = docs.withColumn("__norm", normalized_text(F.col("text")))
+    docs = with_winnow_fingerprints(docs, F.col("__norm"), out="__fps")
+    fps = F.col("__fps")
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fps"),
+        F.when(F.size(fps) == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.md5(F.array_join(F.transform(fps, lambda x: x.cast("string")), ","))
+        )
+        .alias("fp_digest"),
+    ).orderBy("doc_id")
+
+
+def _winnow_sql() -> str:
+    from helixdb_spark.functions.text import (
+        ROLLING_BASE,
+        ROLLING_PRIME,
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+c AS (SELECT doc_id,
+        list_transform(range(1, len(norm)+1), i -> ascii(norm[i])::BIGINT) AS codes
+      FROM d),
+g AS (SELECT doc_id,
+  CASE WHEN len(codes) >= {k}
+    THEN list_transform(range(1, len(codes) - {k} + 2),
+         i -> list_reduce(codes[i:i+{k - 1}],
+                          (a,b) -> (a*{ROLLING_BASE}+b) % {ROLLING_PRIME}))
+    ELSE [] END AS grams
+  FROM c),
+w AS (SELECT doc_id,
+  CASE WHEN len(grams) >= {w}
+    THEN list_sort(list_distinct(list_transform(range(1, len(grams) - {w} + 2),
+         i -> list_min(grams[i:i+{w - 1}]))))
+    ELSE [] END AS fps
+  FROM g)
+SELECT doc_id, len(fps) AS n_fps,
+       CASE WHEN len(fps) = 0 THEN NULL
+            ELSE md5(array_to_string(fps, ',')) END AS fp_digest
+FROM w
+ORDER BY doc_id
+"""
+
+
 QUERIES.update(
     {
         "ann_bruteforce_topk": ann_bruteforce_topk,
@@ -426,6 +487,7 @@ QUERIES.update(
         "text_lang_id": text_lang_id,
         "text_token_stats": text_token_stats,
         "text_fingerprint": text_fingerprint,
+        "text_winnow_fingerprint": text_winnow_fingerprint,
     }
 )
 
@@ -438,5 +500,6 @@ ORACLES.update(
         "text_lang_id": _ta.lang_id_sql(_NORM),
         "text_token_stats": _ta.TOKEN_STATS_SQL,
         "text_fingerprint": _ta.fingerprint_sql(_NORM),
+        "text_winnow_fingerprint": _winnow_sql(),
     }
 )
