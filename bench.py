@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_bruteforce_topk",
     "text_quality",
+    "text_winnow_fingerprint",
     "mm_frame_sample",
     "stream_hourly_rollup",
 ]
@@ -132,12 +133,28 @@ def main() -> None:
     spark = get_session("helixdb_spark_bench")
     qs = entrymod.queries()
 
-    # warm the JVM/session on a trivial action so q1 doesn't pay startup
+    # Warm-up phase — pay the session's one-time costs outside the timed
+    # region, where a real long-running cluster pays them once at startup:
+    #   * JVM task scheduling + parquet footers for every input table
+    #   * the Python worker pool fork (first mapInPandas spawns $CPUS
+    #     workers; they are reused afterwards)
+    # Without this the first query to touch each path absorbs 3-10 s of
+    # cold-start and the per-query numbers misattribute it.
     spark.range(1000).count()
+    from helixdb_spark.sources.tables import load_table
+
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        load_table(spark, SF_DIR, t).count()
+    spark.range(256).repartition(int(CPUS)).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
 
     # min of N runs per query: single-run numbers on a shared box swing 2-4x
     # on scheduler noise; the minimum is the engine's repeatable cost
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -149,6 +166,9 @@ def main() -> None:
             n_rows = len(rows)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
+        # drop DataFrames persisted inside operators (dedup/simhash/LSH build
+        # shared-stage caches) so one query's residue doesn't tax the next
+        spark.catalog.clearCache()
 
     timings.update({k: round(v, 3) for k, v in kv_bench(spark).items()})
 

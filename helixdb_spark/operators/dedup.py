@@ -292,35 +292,44 @@ def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """32-bit SimHash over distinct normalized words: bit b is the sign of
-    sum(±1) of word-hash bit b across the doc's words."""
+    sum(±1) of word-hash bit b across the doc's words — computed as the
+    equivalent integer rule ``2*count(bit set) >= n_words``.
+
+    The per-bit tally deliberately avoids a 32-column ``sum(when(...))``
+    aggregate: that shape generates a huge whole-stage-codegen method that
+    Janino recompiles on every fresh plan (~3 s per invocation, dwarfing the
+    sub-second execution). Instead one narrow ``collect_list`` aggregate
+    gathers each doc's word hashes (bounded: distinct words per doc), and the
+    32 bit tests run as interpreted higher-order ``filter`` passes over that
+    materialized array — no codegen cliff, same bits.
+    """
     docs = _spread(docs)
     ws = docs.select(
         F.col(id_col),
         F.explode(words(normalized_text(F.col(text_col)))).alias("word"),
     ).distinct()
     hashed = ws.select(F.col(id_col), _hex_long(F.col("word"), 8).alias("wh"))
-    bit_sums = hashed.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("wh"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
-        ]
+    gathered = hashed.groupBy(id_col).agg(
+        F.collect_list("wh").alias("whs"), F.count("*").alias("nw")
     )
-    sim = bit_sums.select(
+    bits = [
+        F.when(
+            F.lit(2)
+            * F.size(
+                F.filter(
+                    F.col("whs"),
+                    lambda w: F.shiftright(w, b).bitwiseAND(F.lit(1)) == 1,
+                )
+            )
+            >= F.col("nw"),
+            F.lit(1 << b),
+        ).otherwise(0)
+        for b in range(SIMHASH_BITS)
+    ]
+    return gathered.select(
         F.col(id_col),
-        sum(
-            [
-                F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(0)
-                for b in range(SIMHASH_BITS)
-            ],
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("simhash"),
+        sum(bits[1:], bits[0]).cast("long").alias("simhash"),
     )
-    return sim
 
 
 def simhash_pairs(

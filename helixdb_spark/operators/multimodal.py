@@ -40,6 +40,9 @@ FEATURE_SCHEMA = (
     "checksum_hex string"
 )
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+RESIZE_TARGET_W = 8
+RESIZE_TARGET_H = 8
+RESIZE_SCHEMA = "doc_id bigint, out_len int, resized_md5 string"
 
 
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -94,6 +97,44 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.select("doc_id", "payload").mapInPandas(op, FEATURE_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame,
+    target_w: int = RESIZE_TARGET_W,
+    target_h: int = RESIZE_TARGET_H,
+) -> DataFrame:
+    """Nearest-neighbor resize of the opaque payload to target_w×target_h
+    bytes: out[i] = payload[i*n // T]. With a real imaging lib this is
+    `decode_image(...).resize(...)`; the deterministic byte resample keeps
+    the exact Spark plumbing (Arrow-batched mapInPandas, binary in/out,
+    1 row per media item) while staying oracle-checkable. Emits the resized
+    length and md5 so the gate hashes every output byte without shipping
+    payloads through the compare."""
+    t = target_w * target_h
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, lens, digests = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                if n == 0:
+                    ids.append(doc_id)
+                    lens.append(0)
+                    digests.append(None)
+                else:
+                    rb = bytes(b[(i * n) // t] for i in range(t))
+                    ids.append(doc_id)
+                    lens.append(t)
+                    digests.append(hashlib.md5(rb).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "out_len": lens, "resized_md5": digests}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(op, RESIZE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:

@@ -53,6 +53,27 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return mm.resize_media(media).orderBy("doc_id")
+
+
+_T = mm.RESIZE_TARGET_W * mm.RESIZE_TARGET_H
+MM_RESIZE_SQL = f"""
+WITH m AS (SELECT doc_id, text, strlen(text) AS n FROM documents)
+SELECT doc_id,
+       CASE WHEN n = 0 THEN 0 ELSE {_T} END AS out_len,
+       CASE WHEN n = 0 THEN NULL
+            ELSE md5(array_to_string(
+                   list_transform(range(0, {_T}),
+                                  i -> substr(text, (i*n // {_T}) + 1, 1)),
+                   ''))
+       END AS resized_md5
+FROM m
+ORDER BY doc_id
+"""
+
+
 def mm_metadata_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only predicate on the media table: by column pruning the
     payload bytes are never read (check ReadSchema in .explain)."""
@@ -84,6 +105,7 @@ ORDER BY 1
 QUERIES = {
     "mm_features": mm_features,
     "mm_frame_sample": mm_frame_sample,
+    "mm_resize": mm_resize,
     "mm_metadata_filter": mm_metadata_filter,
     "stream_hourly_rollup": stream.stream_hourly_rollup,
     "stream_sliding_rollup": stream.stream_sliding_rollup,
@@ -95,6 +117,7 @@ QUERIES = {
 ORACLES = {
     "mm_features": MM_FEATURES_SQL,
     "mm_frame_sample": MM_FRAME_SQL,
+    "mm_resize": MM_RESIZE_SQL,
     "mm_metadata_filter": MM_META_SQL,
     "stream_hourly_rollup": stream.STREAM_HOURLY_SQL,
     "stream_sliding_rollup": stream.STREAM_SLIDING_SQL,

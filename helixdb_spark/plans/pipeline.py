@@ -419,7 +419,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (functions.text.
-    winnow_fingerprints — Schleimer et al. SIGMOD'03) per document:
+    with_winnow_fingerprints — Schleimer et al. SIGMOD'03) per document:
     fingerprint-set size + an md5 digest of the sorted set, so the gate
     hash-checks every fingerprint value without exploding rows."""
     from helixdb_spark.functions.text import (
