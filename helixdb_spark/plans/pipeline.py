@@ -478,6 +478,68 @@ ORDER BY doc_id
 """
 
 
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency top-50 — the canonical map-side-combine shape.
+    The explode + groupBy aggregates partially before the shuffle (partial
+    count per partition), so at 100 TB the exchange carries one row per
+    (partition, distinct token), not one per token occurrence. Deterministic
+    tie-break (count desc, token asc) keeps the limit boundary identical on
+    both engines."""
+    from helixdb_spark.functions.text import normalized_text, words
+    from helixdb_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.withColumn(
+        "__ws", words(normalized_text(F.col("text")))
+    ).select("doc_id", F.explode("__ws").alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("token"))
+        .limit(50)
+    )
+
+
+TOP_TOKENS_SQL = f"""
+WITH norm AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS token FROM norm)
+SELECT token, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM t WHERE token != ''
+GROUP BY 1 ORDER BY n_total DESC, token ASC LIMIT 50
+"""
+
+SAMPLE_PCT = 10
+
+
+def sample_hash_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling: keep a doc iff md5(doc_id) lands in the
+    first SAMPLE_PCT of 100 buckets. This is how a 100 TB pipeline samples —
+    a pushed-down filter on a hash of the key, no shuffle, no seed-dependent
+    RNG, stable across reruns and engines (unlike TABLESAMPLE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        docs.where(bucket < SAMPLE_PCT)
+        .select("doc_id", F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_HASH_SQL = f"""
+SELECT doc_id, strlen(text)::INT AS n_chars
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < {SAMPLE_PCT}
+ORDER BY doc_id
+"""
+
+
 QUERIES.update(
     {
         "ann_bruteforce_topk": ann_bruteforce_topk,
@@ -488,6 +550,8 @@ QUERIES.update(
         "text_token_stats": text_token_stats,
         "text_fingerprint": text_fingerprint,
         "text_winnow_fingerprint": text_winnow_fingerprint,
+        "text_top_tokens": text_top_tokens,
+        "sample_hash_pct": sample_hash_pct,
     }
 )
 
@@ -501,5 +565,7 @@ ORACLES.update(
         "text_token_stats": _ta.TOKEN_STATS_SQL,
         "text_fingerprint": _ta.fingerprint_sql(_NORM),
         "text_winnow_fingerprint": _winnow_sql(),
+        "text_top_tokens": TOP_TOKENS_SQL,
+        "sample_hash_pct": SAMPLE_HASH_SQL,
     }
 )
