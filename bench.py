@@ -39,6 +39,8 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "text_quality",
     "text_winnow_fingerprint",
+    "text_top_tokens",
+    "sample_hash_pct",
     "mm_frame_sample",
     "stream_hourly_rollup",
 ]
@@ -164,11 +166,13 @@ def main() -> None:
             rows = fn(spark, SF_DIR).collect()
             best = min(best, time.monotonic() - t0)
             n_rows = len(rows)
+            # drop DataFrames persisted inside operators (dedup/simhash/LSH
+            # build shared-stage caches): each run constructs fresh plans, so
+            # without this, N timed runs stack N live copies of those caches
+            # and the later runs measure memory pressure, not the query
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
-        # drop DataFrames persisted inside operators (dedup/simhash/LSH build
-        # shared-stage caches) so one query's residue doesn't tax the next
-        spark.catalog.clearCache()
 
     timings.update({k: round(v, 3) for k, v in kv_bench(spark).items()})
 

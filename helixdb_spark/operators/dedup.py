@@ -187,21 +187,30 @@ def minhash_signatures(
     shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = NUM_MINHASHES
 ) -> DataFrame:
     """(id, h0..h{k-1}) minhash signature: h_i = min over shingles of
-    (a_i * md5_32(shingle) + b_i) mod P. ONE md5 per shingle plus k cheap
-    affine maps — all JVM-side; one explode + one groupBy with k min
-    aggregates."""
+    (a_i * md5_32(shingle) + b_i) mod P. ONE md5 per shingle, JVM-side.
+
+    The k minima come from k interpreted ``array_min(transform(...))`` passes
+    over a per-doc ``collect_list`` of base hashes, NOT a k-column
+    ``min(...)`` aggregate: a 32-wide aggregate generates a whole-stage-
+    codegen method that Janino recompiles for every fresh plan (~3 s/run —
+    the same cliff simhash_fingerprints documents). The gathered array is
+    bounded by distinct shingles per doc, and each affine pass touches only
+    that materialized attribute."""
     exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     base = _hex_long(F.col("shingle"), 8).alias("bh")
+    gathered = (
+        exploded.select(F.col(id_col), base)
+        .groupBy(id_col)
+        .agg(F.collect_list("bh").alias("bhs"))
+    )
+    def _affine(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)
+
     hash_cols = [
-        ((F.lit(a) * F.col("bh") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        F.array_min(F.transform(F.col("bhs"), _affine(a, b))).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    return (
-        exploded.select(F.col(id_col), base)
-        .select(F.col(id_col), *hash_cols)
-        .groupBy(id_col)
-        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
-    )
+    return gathered.select(F.col(id_col), *hash_cols)
 
 
 def minhash_lsh_pairs(
