@@ -41,6 +41,8 @@ HEADLINE = [
     "text_winnow_fingerprint",
     "text_top_tokens",
     "sample_hash_pct",
+    "decontaminate_ngram",
+    "curate_filter_chain",
     "mm_frame_sample",
     "stream_hourly_rollup",
 ]

@@ -494,3 +494,64 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Decontamination scan: which corpus documents share word n-grams with a
+    benchmark/eval set (``benchmark_pred`` selects the benchmark rows)?
+
+    Returns (id, n_shingles, n_overlap, contamination) for corpus docs with
+    at least ``min_overlap`` shingles also present in the benchmark set.
+
+    Scale posture: eval suites are tiny next to a 100 TB corpus, so the
+    distinct benchmark shingle set is **broadcast** — the corpus side joins
+    against it map-side with no shuffle of corpus shingles; the only
+    exchange is the per-doc overlap count re-aggregation on ``id_col``.
+    The predicate is evaluated INLINE in the shingle projection (not via a
+    doc_id join) so it pushes down to the scan of each branch: the bench
+    branch shingles only the eval rows, the corpus branch only the rest —
+    one logical pass over the corpus instead of three.
+    The reference has no such operator (its values are opaque bytes); this
+    extends the §2.3 join family for the training-data pipeline.
+    """
+    staged = _spread(docs).withColumn(
+        "__ws", words(normalized_text(F.col(text_col)))
+    )
+    shingled = staged.select(
+        F.col(id_col),
+        word_shingles(F.col("__ws"), n).alias("shingles"),
+        benchmark_pred.alias("__is_bench"),
+    )
+    bench_shingles = (
+        shingled.where(F.col("__is_bench"))
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus = shingled.where(~F.col("__is_bench")).select(
+        F.col(id_col), F.size("shingles").alias("n_shingles"), F.col("shingles")
+    )
+    overlap = (
+        corpus.select(F.col(id_col), "n_shingles", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(bench_shingles), "shingle")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        overlap.where(F.col("n_overlap") >= min_overlap)
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_overlap",
+            F.round(
+                F.lit(1e-9) + F.col("n_overlap") / F.col("n_shingles"), 6
+            ).alias("contamination"),
+        )
+        .orderBy(id_col)
+    )

@@ -569,3 +569,179 @@ ORACLES.update(
         "sample_hash_pct": SAMPLE_HASH_SQL,
     }
 )
+
+
+# ------------------------------------------------------- curation additions
+
+# Benchmark set for the decontamination scan: one source plays the role of
+# a held-out eval suite.
+BENCH_SOURCE = "src0"
+CONTAM_MIN_OVERLAP = 2
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: corpus docs sharing >=2 word trigrams with
+    the benchmark source's docs (operators.dedup.benchmark_contamination —
+    broadcast semi-join of the tiny benchmark shingle set, no corpus-side
+    shuffle until the per-doc overlap count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.benchmark_contamination(
+        docs, F.col("source") == BENCH_SOURCE, min_overlap=CONTAM_MIN_OVERLAP
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH norm AS (SELECT doc_id, source, string_split({_NORM}, ' ') AS ws
+              FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                   i -> array_to_string(ws[i:i+2], ' ')))
+              ELSE [] END AS shingles
+  FROM norm
+),
+bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+          WHERE source = '{BENCH_SOURCE}'),
+corpus AS (SELECT doc_id, len(shingles) AS n_shingles,
+                  unnest(shingles) AS shingle
+           FROM sh WHERE source != '{BENCH_SOURCE}'),
+overlap AS (
+  SELECT doc_id, n_shingles, count(*) AS n_overlap
+  FROM corpus JOIN bench USING (shingle)
+  GROUP BY 1, 2
+)
+SELECT doc_id, n_shingles, n_overlap,
+       round(1e-9 + n_overlap::DOUBLE / n_shingles, 6) AS contamination
+FROM overlap
+WHERE n_overlap >= {CONTAM_MIN_OVERLAP}
+ORDER BY doc_id
+"""
+
+
+# Per-language keep rates (percent) for stratified downsampling: rebalance
+# an over-represented language down while keeping the rest. Deterministic,
+# seedless, pushdown-able — the 100 TB posture for sampling.
+STRATA_RATES = {"en": 40, "zh": 10}
+STRATA_DEFAULT_RATE = 25
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic hash sampling at per-stratum rates. Same
+    md5-bucket trick as sample_hash_pct, but the threshold is a CASE over
+    the stratum column — still a pushed-down scan filter, no shuffle, no
+    per-group state."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.lit(STRATA_DEFAULT_RATE)
+    for lang, r in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.where(bucket < rate)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _strata_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in STRATA_RATES.items()
+    )
+    return f"CASE {whens} ELSE {STRATA_DEFAULT_RATE} END"
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+      < ({_strata_rate_sql()})
+ORDER BY doc_id
+"""
+
+
+# Composite curation pass: language allowlist + length band + quality
+# threshold + exact-dup removal, then a per-source yield report.
+CURATE_LANGS = ("en", "de", "es")
+CURATE_MIN_WORDS = 20
+CURATE_MIN_QUALITY = 0.5
+
+
+def curate_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel on the documents table: allowlist lang,
+    band n_words, threshold the composite quality score, drop exact
+    duplicates (keep min doc_id per normalized-text hash), report per-source
+    yield. Each stage is a filter or a colocated doc_id join — the funnel
+    runs as one pipelined plan, and every predicate that can reach the scan
+    does (lang allowlist prunes before any scoring work)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isin(*CURATE_LANGS)
+    )
+    q = _ta.quality_metrics(docs).select("doc_id", "n_words", "quality_score")
+    dups = dedup.exact_duplicates(docs).select(F.col("dup_id").alias("doc_id"))
+    kept = (
+        docs.join(q, "doc_id")
+        .join(dups, "doc_id", "left_anti")
+        .where(
+            (F.col("n_words") >= CURATE_MIN_WORDS)
+            & (F.col("quality_score") >= CURATE_MIN_QUALITY)
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_words").alias("total_words"),
+            F.round(F.lit(1e-9) + F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _curate_sql() -> str:
+    langs = ", ".join(f"'{l}'" for l in CURATE_LANGS)
+    quality = _ta.quality_sql(_NORM).replace(
+        "FROM documents", f"FROM documents WHERE lang IN ({langs})"
+    )
+    return f"""
+WITH q AS ({quality}),
+filtered AS (SELECT doc_id FROM documents WHERE lang IN ({langs})),
+h AS (SELECT doc_id, md5({_NORM}) AS text_hash
+      FROM documents WHERE lang IN ({langs})),
+keepers AS (SELECT text_hash, min(doc_id) AS keep_id FROM h GROUP BY 1),
+dups AS (SELECT h.doc_id FROM h JOIN keepers USING (text_hash)
+         WHERE h.doc_id != keepers.keep_id),
+kept AS (
+  SELECT d.source, q.n_words, q.quality_score
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+    AND q.n_words >= {CURATE_MIN_WORDS}
+    AND q.quality_score >= {CURATE_MIN_QUALITY}
+)
+SELECT source, count(*) AS n_kept, sum(n_words)::BIGINT AS total_words,
+       round(1e-9 + avg(quality_score), 4) AS avg_quality
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES.update(
+    {
+        "decontaminate_ngram": decontaminate_ngram,
+        "sample_stratified": sample_stratified,
+        "curate_filter_chain": curate_filter_chain,
+    }
+)
+
+ORACLES.update(
+    {
+        "decontaminate_ngram": DECONTAMINATE_SQL,
+        "sample_stratified": SAMPLE_STRATIFIED_SQL,
+        "curate_filter_chain": _curate_sql(),
+    }
+)
