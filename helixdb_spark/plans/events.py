@@ -338,6 +338,74 @@ ORDER BY event_id
 """
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user completes
+    stage k only with an event strictly after their stage-(k-1) completion
+    time. One conditional-min aggregation per stage, each joined back on
+    user_id — every shuffle is on the same key, so the exchanges after the
+    first reuse the partitioning; no window over the full event log."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("tsec")
+    )
+    s1, s2, s3 = FUNNEL_STAGES
+    t1 = (
+        ev.where(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("tsec").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == s2)
+        .join(t1, "user_id")
+        .where(F.col("tsec") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tsec").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == s3)
+        .join(t2, "user_id")
+        .where(F.col("tsec") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tsec").alias("t3"))
+    )
+    counts = (
+        t1.agg(F.count("*").alias("n_stage1"))
+        .crossJoin(t2.agg(F.count("*").alias("n_stage2")))
+        .crossJoin(t3.agg(F.count("*").alias("n_stage3")))
+    )
+    return counts.select(
+        "n_stage1",
+        "n_stage2",
+        "n_stage3",
+        F.round(F.lit(1e-9) + F.col("n_stage2") / F.col("n_stage1"), 4).alias(
+            "conv_1_2"
+        ),
+        F.round(F.lit(1e-9) + F.col("n_stage3") / F.col("n_stage2"), 4).alias(
+            "conv_2_3"
+        ),
+    )
+
+
+EV_FUNNEL_SQL = f"""
+WITH e AS (SELECT user_id, event_type, epoch(ts) AS tsec FROM events),
+t1 AS (SELECT user_id, min(tsec) AS t1 FROM e
+       WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(tsec) AS t2 FROM e JOIN t1 USING (user_id)
+       WHERE event_type = '{FUNNEL_STAGES[1]}' AND tsec > t1 GROUP BY 1),
+t3 AS (SELECT e.user_id, min(tsec) AS t3 FROM e JOIN t2 USING (user_id)
+       WHERE event_type = '{FUNNEL_STAGES[2]}' AND tsec > t2 GROUP BY 1)
+SELECT (SELECT count(*) FROM t1) AS n_stage1,
+       (SELECT count(*) FROM t2) AS n_stage2,
+       (SELECT count(*) FROM t3) AS n_stage3,
+       round(1e-9 + (SELECT count(*) FROM t2)::DOUBLE
+             / (SELECT count(*) FROM t1), 4) AS conv_1_2,
+       round(1e-9 + (SELECT count(*) FROM t3)::DOUBLE
+             / (SELECT count(*) FROM t2), 4) AS conv_2_3
+"""
+
+
 QUERIES = {
     "ev_hourly_rollup": ev_hourly_rollup,
     "ev_sessionize": ev_sessionize,
@@ -348,6 +416,7 @@ QUERIES = {
     "ev_minmax_by": ev_minmax_by,
     "ev_value_band_join": ev_value_band_join,
     "ev_rolling_hour_user": ev_rolling_hour_user,
+    "ev_funnel": ev_funnel,
 }
 
 ORACLES = {
@@ -360,4 +429,5 @@ ORACLES = {
     "ev_minmax_by": EV_MINMAX_SQL,
     "ev_value_band_join": EV_BAND_SQL,
     "ev_rolling_hour_user": EV_ROLLING_SQL,
+    "ev_funnel": EV_FUNNEL_SQL,
 }

@@ -338,6 +338,42 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third §2.4 multi-grouping shape next to
+    rollup/cube: per-(status,priority), per-status, and per-priority
+    subtotals in one pass (one shuffle, Expand feeds all three sets)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                ["o_orderpriority"],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.lit(1e-9) + F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(1e-9 + avg(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus),
+                        (o_orderpriority))
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
 # ----------------------------------------------------------------- windows
 def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts by retail price per brand — rank window, the reference's
@@ -1334,6 +1370,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "rollup_order_stats": rollup_order_stats,
     "cube_lineitem_stats": cube_lineitem_stats,
+    "grouping_sets_order_stats": grouping_sets_order_stats,
     "topk_parts_per_brand": topk_parts_per_brand,
     "running_revenue_by_nation": running_revenue_by_nation,
     "customers_with_urgent_orders": customers_with_urgent_orders,
@@ -1370,6 +1407,7 @@ ORACLES = {
     "q18_large_orders": Q18_SQL,
     "rollup_order_stats": ROLLUP_SQL,
     "cube_lineitem_stats": CUBE_SQL,
+    "grouping_sets_order_stats": GROUPING_SETS_SQL,
     "topk_parts_per_brand": TOPK_SQL,
     "running_revenue_by_nation": RUNNING_SQL,
     "customers_with_urgent_orders": SEMI_SQL,

@@ -127,6 +127,7 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "dedup_embedding_cosine",
         "q11_important_parts",
         "q22_rich_without_orders",
+        "ev_funnel",  # stage counts: three 1-row aggregates cross-joined
     }
     # streaming queries execute on construction; dedup_clusters runs its
     # iterative job on construction — both covered by their own tests
