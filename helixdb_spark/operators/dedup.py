@@ -118,64 +118,87 @@ def doc_shingles(
     )
 
 
-def _pair_jaccard(shingled: DataFrame, id_col: str, candidates: DataFrame | None) -> DataFrame:
-    """Jaccard for (id_a, id_b) pairs via the inverted shingle index.
-
-    With ``candidates`` given, only those pairs are scored; otherwise every
-    pair sharing >=1 shingle is scored (still never a cross join).
-    """
-    sizes = shingled.select(F.col(id_col), F.size("shingles").alias("n_sh"))
-    exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    common = (
-        exploded.alias("a")
-        .join(
-            exploded.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
-    if candidates is not None:
-        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
-    return (
-        common.join(sizes.withColumnRenamed(id_col, "id_a"), "id_a")
-        .withColumnRenamed("n_sh", "n_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b"), "id_b")
-        .withColumnRenamed("n_sh", "n_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.lit(1e-9) + 
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ),
-        )
-    )
-
-
 # ------------------------------------------------------------ n-gram Jaccard
+
+# Document-frequency cap on the inverted shingle index. A shingle present
+# in more docs than this creates a df-choose-2 blowup in the pair
+# enumeration (the classic hot-key skew of text corpora: "of the",
+# boilerplate headers, license footers). Shingles above the cap are treated
+# as stop-shingles and removed from the representation entirely — Jaccard
+# is defined over the sub-cap shingle space on BOTH the numerator and the
+# denominator, the standard production-dedup move (a shingle shared by
+# thousands of docs carries no near-dup signal anyway).
+MAX_SHINGLE_DF = 64
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.4,
+    max_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """All near-duplicate pairs with word-n-gram Jaccard >= threshold.
+    """All near-duplicate pairs with word-n-gram Jaccard >= threshold,
+    over the df-capped shingle space (see MAX_SHINGLE_DF).
 
-    The shingle table feeds three branches of the plan (both sides of the
-    inverted-index self-join + the size lookup), so it is persisted: without
-    that, Spark re-shingles the corpus once per branch. At 100 TB this
-    materialization is the standard "build the index once" step.
+    Everything is counts — no pair ever ships a shingle array:
+    one shuffle on the shingle key builds the posting lists (lists above
+    ``max_df`` dropped whole, so no single hot shingle can dominate a
+    task); each surviving list emits its sorted id pairs inline, partially
+    aggregated map-side into per-pair co-occurrence counts; set sizes come
+    from re-exploding the postings. The postings table feeds both branches,
+    so it is persisted — the "build the index once" step.
     """
-    shingled = doc_shingles(docs, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    shingled = doc_shingles(docs, id_col, text_col, n)
+    exploded = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    postings = (
+        exploded.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .where(F.size("ids") <= max_df)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = (
+        postings.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_sh"))
+    )
+    ids = F.col("ids")
+    pair_lists = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pair_counts = (
+        postings.where(F.size("ids") >= 2)
+        .select(F.explode(pair_lists).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count("*").alias("n_common"))
     )
     return (
-        _pair_jaccard(shingled, id_col, None)
+        pair_counts.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.lit(1e-9)
+                + F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")

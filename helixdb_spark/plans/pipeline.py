@@ -75,10 +75,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NGRAM_SQL = f"""
 WITH {_SHINGLES},
 ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+rare AS (SELECT shingle FROM ex GROUP BY 1
+         HAVING count(*) <= {dedup.MAX_SHINGLE_DF}),
+rex AS (SELECT doc_id, shingle FROM ex SEMI JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM rex GROUP BY 1),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM rex a JOIN rex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 scored AS (
