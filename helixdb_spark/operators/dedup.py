@@ -43,6 +43,15 @@ SIMHASH_BLOCKS = 4  # 8 bits each; hamming<=3 guaranteed caught
 # is a correctness requirement for the oracle, not just hygiene).
 MINHASH_PRIME = (1 << 61) - 1
 
+# LSH bucket-size cap: a band bucket holding B docs emits C(B,2) candidate
+# pairs, and a degenerate bucket (e.g. a pile of byte-identical docs — all
+# 16 band keys equal) turns the bucket join quadratic on one key. Buckets
+# above the cap are dropped whole: their members are near-certain exact
+# duplicates of each other, which the exact-dedup pass (run first in any
+# real pipeline) already catches, and genuinely-near-dup members still
+# co-occur in some sub-cap bucket of another band with high probability.
+MAX_LSH_BUCKET = 64
+
 
 def minhash_coeffs(num_hashes: int = NUM_MINHASHES) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) pairs derived from md5 so the SQL oracle can
@@ -252,7 +261,9 @@ def minhash_lsh_pairs(
     the verification join touches only candidate docs: each candidate pair
     pulls the two shingle arrays and counts ``array_intersect`` JVM-side —
     it never rebuilds the full inverted index the way the exhaustive
-    n-gram-Jaccard operator must.
+    n-gram-Jaccard operator must. Degenerate buckets are excluded via a
+    broadcast anti-join against the (tiny) over-MAX_LSH_BUCKET blacklist,
+    so no bucket key can go quadratic (see MAX_LSH_BUCKET).
     """
     rows = num_hashes // bands
     # no size>0 filter: docs with no shingles produce no bands and no
@@ -283,6 +294,13 @@ def minhash_lsh_pairs(
             "band_key"
         ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    hot_buckets = (
+        stacked.groupBy("band_key")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") > MAX_LSH_BUCKET)
+        .select("band_key")
+    )
+    stacked = stacked.join(F.broadcast(hot_buckets), "band_key", "left_anti")
     candidates = (
         stacked.alias("a")
         .join(
@@ -377,7 +395,15 @@ def simhash_pairs(
 
     The fingerprint table is persisted: both sides of the block-bucket
     self-join read it, and recomputing it means re-running the word explode
-    + 32 bit-sum aggregation twice."""
+    + 32 bit-sum aggregation twice.
+
+    Scale note: 4 blocks of 8 bits give only 256 bucket values per block,
+    so bucket density grows with n/256 — unlike the MinHash band keys this
+    CANNOT be bucket-capped (pigeonhole correctness needs every block
+    consulted). The 100 TB shape is a wider fingerprint with more blocks
+    (64-bit / 8 blocks keeps the same hamming<=3 guarantee via 4-block
+    combinations) so bucket density stays sub-linear; the 32-bit/4-block
+    configuration here matches the oracle-checkable gate size."""
     sim = simhash_fingerprints(docs, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )

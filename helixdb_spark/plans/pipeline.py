@@ -129,9 +129,12 @@ exh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS bh FROM e
 sig AS (SELECT doc_id, {min_cols} FROM exh GROUP BY doc_id),
 banded AS (SELECT doc_id, {band_keys} FROM sig),
 stacked AS (SELECT doc_id, unnest([{band_list}]) AS band_key FROM banded),
+hot AS (SELECT band_key FROM stacked GROUP BY 1
+        HAVING count(*) > {dedup.MAX_LSH_BUCKET}),
+cold AS (SELECT doc_id, band_key FROM stacked ANTI JOIN hot USING (band_key)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM stacked a JOIN stacked b
+  FROM cold a JOIN cold b
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 scored AS (
