@@ -156,3 +156,49 @@ def ivf_topk(
         .select(query_id_col, "rk", F.col(id_col).alias("neighbor_id"), "cosine")
         .orderBy(query_id_col, "rk")
     )
+
+
+def embedding_centroid_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding QC: n_vecs plus average / minimum cosine of each
+    vector to its own label centroid — the corpus-health report a training
+    pipeline runs before trusting an embedding column (a low min flags
+    mislabeled or corrupt vectors; a low avg flags an incoherent label).
+
+    Scale shape: the centroid mean is computed dimension-parallel
+    (``posexplode`` → groupBy(label, dim) with map-side partial averages —
+    the shuffle carries labels × dims rows, NOT vectors), reassembled into
+    an array, and the tiny (label, centroid) table is **broadcast** back
+    against the full corpus; scoring is one pass, no vector ever shuffles.
+    """
+    dims = embeddings.select(
+        F.col(label_col), F.posexplode(vec_col).alias("pos", "v")
+    )
+    centroids = (
+        dims.groupBy(label_col, "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+    )
+    scored = embeddings.join(F.broadcast(centroids), label_col).select(
+        F.col(label_col),
+        cosine_similarity(F.col(vec_col), F.col("cvec")).alias("cos"),
+    )
+    return (
+        scored.groupBy(label_col)
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.lit(1e-9) + F.avg("cos"), 4).alias("avg_cos"),
+            F.round(F.lit(1e-9) + F.min("cos"), 4).alias("min_cos"),
+        )
+        .orderBy(label_col)
+    )

@@ -751,3 +751,35 @@ ORACLES.update(
         "curate_filter_chain": _curate_sql(),
     }
 )
+
+
+def emb_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding corpus QC (operators.similarity.
+    embedding_centroid_stats — dimension-parallel centroid mean, broadcast
+    centroid join, no vector shuffle)."""
+    return _sim.embedding_centroid_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+EMB_CENTROID_SQL = """
+WITH dims AS (
+  SELECT label, i, avg(embedding[i]) AS c
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, list(c ORDER BY i) AS cvec FROM dims GROUP BY 1),
+scored AS (
+  SELECT e.label,
+         list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS cos
+  FROM embeddings e JOIN cent c USING (label)
+)
+SELECT label, count(*) AS n_vecs,
+       round(1e-9 + avg(cos), 4) AS avg_cos,
+       round(1e-9 + min(cos), 4) AS min_cos
+FROM scored
+GROUP BY label
+ORDER BY label
+"""
+
+
+QUERIES.update({"emb_centroid_stats": emb_centroid_stats})
+ORACLES.update({"emb_centroid_stats": EMB_CENTROID_SQL})
