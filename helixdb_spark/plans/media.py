@@ -112,6 +112,7 @@ QUERIES = {
     "stream_session_window": stream.stream_session_window,
     "stream_user_state": stream.stream_user_state,
     "stream_click_purchase_join": stream.stream_click_purchase_join,
+    "stream_dedup": stream.stream_dedup,
 }
 
 ORACLES = {
@@ -124,4 +125,5 @@ ORACLES = {
     "stream_session_window": stream.STREAM_SESSION_SQL,
     "stream_user_state": stream.STREAM_USER_STATE_SQL,
     "stream_click_purchase_join": stream.STREAM_JOIN_SQL,
+    "stream_dedup": stream.STREAM_DEDUP_SQL,
 }
