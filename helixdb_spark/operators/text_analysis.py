@@ -198,3 +198,155 @@ SELECT doc_id, fp, cluster_size
 FROM fp JOIN sizes USING (fp)
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------------------ tf-idf
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = TFIDF_TOP_K
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf
+    (``tf * ln(1 + N/df)``), rank ties broken by term. The idf table is one
+    aggregate over the exploded token stream (map-side combined) and joins
+    back by token — at 100 TB that join shuffles on the token key, never on
+    documents, and the corpus size N is a broadcast scalar. Ranking compares
+    the ROUNDED score so the ordering is identical across engines (raw
+    doubles differ in the last ulp between ln implementations).
+    """
+    staged = spread(docs).withColumn(
+        "__ws", words(normalized_text(F.col(text_col)))
+    )
+    tok = staged.select(F.col(id_col), F.explode("__ws").alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_total"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.lit(1e-9)
+                + F.col("tf") * F.log(F.lit(1.0) + F.col("n_total") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(F.col(id_col), F.col("rk").cast("long").alias("rk"), "term", "tfidf")
+        .orderBy(id_col, "rk")
+    )
+
+
+def tfidf_sql(norm_sql: str, k: int = TFIDF_TOP_K) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split({norm_sql}, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n_total FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round(1e-9 + tf * ln(1.0 + n_total::DOUBLE / df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
+SELECT doc_id, rk::BIGINT AS rk, term, tfidf FROM r WHERE rk <= {k}
+ORDER BY doc_id, rk
+"""
+
+
+# -------------------------------------------------------------- repetition
+def repetition_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1): the fraction of bigram occurrences taken by the single most
+    frequent bigram, and the fraction of trigram occurrences whose trigram
+    appears more than once. High values flag boilerplate/spam for the
+    quality funnel. Docs with fewer than 3 words have no trigram and are
+    excluded.
+
+    Two token-key aggregations (bigram, trigram) re-aggregated per doc and
+    joined on the doc key — every stage is partial-agg'd map-side; nothing
+    is quadratic in document length or corpus size.
+    """
+    staged = spread(docs).withColumn(
+        "__ws", words(normalized_text(F.col(text_col)))
+    )
+    ws = F.col("__ws")
+
+    def grams(n: int):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        )
+
+    base = staged.where(F.size(ws) >= 3).select(
+        F.col(id_col),
+        grams(2).alias("__g2"),
+        grams(3).alias("__g3"),
+    )
+    g2 = (
+        base.select(F.col(id_col), F.explode("__g2").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bi"), F.sum("c").alias("n_bi"))
+    )
+    g3 = (
+        base.select(F.col(id_col), F.explode("__g3").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_tri"),
+            F.sum("c").alias("n_tri"),
+        )
+    )
+    return (
+        g2.join(g3, id_col)
+        .select(
+            F.col(id_col),
+            F.round(F.lit(1e-9) + F.col("top_bi") / F.col("n_bi"), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.lit(1e-9) + F.col("dup_tri") / F.col("n_tri"), 6).alias(
+                "dup_trigram_frac"
+            ),
+        )
+        .orderBy(id_col)
+    )
+
+
+def repetition_sql(norm_sql: str) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split({norm_sql}, ' ') AS ws FROM documents),
+base AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3),
+bi AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(ws)),
+                  i -> array_to_string(ws[i:i+1], ' '))) AS g
+       FROM base),
+tri AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS g
+        FROM base),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+b AS (SELECT doc_id, max(c) AS top_bi, sum(c) AS n_bi FROM bic GROUP BY 1),
+t AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri,
+             sum(c) AS n_tri FROM tric GROUP BY 1)
+SELECT doc_id,
+       round(1e-9 + top_bi::DOUBLE / n_bi, 6) AS top_bigram_frac,
+       round(1e-9 + dup_tri::DOUBLE / n_tri, 6) AS dup_trigram_frac
+FROM b JOIN t USING (doc_id)
+ORDER BY doc_id
+"""

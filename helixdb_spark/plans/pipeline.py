@@ -783,3 +783,51 @@ ORDER BY label
 
 QUERIES.update({"emb_centroid_stats": emb_centroid_stats})
 ORACLES.update({"emb_centroid_stats": EMB_CENTROID_SQL})
+
+
+# -------------------------------------------- chunking / packing / scoring
+from helixdb_spark.operators import chunking as _ck
+
+
+def chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking of every document
+    (operators.chunking.chunk_windows — shuffle-free row-parallel explode;
+    the oracle hash-checks every chunk boundary and content hash)."""
+    return _ck.chunk_windows(load_table(spark, sf_dir, "documents"))
+
+
+def pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing per source
+    (operators.chunking.pack_contexts — one shuffle + running-sum window)."""
+    return _ck.pack_contexts(load_table(spark, sf_dir, "documents"))
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k tf-idf terms (operators.text_analysis.
+    tfidf_top_terms — token-key shuffle only, broadcast corpus size)."""
+    return _ta.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators.text_analysis.
+    repetition_metrics)."""
+    return _ta.repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update(
+    {
+        "chunk_token_windows": chunk_token_windows,
+        "pack_contexts": pack_contexts,
+        "text_tfidf": text_tfidf,
+        "text_repetition": text_repetition,
+    }
+)
+
+ORACLES.update(
+    {
+        "chunk_token_windows": _ck.chunk_windows_sql(_NORM),
+        "pack_contexts": _ck.pack_contexts_sql(_NORM),
+        "text_tfidf": _ta.tfidf_sql(_NORM),
+        "text_repetition": _ta.repetition_sql(_NORM),
+    }
+)
