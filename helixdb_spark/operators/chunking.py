@@ -55,16 +55,22 @@ def chunk_windows(
     n_chunks = F.lit(1) + F.floor(
         (F.greatest(n - window, F.lit(0)) + F.lit(stride - 1)) / F.lit(stride)
     ).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda j: F.struct(
-            j.alias("chunk_idx"),
-            F.slice(ws, j * stride + 1, window).alias("toks"),
+    # Empty docs yield an empty chunk array (explode emits nothing) instead
+    # of a `where(n > 0)` pre-filter: Catalyst pushes such a filter below
+    # the spread Exchange, re-running the regex split serially on the
+    # narrow pre-shuffle side (see test_chunking_is_shuffle_free_before_sort).
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda j: F.struct(
+                j.alias("chunk_idx"),
+                F.slice(ws, j * stride + 1, window).alias("toks"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<chunk_idx:int,toks:array<string>>>"))
     return (
-        staged.where(n > 0)
-        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        staged.select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(
             F.col(id_col),
             F.col("c.chunk_idx").cast("long").alias("chunk_idx"),

@@ -113,6 +113,42 @@ def test_shingle_explode_not_duplicated_below_exchange(spark, sf_dir):
     assert "regexp_replace" not in detail[:ex_detail]
 
 
+def test_chunking_is_shuffle_free_before_sort(spark, sf_dir):
+    """chunk_windows must not shuffle between the scan and the chunk
+    explode: the only exchanges allowed are the deliberate spread
+    repartition and the final presentation sort. At 100 TB the chunking
+    stage pipelines inside the scan's tasks."""
+    from helixdb_spark.operators import chunking
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(chunking.chunk_windows(docs))
+    detail = plan.split("== Physical Plan ==", 1)[-1]
+    # no hash shuffle anywhere; range partitioning only for the final
+    # presentation sort; the spread's RoundRobin is the one other exchange
+    assert "hashpartitioning" not in detail.lower()
+    assert detail.lower().count("rangepartitioning") <= 1
+    # the regex split must not be evaluated below the spread Exchange
+    # (a pushed-down filter would re-run it serially on the narrow side)
+    rr = detail.find("RoundRobinPartitioning")
+    assert rr != -1 and "regexp_replace" not in detail[:rr]
+
+
+def test_pack_contexts_single_shuffle(spark, sf_dir):
+    """pack_contexts needs exactly one data shuffle (on the group key) —
+    the running-sum window and the per-(group,bin) aggregate must reuse
+    that partitioning instead of re-exchanging."""
+    from helixdb_spark.operators import chunking
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, sf_dir, "documents")
+    df = chunking.pack_contexts(docs).sortWithinPartitions("source", "bin_id")
+    plan = plan_of(df)
+    detail = plan.split("== Physical Plan ==", 1)[-1]
+    hash_exchanges = detail.lower().count("hashpartitioning")
+    assert hash_exchanges <= 1, f"{hash_exchanges} hash exchanges:\n{detail[:800]}"
+
+
 def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
     """Sweep every batch graded query's physical plan: CartesianProduct is
     never acceptable; BroadcastNestedLoopJoin only where it is the point —
@@ -128,6 +164,7 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "q11_important_parts",
         "q22_rich_without_orders",
         "ev_funnel",  # stage counts: three 1-row aggregates cross-joined
+        "text_tfidf",  # 1-row corpus-size aggregate broadcast
     }
     # streaming queries execute on construction; dedup_clusters runs its
     # iterative job on construction — both covered by their own tests
