@@ -406,8 +406,136 @@ SELECT (SELECT count(*) FROM t1) AS n_stage1,
 """
 
 
+def ev_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type with gap filling: missing hours
+    get n_events=0 and carry the last observed hourly total forward (LOCF)
+    — the canonical TSDB downsample-then-fill shape (the reference's domain
+    is time series, but its scan returns raw points only; SURVEY.md §2.5).
+
+    Scale posture: the dense hour grid derives from one 1-row min/max
+    aggregate exploded into `sequence()` — its size is bounded by the time
+    span, never by the data volume — and is broadcast against the distinct
+    series keys; the LOCF window shuffles once on the series key, the same
+    partitioning the rollup aggregate already produced.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.lit(1e-9) + F.sum("value"), 2).alias("total_value"),
+    )
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    dense = grid.crossJoin(F.broadcast(types))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        dense.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce(
+                F.last("total_value", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("filled_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EV_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events,
+         round(1e-9 + sum(value), 2) AS total_value
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                date_trunc('hour', max(ts)) AS hi FROM events),
+grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+         FROM span),
+dense AS (SELECT g.hour, t.event_type
+          FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+SELECT d.hour, d.event_type,
+       coalesce(h.n_events, 0) AS n_events,
+       coalesce(last_value(h.total_value IGNORE NULLS) OVER (
+           PARTITION BY d.event_type ORDER BY d.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+         AS filled_value
+FROM dense d LEFT JOIN hourly h
+  ON h.hour = d.hour AND h.event_type = d.event_type
+ORDER BY d.hour, d.event_type
+"""
+
+
+def ev_value_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rate of change of ``value`` between consecutive events
+    (lag-based discrete derivative, the PromQL ``rate()`` analog), averaged
+    per user. One shuffle on the series key (user_id); ties on ts broken by
+    event_id so the lag pairing is deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        # microsecond-exact delta: unix_timestamp() truncates sub-second
+        # precision and would disagree with the oracle's interval epoch
+        .withColumn("dt_us", F.unix_micros("ts") - F.unix_micros("prev_ts"))
+        .where(F.col("dt_us") > 0)
+        .withColumn(
+            "rate",
+            (F.col("value") - F.col("prev_value")) / (F.col("dt_us") / F.lit(1e6)),
+        )
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.round(F.lit(1e-9) + F.avg("rate"), 6).alias("avg_rate"),
+            F.round(F.lit(1e-9) + F.max("rate"), 6).alias("max_rate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_RATE_SQL = """
+WITH d AS (
+  SELECT user_id, value, ts,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+r AS (
+  SELECT user_id,
+         (value - prev_value)
+           / (date_diff('microsecond', prev_ts, ts) / 1e6) AS rate
+  FROM d
+  WHERE prev_ts IS NOT NULL AND date_diff('microsecond', prev_ts, ts) > 0
+)
+SELECT user_id, count(*) AS n_samples,
+       round(1e-9 + avg(rate), 6) AS avg_rate,
+       round(1e-9 + max(rate), 6) AS max_rate
+FROM r
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "ev_hourly_rollup": ev_hourly_rollup,
+    "ev_gapfill_locf": ev_gapfill_locf,
+    "ev_value_rate": ev_value_rate,
     "ev_sessionize": ev_sessionize,
     "ev_topk_users": ev_topk_users,
     "ev_click_asof_purchase": ev_click_asof_purchase,
@@ -421,6 +549,8 @@ QUERIES = {
 
 ORACLES = {
     "ev_hourly_rollup": EV_HOURLY_SQL,
+    "ev_gapfill_locf": EV_GAPFILL_SQL,
+    "ev_value_rate": EV_RATE_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,
     "ev_topk_users": EV_TOPK_SQL,
     "ev_click_asof_purchase": EV_ASOF_SQL,
