@@ -165,6 +165,7 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "q22_rich_without_orders",
         "ev_funnel",  # stage counts: three 1-row aggregates cross-joined
         "text_tfidf",  # 1-row corpus-size aggregate broadcast
+        "ev_gapfill_locf",  # dense grid = tiny hour sequence x tiny type set
     }
     # streaming queries execute on construction; dedup_clusters runs its
     # iterative job on construction — both covered by their own tests
