@@ -32,6 +32,7 @@ HEADLINE = [
     "ev_hourly_rollup",
     "ev_sessionize",
     "ev_click_asof_purchase",
+    "ev_gapfill_locf",
     "ev_kv_scan",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -40,6 +41,8 @@ HEADLINE = [
     "text_quality",
     "text_winnow_fingerprint",
     "text_top_tokens",
+    "text_tfidf",
+    "pack_contexts",
     "sample_hash_pct",
     "decontaminate_ngram",
     "curate_filter_chain",

@@ -74,3 +74,52 @@ def test_resize_media_exact_bytes(spark):
     assert out[0] == (t, hashlib.md5(expected).hexdigest())
     assert out[1] == (0, None)
     assert out[2] == (t, hashlib.md5(b"x" * t).hexdigest())
+
+
+# ------------------------------------------------------ chunking / packing
+def _chunk(spark, texts, window=8, stride=6):
+    from helixdb_spark.operators import chunking
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunking.chunk_windows(df, window=window, stride=stride).collect()
+    out: dict[int, list] = {}
+    for r in rows:
+        out.setdefault(r["doc_id"], []).append(r)
+    return out
+
+
+def test_chunk_windows_edge_cases(spark):
+    texts = [
+        "",  # no tokens -> no chunks
+        "one two three",  # shorter than window -> exactly 1 chunk
+        " ".join(f"w{i}" for i in range(8)),  # == window -> 1 chunk
+        " ".join(f"w{i}" for i in range(9)),  # window+1 -> 2 chunks
+        " ".join(f"w{i}" for i in range(20)),  # 1 + ceil(12/6) = 3 chunks
+    ]
+    chunks = _chunk(spark, texts)
+    assert 0 not in chunks
+    assert [len(chunks[i]) for i in (1, 2, 3, 4)] == [1, 1, 2, 3]
+    # every token is covered: chunk j spans [j*stride, j*stride + window)
+    r = chunks[4]
+    assert [c["chunk_idx"] for c in r] == [0, 1, 2]
+    assert [c["n_tokens"] for c in r] == [8, 8, 8]
+    # the tail chunk of doc 3 holds the overlap remainder
+    assert [c["n_tokens"] for c in chunks[3]] == [8, 3]
+
+
+def test_pack_contexts_bins_are_monotone_and_exhaustive(spark):
+    from helixdb_spark.operators import chunking
+
+    # 7 docs of 100 tokens each in one source: offsets 0..600, context=256
+    # => bins 0,0,0,1,1,1,2 (doc k starts at 100k)
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(100)), "s") for i in range(7)],
+        "doc_id long, text string, source string",
+    )
+    rows = chunking.pack_contexts(df, context=256).collect()
+    got = {r["bin_id"]: (r["n_docs"], r["first_doc"], r["last_doc"]) for r in rows}
+    assert got == {0: (3, 0, 2), 1: (3, 3, 5), 2: (1, 6, 6)}
+    assert sum(r["n_docs"] for r in rows) == 7
+    assert sum(r["n_tokens"] for r in rows) == 700
