@@ -130,3 +130,53 @@ def fingerprint(text: Column) -> Column:
     that clusters token-permuted duplicates."""
     ws = words(normalized_text(text))
     return F.md5(F.array_join(F.array_sort(F.array_distinct(ws)), " "))
+
+
+_winnow_arrow_udf = None
+
+
+def winnow_fingerprints_arrow(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
+    """Arrow-batched numpy winnowing — bit-identical to the built-in HOF
+    pipeline (`with_winnow_fingerprints`), which stays the reference
+    implementation and the oracle's definition.
+
+    The HOF form evaluates the rolling hash with interpreted per-element
+    lambdas (O(n*k) interpreted steps per doc); here each doc's hash array
+    is produced by k vectorized numpy passes (``H = (H*B + codes[j:]) % P``)
+    and the window minima by a stride-tricks sliding view — C speed within
+    an Arrow batch, the 100 TB hot path. Inputs must already be normalized
+    (ascii lowercase + digits + spaces), which normalized_text guarantees.
+    """
+    global _winnow_arrow_udf
+    if _winnow_arrow_udf is None:
+        from pyspark.sql.functions import pandas_udf
+
+        def _winnow(texts):
+            import numpy as np
+            import pandas as pd
+
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append([])
+                    continue
+                codes = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = codes.size
+                if n < k:
+                    out.append([])
+                    continue
+                m = n - k + 1
+                H = np.zeros(m, dtype=np.int64)
+                for j in range(k):
+                    H = (H * ROLLING_BASE + codes[j : j + m]) % ROLLING_PRIME
+                if H.size < w:
+                    out.append([])
+                    continue
+                mins = np.lib.stride_tricks.sliding_window_view(H, w).min(axis=1)
+                out.append(np.unique(mins).tolist())
+            return pd.Series(out)
+
+        _winnow_arrow_udf = pandas_udf(_winnow, "array<long>")
+    return _winnow_arrow_udf(text)

@@ -424,19 +424,24 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash winnowing fingerprints (functions.text.
-    with_winnow_fingerprints — Schleimer et al. SIGMOD'03) per document:
-    fingerprint-set size + an md5 digest of the sorted set, so the gate
-    hash-checks every fingerprint value without exploding rows."""
+    """Rolling-hash winnowing fingerprints (Schleimer et al. SIGMOD'03) per
+    document: fingerprint-set size + an md5 digest of the sorted set, so the
+    gate hash-checks every fingerprint value without exploding rows.
+
+    Uses the Arrow-vectorized path (functions.text.winnow_fingerprints_arrow
+    — numpy rolling hash + stride-tricks window minima), bit-identical to
+    the built-in HOF reference implementation (asserted in
+    tests/test_pipeline_ops.py) but ~3x faster: the HOF lambdas interpret
+    O(n*k) steps per document."""
     from helixdb_spark.functions.text import (
         normalized_text,
-        with_winnow_fingerprints,
+        winnow_fingerprints_arrow,
     )
     from helixdb_spark.operators.util import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     docs = docs.withColumn("__norm", normalized_text(F.col("text")))
-    docs = with_winnow_fingerprints(docs, F.col("__norm"), out="__fps")
+    docs = docs.withColumn("__fps", winnow_fingerprints_arrow(F.col("__norm")))
     fps = F.col("__fps")
     return docs.select(
         "doc_id",

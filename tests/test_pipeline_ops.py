@@ -123,3 +123,27 @@ def test_pack_contexts_bins_are_monotone_and_exhaustive(spark):
     assert got == {0: (3, 0, 2), 1: (3, 3, 5), 2: (1, 6, 6)}
     assert sum(r["n_docs"] for r in rows) == 7
     assert sum(r["n_tokens"] for r in rows) == 700
+
+
+def test_winnow_arrow_matches_hof_reference(spark, sf_dir):
+    """The Arrow/numpy winnowing path must be bit-identical to the pure
+    built-in HOF pipeline (the oracle's definition) on real data."""
+    from helixdb_spark.functions.text import winnow_fingerprints_arrow
+    from helixdb_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("__n", normalized_text(F.col("text")))
+
+    def digest(col):
+        return F.md5(F.array_join(F.transform(col, lambda x: x.cast("string")), ","))
+
+    # two separate jobs: combining both in one plan lets CollapseProject
+    # re-nest the staged HOF stages into one exponential expression
+    hof = with_winnow_fingerprints(d, F.col("__n"), out="fps")
+    a = dict(hof.select("doc_id", digest(F.col("fps")).alias("dg")).collect())
+    b = dict(
+        d.withColumn("fps", winnow_fingerprints_arrow(F.col("__n")))
+        .select("doc_id", digest(F.col("fps")).alias("dg"))
+        .collect()
+    )
+    assert a == b and len(a) > 0
