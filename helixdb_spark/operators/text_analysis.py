@@ -350,3 +350,57 @@ SELECT doc_id,
 FROM b JOIN t USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------------ char entropy
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy of each document's character distribution (spaces
+    excluded, over normalized text) — the cheap perplexity proxy: near-zero
+    entropy flags single-character / repeated-pattern spam that length and
+    stopword features miss.
+
+    Pure built-ins via the single-pass identity
+    ``H = ln(n) - sum(c*ln(c))/n``: explode to (doc, char) pairs, count per
+    char (map-side combined), one re-aggregate per doc. Shuffles on the
+    (doc, char) key then the doc key — both partition-parallel; docs whose
+    normalized text is empty produce no rows.
+    """
+    staged = spread(docs).withColumn(
+        "__norm", normalized_text(F.col(text_col))
+    )
+    chars = staged.select(
+        F.col(id_col), F.explode(F.split("__norm", "")).alias("ch")
+    ).where((F.col("ch") != "") & (F.col("ch") != " "))
+    counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    s = F.sum(F.col("c") * F.log(F.col("c")))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            n.cast("long").alias("n_chars"),
+            F.count("*").alias("n_distinct_chars"),
+            F.round(F.lit(1e-9) + F.log(n) - s / n, 6).alias("entropy"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def char_entropy_sql(norm_sql: str) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {norm_sql} AS norm FROM documents),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(norm) + 1), i -> norm[i])) AS c
+  FROM d
+),
+cc AS (SELECT doc_id, c, count(*) AS n FROM ch WHERE c != ' ' AND c != ''
+       GROUP BY 1, 2)
+SELECT doc_id, sum(n)::BIGINT AS n_chars,
+       count(*) AS n_distinct_chars,
+       round(1e-9 + ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+FROM cc
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -836,3 +836,13 @@ ORACLES.update(
         "text_repetition": _ta.repetition_sql(_NORM),
     }
 )
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document (operators.text_analysis.
+    char_entropy — the cheap perplexity proxy for spam filtering)."""
+    return _ta.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"text_char_entropy": text_char_entropy})
+ORACLES.update({"text_char_entropy": _ta.char_entropy_sql(_NORM)})
