@@ -404,3 +404,64 @@ FROM cc
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# -------------------------------------------------------------- PII scrub
+# Patterns chosen to behave identically in Java regex (Spark) and RE2
+# (DuckDB): character classes, +, and {n} only — no lookaround, no \b.
+PII_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Regex PII redaction — the mandatory scrub pass of any training-data
+    pipeline. The corpus is synthetic and contains no real PII, so each doc
+    is first augmented with a deterministic email + phone derived from its
+    id; the operator then redacts emails/phones and reports per-doc match
+    counts plus the md5 of the scrubbed text, hash-checking every redaction
+    the regex engine made. Row-parallel, shuffle-free (the final orderBy is
+    presentation only); regexp_replace runs in whole-stage codegen.
+    """
+    aug = F.concat(
+        F.col(text_col),
+        F.lit(" contact user"),
+        F.col(id_col).cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col(id_col) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col(id_col) % 10000).cast("string"), 4, "0"),
+    )
+    staged = spread(docs).withColumn("__aug", aug)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("__aug"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return staged.select(
+        F.col(id_col),
+        F.regexp_count(F.col("__aug"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("__aug"), F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy(id_col)
+
+
+def pii_scrub_sql() -> str:
+    email, phone = PII_EMAIL_RE, PII_PHONE_RE
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com or 555-'
+              || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS aug
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(aug, '{email}')) AS n_emails,
+       len(regexp_extract_all(aug, '{phone}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(aug, '{email}', '<EMAIL>', 'g'),
+                          '{phone}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM a
+ORDER BY doc_id
+"""

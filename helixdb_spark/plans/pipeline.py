@@ -846,3 +846,13 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"text_char_entropy": text_char_entropy})
 ORACLES.update({"text_char_entropy": _ta.char_entropy_sql(_NORM)})
+
+
+def curate_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction with injected deterministic PII
+    (operators.text_analysis.pii_scrub)."""
+    return _ta.pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"curate_pii_scrub": curate_pii_scrub})
+ORACLES.update({"curate_pii_scrub": _ta.pii_scrub_sql()})
