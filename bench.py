@@ -126,6 +126,13 @@ def kv_bench(spark) -> dict[str, float]:
             out["kv_scan"] = min(out["kv_scan"], time.monotonic() - t0)
         assert n == 5 * KV_NUM_KEY
 
+        # compaction job (M3): hot -> cold for the first half of the time
+        # range, then re-verify the scan sees identical data (transparency)
+        t0 = time.monotonic()
+        db.compact(0, KV_NUM_TS // 2 - 1)
+        out["kv_compact"] = time.monotonic() - t0
+        assert db.scan((0, 4), comparator=comparators.NO_ORDER).count() == n
+
         db.close()
     finally:
         shutil.rmtree(base, ignore_errors=True)

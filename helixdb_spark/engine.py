@@ -327,6 +327,34 @@ class HelixSpark:
         )
         return bytes(row[0]) if row is not None else None
 
+    def get_asof(self, ts: int, key: bytes) -> Optional[tuple[int, bytes]]:
+        """Latest entry for ``key`` at or before ``ts`` — the as-of read a
+        time-series store needs but the reference lacks: its
+        compressed-chunk probe is exact-match only (binary_search ``.ok()``
+        at src/level.rs:503-505 returns None on a miss instead of the
+        previous value; SURVEY.md §2.3). Returns ``(found_ts, value)``.
+
+        The plan prunes every time_bucket partition ABOVE ts's bucket, pushes
+        the key equality + ts upper bound to parquet, and takes the max-ts
+        row; retention still applies (an as-of read never resurrects
+        outdated data)."""
+        self._check_open()
+        cutoff = self._state.get("outdate_cutoff")
+        ts_lo = (cutoff + 1) if cutoff is not None else None
+        if ts_lo is not None and ts < ts_lo:
+            return None
+        row = (
+            self._entries_df(
+                ts_lo=ts_lo,
+                ts_hi=ts,
+                pre_filter=F.col("key") == F.lit(bytes(key)),
+            )
+            .orderBy(F.col("ts").desc())
+            .select("ts", "value")
+            .first()
+        )
+        return (row[0], bytes(row[1])) if row is not None else None
+
     def direct_get(self, shard_id: int, ts: int, key: bytes) -> Optional[bytes]:
         """Point lookup naming the shard (reference src/db.rs:57-65
         ``direct_get`` / ``get_unchecked``). Spark owns data placement, so

@@ -247,3 +247,26 @@ def test_custom_sharding_expr(spark, db_path):
     db.put([(t, le_u64(k), le_u64(t + k)) for t in range(4) for k in range(8)])
     assert db.get(2, le_u64(5)) == le_u64(7)
     assert db.scan((0, 3)).count() == 32
+
+
+def test_get_asof(spark, db_path):
+    """As-of read: latest entry at or before ts (engine addition — the
+    reference's compressed-chunk probe is exact-match only,
+    src/level.rs:503-505). Must see across hot/cold and respect retention."""
+    db = HelixSpark.open(
+        spark, db_path, HelixOptions(rick_range=10, outdate_range=1 << 40,
+                                     auto_maintain=False)
+    )
+    db.put([(0, b"k", b"v0"), (5, b"k", b"v5"), (25, b"k", b"v25")])
+    assert db.get_asof(5, b"k") == (5, b"v5")     # exact hit
+    assert db.get_asof(7, b"k") == (5, b"v5")     # between points
+    assert db.get_asof(100, b"k") == (25, b"v25")  # after last
+    assert db.get_asof(4, b"missing") is None
+    # transparent across compaction (bucket [0,9] goes cold)
+    db.compact(0, 9)
+    assert db.get_asof(7, b"k") == (5, b"v5")
+    # retention: outdating through ts=9 hides the old points
+    db.outdate(9)
+    assert db.get_asof(7, b"k") is None
+    assert db.get_asof(100, b"k") == (25, b"v25")
+    db.close()
