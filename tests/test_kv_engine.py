@@ -270,3 +270,35 @@ def test_get_asof(spark, db_path):
     assert db.get_asof(7, b"k") is None
     assert db.get_asof(100, b"k") == (25, b"v25")
     db.close()
+
+
+def test_stream_ingest_to_engine(spark, db_path, sf_dir):
+    """foreachBatch streaming ingest lands the same logical entries as a
+    batch put (the reference's WriteBatch micro-batching, level.rs:593-721,
+    with Spark owning the trigger)."""
+    from pyspark.sql import functions as F
+
+    from helixdb_spark.sources import load_table
+    from helixdb_spark.streaming import stream_ingest_to_engine
+
+    db = HelixSpark.open(
+        spark, db_path,
+        HelixOptions(rick_range=86400, outdate_range=1 << 60, auto_maintain=False),
+    )
+    stream_ingest_to_engine(spark, sf_dir, db)
+    events = load_table(spark, sf_dir, "events")
+    n_logical = events.select(
+        F.unix_timestamp("ts"), F.col("user_id")
+    ).distinct().count()
+    lo, hi = events.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    # scan dedups (ts, key) last-write-wins, so the count is the distinct
+    # (second, user) grid, not the raw event count
+    assert db.scan((lo, hi)).count() == n_logical
+    row = events.select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
+    ).first()
+    assert db.get(row["ts"], bytes(row["key"])) is not None
+    db.close()
