@@ -124,3 +124,92 @@ ORACLES = {
     "kv_roundtrip_scan": KV_ROUNDTRIP_SQL,
     "kv_key_counts": KV_KEY_COUNTS_SQL,
 }
+
+
+# probe instants for the as-of query: mid-day-1 (cold after compact),
+# mid-day-3 (hot), day-7 (hot, far from any write)
+ASOF_PROBES = (1704110400, 1704283200, 1704585600)
+
+
+def kv_asof_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk as-of reads through the engine: every user key probed at three
+    fixed instants, each answered with the latest entry at or before the
+    probe (the distributed form of ``HelixSpark.get_asof`` — the as-of
+    semantics the reference's exact-match chunk probe lacks,
+    src/level.rs:503-505). Entries are pre-deduped to one row per
+    (second, user) with ``max(props)`` so the content is deterministic on
+    both engines; probes span the compacted AND hot ranges, so the as-of
+    window reads across the hot/cold boundary. The oracle is a DuckDB
+    ``ASOF LEFT JOIN``. One shuffle on the key (operators.asof tagged-union
+    window); probes with no prior entry keep nulls."""
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+    from helixdb_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    entries = (
+        ev.groupBy(
+            F.unix_timestamp("ts").alias("ts"),
+            F.col("user_id").cast("string").alias("k"),
+        )
+        .agg(F.max("props").alias("v"))
+        .select(
+            "ts",
+            F.encode("k", "utf-8").alias("key"),
+            F.encode("v", "utf-8").alias("value"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="helix_kva_")
+    db = HelixSpark.open(
+        spark,
+        base,
+        HelixOptions(rick_range=86400, outdate_range=1 << 40, auto_maintain=False),
+    )
+    db.put(entries)
+    db.compact(SCAN_TS_LO, COMPACT_TS_HI)
+    ent = db.scan((SCAN_TS_LO, SCAN_TS_HI))
+    probes = (
+        ent.select("key")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(t,) for t in ASOF_PROBES], "p_ts long"
+                )
+            )
+        )
+    )
+    out = asof_join(
+        probes, ent, on=["key"], left_ts="p_ts", right_ts="ts",
+        right_values=["ts", "value"],
+    )
+    # no-match probes coalesce to sentinels: the gate compare sorts rows
+    # and NULLs don't order against ints
+    return out.select(
+        F.decode("key", "utf-8").alias("key"),
+        "p_ts",
+        F.coalesce(F.col("ts_asof"), F.lit(-1)).alias("found_ts"),
+        F.coalesce(F.decode("value_asof", "utf-8"), F.lit("")).alias("value"),
+    ).orderBy("key", "p_ts")
+
+
+KV_ASOF_SQL = f"""
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts, user_id::VARCHAR AS key,
+         max(props) AS value
+  FROM events
+  GROUP BY 1, 2
+),
+er AS (SELECT * FROM e WHERE ts >= {SCAN_TS_LO} AND ts <= {SCAN_TS_HI}),
+probes AS (
+  SELECT key, unnest([{", ".join(str(t) for t in ASOF_PROBES)}])::BIGINT AS p_ts
+  FROM (SELECT DISTINCT key FROM er)
+)
+SELECT p.key, p.p_ts, coalesce(e.ts, -1) AS found_ts,
+       coalesce(e.value, '') AS value
+FROM probes p ASOF LEFT JOIN er e ON p.key = e.key AND p.p_ts >= e.ts
+ORDER BY p.key, p.p_ts
+"""
+
+
+QUERIES["kv_asof_probes"] = kv_asof_probes
+ORACLES["kv_asof_probes"] = KV_ASOF_SQL
