@@ -16,7 +16,7 @@ actions simply drive :meth:`helixdb_spark.engine.HelixSpark` maintenance jobs.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Union
 
 
