@@ -532,10 +532,80 @@ ORDER BY user_id
 """
 
 
+def ev_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC-style multi-aggregate downsampling to 5-minute bars per
+    event_type — the canonical TSDB retention shape (keep open/high/low/
+    close + volume per bar, drop raw points). ``min_by``/``max_by`` on the
+    unique event_id give deterministic open/close; one shuffle on the
+    (bar, type) key with full map-side partial aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    bar = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long").alias("bar_start")
+    return (
+        ev.groupBy(bar, "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min_by("value", "event_id").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "event_id").alias("close"),
+            F.round(F.lit(1e-9) + F.sum("value"), 2).alias("volume"),
+        )
+        .orderBy("bar_start", "event_type")
+    )
+
+
+EV_OHLC_SQL = """
+SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bar_start, event_type,
+       count(*) AS n,
+       arg_min(value, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, event_id) AS close,
+       round(1e-9 + sum(value), 2) AS volume
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def ev_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the skewed event_type key
+    (operators.scale.salted_agg): partial-aggregate on (key, salt), merge on
+    key. The graded result must equal a plain GROUP BY — proving the salting
+    rewrite is semantically transparent — while the physical plan splits any
+    single hot reduce key across ``num_salts`` tasks (the 100 TB hot-key
+    defense; event_type has ~5 values over millions of rows, the exact
+    pathological fan-in shape)."""
+    from helixdb_spark.operators.scale import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev.select("event_type", "value", F.lit(1).alias("one")),
+        ["event_type"],
+        {"value": "sum", "one": "count"},
+    )
+    return out.select(
+        "event_type",
+        F.col("one_count").alias("n_events"),
+        F.round(F.lit(1e-9) + F.col("value_sum"), 2).alias("total_value"),
+    ).orderBy("event_type")
+
+
+EV_SALTED_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(1e-9 + sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ev_hourly_rollup": ev_hourly_rollup,
     "ev_gapfill_locf": ev_gapfill_locf,
     "ev_value_rate": ev_value_rate,
+    "ev_downsample_ohlc": ev_downsample_ohlc,
+    "ev_salted_hot_keys": ev_salted_hot_keys,
     "ev_sessionize": ev_sessionize,
     "ev_topk_users": ev_topk_users,
     "ev_click_asof_purchase": ev_click_asof_purchase,
@@ -551,6 +621,8 @@ ORACLES = {
     "ev_hourly_rollup": EV_HOURLY_SQL,
     "ev_gapfill_locf": EV_GAPFILL_SQL,
     "ev_value_rate": EV_RATE_SQL,
+    "ev_downsample_ohlc": EV_OHLC_SQL,
+    "ev_salted_hot_keys": EV_SALTED_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,
     "ev_topk_users": EV_TOPK_SQL,
     "ev_click_asof_purchase": EV_ASOF_SQL,

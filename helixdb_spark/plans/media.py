@@ -113,6 +113,7 @@ QUERIES = {
     "stream_user_state": stream.stream_user_state,
     "stream_click_purchase_join": stream.stream_click_purchase_join,
     "stream_dedup": stream.stream_dedup,
+    "stream_static_enrich": stream.stream_static_enrich,
 }
 
 ORACLES = {
@@ -126,4 +127,5 @@ ORACLES = {
     "stream_user_state": stream.STREAM_USER_STATE_SQL,
     "stream_click_purchase_join": stream.STREAM_JOIN_SQL,
     "stream_dedup": stream.STREAM_DEDUP_SQL,
+    "stream_static_enrich": stream.STREAM_ENRICH_SQL,
 }

@@ -317,3 +317,50 @@ FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# inline dimension for the stream-static enrichment join: event_type ->
+# (category, weight). Tiny by construction — the broadcast side.
+EVENT_DIM = [
+    ("click", "engagement", 1.0),
+    ("view", "engagement", 0.5),
+    ("purchase", "revenue", 10.0),
+    ("signup", "growth", 5.0),
+    ("logout", "session", 0.1),
+    ("login", "session", 0.2),
+]
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a small static
+    dimension (broadcast — no stream-side state at all, unlike a
+    stream-stream join) and aggregates weighted value per category. This is
+    the standard streaming ETL shape: dimensions live in a table, facts
+    stream past them; at 100 TB/day the static side re-broadcasts per
+    micro-batch and the stream side never shuffles before the aggregate's
+    own exchange."""
+    dim = spark.createDataFrame(
+        EVENT_DIM, "event_type string, category string, weight double"
+    )
+    ev = _events_stream(spark, sf_dir)
+    joined = ev.join(F.broadcast(dim), "event_type")
+    agg = joined.groupBy("category").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.lit(1e-9) + F.sum(F.col("value") * F.col("weight")), 2).alias(
+            "weighted_value"
+        ),
+    )
+    return _run_to_memory(agg, "complete").orderBy("category")
+
+
+STREAM_ENRICH_SQL = """
+WITH dim(event_type, category, weight) AS (VALUES
+  ('click', 'engagement', 1.0), ('view', 'engagement', 0.5),
+  ('purchase', 'revenue', 10.0), ('signup', 'growth', 5.0),
+  ('logout', 'session', 0.1), ('login', 'session', 0.2))
+SELECT category, count(*) AS n_events,
+       round(1e-9 + sum(value * weight), 2) AS weighted_value
+FROM events JOIN dim USING (event_type)
+GROUP BY category
+ORDER BY category
+"""
