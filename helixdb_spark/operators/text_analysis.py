@@ -208,14 +208,17 @@ def tfidf_top_terms(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = TFIDF_TOP_K
 ) -> DataFrame:
     """Top-k characteristic terms per document by tf-idf
-    (``tf * ln(1 + N/df)``), rank ties broken by term. Document frequency
-    is a ``count() over (partition by term)`` window on the tf table —
-    every (doc, term) row there is distinct, so the partition size IS the
-    term's df; this replaces a separate aggregate + join-back (one fewer
-    shuffle of the token stream, measured ~30% faster). The corpus size N
-    is a broadcast scalar. Ranking compares the ROUNDED score so the
-    ordering is identical across engines (raw doubles differ in the last
-    ulp between ln implementations).
+    (``tf * ln(1 + N/df)``), rank ties broken by term. The document-
+    frequency table is a separate aggregate joined back on the token key —
+    deliberately NOT a ``count() over (partition by term)`` window on the
+    tf table: that form is locally faster (one fewer shuffle, measured
+    ~30%) but a window partition gets NO map-side partial aggregation, so
+    at corpus scale a stopword's partition ("the": one row per document)
+    lands in a single task. The aggregate partial-combines before the
+    shuffle and the join is skew-safe under AQE. The corpus size N is a
+    broadcast scalar. Ranking compares the ROUNDED score so the ordering
+    is identical across engines (raw doubles differ in the last ulp
+    between ln implementations).
     """
     from pyspark.sql import Window
 
@@ -224,9 +227,10 @@ def tfidf_top_terms(
     )
     tok = staged.select(F.col(id_col), F.explode("__ws").alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_total"))
     scored = (
-        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
