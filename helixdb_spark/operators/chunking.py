@@ -84,9 +84,17 @@ def chunk_windows(
 def chunk_windows_sql(
     norm_sql: str, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
 ) -> str:
-    """DuckDB twin of chunk_windows (1-based inclusive list slicing)."""
+    """DuckDB twin of chunk_windows (1-based inclusive list slicing).
+
+    The empty-document guard differs by engine: Spark's ``words()`` filters
+    empty tokens so '' -> [], but DuckDB ``string_split('', ' ')`` -> ['']
+    (length 1), so the CASE maps the empty normalized string to [] before
+    anything counts it."""
     return f"""
-WITH w AS (SELECT doc_id, string_split({norm_sql}, ' ') AS ws FROM documents),
+WITH w AS (SELECT doc_id,
+                  CASE WHEN {norm_sql} = '' THEN []
+                       ELSE string_split({norm_sql}, ' ') END AS ws
+           FROM documents),
 c AS (
   SELECT doc_id, ws, len(ws) AS n,
          1 + (greatest(len(ws) - {window}, 0) + {stride - 1}) // {stride}
@@ -154,10 +162,12 @@ def pack_contexts(
 
 
 def pack_contexts_sql(norm_sql: str, context: int = PACK_CONTEXT) -> str:
-    """DuckDB twin of pack_contexts."""
+    """DuckDB twin of pack_contexts (empty docs count 0 tokens — see
+    chunk_windows_sql on the string_split('') divergence)."""
     return f"""
 WITH w AS (SELECT doc_id, source,
-                  len(string_split({norm_sql}, ' ')) AS nw
+                  CASE WHEN {norm_sql} = ''
+                       THEN 0 ELSE len(string_split({norm_sql}, ' ')) END AS nw
            FROM documents),
 b AS (
   SELECT source, doc_id, nw,
