@@ -166,6 +166,7 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "ev_funnel",  # stage counts: three 1-row aggregates cross-joined
         "text_tfidf",  # 1-row corpus-size aggregate broadcast
         "ev_gapfill_locf",  # dense grid = tiny hour sequence x tiny type set
+        "kv_asof_probes",  # keys x 3-row probe-instant broadcast
     }
     # streaming queries execute on construction; dedup_clusters runs its
     # iterative job on construction — both covered by their own tests
