@@ -166,6 +166,12 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "id long"
     ).count()
 
+    # KV engine micro-bench first, on the still-clean session: measured
+    # after the 24 headline queries it absorbs their leftover JVM state
+    # (GC pressure, shuffle/broadcast cleanup) and reads 4-8x worse than
+    # the engine's actual cost.
+    kv_timings = {k: round(v, 3) for k, v in kv_bench(spark).items()}
+
     # min of N runs per query: single-run numbers on a shared box swing 2-4x
     # on scheduler noise; the minimum is the engine's repeatable cost
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -186,7 +192,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
 
-    timings.update({k: round(v, 3) for k, v in kv_bench(spark).items()})
+    timings.update(kv_timings)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {

@@ -159,15 +159,22 @@ class HelixSpark:
             if self.options.sharding_expr is not None
             else F.col("key")
         )
+        # A3 max-ts fold (level.rs:105-109) rides the write job as an
+        # Observation metric instead of a second full pass over the input —
+        # at ingest scale the input may be an expensive upstream plan.
+        from pyspark.sql import Observation
+
+        obs = Observation()
         (
-            df.repartition(self.options.num_shard, shard_on)
+            df.observe(obs, F.max("ts").alias("max_ts"))
+            .repartition(self.options.num_shard, shard_on)
             .write.mode("append")
             .partitionBy("time_bucket")
             .parquet(self.layout.hot_path)
         )
         self._state["seq"] = seq + 1
 
-        max_ts = entries.agg(F.max("ts")).first()[0]  # A3 fold (level.rs:105-109)
+        max_ts = obs.get["max_ts"]
         if max_ts is not None and self.options.auto_maintain:
             self._handle_actions(self.reviewer.observe(int(max_ts)))
         self._save_state()

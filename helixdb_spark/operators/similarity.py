@@ -202,3 +202,111 @@ def embedding_centroid_stats(
         )
         .orderBy(label_col)
     )
+
+
+# ------------------------------------------------------------------ k-means
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 in double, sequential left-to-right accumulation (the
+    same element order DuckDB's list_sum uses, so oracles agree bit-wise)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    points: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd assignment step: nearest centroid per point.
+
+    Scale shape: the centroid table is k×dim driver-side state (a few KiB)
+    broadcast against the corpus — the assignment is an embarrassingly
+    parallel map with NO shuffle; distances stay inside whole-stage codegen.
+    Ties break on the lower cluster id via the (dist, cid) rank order.
+    Returns (id, cluster_id, sqdist) with sqdist rounded to 6 (the rank key,
+    so both engines rank identical values).
+    """
+    spark = points.sparkSession
+    cent = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cluster_id int, cvec array<double>",
+    )
+    scored = points.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        "cluster_id",
+        F.round(F.lit(1e-9) + _sq_dist(F.col(vec_col), F.col("cvec")), 6).alias(
+            "sqdist"
+        ),
+    )
+    w = W.partitionBy(id_col).orderBy("sqdist", "cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def kmeans_fit_assign(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means (fixed iterations, deterministic seed):
+    init = the k lowest-id vectors; each round broadcasts the k×dim
+    centroids, assigns every point map-side, and recomputes means
+    dimension-parallel (posexplode → groupBy(cluster, dim): the shuffle
+    carries k×dim partial aggregates, never vectors). Centroid means are
+    rounded to 4 decimals each round so the tiny driver-side state is
+    reproducible bit-for-bit across engines and partitionings.
+
+    The per-round driver collect is k×dim floats — the textbook Lloyd
+    iteration state, independent of corpus size. Returns the final
+    per-cluster profile (cluster_id, n_points, avg_sqdist).
+    """
+    pts = embeddings.select(id_col, vec_col)
+    init = (
+        pts.orderBy(id_col)
+        .limit(k)
+        .select(F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    centroids = [(i, list(r["v"])) for i, r in enumerate(init)]
+    assigned = kmeans_assign(pts, centroids, id_col, vec_col)
+    for _ in range(n_iter - 1):
+        means = (
+            assigned.join(pts, id_col)
+            .select("cluster_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.round(F.lit(1e-9) + F.avg("x"), 4).alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        centroids = [(r["cluster_id"], list(r["cvec"])) for r in means]
+        assigned = kmeans_assign(pts, centroids, id_col, vec_col)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.lit(1e-9) + F.avg("sqdist"), 4).alias("avg_sqdist"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -43,7 +43,10 @@ def quality_metrics(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     # Stage the word array once: every reference to a composite
     # words(normalized_text(...)) expression re-runs the regex split, and
     # this select references it ~6 times (see functions.text.char_codes).
-    docs = docs.withColumn("__ws", words(normalized_text(F.col(text_col))))
+    # The HOF lambdas below are interpreted per-element, so fan the input
+    # out first — a single-file local read would otherwise run the whole
+    # scoring pass on one core (spread is a no-op on a real multi-split scan).
+    docs = spread(docs).withColumn("__ws", words(normalized_text(F.col(text_col))))
     ws = F.col("__ws")
     n_words = F.size(ws)
     n_chars = F.length(F.col(text_col))

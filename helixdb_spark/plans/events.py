@@ -600,6 +600,180 @@ ORDER BY event_type
 """
 
 
+def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value`` (step interpolation):
+    each observation is held until the next one, weighted by its holding
+    time — the standard TSDB ``time_weight('locf', ...)`` aggregate, which
+    plain AVG gets wrong whenever sampling is irregular.
+
+    Scale posture: one shuffle on the series key (user_id) for the lead()
+    pairing; the weighted aggregate reuses that partitioning, so the whole
+    query is a single exchange regardless of data volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.withColumn("next_ts", F.lead("ts").over(w))
+        # the last observation of a series has no holding interval; drop it
+        # (both engines) rather than invent an end-of-window extrapolation
+        .where(F.col("next_ts").isNotNull())
+        .withColumn("dt_us", F.unix_micros("next_ts") - F.unix_micros("ts"))
+        .where(F.col("dt_us") > 0)
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"),
+                6,
+            ).alias("twa_value"),
+            F.round(F.lit(1e-9) + F.avg("value"), 6).alias("naive_avg"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_TWA_SQL = """
+WITH d AS (
+  SELECT user_id, value, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+),
+h AS (
+  SELECT user_id, value,
+         epoch_us(next_ts) - epoch_us(ts) AS dt_us
+  FROM d WHERE next_ts IS NOT NULL
+)
+SELECT user_id,
+       count(*) AS n_intervals,
+       round(1e-9 + sum(value * dt_us) / sum(dt_us), 6) AS twa_value,
+       round(1e-9 + avg(value), 6) AS naive_avg
+FROM h
+WHERE dt_us > 0
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+HIST_BINS = 20
+
+
+def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``value`` over its observed range — the
+    distribution profile a curation pipeline runs before choosing filter
+    thresholds. The bin edges come from a 1-row global min/max aggregate
+    broadcast against the scan, so the histogram is one pass + one
+    map-side-combined aggregate; bucket index is computed with explicit
+    floor arithmetic (identical in both engines) rather than width_bucket,
+    whose upper-edge semantics differ across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = ev.join(F.broadcast(span)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS)))
+            ),
+            F.lit(HIST_BINS - 1),
+        ).alias("bin"),
+        "value",
+        "lo",
+        "hi",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.lit(1e-9)
+                + F.first("lo")
+                + F.col("bin") * (F.first("hi") - F.first("lo")) / HIST_BINS,
+                6,
+            ).alias("bin_lo"),
+            F.round(F.lit(1e-9) + F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("bin")
+    )
+
+
+EV_HIST_SQL = f"""
+WITH span AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (
+  SELECT least(floor((value - lo) / ((hi - lo) / {HIST_BINS}.0)),
+               {HIST_BINS - 1})::BIGINT AS bin,
+         value, lo, hi
+  FROM events CROSS JOIN span
+)
+SELECT bin, count(*) AS n_events,
+       round(1e-9 + first(lo) + bin * (first(hi) - first(lo)) / {HIST_BINS}, 6)
+         AS bin_lo,
+       round(1e-9 + avg(value), 6) AS avg_value
+FROM b
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+ZSCORE_CUT = 2.0
+
+
+def ev_user_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly profile: standardize each event's ``value`` against
+    its user's mean/stddev and count |z| > 2 outliers — the per-series
+    outlier screen of a telemetry pipeline. Per-user moments and the
+    standardization reuse one hash partitioning on user_id (single
+    exchange); users with < 2 events or zero variance are excluded in both
+    engines (stddev undefined)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count("*").alias("n_events"),
+    ).where((F.col("n_events") >= 2) & (F.col("sigma") > 0))
+    z = ev.join(stats, "user_id").select(
+        "user_id",
+        "n_events",
+        (F.abs(F.col("value") - F.col("mu")) / F.col("sigma")).alias("abs_z"),
+    )
+    return (
+        z.groupBy("user_id")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.sum(
+                F.when(F.col("abs_z") > ZSCORE_CUT, 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.lit(1e-9) + F.max("abs_z"), 4).alias("max_abs_z"),
+        )
+        .where(F.col("n_outliers") > 0)
+        .orderBy("user_id")
+    )
+
+
+EV_ZSCORE_SQL = f"""
+WITH stats AS (
+  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma,
+         count(*) AS n_events
+  FROM events GROUP BY user_id
+  HAVING count(*) >= 2 AND stddev_samp(value) > 0
+),
+z AS (
+  SELECT e.user_id, s.n_events, abs(e.value - s.mu) / s.sigma AS abs_z
+  FROM events e JOIN stats s USING (user_id)
+)
+SELECT user_id, first(n_events) AS n_events,
+       sum(CASE WHEN abs_z > {ZSCORE_CUT} THEN 1 ELSE 0 END) AS n_outliers,
+       round(1e-9 + max(abs_z), 4) AS max_abs_z
+FROM z
+GROUP BY user_id
+HAVING sum(CASE WHEN abs_z > {ZSCORE_CUT} THEN 1 ELSE 0 END) > 0
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "ev_hourly_rollup": ev_hourly_rollup,
     "ev_gapfill_locf": ev_gapfill_locf,
@@ -615,6 +789,9 @@ QUERIES = {
     "ev_value_band_join": ev_value_band_join,
     "ev_rolling_hour_user": ev_rolling_hour_user,
     "ev_funnel": ev_funnel,
+    "ev_time_weighted_avg": ev_time_weighted_avg,
+    "ev_value_histogram": ev_value_histogram,
+    "ev_user_zscore_outliers": ev_user_zscore_outliers,
 }
 
 ORACLES = {
@@ -632,4 +809,7 @@ ORACLES = {
     "ev_value_band_join": EV_BAND_SQL,
     "ev_rolling_hour_user": EV_ROLLING_SQL,
     "ev_funnel": EV_FUNNEL_SQL,
+    "ev_time_weighted_avg": EV_TWA_SQL,
+    "ev_value_histogram": EV_HIST_SQL,
+    "ev_user_zscore_outliers": EV_ZSCORE_SQL,
 }

@@ -790,6 +790,65 @@ QUERIES.update({"emb_centroid_stats": emb_centroid_stats})
 ORACLES.update({"emb_centroid_stats": EMB_CENTROID_SQL})
 
 
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus (fixed seed +
+    iteration count so the run is deterministic): broadcast-centroid
+    assignment (map-side, no shuffle), dimension-parallel mean recompute
+    (operators.similarity.kmeans_fit_assign). The oracle replays the same
+    two Lloyd rounds as chained SQL CTEs — the iterative-algorithm pattern
+    (cf. dedup_clusters' recursive min-label propagation)."""
+    return _sim.kmeans_fit_assign(load_table(spark, sf_dir, "embeddings"))
+
+
+def _kmeans_sql(k: int = _sim.KMEANS_K, n_iter: int = _sim.KMEANS_ITERS) -> str:
+    dist = (
+        "round(1e-9 + list_sum(list_transform(range(1, len(p.v)+1), "
+        "i -> (p.v[i]-c.cv[i])*(p.v[i]-c.cv[i]))), 6)"
+    )
+    ctes = [
+        "pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1 AS cluster_id, v AS cv
+  FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for it in range(1, n_iter + 1):
+        ctes.append(f"""s{it} AS (
+  SELECT p.vec_id, c.cluster_id, {dist} AS sqdist
+  FROM pts p CROSS JOIN c{it - 1} c
+),
+a{it} AS (
+  SELECT vec_id, cluster_id, sqdist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+        ORDER BY sqdist, cluster_id) AS rn
+    FROM s{it}
+  ) WHERE rn = 1
+)""")
+        if it < n_iter:
+            ctes.append(f"""m{it} AS (
+  SELECT a.cluster_id, i, round(1e-9 + avg(p.v[i]), 4) AS m
+  FROM a{it} a JOIN pts p USING (vec_id),
+       unnest(range(1, len(p.v)+1)) t(i)
+  GROUP BY 1, 2
+),
+c{it} AS (SELECT cluster_id, list(m ORDER BY i) AS cv FROM m{it} GROUP BY 1)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cluster_id, count(*) AS n_points,
+       round(1e-9 + avg(sqdist), 4) AS avg_sqdist
+FROM a{n_iter}
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+    )
+
+
+QUERIES.update({"emb_kmeans": emb_kmeans})
+ORACLES.update({"emb_kmeans": _kmeans_sql()})
+
+
 # -------------------------------------------- chunking / packing / scoring
 from helixdb_spark.operators import chunking as _ck
 

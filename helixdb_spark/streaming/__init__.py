@@ -45,15 +45,26 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
     name = f"stream_out_{next(_COUNTER)}"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
     spark = agg.sparkSession
+    # State-store partition count is frozen at query start from
+    # spark.sql.shuffle.partitions. Size it to the stream, not the batch
+    # default: a local bounded micro-batch with 8 state partitions avoids
+    # paying 32 store inits + checkpoint dirs per batch. A production
+    # deployment would set this per-query to match throughput; it does not
+    # change results, only state layout.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

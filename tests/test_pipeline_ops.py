@@ -146,3 +146,36 @@ def test_winnow_arrow_matches_hof_reference(spark, sf_dir):
         .collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_kmeans_assign_nearest_and_tiebreak(spark):
+    from helixdb_spark.operators.similarity import kmeans_assign
+
+    pts = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),   # exactly on c0
+            (1, [10.0, 0.0]),  # exactly on c1
+            (2, [5.0, 0.0]),   # equidistant -> lower cluster id wins
+            (3, [6.0, 0.0]),   # nearer c1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [0.0, 0.0]), (1, [10.0, 0.0])]
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["sqdist"])
+        for r in kmeans_assign(pts, cents).collect()
+    }
+    assert got[0] == (0, 0.0)
+    assert got[1] == (1, 0.0)
+    assert got[2][0] == 0  # tie -> lowest cluster id
+    assert got[3] == (1, 16.0)
+
+
+def test_kmeans_fit_deterministic(spark):
+    from helixdb_spark.operators.similarity import kmeans_fit_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = [tuple(r) for r in kmeans_fit_assign(emb, k=4, n_iter=2).collect()]
+    b = [tuple(r) for r in kmeans_fit_assign(emb, k=4, n_iter=2).collect()]
+    assert a == b
+    assert sum(n for _, n, _ in a) == emb.count()
