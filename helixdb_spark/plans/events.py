@@ -774,6 +774,99 @@ ORDER BY user_id
 """
 
 
+def ev_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-reset-aware increase per user (the PromQL ``increase()``
+    analog): consecutive deltas count as ``curr - prev`` while the counter
+    rises and as ``curr`` after a reset (curr < prev), which plain
+    max-minus-min gets wrong the moment a process restarts. Same
+    single-shuffle lag shape as ev_value_rate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.withColumn("prev_value", F.lag("value").over(w)).where(
+        F.col("prev_value").isNotNull()
+    )
+    inc = F.when(
+        F.col("value") >= F.col("prev_value"), F.col("value") - F.col("prev_value")
+    ).otherwise(F.col("value"))
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("prev_value"), 1).otherwise(0)).alias(
+                "n_resets"
+            ),
+            F.round(F.lit(1e-9) + F.sum(inc), 2).alias("total_increase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_INCREASE_SQL = """
+WITH d AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_value
+  FROM events
+)
+SELECT user_id,
+       sum(CASE WHEN value < prev_value THEN 1 ELSE 0 END) AS n_resets,
+       round(1e-9 + sum(CASE WHEN value >= prev_value THEN value - prev_value
+                             ELSE value END), 2) AS total_increase
+FROM d
+WHERE prev_value IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+ASOF_TOLERANCE_S = 3600
+
+
+def ev_click_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance window (pandas ``merge_asof(tolerance=)``
+    semantics): each click gets the most recent prior purchase of the same
+    user only if it happened within the last hour; staler matches are
+    nulled. Same single-shuffle union+window as-of as ev_click_asof_purchase
+    — the tolerance is a post-match filter, which is exactly equivalent
+    because the as-of match is the latest candidate."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_values=["p_ts", "p_value"],
+        suffix="",
+    )
+    in_window = (
+        F.unix_micros("ts") - F.unix_micros("p_ts")
+    ) <= ASOF_TOLERANCE_S * 1_000_000
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(in_window, F.round(F.lit(1e-9) + F.col("p_value"), 2)).alias(
+            "recent_purchase_value"
+        ),
+    ).orderBy("event_id")
+
+
+EV_ASOF_TOL_SQL = f"""
+SELECT c.event_id, c.user_id,
+       CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= {ASOF_TOLERANCE_S}::BIGINT * 1000000
+            THEN round(1e-9 + p.value, 2) END AS recent_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
 QUERIES = {
     "ev_hourly_rollup": ev_hourly_rollup,
     "ev_gapfill_locf": ev_gapfill_locf,
@@ -792,6 +885,8 @@ QUERIES = {
     "ev_time_weighted_avg": ev_time_weighted_avg,
     "ev_value_histogram": ev_value_histogram,
     "ev_user_zscore_outliers": ev_user_zscore_outliers,
+    "ev_counter_increase": ev_counter_increase,
+    "ev_click_asof_tolerance": ev_click_asof_tolerance,
 }
 
 ORACLES = {
@@ -812,4 +907,6 @@ ORACLES = {
     "ev_time_weighted_avg": EV_TWA_SQL,
     "ev_value_histogram": EV_HIST_SQL,
     "ev_user_zscore_outliers": EV_ZSCORE_SQL,
+    "ev_counter_increase": EV_INCREASE_SQL,
+    "ev_click_asof_tolerance": EV_ASOF_TOL_SQL,
 }

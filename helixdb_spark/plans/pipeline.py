@@ -674,6 +674,82 @@ ORDER BY doc_id
 """
 
 
+# Temperature-flattened source mixing (the Pile / CCNet-style alpha
+# reweighting): target share of source s ∝ (n_s / N)^alpha, which upsamples
+# small sources relative to their natural share.
+MIX_ALPHA = 0.5
+MIX_TARGET_FRACTION = 0.5
+
+
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature-mix resampling across sources: compute each
+    source's alpha-flattened target share, convert to a per-source keep-rate
+    against a corpus-level target size, and keep docs by the same md5 bucket
+    trick as sample_hash_pct. The per-source rate table is a tiny aggregate
+    broadcast back against the scan — the document pass itself stays a
+    pushed-down filter with no shuffle of the corpus. Emits the per-source
+    audit (natural share vs flattened share vs realized keep)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), MIX_ALPHA)).alias("pow_sum"),
+    )
+    rates = counts.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        # rate = min(1, T * w_s / n_s) in percent buckets, floored so both
+        # engines compare the integer bucket against an integer threshold
+        F.floor(
+            F.least(
+                F.lit(100.0),
+                F.lit(100.0 * MIX_TARGET_FRACTION)
+                * F.col("n_total")
+                * F.pow(F.col("n_docs").cast("double"), MIX_ALPHA)
+                / F.col("pow_sum")
+                / F.col("n_docs"),
+            )
+        ).alias("keep_pct"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    kept = (
+        docs.withColumn("bucket", bucket)
+        .join(F.broadcast(rates), "source")
+        .where(F.col("bucket") < F.col("keep_pct"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.first("n_docs").alias("n_docs"),
+             F.first("keep_pct").alias("keep_pct"))
+        .orderBy("source")
+    )
+
+
+SAMPLE_TEMP_MIX_SQL = f"""
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT sum(n_docs) AS n_total,
+               sum(n_docs::DOUBLE ^ {MIX_ALPHA}) AS pow_sum FROM counts),
+rates AS (
+  SELECT source, n_docs,
+         floor(least(100.0,
+               100.0 * {MIX_TARGET_FRACTION} * n_total
+               * (n_docs::DOUBLE ^ {MIX_ALPHA}) / pow_sum / n_docs))
+           AS keep_pct
+  FROM counts CROSS JOIN tot
+)
+SELECT d.source, count(*) AS n_kept, first(r.n_docs) AS n_docs,
+       first(r.keep_pct) AS keep_pct
+FROM documents d JOIN rates r USING (source)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < r.keep_pct
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 # Composite curation pass: language allowlist + length band + quality
 # threshold + exact-dup removal, then a per-source yield report.
 CURATE_LANGS = ("en", "de", "es")
@@ -746,6 +822,7 @@ QUERIES.update(
         "decontaminate_ngram": decontaminate_ngram,
         "sample_stratified": sample_stratified,
         "curate_filter_chain": curate_filter_chain,
+        "sample_temperature_mix": sample_temperature_mix,
     }
 )
 
@@ -754,6 +831,7 @@ ORACLES.update(
         "decontaminate_ngram": DECONTAMINATE_SQL,
         "sample_stratified": SAMPLE_STRATIFIED_SQL,
         "curate_filter_chain": _curate_sql(),
+        "sample_temperature_mix": SAMPLE_TEMP_MIX_SQL,
     }
 )
 

@@ -167,10 +167,14 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "text_tfidf",  # 1-row corpus-size aggregate broadcast
         "ev_gapfill_locf",  # dense grid = tiny hour sequence x tiny type set
         "kv_asof_probes",  # keys x 3-row probe-instant broadcast
+        "ev_value_histogram",  # 1-row min/max span broadcast
+        "sample_temperature_mix",  # 1-row corpus-total broadcast
     }
-    # streaming queries execute on construction; dedup_clusters runs its
-    # iterative job on construction — both covered by their own tests
-    SKIP = {"dedup_clusters"}
+    # streaming queries execute on construction; dedup_clusters and
+    # emb_kmeans run their iterative jobs on construction — covered by
+    # their own tests (kmeans' k-row centroid broadcast is the map-side
+    # assignment design, not an accident)
+    SKIP = {"dedup_clusters", "emb_kmeans"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in sorted(qs.items()):
