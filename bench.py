@@ -33,11 +33,13 @@ HEADLINE = [
     "ev_sessionize",
     "ev_click_asof_purchase",
     "ev_gapfill_locf",
+    "ev_time_weighted_avg",
     "ev_kv_scan",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_bruteforce_topk",
+    "emb_kmeans",
     "text_quality",
     "text_winnow_fingerprint",
     "text_top_tokens",
