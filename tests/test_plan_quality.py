@@ -174,7 +174,9 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
     # emb_kmeans run their iterative jobs on construction — covered by
     # their own tests (kmeans' k-row centroid broadcast is the map-side
     # assignment design, not an accident)
-    SKIP = {"dedup_clusters", "emb_kmeans"}
+    # dedup_semantic runs the same Lloyd jobs on construction; its pair
+    # stage is asserted equi-join (not BNLJ) in test_pipeline_ops
+    SKIP = {"dedup_clusters", "emb_kmeans", "dedup_semantic"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in sorted(qs.items()):
