@@ -35,15 +35,19 @@ HEADLINE = [
     "ev_gapfill_locf",
     "ev_time_weighted_avg",
     "ev_kv_scan",
+    "ev_growth_accounting",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_semantic",
     "ann_bruteforce_topk",
     "emb_kmeans",
     "text_quality",
     "text_winnow_fingerprint",
     "text_top_tokens",
     "text_tfidf",
+    "text_bm25_search",
+    "curate_boilerplate",
     "pack_contexts",
     "sample_hash_pct",
     "decontaminate_ngram",

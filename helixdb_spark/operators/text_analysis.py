@@ -546,3 +546,110 @@ def boilerplate_metrics(
         )
         .orderBy(id_col)
     )
+
+
+# -------------------------------------------------------------- BM25 search
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Sparck Jones; Lucene's idf variant
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``): score every document containing
+    a query term, return the top ``k`` by (score desc, doc_id).
+
+    Scale shape: the corpus pass explodes words and filters to the query
+    terms IMMEDIATELY — tf rows exist only for (matched doc, query term),
+    so the per-doc aggregation shuffles matched rows, never the corpus.
+    N/avgdl are a 1-row corpus aggregate broadcast (the `text_tfidf`
+    pattern), df comes from the already-tiny tf table. The final top-k is
+    a TakeOrdered over matched docs, not a global sort. A production
+    100 TB deployment would precompute the tf/df tables as an inverted
+    index once and serve many queries from it; the scoring join is
+    identical either way.
+
+    Returns (doc_id, n_terms, score, rank): matched-term count, rounded
+    BM25 score, dense 1-based rank.
+    """
+    staged = spread(docs).withColumn(
+        "__ws", words(normalized_text(F.col(text_col)))
+    )
+    stats = staged.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size("__ws")).alias("avgdl"),
+    )
+    tf = (
+        staged.select(
+            F.col(id_col),
+            F.size("__ws").alias("dl"),
+            F.explode("__ws").alias("term"),
+        )
+        .where(F.col("term").isin([str(t) for t in query_terms]))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(dfs, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(
+                F.lit(1e-9) + F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+    from pyspark.sql.window import Window as _W
+
+    return scored.withColumn(
+        "rank",
+        F.row_number().over(_W.orderBy(F.desc("score"), id_col)),
+    ).select(id_col, "n_terms", "score", "rank")
+
+
+def bm25_sql(
+    norm_sql: str, query_terms: list[str], k: int = 20
+) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH w AS (SELECT doc_id, string_split({norm_sql}, ' ') AS ws FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w)
+  WHERE term IN ({terms})
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT t.doc_id, count(*) AS n_terms,
+         round(1e-9 + sum(
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * t.tf * ({BM25_K1} + 1.0)
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * t.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf t JOIN dfs d USING (term) CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id, n_terms, score,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM sc
+ORDER BY rank
+LIMIT {k}
+"""

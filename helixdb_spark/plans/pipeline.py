@@ -1135,3 +1135,22 @@ ORACLES.update(
         "dedup_semantic": _semantic_sql(),
     }
 )
+
+
+# ------------------------------------------------------------- BM25 search
+BM25_QUERY = ["table", "scan", "fast", "query"]
+BM25_TOP_K = 20
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus (operators.text_analysis
+    .bm25_topk): fixed query, top-20 by (score desc, doc_id)."""
+    return _ta.bm25_topk(
+        load_table(spark, sf_dir, "documents"), BM25_QUERY, BM25_TOP_K
+    )
+
+
+QUERIES.update({"text_bm25_search": text_bm25_search})
+ORACLES.update(
+    {"text_bm25_search": _ta.bm25_sql(_NORM, BM25_QUERY, BM25_TOP_K)}
+)

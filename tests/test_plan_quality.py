@@ -169,6 +169,7 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "kv_asof_probes",  # keys x 3-row probe-instant broadcast
         "ev_value_histogram",  # 1-row min/max span broadcast
         "sample_temperature_mix",  # 1-row corpus-total broadcast
+        "text_bm25_search",  # 1-row N/avgdl corpus-stats broadcast
     }
     # streaming queries execute on construction; dedup_clusters and
     # emb_kmeans run their iterative jobs on construction — covered by
