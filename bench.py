@@ -176,25 +176,37 @@ def main() -> None:
     # after the 24 headline queries it absorbs their leftover JVM state
     # (GC pressure, shuffle/broadcast cleanup) and reads 4-8x worse than
     # the engine's actual cost.
-    kv_timings = {k: round(v, 3) for k, v in kv_bench(spark).items()}
+    errors: dict[str, str] = {}
+    try:
+        kv_timings = {k: round(v, 3) for k, v in kv_bench(spark).items()}
+    except Exception as ex:  # noqa: BLE001 — one failure must not zero the bench
+        kv_timings = {}
+        errors["kv_bench"] = f"{type(ex).__name__}: {ex}"
+        print(f"# kv_bench ERROR: {errors['kv_bench'][:300]}", file=sys.stderr)
 
     # min of N runs per query: single-run numbers on a shared box swing 2-4x
     # on scheduler noise; the minimum is the engine's repeatable cost
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qs[name]
         best, n_rows = float("inf"), 0
-        for _ in range(runs):
-            t0 = time.monotonic()
-            rows = fn(spark, SF_DIR).collect()
-            best = min(best, time.monotonic() - t0)
-            n_rows = len(rows)
-            # drop DataFrames persisted inside operators (dedup/simhash/LSH
-            # build shared-stage caches): each run constructs fresh plans, so
-            # without this, N timed runs stack N live copies of those caches
-            # and the later runs measure memory pressure, not the query
-            spark.catalog.clearCache()
+        try:
+            fn = qs[name]
+            for _ in range(runs):
+                t0 = time.monotonic()
+                rows = fn(spark, SF_DIR).collect()
+                best = min(best, time.monotonic() - t0)
+                n_rows = len(rows)
+                # drop DataFrames persisted inside operators (dedup/simhash/
+                # LSH build shared-stage caches): each run constructs fresh
+                # plans, so without this, N timed runs stack N live copies of
+                # those caches and the later runs measure memory pressure,
+                # not the query
+                spark.catalog.clearCache()
+        except Exception as ex:  # noqa: BLE001
+            errors[name] = f"{type(ex).__name__}: {ex}"
+            print(f"# {name} ERROR: {errors[name][:300]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
 
@@ -208,6 +220,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
 
 

@@ -167,7 +167,7 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 TOKEN_STATS_SQL = r"""
 SELECT source, count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(1e-9 + avg(n_tokens), 4) AS avg_tokens
 FROM (SELECT source,
              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens

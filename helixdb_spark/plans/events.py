@@ -93,7 +93,8 @@ WITH marked AS (
     FROM events
   )
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM marked
 GROUP BY user_id
 ORDER BY user_id
@@ -765,7 +766,8 @@ z AS (
   FROM events e JOIN stats s USING (user_id)
 )
 SELECT user_id, first(n_events) AS n_events,
-       sum(CASE WHEN abs_z > {ZSCORE_CUT} THEN 1 ELSE 0 END) AS n_outliers,
+       CAST(sum(CASE WHEN abs_z > {ZSCORE_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
        round(1e-9 + max(abs_z), 4) AS max_abs_z
 FROM z
 GROUP BY user_id
@@ -808,7 +810,8 @@ WITH d AS (
   FROM events
 )
 SELECT user_id,
-       sum(CASE WHEN value < prev_value THEN 1 ELSE 0 END) AS n_resets,
+       CAST(sum(CASE WHEN value < prev_value THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resets,
        round(1e-9 + sum(CASE WHEN value >= prev_value THEN value - prev_value
                              ELSE value END), 2) AS total_increase
 FROM d

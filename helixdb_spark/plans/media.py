@@ -90,7 +90,8 @@ def mm_metadata_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MM_META_SQL = f"""
-SELECT 'fake/raw' AS format, count(*) AS n_media, sum(n_frames) AS total_frames
+SELECT 'fake/raw' AS format, count(*) AS n_media,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames
 FROM (
   SELECT (strlen(text) % 64 + 16)::INT AS width,
          (strlen(text) // {mm.BYTES_PER_FRAME})::INT AS n_frames

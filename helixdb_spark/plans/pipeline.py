@@ -742,7 +742,7 @@ rates AS (
   FROM counts CROSS JOIN tot
 )
 SELECT d.source, count(*) AS n_kept, first(r.n_docs) AS n_docs,
-       first(r.keep_pct) AS keep_pct
+       CAST(first(r.keep_pct) AS BIGINT) AS keep_pct
 FROM documents d JOIN rates r USING (source)
 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < r.keep_pct
 GROUP BY d.source

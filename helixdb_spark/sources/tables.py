@@ -25,15 +25,21 @@ TABLE_NAMES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as long
-        # nanoseconds. Truncate to microseconds exactly like DuckDB does
-        # when it reads the same file, so oracle comparisons agree.
+        # events.ts is parquet TIMESTAMP(NANOS). How it arrives depends on
+        # the session that reads it: with spark.sql.legacy.parquet.nanosAsLong
+        # it is long nanoseconds; a default Spark 4 session reads it as
+        # TIMESTAMP_NTZ (micros-truncated). Normalize both to TimestampType
+        # (micros, UTC session) so every downstream plan — unix_micros()
+        # included, which rejects NTZ — sees one type, matching what DuckDB
+        # sees when it reads the same file.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -40,6 +40,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # default parquet read of TIMESTAMP(NANOS) yields NTZ, which
+        # withWatermark rejects; normalize like the batch loader (UTC session)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
