@@ -95,6 +95,10 @@ class CodecRegistry:
     def __init__(self) -> None:
         self._codecs: dict[str, Codec] = {}
         self._dispatch: Callable[[bytes], str] = lambda key: ARRAY_CODEC
+        # False until register_dispatch: with the default dispatch every key
+        # stores natively, so the engine's compact/read paths can skip the
+        # pandas-UDF stages entirely (pure-JVM plans — no Python workers)
+        self.custom_dispatch = False
         self.register(Codec("noop", _noop_compress, _noop_decompress))
         self.register(Codec("delta_zlib", _delta_zlib_compress, _delta_zlib_decompress))
 
@@ -105,6 +109,7 @@ class CodecRegistry:
 
     def register_dispatch(self, fn: Callable[[bytes], str]) -> None:
         self._dispatch = fn
+        self.custom_dispatch = True
 
     def dispatch(self, key: bytes) -> str:
         return self._dispatch(key)

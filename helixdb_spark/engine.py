@@ -39,7 +39,6 @@ from typing import Iterable, Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 from helixdb_spark import comparators
 from helixdb_spark.codecs import ARRAY_CODEC, CodecRegistry
@@ -213,30 +212,36 @@ class HelixSpark:
     def _decode_cold(self, cold: DataFrame) -> DataFrame:
         """Explode cold chunks back to entry rows; blob codecs go through one
         Arrow-batched pandas UDF (the UDCF decompress path — reference
-        fn_registry.rs:14-16, applied at level.rs:496-499)."""
-        registry = self.codecs
+        fn_registry.rs:14-16, applied at level.rs:496-499). When no
+        compaction has ever written a blob codec (the default-dispatch
+        common case, tracked in engine state), the whole decode is a
+        pure-JVM explode — no Python workers on the read path."""
+        if not self._state.get("has_blobs"):
+            decoded = cold
+        else:
+            registry = self.codecs
 
-        @F.pandas_udf(CHUNK_TYPE)
-        def decompress(codec_s, key_s, blob_s):
-            import pandas as pd
+            @F.pandas_udf(CHUNK_TYPE)
+            def decompress(codec_s, key_s, blob_s):
+                import pandas as pd
 
-            out = []
-            # when()/otherwise() does not short-circuit pandas UDFs — array
-            # rows reach here too and must pass through untouched.
-            for codec, key, blob in zip(codec_s, key_s, blob_s):
-                if codec == ARRAY_CODEC or blob is None:
-                    out.append(None)
-                    continue
-                pairs = registry.get(codec).decompress(bytes(key), bytes(blob))
-                out.append([{"ts": ts, "value": v} for ts, v in pairs])
-            return pd.Series(out)
+                out = []
+                # when()/otherwise() does not short-circuit pandas UDFs —
+                # array rows reach here too and must pass through untouched.
+                for codec, key, blob in zip(codec_s, key_s, blob_s):
+                    if codec == ARRAY_CODEC or blob is None:
+                        out.append(None)
+                        continue
+                    pairs = registry.get(codec).decompress(bytes(key), bytes(blob))
+                    out.append([{"ts": ts, "value": v} for ts, v in pairs])
+                return pd.Series(out)
 
-        decoded = cold.withColumn(
-            "chunk",
-            F.when(F.col("codec") == F.lit(ARRAY_CODEC), F.col("chunk")).otherwise(
-                decompress("codec", "key", "blob")
-            ),
-        )
+            decoded = cold.withColumn(
+                "chunk",
+                F.when(F.col("codec") == F.lit(ARRAY_CODEC), F.col("chunk")).otherwise(
+                    decompress("codec", "key", "blob")
+                ),
+            )
         return decoded.select(
             "key",
             "time_bucket",
@@ -308,11 +313,21 @@ class HelixSpark:
                 "left_semi",
             )
 
-        w = Window.partitionBy("ts", "key").orderBy(F.col("seq").desc())
+        # last-write-wins as a hash aggregation (max over (seq, value) struct)
+        # instead of a row_number window: aggregates get map-side partial
+        # combine and skip the per-group sort — same winner (highest seq; the
+        # window's tie order within one put batch was arbitrary, struct-max
+        # makes it deterministic on value bytes).
         return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
+            df.groupBy("ts", "key")
+            .agg(F.max(F.struct("seq", "time_bucket", "value")).alias("_w"))
+            .select(
+                "ts",
+                "key",
+                F.col("_w.value").alias("value"),
+                F.col("_w.seq").alias("seq"),
+                F.col("_w.time_bucket").alias("time_bucket"),
+            )
         )
 
     def get(self, ts: int, key: bytes) -> Optional[bytes]:
@@ -495,54 +510,89 @@ class HelixSpark:
                 )
             )
 
-        w = Window.partitionBy("ts", "key").orderBy(F.col("seq").desc())
-        deduped = (
-            src.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        grouped = deduped.groupBy("key", "time_bucket").agg(
-            F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("chunk")
+        # ONE shuffle: group straight to (key, bucket) chunks carrying seq,
+        # then last-write-wins-dedup INSIDE the sorted array (keep the last
+        # element of every ts-run) — replaces the old window-dedup shuffle +
+        # re-shuffle. sort_array orders by (ts, seq), so the kept element is
+        # the highest seq per ts, i.e. the same winner the reference's
+        # offset-ordered memindex rebuild picks (src/file/rick.rs:403-417).
+        raw = F.col("_raw")
+        grouped = (
+            src.groupBy("key", "time_bucket")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "seq", "value"))
+                ).alias("_raw")
+            )
+            .select(
+                "key",
+                "time_bucket",
+                F.transform(
+                    F.filter(
+                        raw,
+                        # F.get is 0-based and NULL-safe out of bounds (ANSI
+                        # sessions error on element_at past the end)
+                        lambda x, i: (i == F.size(raw) - 1)
+                        | (F.get(raw, i + 1)["ts"] != x["ts"]),
+                    ),
+                    lambda x: F.struct(
+                        x["ts"].alias("ts"), x["value"].alias("value")
+                    ),
+                ).alias("chunk"),
+            )
         )
 
         registry = self.codecs
-
-        @F.pandas_udf(T.StringType())
-        def pick_codec(key_s):
-            import pandas as pd
-
-            return pd.Series([registry.dispatch(bytes(k)) for k in key_s])
-
-        @F.pandas_udf(T.BinaryType())
-        def compress(codec_s, key_s, chunk_s):
-            import pandas as pd
-
-            out = []
-            # when()/otherwise() does not short-circuit pandas UDFs — array
-            # rows reach here too and must yield a null blob.
-            for codec, key, chunk in zip(codec_s, key_s, chunk_s):
-                if codec == ARRAY_CODEC:
-                    out.append(None)
-                    continue
-                pairs = [(int(e["ts"]), bytes(e["value"])) for e in chunk]
-                out.append(registry.get(codec).compress(bytes(key), pairs))
-            return pd.Series(out)
-
-        cold_new = (
-            grouped.withColumn("codec", pick_codec("key"))
-            .withColumn(
-                "blob",
-                F.when(F.col("codec") == F.lit(ARRAY_CODEC), F.lit(None).cast("binary"))
-                .otherwise(compress("codec", "key", "chunk")),
-            )
-            .withColumn(
+        if not registry.custom_dispatch:
+            # default dispatch: every key stores natively — no Python at all
+            cold_new = grouped.select(
+                "key",
+                F.lit(ARRAY_CODEC).alias("codec"),
                 "chunk",
-                F.when(F.col("codec") == F.lit(ARRAY_CODEC), F.col("chunk")).otherwise(
-                    F.lit(None).cast(CHUNK_TYPE)
-                ),
+                F.lit(None).cast("binary").alias("blob"),
+                "time_bucket",
             )
-            .select("key", "codec", "chunk", "blob", "time_bucket")
-        )
+        else:
+            self._state["has_blobs"] = True
+
+            @F.pandas_udf(T.StringType())
+            def pick_codec(key_s):
+                import pandas as pd
+
+                return pd.Series([registry.dispatch(bytes(k)) for k in key_s])
+
+            @F.pandas_udf(T.BinaryType())
+            def compress(codec_s, key_s, chunk_s):
+                import pandas as pd
+
+                out = []
+                # when()/otherwise() does not short-circuit pandas UDFs —
+                # array rows reach here too and must yield a null blob.
+                for codec, key, chunk in zip(codec_s, key_s, chunk_s):
+                    if codec == ARRAY_CODEC:
+                        out.append(None)
+                        continue
+                    pairs = [(int(e["ts"]), bytes(e["value"])) for e in chunk]
+                    out.append(registry.get(codec).compress(bytes(key), pairs))
+                return pd.Series(out)
+
+            cold_new = (
+                grouped.withColumn("codec", pick_codec("key"))
+                .withColumn(
+                    "blob",
+                    F.when(
+                        F.col("codec") == F.lit(ARRAY_CODEC),
+                        F.lit(None).cast("binary"),
+                    ).otherwise(compress("codec", "key", "chunk")),
+                )
+                .withColumn(
+                    "chunk",
+                    F.when(
+                        F.col("codec") == F.lit(ARRAY_CODEC), F.col("chunk")
+                    ).otherwise(F.lit(None).cast(CHUNK_TYPE)),
+                )
+                .select("key", "codec", "chunk", "blob", "time_bucket")
+            )
 
         # Replace the affected cold bucket partitions (idempotent MERGE).
         staging = f"{self.layout.base_path}/_staging_cold"

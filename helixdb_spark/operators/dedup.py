@@ -636,24 +636,52 @@ def semantic_dup_pairs(
     assigned = kmeans_fit(embeddings, k, n_iter, id_col, vec_col).select(
         id_col, "cluster_id"
     )
-    tagged = _spread(embeddings.join(assigned, id_col))
-    a = tagged.select(
-        F.col(id_col).alias("id_a"), "cluster_id", F.col(vec_col).alias("vec_a")
+    tagged = embeddings.join(assigned, id_col).select(
+        F.col(id_col).alias("vid"), "cluster_id", F.col(vec_col).alias("vec")
     )
-    b = tagged.select(
-        F.col(id_col).alias("id_b"), "cluster_id", F.col(vec_col).alias("vec_b")
-    )
-    return (
-        a.join(b, ["cluster_id"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                F.lit(1e-9)
-                + cosine_similarity_arrow(F.col("vec_a"), F.col("vec_b")),
-                6,
-            ),
+
+    # Per-cluster pairwise cosine as ONE grouped numpy matmul
+    # (applyInPandas): each vector crosses into Python exactly once, vs the
+    # pair self-join shape that ships 2 x |pairs| full vectors through
+    # Arrow. At 100 TB the group key is the cluster — SemDeDup sizes k so
+    # clusters stay small, which is precisely the applyInPandas contract
+    # (each group fits one worker); the shuffle is one exchange on
+    # cluster_id either way.
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cluster_id": [], "cosine": []}
+            ).astype({"id_a": "int64", "id_b": "int64",
+                      "cluster_id": "int32", "cosine": "float64"})
+        pdf = pdf.sort_values("vid")
+        ids = pdf["vid"].to_numpy()
+        V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        num = V @ V.T
+        nrm = np.linalg.norm(V, axis=1)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        c = num[iu, ju] / (nrm[iu] * nrm[ju])
+        # pre-filter with slack; the exact (JVM-rounded, half-up like the
+        # oracle) threshold test happens outside — np.round is half-even
+        keep = c >= threshold - 1e-7
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "cluster_id": np.full(int(keep.sum()), pdf["cluster_id"].iloc[0],
+                                      dtype="int32"),
+                "cosine": c[keep],
+            }
         )
+
+    out_schema = "id_a long, id_b long, cluster_id int, cosine double"
+    return (
+        tagged.repartition("cluster_id")
+        .groupBy("cluster_id")
+        .applyInPandas(_pairs, out_schema)
+        .withColumn("cosine", F.round(F.lit(1e-9) + F.col("cosine"), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cluster_id", "cosine")
         .orderBy("id_a", "id_b")

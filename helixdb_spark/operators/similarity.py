@@ -237,6 +237,35 @@ def kmeans_assign(
     Returns (id, cluster_id, sqdist) with sqdist rounded to 6 (the rank key,
     so both engines rank identical values).
     """
+    if len(centroids) <= 256:
+        # k is small enough to inline the centroids as literals: the argmin
+        # becomes array_min over (sqdist, cluster_id) structs — a pure
+        # projection with NO join and NO shuffle; lexicographic struct-min
+        # reproduces the (dist asc, cid asc) tie-break exactly.
+        candidates = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.lit(1e-9)
+                        + _sq_dist(
+                            F.col(vec_col),
+                            F.array(*[F.lit(float(x)) for x in v]),
+                        ),
+                        6,
+                    ).alias("sqdist"),
+                    F.lit(int(c)).alias("cluster_id"),
+                )
+                for c, v in centroids
+            ]
+        )
+        best = F.array_min(candidates)
+        return points.select(
+            F.col(id_col),
+            best["cluster_id"].alias("cluster_id"),
+            best["sqdist"].alias("sqdist"),
+        )
+    # large k: broadcast the centroid table and reduce with min_by semantics
+    # (one shuffle with map-side partial aggregation, no per-point window)
     spark = points.sparkSession
     cent = spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in centroids],
@@ -249,11 +278,14 @@ def kmeans_assign(
             "sqdist"
         ),
     )
-    w = W.partitionBy(id_col).orderBy("sqdist", "cluster_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct("sqdist", "cluster_id")).alias("best"))
+        .select(
+            F.col(id_col),
+            F.col("best.cluster_id").alias("cluster_id"),
+            F.col("best.sqdist").alias("sqdist"),
+        )
     )
 
 
