@@ -28,7 +28,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from helixdb_spark.functions.text import normalized_text, word_shingles, words
-from helixdb_spark.functions.vector import cosine_similarity_arrow
 from helixdb_spark.operators.util import spread as _spread
 
 NUM_MINHASHES = 32
@@ -221,20 +220,17 @@ def minhash_signatures(
     """(id, h0..h{k-1}) minhash signature: h_i = min over shingles of
     (a_i * md5_32(shingle) + b_i) mod P. ONE md5 per shingle, JVM-side.
 
-    The k minima come from k interpreted ``array_min(transform(...))`` passes
-    over a per-doc ``collect_list`` of base hashes, NOT a k-column
-    ``min(...)`` aggregate: a 32-wide aggregate generates a whole-stage-
-    codegen method that Janino recompiles for every fresh plan (~3 s/run —
-    the same cliff simhash_fingerprints documents). The gathered array is
-    bounded by distinct shingles per doc, and each affine pass touches only
-    that materialized attribute."""
-    exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    base = _hex_long(F.col("shingle"), 8).alias("bh")
-    gathered = (
-        exploded.select(F.col(id_col), base)
-        .groupBy(id_col)
-        .agg(F.collect_list("bh").alias("bhs"))
-    )
+    Pure projection, ZERO shuffles: the shingle array is already per-doc and
+    distinct, so the base hashes are a ``transform`` over it and the k
+    minima are k interpreted ``array_min(transform(...))`` passes — never an
+    explode + k-column ``min(...)`` re-aggregation (whose 32-wide codegen
+    method Janino recompiles for every fresh plan, ~3 s/run — the cliff
+    simhash_fingerprints documents). A doc with no shingles gets NULL
+    minima (array_min of an empty array); callers drop those rows.
+    """
+    bhs = F.transform(F.col("shingles"), lambda s: _hex_long(s, 8))
+    gathered = shingled.select(F.col(id_col), bhs.alias("bhs"))
+
     def _affine(a: int, b: int):
         return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)
 
@@ -274,25 +270,35 @@ def minhash_lsh_pairs(
     )
     sig = minhash_signatures(shingled, id_col, num_hashes)
 
+    # a doc with no shingles has NULL minima (see minhash_signatures): its
+    # band keys are NULLed and filtered from the stack pre-explode, so
+    # empty docs never meet in a bucket (concat_ws would otherwise skip the
+    # NULLs and give them all the same key)
     band_keys = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.lit(str(b)),
-                *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
-            )
+        F.when(
+            F.col("h0").isNotNull(),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(str(b)),
+                    *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+                )
+            ),
         ).alias(f"band{b}")
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_keys)
     # persisted: both sides of the band-bucket self-join read it; without
-    # this the whole signature computation (explode + k md5s + groupBy)
+    # this the whole signature computation (shingling + k md5 passes)
     # runs twice
     stacked = banded.select(
         F.col(id_col),
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
-            "band_key"
-        ),
+        F.explode(
+            F.filter(
+                F.array(*[F.col(f"band{b}") for b in range(bands)]),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("band_key"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     hot_buckets = (
         stacked.groupBy("band_key")
@@ -348,19 +354,22 @@ def simhash_fingerprints(
     The per-bit tally deliberately avoids a 32-column ``sum(when(...))``
     aggregate: that shape generates a huge whole-stage-codegen method that
     Janino recompiles on every fresh plan (~3 s per invocation, dwarfing the
-    sub-second execution). Instead one narrow ``collect_list`` aggregate
-    gathers each doc's word hashes (bounded: distinct words per doc), and the
-    32 bit tests run as interpreted higher-order ``filter`` passes over that
-    materialized array — no codegen cliff, same bits.
+    sub-second execution). Instead the doc's distinct word hashes stay a
+    per-row ARRAY (``array_distinct`` + ``transform`` — ZERO shuffles, vs
+    the explode → distinct → collect_list round trip), and the 32 bit tests
+    run as interpreted higher-order ``filter`` passes over that materialized
+    array — no codegen cliff, same bits. Docs with no words are dropped
+    (same rows the old explode path produced).
     """
     docs = _spread(docs)
-    ws = docs.select(
+    staged = docs.select(
         F.col(id_col),
-        F.explode(words(normalized_text(F.col(text_col)))).alias("word"),
-    ).distinct()
-    hashed = ws.select(F.col(id_col), _hex_long(F.col("word"), 8).alias("wh"))
-    gathered = hashed.groupBy(id_col).agg(
-        F.collect_list("wh").alias("whs"), F.count("*").alias("nw")
+        F.array_distinct(words(normalized_text(F.col(text_col)))).alias("__ws"),
+    ).where(F.size("__ws") > 0)
+    gathered = staged.select(
+        F.col(id_col),
+        F.transform(F.col("__ws"), lambda w: _hex_long(w, 8)).alias("whs"),
+        F.size("__ws").alias("nw"),
     )
     bits = [
         F.when(
@@ -456,29 +465,67 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Vector near-dup pairs with cosine >= threshold. Brute-force pair scan
-    (the verification-grade path); use operators.similarity for the
-    LSH-bucketed candidate generation at scale.
+    """Vector near-dup pairs with cosine >= threshold — exact (every pair
+    scored), via BLOCKED all-pairs: hash each vector into one of B blocks,
+    replicate it to the B unordered block-pairs it participates in (n×B
+    rows — never the n² pair rows a self-join ships), and compute each
+    block-pair's full cosine sub-matrix as one numpy matmul inside
+    applyInPandas.
 
-    The id_a < id_b condition makes this a broadcast-nested-loop join whose
-    parallelism is the STREAM side's partition count, so the stream side is
-    spread to full parallelism first."""
-    a = _spread(embeddings).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    Scale shape: B(B+1)/2 independent tasks of (n/B)² flops each; at corpus
+    scale pick B so a block fits a worker (B grows as sqrt of corpus).
+    This is the verification-grade exact path; operators/similarity has the
+    sub-quadratic LSH/IVF candidate generation."""
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int")
+    src = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), blk.alias("blk")
     )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    bp = F.transform(
+        F.sequence(F.lit(0), F.lit(num_blocks - 1)),
+        lambda o: F.struct(
+            F.least(F.col("blk"), o).alias("b1"),
+            F.greatest(F.col("blk"), o).alias("b2"),
+        ),
     )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                F.lit(1e-9) + cosine_similarity_arrow(F.col("vec_a"), F.col("vec_b")),
-                6,
-            ),
+    replicated = src.select(
+        "vid", "vec", "blk", F.explode(bp).alias("bp")
+    ).select("vid", "vec", "blk", F.col("bp.b1").alias("b1"), F.col("bp.b2").alias("b2"))
+
+    def _block_pairs(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        b1, b2 = int(key[0]), int(key[1])
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
         )
+        V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        ids = pdf["vid"].to_numpy()
+        nrm = np.linalg.norm(V, axis=1)
+        if b1 == b2:
+            if len(ids) < 2:
+                return empty
+            cos = (V @ V.T) / np.outer(nrm, nrm)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            ia, ib, c = ids[iu], ids[ju], cos[iu, ju]
+        else:
+            m1 = (pdf["blk"] == b1).to_numpy()
+            if not m1.any() or m1.all():
+                return empty
+            cos = (V[m1] @ V[~m1].T) / np.outer(nrm[m1], nrm[~m1])
+            ii, jj = np.indices(cos.shape)
+            ia, ib, c = ids[m1][ii.ravel()], ids[~m1][jj.ravel()], cos.ravel()
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        keep = c >= threshold - 1e-7  # slack; exact half-up filter is JVM-side
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep], "cosine": c[keep]})
+
+    return (
+        replicated.groupBy("b1", "b2")
+        .applyInPandas(_block_pairs, "id_a long, id_b long, cosine double")
+        .withColumn("cosine", F.round(F.lit(1e-9) + F.col("cosine"), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")

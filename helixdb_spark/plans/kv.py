@@ -213,3 +213,120 @@ ORDER BY p.key, p.p_ts
 
 QUERIES["kv_asof_probes"] = kv_asof_probes
 ORACLES["kv_asof_probes"] = KV_ASOF_SQL
+
+
+# retention boundary for kv_retention_scan: everything before day 3 is
+# outdated; the cutoff lands MID-bucket (rick_range=1 day, cutoff at noon of
+# day 2) so the query exercises both the whole-bucket drop and the read-path
+# filter for the partially-retired bucket (reference level_info.rs:130-134 +
+# our outdate read filter).
+OUTDATE_CUTOFF = 1704196800  # 2024-01-02 12:00:00 UTC
+
+
+def kv_retention_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """put -> compact -> OUTDATE -> scan: the reference's time-driven
+    retention (TimestampAction::Outdate, reference src/level.rs:527-537;
+    its actual deletion is todo!() at level.rs:476-484 — ours deletes).
+    Scan after outdate must see exactly the rows with ts > cutoff; the
+    oracle is the same range select with the cutoff predicate. Also proves
+    outdated timestamps return nothing across the hot/cold split."""
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.col("props"), "utf-8").alias("value"),
+    )
+    base = tempfile.mkdtemp(prefix="helix_kvr_")
+    db = HelixSpark.open(
+        spark,
+        base,
+        HelixOptions(rick_range=86400, outdate_range=1 << 40, auto_maintain=False),
+    )
+    db.put(entries)
+    db.compact(SCAN_TS_LO, COMPACT_TS_HI)
+    db.outdate(OUTDATE_CUTOFF)
+    scanned = db.scan((SCAN_TS_LO, SCAN_TS_HI), (KEY_LO.encode(), KEY_HI.encode()))
+    return scanned.select(
+        "ts",
+        F.decode("key", "utf-8").alias("key"),
+        F.decode("value", "utf-8").alias("value"),
+    )
+
+
+KV_RETENTION_SQL = f"""
+SELECT ts, key, value FROM (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+         event_id::VARCHAR AS key,
+         props AS value
+  FROM events
+)
+WHERE ts >= {SCAN_TS_LO} AND ts <= {SCAN_TS_HI} AND ts > {OUTDATE_CUTOFF}
+  AND key >= '{KEY_LO}' AND key <= '{KEY_HI}'
+ORDER BY key, ts
+"""
+
+
+def kv_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """put -> compact THROUGH A CUSTOM UDCF CODEC -> scan: the reference's
+    per-key pluggable compression surface (UDCF compress/decompress +
+    dispatch, reference src/fn_registry.rs:8-49, applied at
+    level.rs:412-419 and 496-499). Keys are dispatched per-key — even
+    user_ids to the delta_zlib blob codec, odd ones to native array storage
+    — and the scan after compaction must still equal the plain SQL range
+    select: codec choice is storage-transparent. This grades U2/U3/U4 of
+    SURVEY.md §2.9 end-to-end under the oracle gate."""
+    from helixdb_spark.codecs import ARRAY_CODEC, CodecRegistry
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+
+    ev = load_table(spark, sf_dir, "events")
+    entries = (
+        ev.groupBy(
+            F.unix_timestamp("ts").alias("ts"),
+            F.col("user_id").cast("string").alias("k"),
+        )
+        .agg(F.max("props").alias("v"))
+        .select(
+            "ts",
+            F.encode("k", "utf-8").alias("key"),
+            F.encode("v", "utf-8").alias("value"),
+        )
+    )
+    registry = CodecRegistry()
+    registry.register_dispatch(
+        lambda key: "delta_zlib" if int(key.decode()) % 2 == 0 else ARRAY_CODEC
+    )
+    base = tempfile.mkdtemp(prefix="helix_kvcodec_")
+    db = HelixSpark.open(
+        spark,
+        base,
+        HelixOptions(rick_range=86400, outdate_range=1 << 40, auto_maintain=False),
+        codecs=registry,
+    )
+    db.put(entries)
+    db.compact(SCAN_TS_LO, COMPACT_TS_HI)
+    scanned = db.scan((SCAN_TS_LO, COMPACT_TS_HI))
+    return scanned.select(
+        "ts",
+        F.decode("key", "utf-8").alias("key"),
+        F.decode("value", "utf-8").alias("value"),
+    )
+
+
+KV_CODEC_SQL = f"""
+SELECT ts, key, value FROM (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts, user_id::VARCHAR AS key,
+         max(props) AS value
+  FROM events
+  GROUP BY 1, 2
+)
+WHERE ts >= {SCAN_TS_LO} AND ts <= {COMPACT_TS_HI}
+ORDER BY key, ts
+"""
+
+
+QUERIES["kv_retention_scan"] = kv_retention_scan
+ORACLES["kv_retention_scan"] = KV_RETENTION_SQL
+QUERIES["kv_codec_roundtrip"] = kv_codec_roundtrip
+ORACLES["kv_codec_roundtrip"] = KV_CODEC_SQL

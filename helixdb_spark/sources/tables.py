@@ -23,6 +23,9 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from helixdb_spark.operators.util import ensure_session_tuned
+
+    ensure_session_tuned(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS). How it arrives depends on
