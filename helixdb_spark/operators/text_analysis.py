@@ -285,9 +285,13 @@ def repetition_metrics(
     quality funnel. Docs with fewer than 3 words have no trigram and are
     excluded.
 
-    Two token-key aggregations (bigram, trigram) re-aggregated per doc and
-    joined on the doc key — every stage is partial-agg'd map-side; nothing
-    is quadratic in document length or corpus size.
+    Both metrics are DOCUMENT-LOCAL, so the whole computation is a
+    projection with ZERO shuffles (the final orderBy aside): sort the
+    doc's gram array and fold run-lengths with ``aggregate`` — max run =
+    the top bigram's count, sum of >1 runs = the duplicated trigram mass.
+    The former explode → groupBy(doc, gram) → regroup → join shape paid
+    three shuffles and a join to count inside one row's array; at 100 TB
+    this version is an embarrassingly parallel scan.
     """
     staged = spread(docs).withColumn(
         "__ws", words(normalized_text(F.col(text_col)))
@@ -302,39 +306,48 @@ def repetition_metrics(
 
     base = staged.where(F.size(ws) >= 3).select(
         F.col(id_col),
-        grams(2).alias("__g2"),
-        grams(3).alias("__g3"),
+        F.array_sort(grams(2)).alias("__g2"),
+        F.array_sort(grams(3)).alias("__g3"),
     )
-    g2 = (
-        base.select(F.col(id_col), F.explode("__g2").alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("top_bi"), F.sum("c").alias("n_bi"))
-    )
-    g3 = (
-        base.select(F.col(id_col), F.explode("__g3").alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_tri"),
-            F.sum("c").alias("n_tri"),
+
+    def _acc(prev, run, agg):
+        return F.struct(prev.alias("prev"), run.alias("run"), agg.alias("agg"))
+
+    def max_run(col):
+        """Longest run of equal adjacent elements in a sorted array."""
+        return F.aggregate(
+            col,
+            _acc(F.lit(None).cast("string"), F.lit(0).cast("long"),
+                 F.lit(0).cast("long")),
+            lambda a, x: F.when(
+                x == a["prev"],
+                _acc(x, a["run"] + 1, F.greatest(a["agg"], a["run"] + 1)),
+            ).otherwise(_acc(x, F.lit(1).cast("long"), F.greatest(a["agg"], F.lit(1).cast("long")))),
+            lambda a: a["agg"],
         )
-    )
-    return (
-        g2.join(g3, id_col)
-        .select(
-            F.col(id_col),
-            F.round(F.lit(1e-9) + F.col("top_bi") / F.col("n_bi"), 6).alias(
-                "top_bigram_frac"
-            ),
-            F.round(F.lit(1e-9) + F.col("dup_tri") / F.col("n_tri"), 6).alias(
-                "dup_trigram_frac"
-            ),
+
+    def dup_mass(col):
+        """Sum of run lengths over runs longer than 1 (sorted array)."""
+        flush = lambda a: F.when(a["run"] > 1, a["run"]).otherwise(F.lit(0).cast("long"))
+        return F.aggregate(
+            col,
+            _acc(F.lit(None).cast("string"), F.lit(0).cast("long"),
+                 F.lit(0).cast("long")),
+            lambda a, x: F.when(
+                x == a["prev"], _acc(x, a["run"] + 1, a["agg"])
+            ).otherwise(_acc(x, F.lit(1).cast("long"), a["agg"] + flush(a))),
+            lambda a: a["agg"] + flush(a),
         )
-        .orderBy(id_col)
-    )
+
+    return base.select(
+        F.col(id_col),
+        F.round(
+            F.lit(1e-9) + max_run(F.col("__g2")) / F.size("__g2"), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.lit(1e-9) + dup_mass(F.col("__g3")) / F.size("__g3"), 6
+        ).alias("dup_trigram_frac"),
+    ).orderBy(id_col)
 
 
 def repetition_sql(norm_sql: str) -> str:
