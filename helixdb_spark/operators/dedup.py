@@ -220,16 +220,22 @@ def minhash_signatures(
     """(id, h0..h{k-1}) minhash signature: h_i = min over shingles of
     (a_i * md5_32(shingle) + b_i) mod P. ONE md5 per shingle, JVM-side.
 
-    Pure projection, ZERO shuffles: the shingle array is already per-doc and
-    distinct, so the base hashes are a ``transform`` over it and the k
-    minima are k interpreted ``array_min(transform(...))`` passes — never an
-    explode + k-column ``min(...)`` re-aggregation (whose 32-wide codegen
-    method Janino recompiles for every fresh plan, ~3 s/run — the cliff
-    simhash_fingerprints documents). A doc with no shingles gets NULL
-    minima (array_min of an empty array); callers drop those rows.
-    """
-    bhs = F.transform(F.col("shingles"), lambda s: _hex_long(s, 8))
-    gathered = shingled.select(F.col(id_col), bhs.alias("bhs"))
+    The k minima are k interpreted ``array_min(transform(...))`` passes over
+    a per-doc ``collect_list`` of base hashes, NOT a k-column ``min(...)``
+    aggregate (whose 32-wide codegen method Janino recompiles for every
+    fresh plan, ~3 s/run — the cliff simhash_fingerprints documents). The
+    explode → groupBy gather is deliberate: it is the materialization
+    BARRIER that makes each shingle's md5 evaluate exactly once — a pure
+    projection of the hash array would be CollapseProject-merged into all k
+    consumers and re-run the md5 k times per shingle. Docs with no shingles
+    produce no gathered row (explode drops them)."""
+    exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    base = _hex_long(F.col("shingle"), 8).alias("bh")
+    gathered = (
+        exploded.select(F.col(id_col), base)
+        .groupBy(id_col)
+        .agg(F.collect_list("bh").alias("bhs"))
+    )
 
     def _affine(a: int, b: int):
         return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)

@@ -33,12 +33,19 @@ def ensure_session_tuned(spark: SparkSession) -> None:
     # default AQE refuses to re-plan cached outputs, so those caches
     # materialize at the session's RAW shuffle partition count (200 on an
     # untuned session — 200-task stages over kilobytes). Letting AQE change
-    # cached-plan partitioning restores runtime coalescing; results are
-    # unaffected (partitioning only).
+    # cached-plan partitioning restores runtime coalescing there; results
+    # are unaffected (partitioning only). But on a session whose shuffle
+    # partitions are already sized to the cores, coalescing caches BELOW
+    # useful parallelism costs ~30% on the self-join paths — so only flip
+    # the conf when the shuffle partitioning is clearly oversized.
     try:
-        spark.conf.set(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
-        )
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        cores = spark.sparkContext.defaultParallelism
+        if shuffle_parts > 4 * cores:
+            spark.conf.set(
+                "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true",
+            )
     except Exception:
         pass
 
