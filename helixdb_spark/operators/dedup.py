@@ -357,44 +357,51 @@ def simhash_fingerprints(
     sum(±1) of word-hash bit b across the doc's words — computed as the
     equivalent integer rule ``2*count(bit set) >= n_words``.
 
-    The per-bit tally deliberately avoids a 32-column ``sum(when(...))``
-    aggregate: that shape generates a huge whole-stage-codegen method that
-    Janino recompiles on every fresh plan (~3 s per invocation, dwarfing the
-    sub-second execution). Instead the doc's distinct word hashes stay a
-    per-row ARRAY (``array_distinct`` + ``transform`` — ZERO shuffles, vs
-    the explode → distinct → collect_list round trip), and the 32 bit tests
-    run as interpreted higher-order ``filter`` passes over that materialized
-    array — no codegen cliff, same bits. Docs with no words are dropped
-    (same rows the old explode path produced).
+    The whole fingerprint is ONE ``aggregate`` fold over the doc's distinct
+    word array — ZERO shuffles (vs the old explode → distinct →
+    collect_list round trip) and each word's md5 evaluates exactly once
+    (the fold's input expression; per-bit column formulations either hit
+    the 32-wide whole-stage-codegen Janino recompile cliff ~3 s/plan, or
+    get CollapseProject-merged so the md5 re-runs per bit). The
+    accumulator carries (word count, 32 per-bit tallies); the finisher
+    folds ``2*tally >= n`` into the packed fingerprint. Docs with no words
+    are dropped (same rows the old explode path produced).
     """
     docs = _spread(docs)
     staged = docs.select(
         F.col(id_col),
         F.array_distinct(words(normalized_text(F.col(text_col)))).alias("__ws"),
     ).where(F.size("__ws") > 0)
-    gathered = staged.select(
-        F.col(id_col),
-        F.transform(F.col("__ws"), lambda w: _hex_long(w, 8)).alias("whs"),
-        F.size("__ws").alias("nw"),
+
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    zero = F.lit(0).cast("long")
+
+    def _acc(nw, c):
+        return F.struct(nw.alias("nw"), c.alias("c"))
+
+    folded = F.aggregate(
+        F.transform(F.col("__ws"), lambda w: _hex_long(w, 8)),
+        _acc(zero, F.array_repeat(zero, SIMHASH_BITS)),
+        lambda a, x: _acc(
+            a["nw"] + 1,
+            F.zip_with(
+                a["c"],
+                pow2,
+                lambda ci, p: ci
+                + F.when(x.bitwiseAND(p) != 0, F.lit(1).cast("long")).otherwise(zero),
+            ),
+        ),
+        lambda a: F.aggregate(
+            F.zip_with(
+                a["c"],
+                pow2,
+                lambda ci, p: F.when(ci * 2 >= a["nw"], p).otherwise(zero),
+            ),
+            zero,
+            lambda s, v: s + v,
+        ),
     )
-    bits = [
-        F.when(
-            F.lit(2)
-            * F.size(
-                F.filter(
-                    F.col("whs"),
-                    lambda w: F.shiftright(w, b).bitwiseAND(F.lit(1)) == 1,
-                )
-            )
-            >= F.col("nw"),
-            F.lit(1 << b),
-        ).otherwise(0)
-        for b in range(SIMHASH_BITS)
-    ]
-    return gathered.select(
-        F.col(id_col),
-        sum(bits[1:], bits[0]).cast("long").alias("simhash"),
-    )
+    return staged.select(F.col(id_col), folded.alias("simhash"))
 
 
 def simhash_pairs(
