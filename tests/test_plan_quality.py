@@ -149,6 +149,57 @@ def test_pack_contexts_single_shuffle(spark, sf_dir):
     assert hash_exchanges <= 1, f"{hash_exchanges} hash exchanges:\n{detail[:800]}"
 
 
+def test_default_engine_read_path_is_pure_jvm(kv_db):
+    """With the default codec registry (no custom dispatch, no blobs ever
+    written) neither compact's output nor the scan-after-compact plan may
+    contain a Python evaluation node: the UDCF hooks are pay-for-use
+    (reference runs its noop codec unconditionally; we skip Python
+    entirely)."""
+    kv_db.compact(0, 99)
+    plan = plan_of(kv_db.scan((0, 499)))
+    assert "Python" not in plan  # no ArrowEvalPython / BatchEvalPython
+    assert "Window" not in plan  # LWW dedup is a hash aggregate, not a window
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """Small-k centroid assignment must be a pure projection (argmin over
+    literal centroids): no Exchange beyond AQE's reused scan output and no
+    per-point window shuffle."""
+    from helixdb_spark.operators.similarity import kmeans_assign
+
+    pts = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    plan = plan_of(kmeans_assign(pts, [(0, [0.0, 0.0]), (1, [1.0, 1.0])]))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+def test_simhash_fingerprints_single_exchange(spark, sf_dir):
+    """The fingerprint fold is document-local: the only Exchange in the
+    plan is the spread repartition that fans the narrow input out to the
+    cores."""
+    from helixdb_spark.operators.dedup import simhash_fingerprints
+
+    import re
+
+    plan = plan_of(simhash_fingerprints(load_table(spark, sf_dir, "documents")))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1
+
+
+def test_repetition_metrics_shuffle_only_for_output_order(spark, sf_dir):
+    """Gopher repetition signals are document-local: spread + the final
+    orderBy range exchange are the only shuffles (no per-gram groupBy)."""
+    from helixdb_spark.operators.text_analysis import repetition_metrics
+
+    import re
+
+    plan = plan_of(repetition_metrics(load_table(spark, sf_dir, "documents")))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+    assert "HashAggregate" not in plan  # nothing aggregates across rows
+
+
 def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
     """Sweep every batch graded query's physical plan: CartesianProduct is
     never acceptable; BroadcastNestedLoopJoin only where it is the point —
