@@ -330,3 +330,81 @@ QUERIES["kv_retention_scan"] = kv_retention_scan
 ORACLES["kv_retention_scan"] = KV_RETENTION_SQL
 QUERIES["kv_codec_roundtrip"] = kv_codec_roundtrip
 ORACLES["kv_codec_roundtrip"] = KV_CODEC_SQL
+
+
+# numeric key range for the comparator scan: lexical byte order of
+# little-endian u64 keys would both SELECT a different key set and ORDER
+# it differently, so a hash match proves the pluggable comparator is
+# actually applied to the range predicate AND the sort (reference passes
+# the comparator into the range check at src/level.rs:145-149).
+U64_KEY_LO, U64_KEY_HI = 17, 113
+
+
+def _le_u64_bytes(col):
+    """8-byte little-endian u64 key from a long column, JVM-side."""
+    h = F.lpad(F.hex(col), 16, "0")
+    return F.unhex(
+        F.concat(*[F.substring(h, i, 2) for i in (15, 13, 11, 9, 7, 5, 3, 1)])
+    )
+
+
+def kv_comparator_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through a CUSTOM comparator (reference ``Comparator`` trait,
+    src/util.rs:21-109; U6/O2): keys are little-endian u64 user_ids — the
+    reference benchmark's exact key shape (benchmarks/src/main.rs:220-234)
+    — and both the key-range predicate and the emission order go through
+    ``comparators.le_u64``, i.e. numeric order, not byte order. The scan
+    result decodes keys back to numbers so the DuckDB oracle is a plain
+    numeric range select."""
+    from helixdb_spark import comparators
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+
+    ev = load_table(spark, sf_dir, "events")
+    entries = (
+        ev.groupBy(
+            F.unix_timestamp("ts").alias("ts"),
+            F.col("user_id").alias("uid"),
+        )
+        .agg(F.max("props").alias("v"))
+        .select(
+            "ts",
+            _le_u64_bytes(F.col("uid")).alias("key"),
+            F.encode("v", "utf-8").alias("value"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="helix_kvcmp_")
+    db = HelixSpark.open(
+        spark,
+        base,
+        HelixOptions(rick_range=86400 * 7, outdate_range=1 << 40, auto_maintain=False),
+    )
+    db.put(entries)
+    import struct as _struct
+
+    lo = _struct.pack("<Q", U64_KEY_LO)
+    hi = _struct.pack("<Q", U64_KEY_HI)
+    scanned = db.scan(
+        (SCAN_TS_LO, COMPACT_TS_HI), (lo, hi), comparator=comparators.le_u64
+    )
+    return scanned.select(
+        "ts",
+        comparators.le_u64(F.col("key")).cast("long").alias("user_id"),
+        F.decode("value", "utf-8").alias("value"),
+    )
+
+
+KV_COMPARATOR_SQL = f"""
+SELECT ts, user_id, value FROM (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts, user_id,
+         max(props) AS value
+  FROM events
+  GROUP BY 1, 2
+)
+WHERE ts >= {SCAN_TS_LO} AND ts <= {COMPACT_TS_HI}
+  AND user_id >= {U64_KEY_LO} AND user_id <= {U64_KEY_HI}
+ORDER BY user_id, ts
+"""
+
+
+QUERIES["kv_comparator_scan"] = kv_comparator_scan
+ORACLES["kv_comparator_scan"] = KV_COMPARATOR_SQL
