@@ -163,14 +163,17 @@ def main() -> None:
     spark.range(1000).count()
     from helixdb_spark.sources.tables import load_table
 
-    for t in [
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    ]:
-        load_table(spark, SF_DIR, t).count()
-    spark.range(256).repartition(int(CPUS)).mapInPandas(
-        lambda it: (pdf for pdf in it), "id long"
-    ).count()
+    try:
+        for t in [
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        ]:
+            load_table(spark, SF_DIR, t).count()
+        spark.range(256).repartition(int(CPUS)).mapInPandas(
+            lambda it: (pdf for pdf in it), "id long"
+        ).count()
+    except Exception as ex:  # noqa: BLE001 — warm-up must never kill the bench
+        print(f"# warm-up ERROR (continuing): {ex}", file=sys.stderr)
 
     # KV engine micro-bench first, on the still-clean session: measured
     # after the 24 headline queries it absorbs their leftover JVM state

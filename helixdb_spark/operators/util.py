@@ -21,6 +21,15 @@ def ensure_session_tuned(spark: SparkSession) -> None:
         cur = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
     except Exception:
         cur = ""
+    # The analytics contract is UTC: events.ts is parquet TIMESTAMP(NANOS)
+    # (naive) and every oracle treats it as UTC wall-clock; a session in any
+    # other zone would shift NTZ casts and hour/day truncations relative to
+    # the oracle. Runtime conf, applies from the next query.
+    try:
+        if spark.conf.get("spark.sql.session.timeZone") not in ("UTC", "Etc/UTC"):
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if _GENERATE_RULE not in cur:
         try:
             spark.conf.set(
