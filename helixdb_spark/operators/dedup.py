@@ -294,9 +294,6 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_keys)
-    # persisted: both sides of the band-bucket self-join read it; without
-    # this the whole signature computation (shingling + k md5 passes)
-    # runs twice
     stacked = banded.select(
         F.col(id_col),
         F.explode(
@@ -305,24 +302,29 @@ def minhash_lsh_pairs(
                 lambda x: x.isNotNull(),
             )
         ).alias("band_key"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    hot_buckets = (
-        stacked.groupBy("band_key")
-        .agg(F.count("*").alias("bsz"))
-        .where(F.col("bsz") > MAX_LSH_BUCKET)
-        .select("band_key")
     )
-    stacked = stacked.join(F.broadcast(hot_buckets), "band_key", "left_anti")
+    # ONE shuffle on the band key builds the bucket member lists; buckets
+    # over MAX_LSH_BUCKET are dropped whole (see the cap's rationale above)
+    # and each surviving bucket emits its sorted id pairs inline — the same
+    # inverted-index shape as the n-gram path, replacing the former
+    # count-aggregate + broadcast-anti-join + bucket self-join + its
+    # persisted intermediate (three extra stages).
+    ids = F.col("ids")
+    pair_lists = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     candidates = (
-        stacked.alias("a")
-        .join(
-            stacked.alias("b"),
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        stacked.groupBy("band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= MAX_LSH_BUCKET))
+        .select(F.explode(pair_lists).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
     sh_a = shingled.select(
