@@ -10,10 +10,15 @@ reference              this engine
 shard (db.rs:108-132)  hash partitioning on ``key`` (Spark tasks replace
                        glommio executors); ``shard_of`` kept only for parity
 rick L0 (file/rick.rs) ``hot/`` parquet, partitioned by ``time_bucket``
-L>=1 + SSTable         ``cold/`` parquet, one row per (key,bucket) with the
-(level.rs:356-459)     key's sorted series; parquet min/max stats = the index
-LevelInfo              partition-pruned reads + a tiny JSON state file for the
-(level_info.rs)        reviewer watermarks (metadata, not data)
+L>=1 + SSTable         ``cold/gen=N/`` parquet generations, one row per
+(level.rs:356-459)     (key,bucket) with the key's sorted series; parquet
+                       min/max stats + key bloom filters = the index
+LevelInfo              partition-pruned reads + a tiny JSON state file that
+(level_info.rs)        is ALSO the commit log: the bucket→generation cold
+                       manifest and the reviewer watermarks flip together in
+                       one atomic state replace (the analog of the
+                       reference's fdatasync'd LEVEL_INFO superblock,
+                       level_info.rs:98-111)
 MemIndex (index.rs)    not needed — parquet footers survive restart (S8)
 k-way merge            ``orderBy`` (sort shuffle); toLocalIterator preserves
 (iterator.rs:111-195)  order for streamed consumption
@@ -21,28 +26,37 @@ k-way merge            ``orderBy`` (sort shuffle); toLocalIterator preserves
 
 Scale posture (100 TB): every job here touches only the partitions named by
 its predicate — ``get`` prunes to one ``time_bucket`` directory and then to
-row groups via key min/max; ``compact`` is an incremental per-bucket job
-(idempotent MERGE-style: late data re-compacts a bucket by rewriting that
-bucket only — SURVEY.md §7.2 late-data stance); ``outdate`` drops whole
-partition directories without reading them. Nothing ever collects data to the
-driver except the user-requested point value.
+row groups via key min/max stats and key bloom filters; ``compact`` is an
+incremental per-bucket job (idempotent MERGE-style: late data re-compacts a
+bucket by rewriting that bucket only — SURVEY.md §7.2 late-data stance) that
+commits write-new-then-flip (never mutates live data in place, safe on
+object stores); ``outdate`` drops whole partition directories without
+reading them. Nothing ever collects data to the driver except the
+user-requested point value.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 from dataclasses import dataclass
-from typing import Iterable, Optional, Sequence
+from typing import Iterable, Iterator, Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from helixdb_spark import comparators
 from helixdb_spark.codecs import ARRAY_CODEC, CodecRegistry
-from helixdb_spark.layout import CHUNK_TYPE, COLD_SCHEMA, ENTRY_SCHEMA, HOT_SCHEMA, Layout
+from helixdb_spark.fsio import EngineFS
+from helixdb_spark.layout import (
+    CHUNK_TYPE,
+    COLD_GEN_SCHEMA,
+    ENTRY_SCHEMA,
+    HOT_SCHEMA,
+    Layout,
+)
 from helixdb_spark.maintenance import (
     Compact,
     Outdate,
@@ -70,6 +84,13 @@ class HelixOptions:
     num_shard: int = 8
     auto_maintain: bool = True  # run reviewer-driven compaction on put
     sharding_expr: Optional[object] = None  # Callable[[Column], Column]
+    # Opt-in read-path cache (the reference's LRU cache tier, src/cache.rs:
+    # 12-162, M7): persist the deduped logical entry view so repeated point
+    # reads skip the parquet re-scan + re-dedup. Invalidated on every
+    # mutation (put/compact/outdate). Off by default — a write-heavy
+    # workload would churn the cache; the reference sizes its caches for
+    # the read-mostly benchmark shape (benchmarks/src/read.rs:15-56).
+    cache_reads: bool = False
 
 
 class HelixSpark:
@@ -87,8 +108,10 @@ class HelixSpark:
         self.layout = Layout(base_path, self.options.rick_range)
         self.codecs = codecs or CodecRegistry()
         self._closed = False
+        self._fs = EngineFS(spark, self.layout.base_path)
         self._state = self._load_state()
         self.reviewer = SimpleTimestampReviewer.from_state(self._state["reviewer"])
+        self._entries_cache: Optional[DataFrame] = None
 
     # ------------------------------------------------------------------ open
     @classmethod
@@ -111,24 +134,31 @@ class HelixSpark:
 
     # ----------------------------------------------------------------- state
     def _load_state(self) -> dict:
-        if os.path.exists(self.layout.meta_path):
-            with open(self.layout.meta_path) as f:
-                return json.load(f)
+        text = self._fs.read_text(self.layout.meta_path)
+        if text is not None:
+            return json.loads(text)
         return {
             "seq": 0,
             "reviewer": SimpleTimestampReviewer(
                 self.options.rick_range, self.options.outdate_range
             ).to_state(),
             "outdate_cutoff": None,  # ts <= cutoff is retired
+            # cold commit log: bucket (str) -> generation (int) holding its
+            # live compacted data, plus the next generation number. A
+            # compaction stages a new gen dir and COMMITS by flipping these
+            # entries in one atomic state replace — the write-new-then-flip
+            # protocol of the reference's LEVEL_INFO superblock
+            # (src/types/level_info.rs:98-111), object-store safe because
+            # live data is never mutated in place.
+            "cold_manifest": {},
+            "cold_gen_seq": 0,
         }
 
     def _save_state(self) -> None:
+        """Atomically replace the JSON state — the engine's ONE commit point
+        (see fsio.write_text_atomic for the per-filesystem guarantees)."""
         self._state["reviewer"] = self.reviewer.to_state()
-        os.makedirs(os.path.dirname(self.layout.meta_path), exist_ok=True)
-        tmp = self.layout.meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._state, f)
-        os.replace(tmp, self.layout.meta_path)
+        self._fs.write_text_atomic(self.layout.meta_path, json.dumps(self._state))
 
     def _check_open(self) -> None:
         if self._closed:
@@ -168,10 +198,17 @@ class HelixSpark:
             df.observe(obs, F.max("ts").alias("max_ts"))
             .repartition(self.options.num_shard, shard_on)
             .write.mode("append")
+            # Parquet bloom filter on the key column: point gets prune row
+            # groups beyond what min/max stats allow (high-cardinality keys
+            # overlap in min/max range but rarely share a bloom) — the free
+            # analog of the reference's declared-but-unused FilterBlocks
+            # (protos/flatbuffer/helix.fbs:53-57).
+            .option("parquet.bloom.filter.enabled#key", "true")
             .partitionBy("time_bucket")
             .parquet(self.layout.hot_path)
         )
         self._state["seq"] = seq + 1
+        self._invalidate_cache()
 
         max_ts = obs.get["max_ts"]
         if max_ts is not None and self.options.auto_maintain:
@@ -202,12 +239,26 @@ class HelixSpark:
             return None
 
     def _cold_df(self) -> Optional[DataFrame]:
-        if not self._has_data(self.layout.cold_path):
+        """Live cold rows per the committed manifest. The ``gen`` partition
+        column is filtered to exactly the (gen, bucket) pairs the manifest
+        references, so uncommitted staging generations (a crashed compact)
+        and superseded-but-not-yet-GC'd generations are pruned at planning
+        time — their files are never opened."""
+        manifest: dict = self._state.get("cold_manifest") or {}
+        if not manifest:
             return None
         try:
-            return self.spark.read.schema(COLD_SCHEMA).parquet(self.layout.cold_path)
+            df = self.spark.read.schema(COLD_GEN_SCHEMA).parquet(self.layout.cold_path)
         except Exception:
             return None
+        by_gen: dict[int, list[int]] = {}
+        for bucket, gen in manifest.items():
+            by_gen.setdefault(int(gen), []).append(int(bucket))
+        pred = None
+        for gen, buckets in by_gen.items():
+            p = (F.col("gen") == gen) & F.col("time_bucket").isin(buckets)
+            pred = p if pred is None else (pred | p)
+        return df.where(pred).drop("gen")
 
     def _decode_cold(self, cold: DataFrame) -> DataFrame:
         """Explode cold chunks back to entry rows; blob codecs go through one
@@ -254,7 +305,57 @@ class HelixSpark:
             "time_bucket",
         )
 
+    # ------------------------------------------------------------ read cache
+    def _invalidate_cache(self) -> None:
+        if self._entries_cache is not None:
+            self._entries_cache.unpersist()
+            self._entries_cache = None
+
+    def _cached_entries(self) -> DataFrame:
+        """The deduped logical entry view, persisted (M7 — the reference's
+        LRU cache tier, src/cache.rs:12-162). Built lazily on first read,
+        dropped on any mutation; repeated point reads then filter an
+        in-memory columnar table instead of re-scanning parquet and
+        re-running the dedup aggregate."""
+        if self._entries_cache is None:
+            self._entries_cache = self._entries_df_raw().persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        return self._entries_cache
+
     def _entries_df(
+        self,
+        ts_lo: Optional[int] = None,
+        ts_hi: Optional[int] = None,
+        pre_filter=None,
+        probe_df: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """Logical entry view with the read predicates applied. With
+        ``cache_reads`` on, predicates filter the persisted deduped view
+        instead — equivalent placement, because every predicate here is a
+        function of (ts, key) and the dedup groups by exactly (ts, key), so
+        filtering above or below the aggregate keeps the same groups."""
+        if self.options.cache_reads:
+            df = self._cached_entries()
+            if ts_lo is not None:
+                df = df.where(F.col("ts") >= ts_lo)
+            if ts_hi is not None:
+                df = df.where(F.col("ts") <= ts_hi)
+            cutoff = self._state.get("outdate_cutoff")
+            if cutoff is not None:
+                df = df.where(F.col("ts") > int(cutoff))
+            if pre_filter is not None:
+                df = df.where(pre_filter)
+            if probe_df is not None:
+                df = df.join(
+                    F.broadcast(probe_df),
+                    (F.col("ts") == F.col("p_ts")) & (F.col("key") == F.col("p_key")),
+                    "left_semi",
+                )
+            return df
+        return self._entries_df_raw(ts_lo, ts_hi, pre_filter, probe_df)
+
+    def _entries_df_raw(
         self,
         ts_lo: Optional[int] = None,
         ts_hi: Optional[int] = None,
@@ -455,6 +556,24 @@ class HelixSpark:
             df = df.orderBy(comparator(F.col("key")), F.col("ts"))
         return df
 
+    def scan_iter(
+        self,
+        time_range: tuple[int, int],
+        key_range: Optional[tuple[bytes, bytes]] = None,
+        comparator: comparators.Comparator = comparators.lexical,
+        prefetch: bool = True,
+    ) -> Iterator[Row]:
+        """Streamed scan consumption: yield rows in scan order while holding
+        at most one partition (plus one prefetched) on the driver — the
+        reference's pull-based iterator with a bounded prefetch buffer
+        (``ScanOption.prefetch_buf_size``, src/option.rs:150-153, consumed
+        at db.rs:215). The global sort in :meth:`scan` range-partitions the
+        shuffle output, so partition-by-partition consumption preserves the
+        (comparator(key), ts) order end to end; ``prefetch=False`` turns off
+        the lookahead for a strictly-one-partition memory bound."""
+        df = self.scan(time_range, key_range, comparator)
+        return df.toLocalIterator(prefetchPartitions=prefetch)
+
     # ------------------------------------------------------------ maintenance
     def _handle_actions(self, actions: Iterable[TimestampAction]) -> None:
         """Reference src/level.rs:307-346 minus the shard mesh (one Spark job
@@ -478,6 +597,22 @@ class HelixSpark:
         are replaced, and hot partition dirs are dropped afterwards — so
         re-compacting after late data is safe (unlike the reference, whose
         late puts become unreachable — SURVEY.md §2.10 caveat).
+
+        Commit protocol (write-new-then-flip; reference analog: the
+        fdatasync'd LEVEL_INFO superblock, src/types/level_info.rs:98-111):
+
+        1. STAGE — write the merged bucket data to a fresh generation dir
+           ``cold/gen=N/`` (append-only; live data untouched, so this is
+           object-store safe — no in-place mutation, no rename of live data).
+        2. COMMIT — flip the bucket→gen manifest entries (plus has_blobs and
+           the gen counter) in ONE atomic state replace. A crash before this
+           point leaves the old manifest: readers never see the staged gen,
+           and the next compact overwrites the same staging gen number.
+        3. GC — delete superseded cold bucket dirs and fully-covered hot
+           partitions. Best-effort: a crash mid-GC leaves garbage that the
+           manifest doesn't reference (invisible to readers; hot leftovers
+           re-win the LWW dedup with identical values) and that a retried
+           compact or ``vacuum()`` collects later.
         """
         self._check_open()
         hot = self._hot_df()
@@ -542,6 +677,7 @@ class HelixSpark:
             )
         )
 
+        self._invalidate_cache()
         registry = self.codecs
         if not registry.custom_dispatch:
             # default dispatch: every key stores natively — no Python at all
@@ -553,6 +689,10 @@ class HelixSpark:
                 "time_bucket",
             )
         else:
+            # persisted at the COMMIT below — the flag must hit disk in the
+            # same atomic flip that makes blob rows visible, or a reopen
+            # after a direct compact() would skip the decompress UDF and
+            # explode would silently drop the blob rows
             self._state["has_blobs"] = True
 
             @F.pandas_udf(T.StringType())
@@ -594,19 +734,35 @@ class HelixSpark:
                 .select("key", "codec", "chunk", "blob", "time_bucket")
             )
 
-        # Replace the affected cold bucket partitions (idempotent MERGE).
-        staging = f"{self.layout.base_path}/_staging_cold"
-        cold_new.write.mode("overwrite").partitionBy("time_bucket").parquet(staging)
-        for b in range(b_lo, b_hi + 1):
-            src_dir = f"{staging}/time_bucket={b}"
-            dst_dir = f"{self.layout.cold_path}/time_bucket={b}"
-            if os.path.exists(src_dir):
-                if os.path.exists(dst_dir):
-                    shutil.rmtree(dst_dir)
-                os.makedirs(self.layout.cold_path, exist_ok=True)
-                shutil.move(src_dir, dst_dir)
-        shutil.rmtree(staging, ignore_errors=True)
+        # 1. STAGE: write the replacement bucket partitions to a fresh
+        # generation dir. mode("overwrite") also clears any leftover of a
+        # previously crashed (uncommitted) staging attempt at this gen.
+        gen = int(self._state.get("cold_gen_seq", 0))
+        gen_dir = self.layout.cold_gen_path(gen)
+        (
+            cold_new.write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#key", "true")
+            .partitionBy("time_bucket")
+            .parquet(gen_dir)
+        )
+        produced = self._fs.list_buckets(gen_dir)
+        if not produced:  # defensive: src was non-empty, so this can't fire
+            return
 
+        # 2. COMMIT: one atomic state flip publishes the new generation.
+        manifest = dict(self._state.get("cold_manifest") or {})
+        superseded = [
+            (int(manifest[str(b)]), b) for b in produced if str(b) in manifest
+        ]
+        for b in produced:
+            manifest[str(b)] = gen
+        self._state["cold_manifest"] = manifest
+        self._state["cold_gen_seq"] = gen + 1
+        self._save_state()
+
+        # 3. GC (best-effort; see the commit-protocol docstring).
+        for old_gen, b in superseded:
+            self._fs.delete(f"{self.layout.cold_gen_path(old_gen)}/time_bucket={b}")
         # Drop compacted hot partitions (the reference purges its memindex
         # range + advances the rick GC offset — level.rs:430-459; for us the
         # unit of GC is the partition directory).
@@ -615,7 +771,30 @@ class HelixSpark:
             full_lo += 1  # never drop a bucket the range only partially covers
         full_hi = (end_ts + 1) // self.layout.rick_range - 1
         for b in range(full_lo, full_hi + 1):
-            shutil.rmtree(f"{self.layout.hot_path}/time_bucket={b}", ignore_errors=True)
+            self._fs.delete(f"{self.layout.hot_path}/time_bucket={b}")
+
+    def vacuum(self) -> None:
+        """Collect garbage a crashed GC left behind: cold bucket dirs no
+        manifest entry references, and empty generation dirs. Safe to run
+        any time — the manifest is the single source of truth for liveness,
+        so nothing here can touch live data."""
+        self._check_open()
+        manifest: dict = self._state.get("cold_manifest") or {}
+        live = {(int(g), int(b)) for b, g in manifest.items()}
+        next_gen = int(self._state.get("cold_gen_seq", 0))
+        for name in self._fs.listdir(self.layout.cold_path):
+            if not name.startswith("gen="):
+                continue
+            gen = int(name.split("=", 1)[1])
+            gen_dir = self.layout.cold_gen_path(gen)
+            if gen >= next_gen:  # uncommitted staging leftovers
+                self._fs.delete(gen_dir)
+                continue
+            for b in self._fs.list_buckets(gen_dir):
+                if (gen, b) not in live:
+                    self._fs.delete(f"{gen_dir}/time_bucket={b}")
+            if not self._fs.list_buckets(gen_dir):
+                self._fs.delete(gen_dir)
 
     def outdate(self, cutoff_ts: int) -> None:
         """Retention: retire data with ts <= cutoff (reference
@@ -623,21 +802,33 @@ class HelixSpark:
         actual deletion is ``todo!()`` — level.rs:476-484 — ours works).
         Whole partition directories are dropped without reading them; a
         cutoff inside a bucket is enforced by the read-path filter until the
-        bucket fully ages out."""
+        bucket fully ages out.
+
+        Commit order mirrors compact: the state flip (cutoff + manifest
+        entry removal) lands FIRST in one atomic replace, then directories
+        are deleted. A crash mid-delete leaves dirs the reader either
+        ignores (cold: no manifest entry) or filters out row-wise (hot:
+        every row in a dropped bucket has ts <= cutoff) — so a partially
+        deleted partition is never a torn read."""
         self._check_open()
+        self._invalidate_cache()
         prev = self._state.get("outdate_cutoff")
         cutoff = max(int(cutoff_ts), prev) if prev is not None else int(cutoff_ts)
         self._state["outdate_cutoff"] = cutoff
         last_full_bucket = (cutoff + 1) // self.layout.rick_range - 1
-        for path in (self.layout.hot_path, self.layout.cold_path):
-            if not os.path.isdir(path):
-                continue
-            for name in os.listdir(path):
-                if not name.startswith("time_bucket="):
-                    continue
-                if int(name.split("=", 1)[1]) <= last_full_bucket:
-                    shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        manifest = dict(self._state.get("cold_manifest") or {})
+        dead = [(b, int(g)) for b, g in manifest.items() if int(b) <= last_full_bucket]
+        for b, _ in dead:
+            del manifest[b]
+        self._state["cold_manifest"] = manifest
         self._save_state()
+        for b, gen in dead:
+            self._fs.delete(f"{self.layout.cold_gen_path(gen)}/time_bucket={b}")
+        for name in self._fs.listdir(self.layout.hot_path):
+            if not name.startswith("time_bucket="):
+                continue
+            if int(name.split("=", 1)[1]) <= last_full_bucket:
+                self._fs.delete(f"{self.layout.hot_path}/{name}")
 
     # ------------------------------------------------------------------ SQL
     def entries_view(self, name: str = "entries") -> DataFrame:
@@ -669,5 +860,6 @@ class HelixSpark:
         """Graceful shutdown (reference src/db.rs:76-79). State is already
         durable after every put; nothing to drain."""
         self._save_state()
+        self._invalidate_cache()
         self._closed = True
 

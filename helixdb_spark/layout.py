@@ -70,6 +70,15 @@ COLD_SCHEMA = T.StructType(
     ]
 )
 
+# On disk the cold table is versioned: ``cold/gen=N/time_bucket=B/`` — a
+# compaction writes a fresh generation dir and COMMITS it by flipping the
+# bucket→gen manifest in the (atomically replaced) JSON state. ``gen`` is a
+# partition column on read so the manifest predicate prunes uncommitted or
+# superseded generations without ever opening their files.
+COLD_GEN_SCHEMA = T.StructType(
+    list(COLD_SCHEMA.fields) + [T.StructField("gen", T.LongType(), False)]
+)
+
 
 def time_bucket_expr(ts_col: str = "ts", rick_range: int = 1024) -> F.Column:
     """``floor(ts / rick_range)`` — the partition column replacing LevelInfo.
@@ -96,6 +105,9 @@ class Layout:
     @property
     def cold_path(self) -> str:
         return f"{self.base_path}/cold"
+
+    def cold_gen_path(self, gen: int) -> str:
+        return f"{self.cold_path}/gen={int(gen)}"
 
     @property
     def meta_path(self) -> str:

@@ -276,10 +276,14 @@ def minhash_lsh_pairs(
     )
     sig = minhash_signatures(shingled, id_col, num_hashes)
 
-    # a doc with no shingles has NULL minima (see minhash_signatures): its
-    # band keys are NULLed and filtered from the stack pre-explode, so
-    # empty docs never meet in a bucket (concat_ws would otherwise skip the
-    # NULLs and give them all the same key)
+    # A doc with no shingles produces NO signature row at all (explode
+    # drops it in minhash_signatures), so h0 can never be NULL here and the
+    # isNotNull guard + pre-explode filter below are purely DEFENSIVE dead
+    # code — kept because they are free (whole-stage codegen) and they keep
+    # the invariant local: if minhash_signatures ever changes to emit
+    # NULL-minima rows (e.g. a left-join gather), empty docs still cannot
+    # meet in a bucket (concat_ws would otherwise skip the NULLs and give
+    # them all the same key).
     band_keys = [
         F.when(
             F.col("h0").isNotNull(),
@@ -534,7 +538,11 @@ def embedding_dup_pairs(
             ia, ib, c = ids[m1][ii.ravel()], ids[~m1][jj.ravel()], cos.ravel()
         lo = np.minimum(ia, ib)
         hi = np.maximum(ia, ib)
-        keep = c >= threshold - 1e-7  # slack; exact half-up filter is JVM-side
+        # Pre-filter slack must cover the JVM filter's acceptance window:
+        # round(1e-9 + c, 6) is HALF_UP at 6 decimals, which accepts c down
+        # to threshold - 5e-7, so anything tighter than 5e-7 here silently
+        # drops boundary pairs the exact filter would keep. 1e-6 > 5e-7.
+        keep = c >= threshold - 1e-6  # slack; exact half-up filter is JVM-side
         return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep], "cosine": c[keep]})
 
     return (
@@ -726,8 +734,10 @@ def semantic_dup_pairs(
         iu, ju = np.triu_indices(len(ids), k=1)
         c = num[iu, ju] / (nrm[iu] * nrm[ju])
         # pre-filter with slack; the exact (JVM-rounded, half-up like the
-        # oracle) threshold test happens outside — np.round is half-even
-        keep = c >= threshold - 1e-7
+        # oracle) threshold test happens outside — np.round is half-even.
+        # The JVM's round(1e-9 + c, 6) >= threshold accepts c down to
+        # threshold - 5e-7, so the slack must exceed that window: 1e-6.
+        keep = c >= threshold - 1e-6
         return pd.DataFrame(
             {
                 "id_a": ids[iu[keep]],

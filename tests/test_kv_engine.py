@@ -302,3 +302,110 @@ def test_stream_ingest_to_engine(spark, db_path, sf_dir):
     ).first()
     assert db.get(row["ts"], bytes(row["key"])) is not None
     db.close()
+
+
+def test_compact_crash_before_commit(spark, db_path, monkeypatch):
+    """Crash injected between the staged generation write and the manifest
+    flip: the old manifest stays live, readers never see the staged gen,
+    and a retried compact commits the same data (reference contract: the
+    LEVEL_INFO superblock flip, src/types/level_info.rs:98-111)."""
+    db = HelixSpark.open(spark, db_path, HelixOptions(rick_range=10, auto_maintain=False))
+    db.put([(t, b"k%d" % t, b"v%d" % t) for t in range(10)])
+    expected = [(t, b"k%d" % t, b"v%d" % t) for t in range(10)]
+
+    def boom(self):
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(HelixSpark, "_save_state", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        db.compact(0, 9)
+    monkeypatch.undo()
+
+    db2 = HelixSpark.open(spark, db_path, HelixOptions(rick_range=10, auto_maintain=False))
+    assert db2._state.get("cold_manifest") in (None, {})  # nothing committed
+    got = [(r["ts"], bytes(r["key"]), bytes(r["value"])) for r in db2.scan((0, 9)).collect()]
+    assert sorted(got) == expected
+    # retry: the staging gen number is reused (mode=overwrite clears debris)
+    db2.compact(0, 9)
+    got = [(r["ts"], bytes(r["key"]), bytes(r["value"])) for r in db2.scan((0, 9)).collect()]
+    assert sorted(got) == expected
+    assert db2.get(3, b"k3") == b"v3"
+
+
+def test_compact_crash_after_commit_before_gc(spark, db_path, monkeypatch):
+    """Crash injected after the manifest flip but before GC: superseded cold
+    dirs and undropped hot partitions linger, but the manifest prunes the
+    former and LWW dedup absorbs the latter; vacuum() collects the rest."""
+    from helixdb_spark.fsio import EngineFS
+
+    db = HelixSpark.open(spark, db_path, HelixOptions(rick_range=10, auto_maintain=False))
+    db.put([(t, b"k%d" % t, b"v%d" % t) for t in range(10)])
+    db.compact(0, 9)           # gen=0 committed and GC'd normally
+    db.put([(3, b"k3", b"late")])  # late overwrite forces a re-compaction
+
+    def boom(self, p):
+        raise RuntimeError("injected crash during GC")
+
+    monkeypatch.setattr(EngineFS, "delete", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        db.compact(0, 9)       # gen=1 commits, then GC dies
+    monkeypatch.undo()
+
+    db2 = HelixSpark.open(spark, db_path, HelixOptions(rick_range=10, auto_maintain=False))
+    # the commit landed: manifest points every bucket at gen=1
+    assert set(db2._state["cold_manifest"].values()) == {1}
+    got = {(r["ts"], bytes(r["key"])): bytes(r["value"]) for r in db2.scan((0, 9)).collect()}
+    assert len(got) == 10
+    assert got[(3, b"k3")] == b"late"      # hot leftover re-wins LWW, same value as cold
+    assert got[(7, b"k7")] == b"v7"
+    # vacuum collects the superseded gen=0 bucket dirs the crashed GC left
+    import os as _os
+    gen0 = f"{db2.layout.cold_path}/gen=0"
+    assert _os.path.isdir(gen0)
+    db2.vacuum()
+    assert not _os.path.isdir(gen0)
+    got2 = {(r["ts"], bytes(r["key"])): bytes(r["value"]) for r in db2.scan((0, 9)).collect()}
+    assert got2 == got
+
+
+def test_read_cache_point_gets(spark, db_path):
+    """Opt-in read cache (M7, reference src/cache.rs:12-162): the second
+    probe batch reads the persisted entry view (InMemoryTableScan in the
+    plan), results identical, and any mutation invalidates."""
+    db = HelixSpark.open(
+        spark, db_path,
+        HelixOptions(rick_range=10, auto_maintain=False, cache_reads=True),
+    )
+    db.put([(t, le_u64(k), le_u64(t * k)) for t in range(8) for k in range(8)])
+    probes = [(t, le_u64(k)) for t in range(8) for k in range(8)]
+    first = db.get_many(probes)
+    assert len(first) == 64
+    # the cached view is now materialized; the probe plan must hit it
+    plan = db._entries_df(ts_lo=0, ts_hi=7)._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    second = db.get_many(probes)
+    assert second == first
+    assert db.get(3, le_u64(5)) == le_u64(15)
+    # mutation invalidates: new data must be visible immediately
+    db.put([(3, le_u64(5), b"fresh")])
+    assert db.get(3, le_u64(5)) == b"fresh"
+    db.compact(0, 9)
+    assert db.get(3, le_u64(5)) == b"fresh"
+    assert db.get(2, le_u64(2)) == le_u64(4)
+
+
+def test_scan_iter_streamed_order(spark, db_path):
+    """scan_iter yields the full grid incrementally in (key, ts) order —
+    the reference's bounded-prefetch pull iterator (src/option.rs:150-153,
+    db.rs:215) as toLocalIterator over the range-partitioned sort."""
+    num_ts, num_key = 6, 12
+    db = HelixSpark.open(spark, db_path, HelixOptions(rick_range=16, auto_maintain=False))
+    db.put([(t, le_u64(k), b"v") for t in range(num_ts) for k in range(num_key)])
+    it = db.scan_iter((0, num_ts - 1), comparator=comparators.le_u64)
+    import collections.abc
+    assert isinstance(it, collections.abc.Iterator)  # lazy, not a list
+    seen = []
+    for row in it:
+        seen.append((struct.unpack("<Q", bytes(row["key"]))[0], row["ts"]))
+    assert len(seen) == num_ts * num_key
+    assert seen == sorted(seen)  # key-major, then ts — the scan contract
