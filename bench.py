@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_simhash64",
     "dedup_semantic",
     "ann_bruteforce_topk",
     "emb_kmeans",
@@ -122,6 +123,29 @@ def kv_bench(spark) -> dict[str, float]:
             found = db.get_many(probes)
             out["kv_read"] = min(out["kv_read"], time.monotonic() - t0)
         assert len(found) > 0
+
+        # M7 read-cache analog (reference LRU caches, src/cache.rs:12-162):
+        # reopen with cache_reads=True; the first probe batch builds the
+        # persisted entry view, the second reads it — kv_read_cached is the
+        # steady-state repeated-read cost the reference's read benchmark
+        # measures (benchmarks/src/read.rs:15-56).
+        db_cached = HelixSpark.open(
+            spark,
+            f"{base}/db",
+            HelixOptions(rick_range=KV_NUM_TS, outdate_range=KV_NUM_TS * 128,
+                         num_shard=int(CPUS) if CPUS.isdigit() else 8,
+                         auto_maintain=False, cache_reads=True),
+        )
+        db_cached.get_many(probes)  # builds + materializes the cache
+        out["kv_read_cached"] = float("inf")
+        for _ in range(runs):
+            t0 = time.monotonic()
+            found_cached = db_cached.get_many(probes)
+            out["kv_read_cached"] = min(
+                out["kv_read_cached"], time.monotonic() - t0
+            )
+        assert found_cached == found
+        db_cached._invalidate_cache()
 
         # BASELINE.md scan shape: ts in [0,4], full key range,
         # NoOrderComparator (unordered full scan)

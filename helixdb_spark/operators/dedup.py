@@ -357,11 +357,20 @@ def minhash_lsh_pairs(
 
 # ---------------------------------------------------------------- SimHash
 def simhash_fingerprints(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
-    """32-bit SimHash over distinct normalized words: bit b is the sign of
+    """SimHash over distinct normalized words: bit b is the sign of
     sum(±1) of word-hash bit b across the doc's words — computed as the
     equivalent integer rule ``2*count(bit set) >= n_words``.
+
+    ``bits=32`` (the oracle-gate size) returns (id, ``simhash``);
+    ``bits=64`` (the corpus-scale size — see simhash_pairs) returns
+    (id, ``sim_lo``, ``sim_hi``) as two 32-bit halves. The split is
+    deliberate: both halves stay in [0, 2^32), so no expression on either
+    engine ever touches the sign bit of a 64-bit integer (Spark ANSI mode
+    and DuckDB both make top-bit arithmetic a hazard — 1<<63 is not a
+    representable BIGINT literal), and the md5 supplies 16 independent hex
+    chars per word, 8 per half.
 
     The whole fingerprint is ONE ``aggregate`` fold over the doc's distinct
     word array — ZERO shuffles (vs the old explode → distinct →
@@ -369,45 +378,76 @@ def simhash_fingerprints(
     (the fold's input expression; per-bit column formulations either hit
     the 32-wide whole-stage-codegen Janino recompile cliff ~3 s/plan, or
     get CollapseProject-merged so the md5 re-runs per bit). The
-    accumulator carries (word count, 32 per-bit tallies); the finisher
+    accumulator carries (word count, per-bit tallies); the finisher
     folds ``2*tally >= n`` into the packed fingerprint. Docs with no words
     are dropped (same rows the old explode path produced).
     """
+    if bits not in (32, 64):
+        raise ValueError("bits must be 32 or 64")
     docs = _spread(docs)
     staged = docs.select(
         F.col(id_col),
         F.array_distinct(words(normalized_text(F.col(text_col)))).alias("__ws"),
     ).where(F.size("__ws") > 0)
 
-    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
     zero = F.lit(0).cast("long")
 
-    def _acc(nw, c):
-        return F.struct(nw.alias("nw"), c.alias("c"))
+    def _tally(c, x):
+        return F.zip_with(
+            c,
+            pow2,
+            lambda ci, p: ci
+            + F.when(x.bitwiseAND(p) != 0, F.lit(1).cast("long")).otherwise(zero),
+        )
 
-    folded = F.aggregate(
-        F.transform(F.col("__ws"), lambda w: _hex_long(w, 8)),
-        _acc(zero, F.array_repeat(zero, SIMHASH_BITS)),
-        lambda a, x: _acc(
-            a["nw"] + 1,
+    def _pack(c, nw):
+        return F.aggregate(
             F.zip_with(
-                a["c"],
-                pow2,
-                lambda ci, p: ci
-                + F.when(x.bitwiseAND(p) != 0, F.lit(1).cast("long")).otherwise(zero),
-            ),
-        ),
-        lambda a: F.aggregate(
-            F.zip_with(
-                a["c"],
-                pow2,
-                lambda ci, p: F.when(ci * 2 >= a["nw"], p).otherwise(zero),
+                c, pow2, lambda ci, p: F.when(ci * 2 >= nw, p).otherwise(zero)
             ),
             zero,
             lambda s, v: s + v,
-        ),
+        )
+
+    if bits == 32:
+
+        def _acc(nw, c):
+            return F.struct(nw.alias("nw"), c.alias("c"))
+
+        folded = F.aggregate(
+            F.transform(F.col("__ws"), lambda w: _hex_long(w, 8)),
+            _acc(zero, F.array_repeat(zero, 32)),
+            lambda a, x: _acc(a["nw"] + 1, _tally(a["c"], x)),
+            lambda a: _pack(a["c"], a["nw"]),
+        )
+        return staged.select(F.col(id_col), folded.alias("simhash"))
+
+    # Two independent 32-wide folds — one per half, hex chars 1-8 and 9-16
+    # of the same md5. A single fold returning a (sim_lo, sim_hi) struct
+    # would be re-evaluated once PER extracted field by CollapseProject
+    # (the exact hazard the docstring describes), doubling the expensive
+    # 32-tally work; two folds cost one extra md5 pass per word instead and
+    # emit clean top-level columns.
+    def _half_fold(offset: int):
+        def _acc(nw, c):
+            return F.struct(nw.alias("nw"), c.alias("c"))
+
+        word_hash = lambda w: F.conv(  # noqa: E731
+            F.substring(F.md5(w), offset, 8), 16, 10
+        ).cast("long")
+        return F.aggregate(
+            F.transform(F.col("__ws"), word_hash),
+            _acc(zero, F.array_repeat(zero, 32)),
+            lambda a, x: _acc(a["nw"] + 1, _tally(a["c"], x)),
+            lambda a: _pack(a["c"], a["nw"]),
+        )
+
+    return staged.select(
+        F.col(id_col),
+        _half_fold(1).alias("sim_lo"),
+        _half_fold(9).alias("sim_hi"),
     )
-    return staged.select(F.col(id_col), folded.alias("simhash"))
 
 
 def simhash_pairs(
@@ -415,40 +455,77 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bits: int = 32,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming, found by
-    block-LSH: split into 4 byte blocks; any pair within hamming 3 shares at
-    least one identical block (pigeonhole), so candidates come from a block-
-    bucket join, then exact hamming verifies.
+    block-LSH: split the fingerprint into 4 equal blocks; any pair within
+    hamming 3 shares at least one identical block (pigeonhole: 4 blocks,
+    at most 3 differing bits ⇒ at most 3 touched blocks), so candidates
+    come from a block-bucket join, then exact hamming verifies. The
+    pigeonhole needs EVERY block consulted, so unlike the MinHash band keys
+    this join cannot be bucket-capped.
 
     The fingerprint table is persisted: both sides of the block-bucket
-    self-join read it, and recomputing it means re-running the word explode
-    + 32 bit-sum aggregation twice.
+    self-join read it, and recomputing it means re-running the word fold
+    twice.
 
-    Scale note: 4 blocks of 8 bits give only 256 bucket values per block,
-    so bucket density grows with n/256 — unlike the MinHash band keys this
-    CANNOT be bucket-capped (pigeonhole correctness needs every block
-    consulted). The 100 TB shape is a wider fingerprint with more blocks
-    (64-bit / 8 blocks keeps the same hamming<=3 guarantee via 4-block
-    combinations) so bucket density stays sub-linear; the 32-bit/4-block
-    configuration here matches the oracle-checkable gate size."""
-    sim = simhash_fingerprints(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    Scale knob — ``bits``:
+
+    - ``bits=32`` (4 blocks × 8 bits): only 256 bucket values per block, so
+      bucket density grows with n/256 — fine at the oracle-gate size, dense
+      at corpus scale.
+    - ``bits=64`` (4 blocks × 16 bits): 65 536 bucket values per block —
+      the corpus-scale configuration. Same pigeonhole guarantee (4 blocks,
+      hamming<=3); each block is the concatenation of two adjacent 8-bit
+      sub-blocks of the 64-bit fingerprint, i.e. the "4-block combinations
+      over 8 sub-blocks" LSH. Expected bucket load drops 256×; hamming is
+      the sum of the two halves' bit_counts (no 64-bit sign hazards on
+      either engine — see simhash_fingerprints).
+    """
+    if bits == 32:
+        sim = simhash_fingerprints(docs, id_col, text_col, bits=32).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sim_cols = ["simhash"]
+        block_exprs = [
+            F.shiftright(F.col("simhash"), blk * 8).bitwiseAND(F.lit(255))
+            for blk in range(SIMHASH_BLOCKS)
+        ]
+        hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        pair_cols = [
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        ]
+    elif bits == 64:
+        sim = simhash_fingerprints(docs, id_col, text_col, bits=64).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sim_cols = ["sim_lo", "sim_hi"]
+        block_exprs = [
+            F.shiftright(F.col(half), blk * 16).bitwiseAND(F.lit(65535))
+            for half in ("sim_lo", "sim_hi")
+            for blk in range(2)
+        ]
+        hamming = F.bit_count(
+            F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+        ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        pair_cols = [
+            F.col("a.sim_lo").alias("lo_a"),
+            F.col("a.sim_hi").alias("hi_a"),
+            F.col("b.sim_lo").alias("lo_b"),
+            F.col("b.sim_hi").alias("hi_b"),
+        ]
+    else:
+        raise ValueError("bits must be 32 or 64")
+
     blocks = sim.select(
         F.col(id_col),
-        "simhash",
+        *sim_cols,
         F.explode(
             F.array(
                 *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(blk)),
-                        F.shiftright(F.col("simhash"), blk * 8)
-                        .bitwiseAND(F.lit(255))
-                        .cast("string"),
-                    )
-                    for blk in range(SIMHASH_BLOCKS)
+                    F.concat_ws(":", F.lit(str(i)), e.cast("string"))
+                    for i, e in enumerate(block_exprs)
                 ]
             )
         ).alias("block_key"),
@@ -463,15 +540,12 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            *pair_cols,
         )
         .distinct()
     )
     return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-        )
+        cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")

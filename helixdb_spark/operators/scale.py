@@ -81,7 +81,14 @@ def salted_agg(
     single task (the classic hot-user/hot-null problem).
     """
     keys = list(keys)
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).alias("_salt")
+    # Deterministic salt — hash of EVERY input column, taken before the
+    # projection: monotonically_increasing_id() would re-deal salts when a
+    # failed task replays, making plans nondeterministic under fault
+    # recovery and defeating AQE statistics reuse. Hashing the full row
+    # spreads a hot group across salts as long as its rows differ anywhere
+    # (only byte-identical duplicate rows share a salt); the salt is purely
+    # a routing key — both phases re-merge on the true keys either way.
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(num_salts)).alias("_salt")
     partial = (
         df.select(*keys, salt, *[F.col(c) for c in aggs])
         .groupBy(*keys, "_salt")
@@ -118,8 +125,12 @@ def salted_join(
     choose num_salts ~ (hot-key rows / target partition rows).
     """
     on = list(on)
+    # deterministic salt (see salted_agg): hash every left column so equal
+    # join-key rows still spread across salts, but a task retry re-derives
+    # the identical routing
     salted_left = left.withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(*left.columns), F.lit(num_salts)).cast("int"),
     )
     replicated_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))

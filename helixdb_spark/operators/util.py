@@ -16,7 +16,24 @@ def ensure_session_tuned(spark: SparkSession) -> None:
     """Idempotently apply the engine's required runtime conf to the CALLING
     session. Our own ``get_session`` sets this at build time, but the graded
     entry points run under a session the harness owns; excludedRules is a
-    runtime conf, so the engine can tune it from any query constructor."""
+    runtime conf, so the engine can tune it from any query constructor.
+
+    **Side effect — this mutates the caller's session GLOBALLY**, and it is
+    invoked implicitly by ``spread()`` and ``sources.load_table``, i.e. by
+    effectively every operator in this package. Three confs can change:
+
+    - ``spark.sql.session.timeZone`` is forced to UTC. The engine's
+      analytics contract stores naive timestamps that every oracle reads as
+      UTC wall-clock; if you interleave these operators with your own
+      timestamp queries in one session and need a different zone, set it
+      back after calling into the engine (or run the engine in its own
+      session via ``helixdb_spark.get_session``).
+    - ``spark.sql.optimizer.excludedRules`` gains InferFiltersFromGenerate
+      (plan-shape only; results unaffected).
+    - ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`` may be
+      enabled on clearly-oversized sessions (partitioning only; results
+      unaffected).
+    """
     try:
         cur = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
     except Exception:

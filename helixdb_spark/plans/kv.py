@@ -408,3 +408,73 @@ ORDER BY user_id, ts
 
 QUERIES["kv_comparator_scan"] = kv_comparator_scan
 ORACLES["kv_comparator_scan"] = KV_COMPARATOR_SQL
+
+
+def kv_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """put -> compact -> LATE put into the compacted bucket -> re-compact ->
+    scan, under the full oracle gate: the engine's bucket-idempotent MERGE
+    re-compaction (late hot rows + previously compacted cold rows of the
+    bucket fold together, hot seq beating cold's seq=-1) and the
+    write-new-then-flip generation commit, end to end. This is the exact
+    late-data scenario the reference silently loses (its compaction leaves
+    late puts unreachable behind the advanced LEVEL_INFO watermark —
+    SURVEY.md §2.10, src/types/level_info.rs:98-111); here the scan must
+    equal a plain SQL last-write-wins select, proving we beat that caveat.
+
+    The late batch overwrites every 7th event of the compacted range with
+    an amended value; LWW makes the amended value win on both engines.
+    """
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.col("props"), "utf-8").alias("value"),
+    )
+    base = tempfile.mkdtemp(prefix="helix_kvlate_")
+    db = HelixSpark.open(
+        spark,
+        base,
+        HelixOptions(rick_range=86400, outdate_range=1 << 40, auto_maintain=False),
+    )
+    db.put(entries)
+    db.compact(SCAN_TS_LO, COMPACT_TS_HI)
+    late = ev.where(
+        (F.unix_timestamp("ts") <= COMPACT_TS_HI)
+        & (F.col("event_id") % 7 == 0)
+    ).select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.concat(F.col("props"), F.lit("+late")), "utf-8").alias("value"),
+    )
+    db.put(late)
+    db.compact(SCAN_TS_LO, COMPACT_TS_HI)  # bucket MERGE, not replace
+    scanned = db.scan(
+        (SCAN_TS_LO, SCAN_TS_HI),
+        (KEY_LO.encode(), KEY_HI.encode()),
+    )
+    return scanned.select(
+        "ts",
+        F.decode("key", "utf-8").alias("key"),
+        F.decode("value", "utf-8").alias("value"),
+    )
+
+
+KV_LATE_DATA_SQL = f"""
+SELECT ts, key, value FROM (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+         event_id::VARCHAR AS key,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) <= {COMPACT_TS_HI}
+                   AND event_id % 7 = 0
+              THEN props || '+late' ELSE props END AS value
+  FROM events
+)
+WHERE ts >= {SCAN_TS_LO} AND ts <= {SCAN_TS_HI}
+  AND key >= '{KEY_LO}' AND key <= '{KEY_HI}'
+ORDER BY key, ts
+"""
+
+
+QUERIES["kv_late_data"] = kv_late_data
+ORACLES["kv_late_data"] = KV_LATE_DATA_SQL

@@ -252,6 +252,75 @@ ORDER BY hamming
 """
 
 
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale SimHash configuration under the same oracle gate:
+    64-bit fingerprints as two sign-safe 32-bit halves, 4 LSH blocks of 16
+    bits (65 536 bucket values per block vs the 32-bit path's 256 — the
+    density fix for 100× corpora; same hamming<=3 pigeonhole). Output is
+    the per-distance pair histogram, like dedup_simhash, so BOTH gate sizes
+    stay graded."""
+    pairs = dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=MAX_HAMMING, bits=64
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"), F.min("id_a").alias("min_id_a"))
+        .orderBy("hamming")
+    )
+
+
+def _simhash64_sql() -> str:
+    # halves: hex chars 1-8 -> bits 0..31 (lo), chars 9-16 -> bits 32..63 (hi)
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (wh_{h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{h}{b}"
+        for h in ("lo", "hi")
+        for b in range(32)
+    )
+    half_exprs = {
+        h: " + ".join(
+            f"(CASE WHEN s_{h}{b} >= 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+            for b in range(32)
+        )
+        for h in ("lo", "hi")
+    }
+    # block index order must match the Spark side exactly:
+    # 0: lo>>0, 1: lo>>16, 2: hi>>0, 3: hi>>16 (each & 65535)
+    block_keys = ", ".join(
+        f"concat_ws(':', '{i}', ((sim_{h} >> {blk * 16}) & 65535)::VARCHAR)"
+        for i, (h, blk) in enumerate([("lo", 0), ("lo", 1), ("hi", 0), ("hi", 1)])
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+w AS (SELECT DISTINCT doc_id, unnest(ws) AS word FROM norm),
+wh AS (SELECT doc_id,
+       ('0x' || substr(md5(word), 1, 8))::BIGINT AS wh_lo,
+       ('0x' || substr(md5(word), 9, 8))::BIGINT AS wh_hi
+       FROM w),
+bits AS (SELECT doc_id, {bit_sums} FROM wh GROUP BY doc_id),
+sim AS (SELECT doc_id, ({half_exprs["lo"]}) AS sim_lo,
+               ({half_exprs["hi"]}) AS sim_hi FROM bits),
+blocks AS (SELECT doc_id, sim_lo, sim_hi,
+                  unnest([{block_keys}]) AS block_key FROM sim),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sim_lo AS lo_a, a.sim_hi AS hi_a,
+         b.sim_lo AS lo_b, b.sim_hi AS hi_b
+  FROM blocks a JOIN blocks b
+    ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b,
+         bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS hamming
+  FROM cand
+  WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= {MAX_HAMMING}
+)
+SELECT hamming, count(*) AS n_pairs, min(id_a) AS min_id_a
+FROM pairs
+GROUP BY hamming
+ORDER BY hamming
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=COSINE_THRESHOLD
@@ -276,6 +345,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash64": dedup_simhash64,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters": dedup_clusters,
 }
@@ -286,6 +356,7 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
+    "dedup_simhash64": _simhash64_sql(),
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
     "dedup_clusters": _clusters_sql(),
 }

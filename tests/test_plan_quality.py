@@ -188,6 +188,20 @@ def test_simhash_fingerprints_single_exchange(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1
 
 
+def test_simhash64_fingerprints_single_exchange(spark, sf_dir):
+    """The 64-bit (corpus-scale) configuration keeps the same plan shape:
+    two document-local half-folds in one projection, no extra Exchange —
+    widening the fingerprint must not add a shuffle."""
+    from helixdb_spark.operators.dedup import simhash_fingerprints
+
+    import re
+
+    df = simhash_fingerprints(load_table(spark, sf_dir, "documents"), bits=64)
+    assert set(df.columns) == {"doc_id", "sim_lo", "sim_hi"}
+    plan = plan_of(df)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1
+
+
 def test_repetition_metrics_shuffle_only_for_output_order(spark, sf_dir):
     """Gopher repetition signals are document-local: spread + the final
     orderBy range exchange are the only shuffles (no per-gram groupBy)."""
