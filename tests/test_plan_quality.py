@@ -57,6 +57,25 @@ def test_get_plan_prunes_and_pushes_key(kv_db):
     assert "key" in pushed  # key equality reaches the parquet scan
 
 
+def test_cold_read_prunes_generations(spark, tmp_path):
+    """The manifest predicate on the cold store is a PARTITION filter on
+    (gen, time_bucket): superseded and uncommitted generation dirs are
+    pruned at planning time, never opened. This is what makes the
+    write-new-then-flip commit free on the read path."""
+    base = str(tmp_path / "gen_db")
+    db = HelixSpark.open(
+        spark, base, HelixOptions(rick_range=10, outdate_range=1 << 40, auto_maintain=False)
+    )
+    db.put([(t, b"k", str(t).encode()) for t in range(10)])
+    db.compact(0, 9)                      # gen=0
+    db.put([(5, b"k", b"late")])
+    db.compact(0, 9)                      # gen=1 supersedes gen=0
+    plan = plan_of(db._cold_df())
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters", 1)[1][:400]
+    assert "gen" in part and "time_bucket" in part
+
+
 def test_q1_pushdown_and_column_pruning(spark, sf_dir):
     from helixdb_spark.plans import tpch
 

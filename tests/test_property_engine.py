@@ -83,3 +83,63 @@ def test_put_compact_scan_roundtrip_property(spark, entries, compact_split):
     assert db.get(ts0, key0) == val0
     assert db.get(ts0, b"\x00missing\xff") is None
     db.close()
+
+
+# ------------------------------------------- mutation-sequence property
+_op_st = st.one_of(
+    st.tuples(st.just("put"), entries_st),
+    st.tuples(
+        st.just("compact"),
+        st.tuples(
+            st.integers(min_value=0, max_value=499),
+            st.integers(min_value=0, max_value=499),
+        ),
+    ),
+    st.tuples(st.just("outdate"), st.integers(min_value=0, max_value=400)),
+)
+
+
+@given(ops=st.lists(_op_st, min_size=2, max_size=6))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mutation_sequence_matches_model(spark, ops):
+    """Any interleaving of put / compact / outdate agrees with a trivial
+    last-write-wins + retention model. Exercises the generation-manifest
+    commit across MULTIPLE compactions (gen chains, bucket re-merges) and
+    the cutoff/manifest interplay — the state space the example tests
+    can't enumerate."""
+    base = tempfile.mkdtemp(prefix="helix_prop_seq_")
+    db = HelixSpark.open(
+        spark,
+        base,
+        HelixOptions(rick_range=100, outdate_range=1 << 40, auto_maintain=False),
+    )
+    model: dict[tuple[int, bytes], bytes] = {}
+    cutoff = None
+    for kind, arg in ops:
+        if kind == "put":
+            rows = [(ts, key, val) for (ts, key), val in arg.items()]
+            db.put(rows)
+            for ts, key, val in rows:
+                model[(ts, key)] = val  # overwrite: highest seq wins
+        elif kind == "compact":
+            lo, hi = min(arg), max(arg)
+            db.compact(lo, hi)
+        else:
+            db.outdate(arg)
+            cutoff = arg if cutoff is None else max(cutoff, arg)
+
+    expected = {
+        (ts, key, val)
+        for (ts, key), val in model.items()
+        if cutoff is None or ts > cutoff
+    }
+    got = {
+        (r["ts"], bytes(r["key"]), bytes(r["value"]))
+        for r in db.scan((0, 499)).collect()
+    }
+    assert got == expected
+    db.close()
