@@ -539,7 +539,13 @@ def simhash_pairs(
             )
         ).alias("block_key"),
     )
-    cand = (
+    # The hamming test is row-local (the fingerprints ride along with the
+    # candidate), so it runs BEFORE the distinct: on a self-similar corpus
+    # the block join emits millions of candidate rows of which a handful
+    # survive, and deduplicating survivors shuffles kilobytes where
+    # deduplicating candidates shuffles the whole blow-up. Same output —
+    # filter-then-distinct ≡ distinct-then-filter on identical columns.
+    return (
         blocks.alias("a")
         .join(
             blocks.alias("b"),
@@ -551,12 +557,10 @@ def simhash_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             *pair_cols,
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", hamming)
+        .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
         .orderBy("id_a", "id_b")
     )
 
