@@ -161,3 +161,119 @@ def sample_frames(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
             )
 
     return media.select("doc_id", "payload", "n_frames").mapInPandas(op, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------- perceptual-hash dedup
+PHASH_BITS = 64
+PHASH_BLOCKS = 4  # 16 bits per block; pigeonhole: hamming<=3 pairs always
+#                   share a block, the classic pHash banding guarantee
+PHASH_SCHEMA = "doc_id bigint, phash_hex string"
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """aHash (average-hash) fingerprint of each payload — the standard
+    perceptual-dedup primitive for images (pHash/aHash families): resample
+    the decoded payload to 64 evenly-spaced samples, threshold each sample
+    against the sample mean, pack the 64 bits into 16 hex nibbles. With an
+    imaging lib the resample is a luma 8×8 downscale of
+    ``decode_image(payload)``; the deterministic byte resample keeps the
+    identical plumbing (Arrow-batched mapInPandas, bits → hex packing) and
+    stays oracle-checkable. The mean of 64 byte samples is an EXACT double
+    (sum ≤ 64·255, divisor a power of two), so the `>` threshold has no
+    float-boundary disagreement between engines.
+
+    Returns (doc_id, phash_hex); empty payloads get NULL (nothing to hash).
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hexes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                ids.append(doc_id)
+                if n == 0:
+                    hexes.append(None)
+                    continue
+                samples = [b[(i * n) // PHASH_BITS] for i in range(PHASH_BITS)]
+                mean = sum(samples) / PHASH_BITS
+                bits = [1 if s > mean else 0 for s in samples]
+                hexes.append(
+                    "".join(
+                        "0123456789abcdef"[
+                            bits[4 * j] * 8
+                            + bits[4 * j + 1] * 4
+                            + bits[4 * j + 2] * 2
+                            + bits[4 * j + 3]
+                        ]
+                        for j in range(PHASH_BITS // 4)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "phash_hex": hexes})
+
+    return media.select("doc_id", "payload").mapInPandas(op, PHASH_SCHEMA)
+
+
+def phash_candidate_degree(hashes: DataFrame) -> DataFrame:
+    """Block-LSH candidate profile over aHash fingerprints: split each
+    64-bit hash into 4 × 16-bit blocks; two payloads are dedup CANDIDATES
+    when any block matches exactly (pigeonhole: every pair within hamming
+    distance 3 shares at least one block). Returns per-doc candidate degree
+    — the fan-in a verification stage would pay — which is also the
+    bucket-density health metric to watch at corpus scale (grow the block
+    count when buckets go dense, exactly like the SimHash operator's
+    width parameter).
+
+    Scale shape: one explode to (block_idx, block_val), one self-join on
+    the block key (equi-shuffle, never all-pairs), distinct partners, one
+    count. No payload byte is touched after the fingerprint pass.
+    """
+    bits_per_block = PHASH_BITS // PHASH_BLOCKS
+    chars = bits_per_block // 4
+    blocks = hashes.where(F.col("phash_hex").isNotNull()).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.substring(
+                            "phash_hex", i * chars + 1, chars
+                        ).alias("block_val"),
+                    )
+                    for i in range(PHASH_BLOCKS)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "blk.block_idx", "blk.block_val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    partners = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    degree = (
+        partners.select(F.col("id_a").alias("doc_id"))
+        .union(partners.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_candidates"))
+    )
+    return (
+        hashes.join(degree, "doc_id", "left")
+        .select(
+            "doc_id",
+            "phash_hex",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+        )
+        .orderBy("doc_id")
+    )

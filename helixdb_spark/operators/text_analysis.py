@@ -666,3 +666,81 @@ FROM sc
 ORDER BY rank
 LIMIT {k}
 """
+
+
+# ------------------------------------------------------- unigram LM scoring
+def lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al. 2020): train
+    a unigram LM on the corpus itself, then score each document by its mean
+    token log-probability. Low scores flag gibberish / OCR noise / token
+    soup; in a production pipeline the LM comes from a trusted corpus
+    (Wikipedia) and this operator's shape is identical — swap the frequency
+    table's source. Laplace add-one smoothing over the observed vocabulary:
+    ``p(t) = (cnt(t) + 1) / (N + V)``.
+
+    Scale shape: one token explode, one ``groupBy(term)`` count (map-side
+    partial combine, so stopword skew collapses before the shuffle), a
+    corpus-totals scalar broadcast, then the tok->freq join on the term key
+    and one per-doc re-aggregation. The frequency table is vocab-sized
+    (Heaps' law: sublinear in corpus size) but NOT force-broadcast — at
+    100 TB a web-scale vocab exceeds broadcast limits, so the join shuffles
+    both sides on ``term`` and AQE handles the stopword skew; map-side
+    combine on (doc, term) first would not help because the per-doc
+    aggregate needs tf anyway (we fold tf in before joining, so each
+    (doc, term) pair crosses the wire once, not once per occurrence).
+
+    Returns (doc_id, n_tokens, avg_logp, lm_bits) for every document with
+    at least one token; ``lm_bits = -avg_logp / ln 2`` is the standard
+    bits-per-token form (lower = more predictable under the corpus LM).
+    """
+    staged = spread(docs).withColumn(
+        "__ws", words(normalized_text(F.col(text_col)))
+    )
+    tok = staged.select(F.col(id_col), F.explode("__ws").alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    freq = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    totals = freq.agg(
+        F.sum("cnt").alias("n_corpus"), F.count("*").alias("v_vocab")
+    )
+    logp = F.log(
+        (F.col("cnt") + 1.0) / (F.col("n_corpus") + F.col("v_vocab"))
+    )
+    return (
+        tf.join(freq, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.lit(1e-9) + F.sum(logp * F.col("tf")) / F.sum("tf"), 6
+            ).alias("avg_logp"),
+            F.round(
+                F.lit(1e-9)
+                - (F.sum(logp * F.col("tf")) / F.sum("tf")) / F.log(F.lit(2.0)),
+                6,
+            ).alias("lm_bits"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def lm_score_sql(norm_sql: str) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split({norm_sql}, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+tok2 AS (SELECT * FROM tok WHERE term != ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+freq AS (SELECT term, count(*) AS cnt FROM tok2 GROUP BY 1),
+totals AS (SELECT sum(cnt) AS n_corpus, count(*) AS v_vocab FROM freq)
+SELECT t.doc_id,
+       sum(t.tf)::BIGINT AS n_tokens,
+       round(1e-9 + sum(ln((f.cnt + 1.0) / (s.n_corpus + s.v_vocab)) * t.tf)
+                    / sum(t.tf), 6) AS avg_logp,
+       round(1e-9 - (sum(ln((f.cnt + 1.0) / (s.n_corpus + s.v_vocab)) * t.tf)
+                     / sum(t.tf)) / ln(2.0), 6) AS lm_bits
+FROM tf t JOIN freq f USING (term) CROSS JOIN totals s
+GROUP BY 1
+ORDER BY 1
+"""

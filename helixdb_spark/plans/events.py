@@ -994,3 +994,48 @@ ORACLES = {
     "ev_click_asof_tolerance": EV_ASOF_TOL_SQL,
     "ev_growth_accounting": EV_GROWTH_SQL,
 }
+
+
+# --------------------------------------------------- distribution profile
+PCTS = [0.5, 0.9, 0.99]
+
+
+def ev_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type latency/value distribution profile: p50/p90/p99
+    (linear interpolation — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the definition), n and stddev. Exact
+    percentiles aggregate a per-group value-counts map whose size is the
+    group's distinct-value count; at 100 TB profile with
+    ``approx_percentile`` (t-digest, bounded state) instead — same plan
+    shape, this graded query pins the exact path the oracle can check."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(*[F.lit(p) for p in PCTS]))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n_events"),
+            F.round(F.lit(1e-9) + pct[0], 6).alias("p50"),
+            F.round(F.lit(1e-9) + pct[1], 6).alias("p90"),
+            F.round(F.lit(1e-9) + pct[2], 6).alias("p99"),
+            F.round(F.lit(1e-9) + F.stddev_samp("value"), 6).alias(
+                "sd_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_PCT_SQL = """
+SELECT event_type,
+       count(value) AS n_events,
+       round(1e-9 + quantile_cont(value, 0.5), 6) AS p50,
+       round(1e-9 + quantile_cont(value, 0.9), 6) AS p90,
+       round(1e-9 + quantile_cont(value, 0.99), 6) AS p99,
+       round(1e-9 + stddev_samp(value), 6) AS sd_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES.update({"ev_percentiles": ev_percentiles})
+ORACLES.update({"ev_percentiles": EV_PCT_SQL})

@@ -130,3 +130,65 @@ ORACLES = {
     "stream_dedup": stream.STREAM_DEDUP_SQL,
     "stream_static_enrich": stream.STREAM_ENRICH_SQL,
 }
+
+
+def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) dedup profile over the media payloads:
+    64-bit average-hash fingerprint per payload (operators.multimodal
+    .perceptual_hash) + block-LSH candidate degree (4 x 16-bit blocks;
+    every pair within hamming 3 shares a block). The degree column is what
+    a verification stage would fan into — and the bucket-density health
+    signal at corpus scale."""
+    media = mm.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return mm.phash_candidate_degree(mm.perceptual_hash(media))
+
+
+_NIB = "'0123456789abcdef'"
+MM_PHASH_SQL = f"""
+WITH m AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 THEN NULL
+              ELSE list_transform(range(0, {mm.PHASH_BITS}),
+                                  i -> ascii(substr(text, (i*n//{mm.PHASH_BITS})+1, 1)))
+         END AS samples
+  FROM m
+),
+h AS (
+  SELECT doc_id,
+         CASE WHEN samples IS NULL THEN NULL
+              ELSE array_to_string(list_transform(range(0, {mm.PHASH_BITS // 4}), j ->
+                     substr({_NIB}, 1
+                       + (CASE WHEN samples[4*j+1] > list_sum(samples)/{mm.PHASH_BITS}.0 THEN 8 ELSE 0 END)
+                       + (CASE WHEN samples[4*j+2] > list_sum(samples)/{mm.PHASH_BITS}.0 THEN 4 ELSE 0 END)
+                       + (CASE WHEN samples[4*j+3] > list_sum(samples)/{mm.PHASH_BITS}.0 THEN 2 ELSE 0 END)
+                       + (CASE WHEN samples[4*j+4] > list_sum(samples)/{mm.PHASH_BITS}.0 THEN 1 ELSE 0 END), 1)), '')
+         END AS phash_hex
+  FROM s
+),
+blk AS (
+  SELECT doc_id, b AS block_idx, substr(phash_hex, b*4+1, 4) AS block_val
+  FROM h CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)
+  WHERE phash_hex IS NOT NULL
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blk a JOIN blk b
+    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+   AND a.doc_id < b.doc_id
+),
+deg AS (
+  SELECT doc_id, count(*) AS n_candidates
+  FROM (SELECT id_a AS doc_id FROM pairs
+        UNION ALL SELECT id_b AS doc_id FROM pairs)
+  GROUP BY 1
+)
+SELECT h.doc_id, h.phash_hex,
+       coalesce(deg.n_candidates, 0)::BIGINT AS n_candidates
+FROM h LEFT JOIN deg USING (doc_id)
+ORDER BY h.doc_id
+"""
+
+
+QUERIES["mm_dedup_phash"] = mm_dedup_phash
+ORACLES["mm_dedup_phash"] = MM_PHASH_SQL

@@ -1225,3 +1225,87 @@ QUERIES.update({"text_bm25_search": text_bm25_search})
 ORACLES.update(
     {"text_bm25_search": _ta.bm25_sql(_NORM, BM25_QUERY, BM25_TOP_K)}
 )
+
+
+# ------------------------------------------------------- unigram LM scoring
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-unigram-LM quality score per document
+    (operators.text_analysis.lm_score): mean token log-prob + bits/token
+    under an add-one-smoothed unigram model of the corpus itself."""
+    return _ta.lm_score(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"text_lm_score": text_lm_score})
+ORACLES.update({"text_lm_score": _ta.lm_score_sql(_NORM)})
+
+
+# ----------------------------------------------------- dedup survivorship
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: the step a real dedup pipeline runs AFTER pair-finding
+    and clustering — per near-dup cluster pick ONE canonical document (the
+    longest by n_chars; ties to the lowest doc_id) and emit the member ->
+    canonical mapping used to rewrite/drop the rest. Scale shape: reuses
+    the MinHash-LSH pair set and min-label clusters; canonical election is
+    a per-cluster window (cluster-sized partitions — tiny by construction)
+    and the n_chars lookup joins documents on its key. Only cluster members
+    appear (singletons have nothing to rewrite)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    comp = dedup.connected_components(pairs)
+    members = comp.select(F.col("node").alias("doc_id"), "cluster_id").join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    elected = members.withColumn("rk", F.row_number().over(w))
+    canon = elected.where(F.col("rk") == 1).select(
+        "cluster_id", F.col("doc_id").alias("canonical_id")
+    )
+    return (
+        elected.join(canon, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id"))
+            .cast("int")
+            .alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _canonical_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cte_body()},
+pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, root) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY 1),
+members AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+),
+elected AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+             ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM members
+),
+canon AS (SELECT cluster_id, doc_id AS canonical_id FROM elected WHERE rk = 1)
+SELECT e.doc_id, e.cluster_id, c.canonical_id,
+       (e.doc_id = c.canonical_id)::INT AS is_canonical
+FROM elected e JOIN canon c USING (cluster_id)
+ORDER BY e.doc_id
+"""
+
+
+QUERIES.update({"dedup_canonical": dedup_canonical})
+ORACLES.update({"dedup_canonical": _canonical_sql()})

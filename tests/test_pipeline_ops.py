@@ -269,3 +269,47 @@ def test_semantic_pairs_subset_of_bruteforce_same_cluster(spark, sf_dir):
         if cluster[r["id_a"]] == cluster[r["id_b"]]
     }
     assert got == brute
+
+
+def test_perceptual_hash_known_bits_and_empty(spark):
+    from helixdb_spark.operators import multimodal as mm
+    import pyspark.sql.functions as F
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"ab")), (2, bytearray(b"")), (3, bytearray(b"ab"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r["phash_hex"]
+        for r in mm.perceptual_hash(media).collect()
+    }
+    # payload "ab": samples = 32x97 then 32x98, mean 97.5 -> 0-bits then 1-bits
+    assert rows[1] == "00000000ffffffff"
+    assert rows[2] is None
+    deg = {
+        r["doc_id"]: r["n_candidates"]
+        for r in mm.phash_candidate_degree(mm.perceptual_hash(media)).collect()
+    }
+    # identical payloads 1 and 3 share every block; empty doc has no blocks
+    assert deg[1] == 1 and deg[3] == 1 and deg[2] == 0
+
+
+def test_lm_score_hand_computed(spark):
+    import math
+
+    from helixdb_spark.operators import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "   ")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in ta.lm_score(docs).collect()}
+    # corpus: a:2 b:2 c:1, N=5, V=3; add-one: p(a)=p(b)=3/8, p(c)=2/8
+    assert set(rows) == {1, 2}  # the all-whitespace doc has no tokens
+    assert rows[1]["n_tokens"] == 3
+    assert abs(rows[1]["avg_logp"] - round(1e-9 + math.log(0.375), 6)) < 1e-9
+    expect2 = (math.log(0.375) + math.log(0.25)) / 2
+    assert abs(rows[2]["avg_logp"] - round(1e-9 + expect2, 6)) < 1e-9
+    assert abs(
+        rows[2]["lm_bits"] - round(1e-9 - expect2 / math.log(2.0), 6)
+    ) < 1e-9
