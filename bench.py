@@ -48,6 +48,9 @@ HEADLINE = [
     "text_top_tokens",
     "text_tfidf",
     "text_bm25_search",
+    "text_lm_score",
+    "ev_percentiles",
+    "mm_dedup_phash",
     "curate_boilerplate",
     "pack_contexts",
     "sample_hash_pct",
