@@ -254,6 +254,7 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "ev_value_histogram",  # 1-row min/max span broadcast
         "sample_temperature_mix",  # 1-row corpus-total broadcast
         "text_bm25_search",  # 1-row N/avgdl corpus-stats broadcast
+        "text_lm_score",  # 1-row corpus-total/vocab-size broadcast
     }
     # streaming queries execute on construction; dedup_clusters and
     # emb_kmeans run their iterative jobs on construction — covered by
@@ -261,7 +262,9 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
     # assignment design, not an accident)
     # dedup_semantic runs the same Lloyd jobs on construction; its pair
     # stage is asserted equi-join (not BNLJ) in test_pipeline_ops
-    SKIP = {"dedup_clusters", "emb_kmeans", "dedup_semantic"}
+    # dedup_canonical reuses dedup_clusters' iterative closure on
+    # construction; its election window and joins are equi by construction
+    SKIP = {"dedup_clusters", "dedup_canonical", "emb_kmeans", "dedup_semantic"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in sorted(qs.items()):
@@ -274,3 +277,30 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_phash_candidate_join_is_equi_shuffle(spark, sf_dir):
+    """The pHash block-LSH candidate stage must be an equi-join on the
+    block key (shuffle or broadcast HASH join) — never a nested loop over
+    fingerprints — and the fingerprint pass is the only Python node."""
+    from helixdb_spark.operators import multimodal as mm
+
+    spark.catalog.clearCache()
+    media = mm.synthesize_media(load_table(spark, sf_dir, "documents"))
+    plan = plan_of(mm.phash_candidate_degree(mm.perceptual_hash(media)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 1
+
+
+def test_ev_percentiles_partial_aggregates(spark, sf_dir):
+    """Exact percentile is an ImperativeAggregate with map-side partials:
+    one hash exchange on event_type plus the presentation sort — no window
+    and no extra shuffle."""
+    from helixdb_spark.plans import events
+
+    import re
+
+    plan = plan_of(events.ev_percentiles(spark, sf_dir))
+    assert "Window" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
