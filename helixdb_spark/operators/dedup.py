@@ -139,16 +139,16 @@ def doc_shingles(
 MAX_SHINGLE_DF = 64
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_counts(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.4,
-    max_df: int = MAX_SHINGLE_DF,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int,
 ) -> DataFrame:
-    """All near-duplicate pairs with word-n-gram Jaccard >= threshold,
-    over the df-capped shingle space (see MAX_SHINGLE_DF).
+    """Shared inverted-index pair-counting core for the set-overlap dedup
+    scorers (Jaccard, containment): returns (id_a, id_b, n_common, n_a,
+    n_b) for every co-occurring pair over the df-capped shingle space.
 
     Everything is counts — no pair ever ships a shingle array:
     one shuffle on the shingle key builds the posting lists (lists above
@@ -189,15 +189,28 @@ def ngram_jaccard_pairs(
         .groupBy("p.id_a", "p.id_b")
         .agg(F.count("*").alias("n_common"))
     )
+    return pair_counts.join(
+        sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"),
+        "id_a",
+    ).join(
+        sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"),
+        "id_b",
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """All near-duplicate pairs with word-n-gram Jaccard >= threshold,
+    over the df-capped shingle space (see MAX_SHINGLE_DF and the scale
+    notes on _shingle_pair_counts)."""
     return (
-        pair_counts.join(
-            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"),
-            "id_b",
-        )
+        _shingle_pair_counts(docs, id_col, text_col, n, max_df)
         .withColumn(
             "jaccard",
             F.round(
@@ -209,6 +222,41 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Asymmetric-overlap dedup (Broder's *containment*): pairs where the
+    SMALLER document's shingle set is >= threshold contained in the other —
+    ``c = |A ∩ B| / min(|A|, |B|)``. Catches what Jaccard structurally
+    misses: a short document quoted or pasted inside a much longer one has
+    tiny Jaccard (the union is dominated by the long doc) but containment
+    ~1. This is the screen training pipelines run for quote/subset
+    duplication and doc-in-doc template wrapping.
+
+    Same single-shuffle inverted-index core as Jaccard
+    (_shingle_pair_counts); only the scoring expression differs, so the
+    100 TB posture is identical.
+    """
+    return (
+        _shingle_pair_counts(docs, id_col, text_col, n, max_df)
+        .withColumn(
+            "containment",
+            F.round(
+                F.lit(1e-9) + F.col("n_common") / F.least("n_a", "n_b"),
+                6,
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
         .orderBy("id_a", "id_b")
     )
 

@@ -1039,3 +1039,80 @@ ORDER BY 1
 
 QUERIES.update({"ev_percentiles": ev_percentiles})
 ORACLES.update({"ev_percentiles": EV_PCT_SQL})
+
+
+# ------------------------------------------------------ EWMA smoothing
+EWMA_DECAY = 0.8  # w; alpha = 1 - w
+EWMA_WINDOW = 20  # finite horizon: weights below w^20 ~ 0.012 truncated
+
+
+def ev_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of ``value`` per user over
+    the 'view' stream — the irregular-series smoother TSDBs expose as
+    ``ewma()``/``smoothing``. Truncated to a finite {EWMA_WINDOW}-row
+    horizon so the recursion becomes a windowed weighted mean:
+    ``s_t = sum(w^k x_(t-k)) / sum(w^k)``, denominator in closed form
+    ``(1 - w^m)/(1 - w)``. Window partitions are per-user (scale-safe);
+    the frame list rides the one per-user sort — no second shuffle, no
+    driver recursion, no unbounded ``pow`` overflow (the textbook
+    prefix-product rewrite needs w^-n, which overflows past ~700 rows)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "view"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        -(EWMA_WINDOW - 1), 0
+    )
+    lst = F.collect_list("value").over(w)
+    m = F.size(lst)
+    decay = F.lit(EWMA_DECAY)
+    num = F.aggregate(
+        F.transform(lst, lambda x, i: x * F.pow(decay, (m - 1 - i).cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = (F.lit(1.0) - F.pow(decay, m.cast("double"))) / (
+        F.lit(1.0) - decay
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.round(F.lit(1e-9) + num / denom, 6).alias("ewma"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.lit(1e-9) + F.col("value"), 6).alias("value"),
+            "ewma",
+        )
+        .orderBy("event_id")
+    )
+
+
+EV_EWMA_SQL = f"""
+WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+fr AS (
+  SELECT event_id, user_id, ts, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING
+                           AND CURRENT ROW) AS lst
+  FROM v
+)
+SELECT event_id, user_id, ts,
+       round(1e-9 + value, 6) AS value,
+       round(1e-9 +
+         list_sum(list_transform(lst,
+            (x, i) -> x * pow({EWMA_DECAY}, len(lst) - i)))
+         / ((1.0 - pow({EWMA_DECAY}, len(lst))) / (1.0 - {EWMA_DECAY})), 6)
+         AS ewma
+FROM fr
+ORDER BY event_id
+"""
+
+QUERIES.update({"ev_ewma_smooth": ev_ewma_smooth})
+ORACLES.update({"ev_ewma_smooth": EV_EWMA_SQL})

@@ -97,6 +97,44 @@ ORDER BY id_a, id_b
 """
 
 
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (operators.dedup
+    .ngram_containment_pairs): catches short-doc-quoted-in-long-doc
+    duplication that Jaccard structurally misses."""
+    return dedup.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=CONTAINMENT_THRESHOLD,
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+rare AS (SELECT shingle FROM ex GROUP BY 1
+         HAVING count(*) <= {dedup.MAX_SHINGLE_DF}),
+rex AS (SELECT doc_id, shingle FROM ex SEMI JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM rex GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM rex a JOIN rex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(1e-9 + n_common::DOUBLE / least(sa.n_sh, sb.n_sh), 6) AS containment
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, containment FROM scored
+WHERE containment >= {CONTAINMENT_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
@@ -343,6 +381,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_stats": dedup_stats,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash64": dedup_simhash64,
@@ -354,6 +393,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_stats": DEDUP_STATS_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash64": _simhash64_sql(),
