@@ -355,3 +355,76 @@ def kmeans_fit_assign(
         )
         .orderBy("cluster_id")
     )
+
+
+# ------------------------------------------------------------- covariance
+def embedding_covariance(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sample covariance matrix of the embedding column — the PCA /
+    whitening / Mahalanobis building block. Returns the upper triangle as
+    (i, j, cov) rows, ``cov = (Σ x_i x_j − n·μ_i·μ_j) / (n−1)``.
+
+    Scale shape: each vector emits its d(d+1)/2 upper-triangle products
+    JVM-side (index-aware ``transform`` over a ``slice``, so only the
+    triangle is ever materialized), and the groupBy's MAP-SIDE partial
+    aggregation collapses every partition to ≤ d(d+1)/2 rows before the
+    one shuffle — the classic two-level matrix-sum. Means ride a separate
+    dimension-parallel posexplode aggregate (d rows), n is a 1-row
+    broadcast. Nothing touches the driver. For d in the thousands swap the
+    product emission for a numpy ``mapInPandas`` partial (same two-level
+    shape, BLAS inner loop); at d=64 the codegen'd expression path wins.
+
+    Elements are cast to double BEFORE any arithmetic so both engines
+    accumulate in the same precision.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = spread(embeddings).select(F.col(id_col), v.alias("v"))
+    tri = F.flatten(
+        F.transform(
+            F.col("v"),
+            lambda xi, i: F.transform(
+                F.slice(F.col("v"), i + F.lit(1), F.size("v")),
+                lambda xj, k: F.struct(
+                    i.alias("i"), (i + k).alias("j"), (xi * xj).alias("p")
+                ),
+            ),
+        )
+    )
+    sums = (
+        staged.select(F.explode(tri).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum("t.p").alias("sxy"))
+    )
+    mu = (
+        staged.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("mu"))
+    )
+    n = staged.agg(F.count("*").alias("n"))
+    return (
+        sums.join(F.broadcast(mu.withColumnRenamed("pos", "i")), "i")
+        .withColumnRenamed("mu", "mu_i")
+        .join(
+            F.broadcast(
+                mu.withColumnRenamed("pos", "j").withColumnRenamed(
+                    "mu", "mu_j"
+                )
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.lit(1e-9)
+                + (F.col("sxy") - F.col("n") * F.col("mu_i") * F.col("mu_j"))
+                / (F.col("n") - 1),
+                6,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )

@@ -1116,3 +1116,62 @@ ORDER BY event_id
 
 QUERIES.update({"ev_ewma_smooth": ev_ewma_smooth})
 ORACLES.update({"ev_ewma_smooth": EV_EWMA_SQL})
+
+
+# ------------------------------------------- continuous-aggregate refresh
+REFRESH_LAG = "3 days"  # late-arrival horizon: buckets older than this are
+#                         assumed sealed; newer ones are the refresh set
+
+
+def ev_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invalidation-driven incremental refresh of the hourly rollup — the
+    TimescaleDB continuous-aggregate / materialized-view maintenance
+    pattern. The sealed prefix (ts < max(ts) − {REFRESH_LAG}) supplies the
+    previously-materialized rollup; hours TOUCHED by the late window are
+    recomputed from raw events and spliced in (anti-join drops their stale
+    sealed rows). Recompute-touched beats partial-merge here because
+    ``n_users`` is a COUNT DISTINCT — not mergeable across batches without
+    sketch state — and the refresh cost stays proportional to the touched
+    partitions, not the table.
+
+    The result must equal the from-scratch rollup (the oracle IS
+    ev_hourly_rollup's full recompute) — that equivalence is the
+    correctness contract of any incremental view maintenance.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def rollup(df):
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.round(F.lit(1e-9) + F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {REFRESH_LAG}")).alias("cutoff")
+    )
+    staged = ev.crossJoin(F.broadcast(cutoff))
+    sealed = rollup(staged.where(F.col("ts") < F.col("cutoff")))
+    touched = (
+        staged.where(F.col("ts") >= F.col("cutoff"))
+        .select(F.date_trunc("hour", "ts").alias("hour"))
+        .distinct()
+    )
+    refreshed = rollup(
+        staged.join(
+            F.broadcast(touched),
+            F.date_trunc("hour", "ts") == touched["hour"],
+            "left_semi",
+        )
+    )
+    return (
+        sealed.join(F.broadcast(touched), "hour", "left_anti")
+        .unionByName(refreshed)
+        .orderBy("hour", "event_type")
+    )
+
+
+QUERIES.update({"ev_rollup_incremental": ev_rollup_incremental})
+ORACLES.update({"ev_rollup_incremental": EV_HOURLY_SQL})

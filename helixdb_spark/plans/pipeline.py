@@ -1349,3 +1349,39 @@ ORDER BY e.doc_id
 
 QUERIES.update({"dedup_canonical": dedup_canonical})
 ORACLES.update({"dedup_canonical": _canonical_sql()})
+
+
+# ------------------------------------------------------------- covariance
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle sample covariance of the embedding corpus
+    (operators.similarity.embedding_covariance) — the PCA/whitening prep
+    matrix, computed with two-level map-side partial matrix sums."""
+    return _sim.embedding_covariance(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+EMB_COV_SQL = """
+WITH d AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+mu AS (SELECT i, avg(v) AS mu FROM d GROUP BY 1),
+n AS (SELECT count(*) AS n FROM embeddings),
+p AS (
+  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy
+  FROM d a JOIN d b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT p.i, p.j,
+       round(1e-9 + (sxy - n.n * mi.mu * mj.mu) / (n.n - 1), 6) AS cov
+FROM p
+JOIN mu mi ON mi.i = p.i
+JOIN mu mj ON mj.i = p.j
+CROSS JOIN n
+ORDER BY p.i, p.j
+"""
+
+QUERIES.update({"emb_covariance": emb_covariance})
+ORACLES.update({"emb_covariance": EMB_COV_SQL})
