@@ -255,6 +255,8 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "sample_temperature_mix",  # 1-row corpus-total broadcast
         "text_bm25_search",  # 1-row N/avgdl corpus-stats broadcast
         "text_lm_score",  # 1-row corpus-total/vocab-size broadcast
+        "emb_covariance",  # 1-row n broadcast into the cov finisher
+        "ev_rollup_incremental",  # 1-row max-ts cutoff broadcast
     }
     # streaming queries execute on construction; dedup_clusters and
     # emb_kmeans run their iterative jobs on construction — covered by
