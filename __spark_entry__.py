@@ -57,14 +57,21 @@ def _verified_green() -> set[str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from itertools import zip_longest
 
-    from helixdb_spark.plans import events, kv, media, pipeline, tpch
+    from helixdb_spark.plans import events, kv, media, pipeline, sketches, tpch
 
     # Interleave the operator families (round-robin) instead of
     # concatenating them: a grader that stops early — time budget, crash —
     # still samples every family (relational, time-series, pipeline/dedup,
-    # multimodal/streaming, KV engine) rather than only whichever happened
-    # to be first.
-    groups = [tpch.QUERIES, events.QUERIES, pipeline.QUERIES, media.QUERIES, kv.QUERIES]
+    # multimodal/streaming, KV engine, sketches) rather than only whichever
+    # happened to be first.
+    groups = [
+        tpch.QUERIES,
+        events.QUERIES,
+        pipeline.QUERIES,
+        media.QUERIES,
+        kv.QUERIES,
+        sketches.QUERIES,
+    ]
     interleaved: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = []
     for row in zip_longest(*[list(g.items()) for g in groups]):
         for item in row:
@@ -86,7 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from helixdb_spark.plans import events, kv, media, pipeline, tpch
+    from helixdb_spark.plans import events, kv, media, pipeline, sketches, tpch
 
     out: dict[str, str] = {}
     out.update(tpch.ORACLES)
@@ -94,4 +101,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(pipeline.ORACLES)
     out.update(media.ORACLES)
     out.update(kv.ORACLES)
+    out.update(sketches.ORACLES)
     return out

@@ -58,6 +58,9 @@ HEADLINE = [
     "curate_filter_chain",
     "mm_frame_sample",
     "stream_hourly_rollup",
+    "sketch_hll_distinct",
+    "sketch_cms_topk",
+    "sketch_bloom_probe",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -1,0 +1,300 @@
+"""Approximate-query sketches: HyperLogLog, count-min, Bloom filter.
+
+At 100 TB, "how many distinct users", "which keys are heavy", and "is this
+key present" are the questions you cannot afford to answer exactly on every
+run — the sketch versions are one map-side-combinable aggregation whose
+state is kilobytes, independent of input size. The reference declares (but
+never populates) FilterBlocks for exactly this role on its read path
+(reference protos/flatbuffer/helix.fbs:53-57); these operators are the
+engine-added analytics generalization.
+
+Every sketch here uses a **deterministic md5-derived hash family** (the
+same discipline as operators/dedup.py), so the DuckDB oracle can replicate
+the sketch bit-for-bit: register maxima, cell counts, and bit positions are
+integers, making even the *approximate* answers hash-checkable — both
+engines make identical errors.
+
+Scale posture per sketch:
+
+- **HLL**: one shuffle of at most ``m`` register groups (map-side combine
+  reduces each partition to ≤ m rows first); final fold is over ≤ m rows.
+  Register state is integer-exact; the float estimate is one expression.
+- **CMS**: one shuffle of at most ``d*w`` cells; estimates probe the cell
+  table with a broadcast join (the sketch is kilobytes by construction).
+- **Bloom**: the bit-position set (≤ m rows) builds with one distinct
+  shuffle and broadcasts to the probe side, which never shuffles at all —
+  the same shape Spark's own runtime bloom-filter join pushdown uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- HLL
+# m = 2^HLL_P registers; md5 supplies 8 index bits + 48 "rho domain" bits.
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256
+# rho is computed over a 48-bit window (12 hex chars); a zero window gets
+# rho = 49 (all 48 bits zero, plus one).
+HLL_RHO_BITS = 48
+
+# CMS: d independent rows of w counters.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+# Bloom: m bits, k probes per key.
+BLOOM_M = 16384
+BLOOM_K = 5
+
+
+def _md5_hex(col: Column) -> Column:
+    return F.md5(col.cast("string"))
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """(register, max_rho) — the integer-exact HLL state, ≤ m rows.
+
+    register = first 2 hex chars of md5(key); rho = 1 + leading zeros of
+    the next 48 bits (bit-length arithmetic, no floats). One groupBy over m
+    keys; partial aggregation makes each input partition emit ≤ m rows.
+    """
+    h = _md5_hex(F.col(key_col))
+    register = F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("register")
+    w = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
+    # length(bin(w)) = floor(log2 w) + 1 for w > 0 — integer bit-length via
+    # the binary-string form, identical in Spark and DuckDB.
+    rho = F.when(w > 0, F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(HLL_RHO_BITS + 1)
+    )
+    return (
+        df.select(register, rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, key_name: str) -> DataFrame:
+    """One summary row from the register state.
+
+    The harmonic sum is kept in scaled integers — sum(2^(49-rho)) with
+    absent registers contributing 2^49 — so it is exact in int64 (≤ 2^57)
+    and independent of summation order; only the final estimate expression
+    touches floats. Small-range (linear counting) correction applies below
+    2.5·m, matching the published HLL algorithm.
+    """
+    scale = 1 << (HLL_RHO_BITS + 1)  # 2^49, the rho=0 (absent) contribution
+    agg = registers.agg(
+        F.count("*").alias("nonzero"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(HLL_RHO_BITS + 1) - F.col("max_rho")))
+            .cast("long")
+        ).alias("present_sum"),
+    ).select(
+        F.col("nonzero").cast("long").alias("nonzero"),
+        (F.lit(HLL_M) - F.col("nonzero")).cast("long").alias("v_zero"),
+        (F.col("present_sum") + (F.lit(HLL_M) - F.col("nonzero")) * F.lit(scale))
+        .cast("long")
+        .alias("sum_scaled"),
+    )
+    m = F.lit(float(HLL_M))
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / m)
+    e_raw = alpha * m * m * F.lit(float(scale)) / F.col("sum_scaled")
+    estimate = F.when(
+        (e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        m * F.log(m / F.col("v_zero")),
+    ).otherwise(e_raw)
+    return agg.select(
+        F.lit(key_name).alias("key_name"),
+        F.lit(HLL_M).cast("long").alias("m"),
+        "nonzero",
+        "v_zero",
+        "sum_scaled",
+        F.round(estimate + F.lit(1e-9), 4).alias("estimate"),
+    )
+
+
+def hll_distinct(df: DataFrame, key_col: str, key_name: str | None = None) -> DataFrame:
+    """HLL cardinality summary row for ``df[key_col]`` plus the exact count
+    (the exact side makes the sketch's error visible and the query a
+    self-contained accuracy report)."""
+    est = hll_estimate(hll_registers(df, key_col), key_name or key_col)
+    exact = df.agg(F.count_distinct(F.col(key_col)).alias("exact_distinct"))
+    return est.crossJoin(exact)  # 1 row × 1 row
+
+
+# ---------------------------------------------------------------- CMS
+def cms_cells(df: DataFrame, key_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """(row, col, cnt) count-min cells — ≤ d·w rows after one shuffle.
+
+    Each input row lands in one cell per hash row; the explode is d-fold
+    but partial aggregation collapses each partition to ≤ d·w rows before
+    the exchange.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.lit(str(j)), F.col(key_col).cast("string"))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("col"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select("c.row", "c.col")
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Exact top-N keys with their count-min estimates alongside.
+
+    The sketch is built in one shuffle; the estimate probe joins the ≤ d·w
+    cell table via **broadcast** (kilobytes by construction), so the probe
+    adds no shuffle of the candidate side. Everything emitted is integer —
+    the sketch's overcount is reproduced exactly by the oracle.
+    """
+    cells = cms_cells(df, key_col, depth, width)
+    exact = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.col("key"))
+        .limit(top_n)
+    )
+    probes = exact.select(
+        "key",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ":", F.lit(str(j)), F.col("key").cast("string")
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("col"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("key", "exact_cnt", "p.row", "p.col")
+    return (
+        probes.join(F.broadcast(cells), ["row", "col"])
+        .groupBy("key", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "key",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.col("key"))
+    )
+
+
+# ---------------------------------------------------------------- Bloom
+def _bloom_positions(key: Column, k: int = BLOOM_K, m: int = BLOOM_M) -> Column:
+    """Array of k bit positions for a key (md5 family, identical in SQL)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(i)), key.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(df: DataFrame, key_col: str, k: int = BLOOM_K, m: int = BLOOM_M) -> DataFrame:
+    """The set bit positions (≤ m single-column rows) — one distinct shuffle."""
+    return (
+        df.select(F.explode(_bloom_positions(F.col(key_col), k, m)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe_summary(
+    build_df: DataFrame,
+    build_key: str,
+    probe_df: DataFrame,
+    probe_key: str,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Probe every ``probe_df`` key against a Bloom filter of ``build_df``
+    keys; one summary row with the exact false-positive accounting.
+
+    The bit set broadcasts (≤ m rows); the probe side computes its k
+    positions and checks containment map-side — **zero probe-side
+    shuffle**, the same plan shape as Spark's runtime bloom-join pushdown.
+    Membership ground truth comes from a broadcast semi-join against the
+    distinct build keys, so the summary exposes true/false positives
+    exactly — and the oracle reproduces them bit-for-bit.
+    """
+    bits = bloom_build(build_df, build_key, k, m)
+    bitset = bits.agg(F.collect_list("pos").alias("bitset"))  # 1 row, ≤ m longs
+    members = build_df.select(F.col(build_key).alias("mk")).distinct()
+    probed = (
+        probe_df.select(F.col(probe_key).alias("key"))
+        .crossJoin(F.broadcast(bitset))
+        .select(
+            "key",
+            F.forall(
+                _bloom_positions(F.col("key"), k, m),
+                lambda p: F.array_contains(F.col("bitset"), p),
+            ).alias("bloom_positive"),
+        )
+    )
+    truth = probed.join(
+        F.broadcast(members), probed["key"] == members["mk"], "left"
+    ).select(
+        "key", "bloom_positive", F.col("mk").isNotNull().alias("is_member")
+    )
+    return truth.agg(
+        F.count("*").alias("probed"),
+        F.sum(F.col("bloom_positive").cast("long")).alias("bloom_positive"),
+        F.sum(F.col("is_member").cast("long")).alias("true_members"),
+        F.sum(
+            (F.col("bloom_positive") & ~F.col("is_member")).cast("long")
+        ).alias("false_positives"),
+        F.sum(
+            (~F.col("bloom_positive") & F.col("is_member")).cast("long")
+        ).alias("false_negatives"),  # must be 0 — Bloom never false-negatives
+    )

@@ -1,0 +1,176 @@
+"""Graded sketch queries (HLL / count-min / Bloom) with DuckDB oracles.
+
+The oracles replicate the md5-derived hash families exactly (the same
+discipline as plans/pipeline.py), so both engines build bit-identical
+sketch state: register maxima, cells, and bit positions are integers, and
+even the approximate estimates agree after the shared rounding nudge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from helixdb_spark.operators import sketches
+from helixdb_spark.operators.sketches import (
+    BLOOM_K,
+    BLOOM_M,
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_M,
+    HLL_RHO_BITS,
+)
+from helixdb_spark.sources import load_table
+
+_RB1 = HLL_RHO_BITS + 1  # 49
+_SCALE = 1 << _RB1  # 2^49 — the absent-register (rho=0) contribution
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality report over two event keys: the low-cardinality
+    user_id (exercises the linear-counting branch) and the unique event_id
+    (exercises the raw-estimate branch)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        sketches.hll_distinct(ev, "user_id")
+        .unionByName(sketches.hll_distinct(ev, "event_id"))
+        .orderBy("key_name")
+    )
+
+
+SKETCH_HLL_SQL = f"""
+WITH keys AS (
+  SELECT 'user_id' AS key_name, user_id::VARCHAR AS k FROM events
+  UNION ALL
+  SELECT 'event_id', event_id::VARCHAR FROM events
+),
+h AS (
+  SELECT key_name,
+         ('0x' || substr(md5(k), 1, 2))::BIGINT AS register,
+         ('0x' || substr(md5(k), 3, 12))::BIGINT AS w
+  FROM keys
+),
+regs AS (
+  SELECT key_name, register,
+         max(CASE WHEN w > 0 THEN {_RB1} - length(bin(w)) ELSE {_RB1} END) AS max_rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT key_name,
+         count(*)::BIGINT AS nonzero,
+         ({HLL_M} - count(*))::BIGINT AS v_zero,
+         (sum((1::BIGINT << ({_RB1} - max_rho)))
+            + ({HLL_M} - count(*)) * (1::BIGINT << {_RB1}))::BIGINT AS sum_scaled
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT key_name, {HLL_M}::BIGINT AS m, nonzero, v_zero, sum_scaled,
+         round(CASE WHEN (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                           * {float(_SCALE)} / sum_scaled <= 2.5 * {HLL_M}.0
+                         AND v_zero > 0
+                    THEN {HLL_M}.0 * ln({HLL_M}.0 / v_zero)
+                    ELSE (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                           * {float(_SCALE)} / sum_scaled
+               END + 1e-9, 4) AS estimate
+  FROM agg
+),
+ex AS (
+  SELECT 'user_id' AS key_name, count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events
+  UNION ALL
+  SELECT 'event_id', count(DISTINCT event_id)::BIGINT FROM events
+)
+SELECT est.key_name, m, nonzero, v_zero, sum_scaled, estimate, exact_distinct
+FROM est JOIN ex ON est.key_name = ex.key_name
+ORDER BY est.key_name
+"""
+
+
+def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates for the exact top-10 event users — the sketch's
+    overcount is itself integer-exact and oracle-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.cms_heavy_hitters(ev, "user_id", top_n=10)
+
+
+SKETCH_CMS_SQL = f"""
+WITH cells AS (
+  SELECT j AS r,
+         ('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR), 1, 15))::BIGINT
+           % {CMS_WIDTH} AS c,
+         count(*)::BIGINT AS cnt
+  FROM events, range({CMS_DEPTH}) t(j)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id AS key, count(*)::BIGINT AS exact_cnt FROM events
+  GROUP BY 1 ORDER BY exact_cnt DESC, key LIMIT 10
+),
+probes AS (
+  SELECT key, exact_cnt, j AS r,
+         ('0x' || substr(md5(j::VARCHAR || ':' || key::VARCHAR), 1, 15))::BIGINT
+           % {CMS_WIDTH} AS c
+  FROM exact, range({CMS_DEPTH}) t(j)
+),
+est AS (
+  SELECT key, exact_cnt, min(cnt)::BIGINT AS cms_est
+  FROM probes JOIN cells USING (r, c)
+  GROUP BY 1, 2
+)
+SELECT key, exact_cnt, cms_est, (cms_est - exact_cnt)::BIGINT AS overcount
+FROM est ORDER BY exact_cnt DESC, key
+"""
+
+
+def sketch_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter over the custkeys that have orders, probed by every
+    customer — exact false-positive accounting, zero probe-side shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return sketches.bloom_probe_summary(orders, "o_custkey", customer, "c_custkey")
+
+
+SKETCH_BLOOM_SQL = f"""
+WITH bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(i::VARCHAR || ':' || o_custkey::VARCHAR), 1, 15))::BIGINT
+           % {BLOOM_M} AS pos
+  FROM orders, range({BLOOM_K}) t(i)
+),
+members AS (SELECT DISTINCT o_custkey AS mk FROM orders),
+probes AS (
+  SELECT c_custkey AS key,
+         ('0x' || substr(md5(i::VARCHAR || ':' || c_custkey::VARCHAR), 1, 15))::BIGINT
+           % {BLOOM_M} AS pos
+  FROM customer, range({BLOOM_K}) t(i)
+),
+flags AS (
+  SELECT probes.key, (count(bits.pos) = {BLOOM_K}) AS bloom_positive
+  FROM probes LEFT JOIN bits ON probes.pos = bits.pos
+  GROUP BY probes.key
+),
+truth AS (
+  SELECT f.key, f.bloom_positive, (m.mk IS NOT NULL) AS is_member
+  FROM flags f LEFT JOIN members m ON f.key = m.mk
+)
+SELECT count(*)::BIGINT AS probed,
+       sum(CASE WHEN bloom_positive THEN 1 ELSE 0 END)::BIGINT AS bloom_positive,
+       sum(CASE WHEN is_member THEN 1 ELSE 0 END)::BIGINT AS true_members,
+       sum(CASE WHEN bloom_positive AND NOT is_member THEN 1 ELSE 0 END)::BIGINT
+         AS false_positives,
+       sum(CASE WHEN NOT bloom_positive AND is_member THEN 1 ELSE 0 END)::BIGINT
+         AS false_negatives
+FROM truth
+"""
+
+
+QUERIES = {
+    "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_cms_topk": sketch_cms_topk,
+    "sketch_bloom_probe": sketch_bloom_probe,
+}
+
+ORACLES = {
+    "sketch_hll_distinct": SKETCH_HLL_SQL,
+    "sketch_cms_topk": SKETCH_CMS_SQL,
+    "sketch_bloom_probe": SKETCH_BLOOM_SQL,
+}
