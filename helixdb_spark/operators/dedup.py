@@ -893,3 +893,77 @@ def semantic_dup_pairs(
         .select("id_a", "id_b", "cluster_id", "cosine")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------- edit-distance dedup
+# Blocking for Levenshtein verification: docs only compare within the same
+# (length band, normalized prefix) block — the classic sorted-neighborhood
+# compromise. Recall caveat (documented, shared with the oracle): a pair
+# whose edit differs inside the first EDIT_PREFIX chars, or that straddles
+# a length band, is not a candidate. Blocks are capped like LSH buckets.
+EDIT_PREFIX = 12
+EDIT_LEN_BAND = 40
+EDIT_MAX_BUCKET = 64
+EDIT_REL_THRESHOLD = 0.2
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rel_threshold: float = EDIT_REL_THRESHOLD,
+    prefix: int = EDIT_PREFIX,
+    len_band: int = EDIT_LEN_BAND,
+) -> DataFrame:
+    """Levenshtein near-dup pairs under (length-band, prefix) blocking.
+
+    Levenshtein is O(len²) per pair — never run it all-pairs. The block key
+    routes each doc to exactly ONE block (so no pair dedup pass is needed),
+    one shuffle on the block key builds capped member lists, pairs are
+    emitted inline (the LSH inverted-index shape), and only then does the
+    verification join pull the two normalized texts to compute the exact
+    distance JVM-side. Threshold: dist <= max(1, floor(rel * longer_len)).
+    At 100 TB the block key keeps candidate count linear-ish in corpus
+    size; the cap bounds any degenerate block (boilerplate prefixes).
+    """
+    norm = docs.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("nt")
+    ).where(F.length("nt") > 0)
+    blk = norm.select(
+        F.col(id_col),
+        F.floor(F.length("nt") / F.lit(float(len_band))).cast("long").alias("lb"),
+        F.substring("nt", 1, prefix).alias("pfx"),
+    )
+    ids = F.col("ids")
+    pair_lists = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    candidates = (
+        blk.groupBy("lb", "pfx")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= EDIT_MAX_BUCKET))
+        .select(F.explode(pair_lists).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    )
+    na = norm.select(F.col(id_col).alias("id_a"), F.col("nt").alias("na"))
+    nb = norm.select(F.col(id_col).alias("id_b"), F.col("nt").alias("nb"))
+    dist = F.levenshtein("na", "nb")
+    cutoff = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(
+            F.lit(rel_threshold) * F.greatest(F.length("na"), F.length("nb"))
+        ).cast("long"),
+    )
+    return (
+        candidates.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(dist <= cutoff)
+        .select("id_a", "id_b", dist.alias("edit_dist"))
+        .orderBy("id_a", "id_b")
+    )

@@ -70,3 +70,46 @@ def bucketed_range_join(
     return refined.drop(p[_BUCKET]).drop(i[_BUCKET]).drop(
         *[i[k] for k in dup]
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: float,
+    extra_keys: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Join interval rows on **overlap** (``l_lo <= r_hi AND r_lo <= l_hi``,
+    closed ends) without a nested loop: both sides explode to the bucket
+    grid, equi-join on the bucket, re-check the exact predicate.
+
+    A pair that shares several buckets would match once per shared bucket;
+    instead of a (shuffling) ``distinct``, each pair is attributed to its
+    FIRST shared bucket — ``max(floor(l_lo/w), floor(r_lo/w))`` — so exactly
+    one joined row survives per overlapping pair, for free. Same plan
+    shape at 100 TB as the point-range join above: hash shuffle on the
+    bucket key, AQE-friendly, skew-saltable.
+    """
+    lb = F.floor(F.col(l_lo) / F.lit(float(bucket_width))).cast("long")
+    rb = F.floor(F.col(r_lo) / F.lit(float(bucket_width))).cast("long")
+    lhb = F.floor(F.col(l_hi) / F.lit(float(bucket_width))).cast("long")
+    rhb = F.floor(F.col(r_hi) / F.lit(float(bucket_width))).cast("long")
+    lx = left.withColumn(_BUCKET, F.explode(F.sequence(lb, lhb)))
+    rx = right.withColumn(_BUCKET, F.explode(F.sequence(rb, rhb)))
+    keys = [_BUCKET, *(extra_keys or [])]
+    first_shared = F.greatest(
+        F.floor(F.col(l_lo) / F.lit(float(bucket_width))).cast("long"),
+        F.floor(F.col(r_lo) / F.lit(float(bucket_width))).cast("long"),
+    )
+    return (
+        lx.join(rx, keys)
+        .where(
+            (F.col(l_lo) <= F.col(r_hi))
+            & (F.col(r_lo) <= F.col(l_hi))
+            & (F.col(_BUCKET) == first_shared)
+        )
+        .drop(_BUCKET)
+    )

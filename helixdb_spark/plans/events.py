@@ -1175,3 +1175,117 @@ def ev_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"ev_rollup_incremental": ev_rollup_incremental})
 ORACLES.update({"ev_rollup_incremental": EV_HOURLY_SQL})
+
+
+# ----------------------------------------------- interval-overlap join
+def ev_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user sessions overlap the 5 busiest hours, and for how long —
+    an interval×interval overlap join (sessions × incident windows).
+
+    The sessions side is the standard lag+running-sum sessionization (one
+    shuffle on user_id); the overlap join is the bucket-grid equi-join from
+    operators.rangejoin.interval_overlap_join — never a nested loop, and at
+    100 TB it shuffles on the hour-bucket key with AQE handling any hot
+    hour. Interval ends are truncated to whole seconds (unix_timestamp
+    semantics), mirrored by floor(epoch(..)) in the oracle.
+    """
+    from helixdb_spark.operators.rangejoin import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                    > SESSION_GAP_S
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    sess = marked.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_timestamp("ts")).alias("s_start"),
+        F.max(F.unix_timestamp("ts")).alias("s_end"),
+    )
+    inc = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("h"))
+        .limit(5)
+        .select(
+            "h",
+            F.unix_timestamp("h").alias("i_start"),
+            (F.unix_timestamp("h") + 3600).alias("i_end"),
+        )
+    )
+    joined = interval_overlap_join(
+        sess, inc, "s_start", "s_end", "i_start", "i_end", 3600.0
+    )
+    return (
+        joined.where(
+            (F.col("s_start") < F.col("i_end")) & (F.col("i_start") < F.col("s_end"))
+        )
+        .groupBy("user_id", F.col("h").alias("incident_hour"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(
+                F.least("s_end", "i_end") - F.greatest("s_start", "i_start")
+            ).alias("overlap_s"),
+        )
+        .orderBy("user_id", "incident_hour")
+    )
+
+
+EV_SESSION_OVERLAP_SQL = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT
+                      > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session
+  FROM seq
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+sess AS (
+  SELECT user_id, session_id,
+         floor(epoch(min(ts)))::BIGINT AS s_start,
+         floor(epoch(max(ts)))::BIGINT AS s_end
+  FROM numbered GROUP BY 1, 2
+),
+inc AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events
+  GROUP BY 1 ORDER BY n DESC, h LIMIT 5
+),
+inc2 AS (
+  SELECT h, floor(epoch(h))::BIGINT AS i_start,
+         floor(epoch(h))::BIGINT + 3600 AS i_end
+  FROM inc
+)
+SELECT s.user_id, i.h AS incident_hour,
+       count(*) AS n_sessions,
+       sum(least(s.s_end, i.i_end) - greatest(s.s_start, i.i_start))::BIGINT
+         AS overlap_s
+FROM sess s JOIN inc2 i ON s.s_start < i.i_end AND i.i_start < s.s_end
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES.update({"ev_session_overlap": ev_session_overlap})
+ORACLES.update({"ev_session_overlap": EV_SESSION_OVERLAP_SQL})

@@ -1385,3 +1385,50 @@ ORDER BY p.i, p.j
 
 QUERIES.update({"emb_covariance": emb_covariance})
 ORACLES.update({"emb_covariance": EMB_COV_SQL})
+
+
+# ------------------------------------------------- edit-distance dedup
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs under (length-band, prefix) blocking —
+    the OCR-noise / small-mutation dedup tier exact hashing and shingle
+    Jaccard both miss. Blocking keeps the O(len^2) distance off all-pairs."""
+    return dedup.edit_distance_pairs(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EDIT_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM} AS nt FROM documents
+  WHERE length({_NORM}) > 0
+),
+blk AS (
+  SELECT doc_id,
+         floor(length(nt) / {float(dedup.EDIT_LEN_BAND)})::BIGINT AS lb,
+         substr(nt, 1, {dedup.EDIT_PREFIX}) AS pfx
+  FROM norm
+),
+ok_blocks AS (
+  SELECT lb, pfx FROM blk GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND {dedup.EDIT_MAX_BUCKET}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM blk a
+  JOIN blk c ON a.lb = c.lb AND a.pfx = c.pfx AND a.doc_id < c.doc_id
+  JOIN ok_blocks ob ON a.lb = ob.lb AND a.pfx = ob.pfx
+),
+verified AS (
+  SELECT id_a, id_b, levenshtein(na.nt, nb.nt) AS edit_dist,
+         greatest(1, floor({dedup.EDIT_REL_THRESHOLD}
+                           * greatest(length(na.nt), length(nb.nt)))::BIGINT)
+           AS cutoff
+  FROM cand
+  JOIN norm na ON cand.id_a = na.doc_id
+  JOIN norm nb ON cand.id_b = nb.doc_id
+)
+SELECT id_a, id_b, edit_dist::INTEGER AS edit_dist
+FROM verified WHERE edit_dist <= cutoff
+ORDER BY id_a, id_b
+"""
+
+QUERIES.update({"dedup_edit_distance": dedup_edit_distance})
+ORACLES.update({"dedup_edit_distance": DEDUP_EDIT_SQL})

@@ -149,6 +149,46 @@ def test_bucketed_range_join_plan_has_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_interval_overlap_join_matches_nested_loop(spark):
+    """Exactly one row per overlapping pair (first-shared-bucket
+    attribution), identical to the brute-force inequality join — including
+    pairs spanning many buckets and touching endpoints."""
+    from helixdb_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.range(40).select(
+        F.col("id").alias("lid"),
+        (F.col("id") * 7.0).alias("l_lo"),
+        (F.col("id") * 7.0 + (F.col("id") % 5) * 23.0).alias("l_hi"),
+    )
+    right = spark.range(25).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 11.0).alias("r_lo"),
+        (F.col("id") * 11.0 + 16.0).alias("r_hi"),
+    )
+    got = interval_overlap_join(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=10.0
+    ).collect()
+    want = left.join(
+        right,
+        (F.col("l_lo") <= F.col("r_hi")) & (F.col("r_lo") <= F.col("l_hi")),
+    ).collect()
+    g = [(r["lid"], r["rid"]) for r in got]
+    w = {(r["lid"], r["rid"]) for r in want}
+    assert len(g) == len(set(g)), "pair emitted more than once"
+    assert set(g) == w and len(w) > 0
+
+
+def test_interval_overlap_join_plan_is_equi(spark, sf_dir):
+    from helixdb_spark.plans import events
+
+    df = events.ev_session_overlap(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 # -------------------------------------------------- connected components
 def test_connected_components_transitive_closure(spark):
     from helixdb_spark.operators.dedup import connected_components
