@@ -61,6 +61,9 @@ HEADLINE = [
     "sketch_hll_distinct",
     "sketch_cms_topk",
     "sketch_bloom_probe",
+    "sketch_hist_quantiles",
+    "dedup_edit_distance",
+    "ev_session_overlap",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -298,3 +298,99 @@ def bloom_probe_summary(
             (~F.col("bloom_positive") & F.col("is_member")).cast("long")
         ).alias("false_negatives"),  # must be 0 — Bloom never false-negatives
     )
+
+
+# ------------------------------------------------- histogram quantiles
+HIST_BINS = 256
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Equi-width-histogram quantile estimates next to the exact answers.
+
+    Exact percentiles need a full sort (or Spark's single-pass percentile
+    aggregate whose state grows with distinct values); the histogram sketch
+    needs one ≤ ``bins``-group shuffle and O(bins) state — mergeable across
+    executors, same as the HLL registers. Two scans by design (min/max
+    frame the grid; at scale those ride a prior pass or parquet footer
+    stats). Estimation: first bin whose cumulative count reaches q·n,
+    linear interpolation inside the bin — deterministic float arithmetic
+    with the same expression shape as the SQL oracle.
+    """
+    stats = df.agg(
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+        F.count(value_col).alias("n"),
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(bins))
+    bin_expr = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((F.col(value_col) - F.col("vmin")) / width).cast("long"),
+        ),
+    )
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql.window import Window as W
+
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)),
+    )
+    q_rows = F.explode(F.array(*[F.lit(float(q)).alias("q") for q in qs])).alias("q")
+    picked = (
+        cum.crossJoin(F.broadcast(stats.select("n")))
+        .select("bin", "cnt", "cum", "n", q_rows)
+        .where(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min_by(F.struct("bin", "cnt", "cum"), F.col("bin")).alias("s"))
+        .select("q", "s.bin", "s.cnt", "s.cum")
+    )
+    exact = df.agg(
+        *[
+            F.percentile(value_col, F.lit(float(q))).alias(f"e{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    exact_rows = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"), F.col(f"e{i}").alias("exact_raw")
+                    )
+                    for i, q in enumerate(qs)
+                ]
+            )
+        ).alias("e")
+    ).select("e.q", "e.exact_raw")
+    est = (
+        F.col("vmin")
+        + (
+            F.col("bin")
+            + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        )
+        * (F.col("vmax") - F.col("vmin"))
+        / F.lit(float(bins))
+    )
+    return (
+        picked.crossJoin(F.broadcast(stats))
+        .join(exact_rows, "q")
+        .select(
+            "q",
+            F.col("n").cast("long").alias("n"),
+            F.round(est + F.lit(1e-9), 4).alias("estimate"),
+            F.round(F.col("exact_raw") + F.lit(1e-9), 6).alias("exact"),
+        )
+        .orderBy("q")
+    )

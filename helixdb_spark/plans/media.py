@@ -115,6 +115,7 @@ QUERIES = {
     "stream_click_purchase_join": stream.stream_click_purchase_join,
     "stream_dedup": stream.stream_dedup,
     "stream_static_enrich": stream.stream_static_enrich,
+    "stream_hll_registers": stream.stream_hll_registers,
 }
 
 ORACLES = {
@@ -129,6 +130,7 @@ ORACLES = {
     "stream_click_purchase_join": stream.STREAM_JOIN_SQL,
     "stream_dedup": stream.STREAM_DEDUP_SQL,
     "stream_static_enrich": stream.STREAM_ENRICH_SQL,
+    "stream_hll_registers": stream.STREAM_HLL_SQL,
 }
 
 

@@ -174,3 +174,54 @@ ORACLES = {
     "sketch_cms_topk": SKETCH_CMS_SQL,
     "sketch_bloom_probe": SKETCH_BLOOM_SQL,
 }
+
+
+def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width-histogram p50/p95/p99 of event values next to the exact
+    percentiles — O(bins) mergeable state vs a full sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.histogram_quantiles(ev, "value")
+
+
+_HB = sketches.HIST_BINS
+
+SKETCH_HIST_SQL = f"""
+WITH stats AS (
+  SELECT min(value) AS vmin, max(value) AS vmax, count(value)::BIGINT AS n
+  FROM events
+),
+b AS (
+  SELECT least({_HB - 1}, greatest(0,
+           floor((value - vmin) / ((vmax - vmin) / {_HB}.0))))::BIGINT AS bin
+  FROM events, stats WHERE value IS NOT NULL
+),
+hist AS (SELECT bin, count(*)::BIGINT AS cnt FROM b GROUP BY 1),
+cum AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+  FROM hist
+),
+qs AS (SELECT unnest([0.5, 0.95, 0.99]) AS q),
+picked AS (
+  SELECT q, min(bin) AS bin FROM qs, cum, stats WHERE cum >= q * n GROUP BY q
+),
+prow AS (
+  SELECT p.q, p.bin, c.cnt, c.cum FROM picked p JOIN cum c ON p.bin = c.bin
+),
+ex AS (
+  SELECT unnest([0.5, 0.95, 0.99]) AS q,
+         unnest([quantile_cont(value, 0.5), quantile_cont(value, 0.95),
+                 quantile_cont(value, 0.99)]) AS exact_raw
+  FROM events
+)
+SELECT pr.q, s.n,
+       round(s.vmin + (pr.bin + (pr.q * s.n - (pr.cum - pr.cnt)) / pr.cnt)
+               * (s.vmax - s.vmin) / {_HB}.0 + 1e-9, 4) AS estimate,
+       round(ex.exact_raw + 1e-9, 6) AS exact
+FROM prow pr, stats s
+JOIN ex ON pr.q = ex.q
+ORDER BY pr.q
+"""
+
+QUERIES.update({"sketch_hist_quantiles": sketch_hist_quantiles})
+ORACLES.update({"sketch_hist_quantiles": SKETCH_HIST_SQL})

@@ -379,3 +379,31 @@ FROM events JOIN dim USING (event_type)
 GROUP BY category
 ORDER BY category
 """
+
+
+def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL distinct-count sketch: the SAME operator code as the
+    batch sketch (operators.sketches.hll_registers — a select + groupBy
+    max) runs unchanged on the stream, because the register state is a
+    mergeable aggregate with O(m)=256-row state. Complete mode emits the
+    live (register, max_rho) table each micro-batch; the estimate is a
+    cheap batch expression over the emitted state (hll_estimate). This is
+    the streaming cardinality monitor a TSDB runs next to ingest."""
+    from helixdb_spark.operators import sketches
+
+    ev = _events_stream(spark, sf_dir)
+    agg = sketches.hll_registers(ev, "user_id")
+    out = _run_to_memory(agg, "complete")
+    return out.orderBy("register")
+
+
+STREAM_HLL_SQL = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT AS register,
+         ('0x' || substr(md5(user_id::VARCHAR), 3, 12))::BIGINT AS w
+  FROM events
+)
+SELECT register,
+       max(CASE WHEN w > 0 THEN 49 - length(bin(w)) ELSE 49 END) AS max_rho
+FROM h GROUP BY 1 ORDER BY 1
+"""

