@@ -64,6 +64,7 @@ HEADLINE = [
     "sketch_hist_quantiles",
     "dedup_edit_distance",
     "ev_session_overlap",
+    "bloom_join_urgent_revenue",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -136,3 +136,85 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )
     return salted_left.join(replicated_right, on + ["_salt"], how).drop("_salt")
+
+
+def bloom_filtered_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    num_bits: int = 1 << 23,
+    how: str = "inner",
+) -> DataFrame:
+    """Semi-join reduction: pre-filter ``left`` with a Bloom filter of
+    ``right``'s keys before the real join.
+
+    At 100 TB the fact side of a selective join pays a full shuffle for
+    rows that can never match. Spark injects this pattern itself for some
+    shapes (runtime row-level filtering); this makes it explicit and
+    composable — and the result is bit-identical to the plain join, because
+    the exact join afterwards eliminates the filter's false positives (the
+    oracle runs the plain join).
+
+    Plan shape: the build side folds into a packed-word table (``word →
+    or-ed bit mask``, ≤ num_bits/32 rows, one map-side-combined shuffle of
+    the SMALL side). The fact side then probes each of its k bit positions
+    through a **broadcast hash join** on the word index — O(1) hash lookup
+    per probe, never a scan of the filter, and the fact side itself moves
+    through zero exchanges before the surviving rows reach the join. k
+    small broadcast joins beat one dense-array broadcast here because
+    densifying num_bits/32 words costs O(words²) in a single-row fold,
+    which caps the filter size; the word table has no such cap.
+
+    Sizing: ~10 bits/item ≈ 1% false positives; FPs cost shuffle bytes,
+    not correctness.
+    """
+    import functools
+    import operator
+
+    from helixdb_spark.operators import sketches
+
+    k = sketches.BLOOM_K
+    word_bits = sketches._BLOOM_WORD
+    words = (
+        right.select(
+            F.explode(
+                sketches._bloom_positions(F.col(right_key), k, num_bits)
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / word_bits).cast("long").alias("w"),
+            F.pow(F.lit(2.0), (F.col("pos") % word_bits).cast("double"))
+            .cast("long")
+            .alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    pos_arr = sketches._bloom_positions(F.col(left_key), k, num_bits)
+    cur = left
+    conds = []
+    for i in range(k):
+        p = F.get(pos_arr, i)
+        wcol, mcol, tcol = f"__bw{i}", f"__bm{i}", f"__bt{i}"
+        cur = (
+            cur.withColumn(wcol, (p / word_bits).cast("long"))
+            .withColumn(
+                tcol,
+                F.pow(F.lit(2.0), (p % word_bits).cast("double")).cast("long"),
+            )
+            .join(
+                F.broadcast(
+                    words.select(F.col("w").alias(wcol), F.col("mask").alias(mcol))
+                ),
+                wcol,
+                "left",
+            )
+        )
+        conds.append(
+            F.col(mcol).isNotNull()
+            & (F.col(mcol).bitwiseAND(F.col(tcol)) != 0)
+        )
+    scratch = [f"__b{ch}{i}" for i in range(k) for ch in "wmt"]
+    filtered = cur.where(functools.reduce(operator.and_, conds)).drop(*scratch)
+    return filtered.join(right, filtered[left_key] == right[right_key], how)

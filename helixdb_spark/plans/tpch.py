@@ -1418,3 +1418,50 @@ ORACLES = {
     "quantity_percentiles": PERCENTILE_SQL,
     "order_priority_pivot": PIVOT_SQL,
 }
+
+
+# -------------------------------------------- bloom semi-join reduction
+def bloom_join_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per ship mode for urgent orders, with the fact side
+    (lineitem) pre-filtered MAP-SIDE by a Bloom filter of the urgent order
+    keys before the join shuffle — the explicit semi-join reduction
+    (operators.scale.bloom_filtered_join). The filter is transparent: the
+    exact join drops its false positives, so the oracle is the plain join.
+    """
+    from helixdb_spark.operators.scale import bloom_filtered_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    joined = bloom_filtered_join(
+        li, urgent, "l_orderkey", "o_orderkey", num_bits=1 << 20
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+BLOOM_JOIN_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES.update({"bloom_join_urgent_revenue": bloom_join_urgent_revenue})
+ORACLES.update({"bloom_join_urgent_revenue": BLOOM_JOIN_SQL})

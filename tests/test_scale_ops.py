@@ -199,3 +199,49 @@ def test_connected_components_transitive_closure(spark):
     )
     comp = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_bloom_filtered_join_matches_plain_join(spark, sf_dir):
+    from helixdb_spark.operators.scale import bloom_filtered_join
+    from helixdb_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    got = bloom_filtered_join(li, urgent, "l_orderkey", "o_orderkey")
+    want = li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"])
+    assert got.count() == want.count() > 0
+    g = got.agg(F.sum("l_extendedprice")).first()[0]
+    w = want.agg(F.sum("l_extendedprice")).first()[0]
+    assert abs(g - w) < 1e-6
+
+
+def test_bloom_filtered_join_filters_map_side(spark, sf_dir):
+    """The might_contain probe must sit on the fact side BELOW the join —
+    rows are dropped before the shuffle, which is the whole point."""
+    from helixdb_spark.operators.scale import bloom_filtered_join
+    from helixdb_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    df = bloom_filtered_join(li, urgent, "l_orderkey", "o_orderkey")
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # build side folds into or-ed words; probe is k broadcast HASH joins on
+    # the word index (never a nested loop / never a scan of the filter)
+    assert "bit_or" in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the bit-test Filter exists on the fact side (scratch cols are dropped
+    # only after the filter), so non-matching fact rows die before the
+    # exact join
+    assert "__bm0" in plan
