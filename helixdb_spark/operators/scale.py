@@ -172,16 +172,25 @@ def bloom_filtered_join(
     import functools
     import operator
 
+    from pyspark import StorageLevel
+
     from helixdb_spark.operators import sketches
 
     k = sketches.BLOOM_K
     word_bits = sketches._BLOOM_WORD
+
+    # the filter is semantics-transparent (the exact join removes its false
+    # positives), so unlike the oracle-replicated sketches this one uses
+    # the native xxhash64 family — an order of magnitude cheaper per probe
+    # than md5+hex on the 100-TB fact side
+    def _positions(key_col):
+        return [
+            F.pmod(F.xxhash64(F.lit(i), key_col), F.lit(num_bits)) for i in range(k)
+        ]
+
+    build_pos = F.array(*_positions(F.col(right_key)))
     words = (
-        right.select(
-            F.explode(
-                sketches._bloom_positions(F.col(right_key), k, num_bits)
-            ).alias("pos")
-        )
+        right.select(F.explode(build_pos).alias("pos"))
         .select(
             (F.col("pos") / word_bits).cast("long").alias("w"),
             F.pow(F.lit(2.0), (F.col("pos") % word_bits).cast("double"))
@@ -190,12 +199,14 @@ def bloom_filtered_join(
         )
         .groupBy("w")
         .agg(F.bit_or("mask").alias("mask"))
+        # each of the k probe joins broadcasts this table; the per-join
+        # column renames block BroadcastExchange reuse, so without the
+        # persist the build-side fold would run k times
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pos_arr = sketches._bloom_positions(F.col(left_key), k, num_bits)
     cur = left
     conds = []
-    for i in range(k):
-        p = F.get(pos_arr, i)
+    for i, p in enumerate(_positions(F.col(left_key))):
         wcol, mcol, tcol = f"__bw{i}", f"__bm{i}", f"__bt{i}"
         cur = (
             cur.withColumn(wcol, (p / word_bits).cast("long"))
@@ -218,3 +229,79 @@ def bloom_filtered_join(
     scratch = [f"__b{ch}{i}" for i in range(k) for ch in "wmt"]
     filtered = cur.where(functools.reduce(operator.and_, conds)).drop(*scratch)
     return filtered.join(right, filtered[left_key] == right[right_key], how)
+
+
+def zorder_value(a, b, bits: int = 16):
+    """Interleave the low ``bits`` of two non-negative long columns into a
+    Morton (Z-order) value: a's bit i lands at 2i, b's at 2i+1.
+
+    All shifts are Python-literal, so the whole thing folds into one
+    codegen'd projection — no UDF. Inputs must already be quantized to
+    [0, 2^bits); see ``quantize_col``.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1).cast("long")), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1).cast("long")), 2 * i + 1
+            )
+        )
+    return z
+
+
+def quantize_col(c, lo, hi, bits: int = 16):
+    """Min-max-normalize a numeric column onto the [0, 2^bits) integer grid
+    (the rank proxy Z-ordering interleaves). ``lo``/``hi`` are plain Python
+    numbers — at scale they come from table stats or a prior pass."""
+    buckets = 1 << bits
+    span = float(hi) - float(lo)
+    if span <= 0:
+        return F.lit(0).cast("long")
+    return F.least(
+        F.lit(buckets - 1).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((c.cast("double") - float(lo)) / span * buckets).cast("long"),
+        ),
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    lo_a,
+    hi_a,
+    col_b: str,
+    lo_b,
+    hi_b,
+    num_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` clustered by the Z-order of two columns.
+
+    A range-partition + within-partition sort on the interleaved value
+    gives every output file a tight min/max envelope on BOTH columns, so a
+    two-dimensional box predicate prunes most files from their parquet
+    footer stats alone — one-dimensional sorting can only ever prune one of
+    the two. This is the same layout trick Delta's OPTIMIZE ZORDER BY and
+    Hudi clustering apply, built from plain Spark primitives
+    (repartitionByRange + sortWithinPartitions + parquet min/max stats).
+    The data itself is unchanged — queries over the z-ordered copy return
+    identical results, they just read fewer bytes.
+    """
+    z = zorder_value(
+        quantize_col(F.col(col_a), lo_a, hi_a, bits),
+        quantize_col(F.col(col_b), lo_b, hi_b, bits),
+        bits,
+    ).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -245,3 +245,71 @@ def test_bloom_filtered_join_filters_map_side(spark, sf_dir):
     # only after the filter), so non-matching fact rows die before the
     # exact join
     assert "__bm0" in plan
+
+
+def test_zorder_value_interleaves():
+    from pyspark.sql import SparkSession
+
+    from helixdb_spark.operators.scale import zorder_value
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long").select(
+        zorder_value(F.col("a"), F.col("b"), bits=3).alias("z")
+    )
+    # a=101, b=011 -> bit pairs (b2 a2)(b1 a1)(b0 a0) = (01)(10)(11) = 0b011011
+    assert df.first()["z"] == 0b011011
+
+
+def test_zorder_layout_prunes_2d_boxes(spark, sf_dir, tmp_path):
+    """The z-ordered copy must (a) hold identical data and (b) let a 2-D box
+    predicate skip most files on parquet footer stats, where a 1-D sort
+    layout cannot skip on the second dimension."""
+    import pyarrow.parquet as pq
+
+    from helixdb_spark.operators.scale import write_zordered
+    from helixdb_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    lo_u, hi_u, lo_v, hi_v = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    zpath = str(tmp_path / "z")
+    write_zordered(
+        ev, zpath, "user_id", lo_u, hi_u + 1, "value", lo_v, hi_v, num_files=16
+    )
+
+    zdf = spark.read.parquet(zpath)
+    assert zdf.count() == ev.count()
+    assert zdf.agg(F.sum("event_id")).first()[0] == ev.agg(F.sum("event_id")).first()[0]
+
+    # box: middle quarter of both dimensions
+    u_mid = (lo_u + hi_u) / 2
+    v_mid = (lo_v + hi_v) / 2
+    u_box = (u_mid - (hi_u - lo_u) / 8, u_mid + (hi_u - lo_u) / 8)
+    v_box = (v_mid - (hi_v - lo_v) / 8, v_mid + (hi_v - lo_v) / 8)
+
+    import glob as _glob
+
+    touched = total = 0
+    for f in _glob.glob(f"{zpath}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        fu_min = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        fu_max = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        fv_min = min(md.row_group(i).column(2).statistics.min for i in range(md.num_row_groups))
+        fv_max = max(md.row_group(i).column(2).statistics.max for i in range(md.num_row_groups))
+        total += 1
+        if fu_min <= u_box[1] and u_box[0] <= fu_max and fv_min <= v_box[1] and v_box[0] <= fv_max:
+            touched += 1
+    assert total >= 8
+    # a 2-D box covering 1/16 of the plane should prune well over half the
+    # files; linear layout touches all files on at least one dimension
+    assert touched <= total // 2, (touched, total)
+
+    # and the query over the layout is transparent
+    got = zdf.where(
+        F.col("user_id").between(*u_box) & F.col("value").between(*v_box)
+    ).count()
+    want = ev.where(
+        F.col("user_id").between(*u_box) & F.col("value").between(*v_box)
+    ).count()
+    assert got == want
