@@ -856,6 +856,22 @@ class HelixSpark:
         """Per-key entry counts (reference src/index.rs:13-14)."""
         return self._entries_df().groupBy("key").agg(F.count("*").alias("count"))
 
+    def approx_key_count(self) -> int:
+        """HLL estimate of the distinct-key count (~6.5% standard error).
+
+        ``user_keys().count()`` shuffles every key; at 100 TB a cardinality
+        probe should cost one map-side-combinable pass with O(256) state —
+        the engine-side use of operators.sketches (the reference's unused
+        FilterBlocks slot, protos/flatbuffer/helix.fbs:53-57, is the
+        closest native analog of sketch-assisted reads)."""
+        from helixdb_spark.operators import sketches
+
+        regs = sketches.hll_registers(
+            self._entries_df().select(F.hex(F.col("key")).alias("k")), "k"
+        )
+        row = sketches.hll_estimate(regs, "key").first()
+        return int(round(row["estimate"]))
+
     def close(self) -> None:
         """Graceful shutdown (reference src/db.rs:76-79). State is already
         durable after every put; nothing to drain."""

@@ -1289,3 +1289,95 @@ ORDER BY 1, 2
 
 QUERIES.update({"ev_session_overlap": ev_session_overlap})
 ORACLES.update({"ev_session_overlap": EV_SESSION_OVERLAP_SQL})
+
+
+# ------------------------------------------------------ CUSUM drift
+CUSUM_ALLOWANCE = 10.0  # slack subtracted per step (one-sided upper CUSUM)
+CUSUM_THRESHOLD = 100.0  # alarm level on the cumulative statistic
+
+
+def ev_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user over 'view' values — the
+    classic sequential change detector (Page 1954), via its closed form
+    ``S_t = R_t - min(0, min_{j<=t} R_j)`` with ``R`` the running sum of
+    ``value - mu - allowance``. Pure window functions — no recursion, no
+    UDF, one shuffle on user_id (the mean-join broadcasts).
+
+    FP determinism: the per-user mean is a sorted-array fold (summation
+    order pinned; an orderless partition window would sum in arbitrary
+    order), and the running sums are ordered windows — both mirrored
+    operation-for-operation in the oracle, with the usual round nudge at
+    the comparison and output boundaries.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    mu = ev.groupBy("user_id").agg(
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+                F.lit(0.0),
+                lambda a, x: a + x["value"],
+            )
+            / F.count("*")
+        ).alias("mu")
+    )
+    wo = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    with_r = ev.join(F.broadcast(mu), "user_id").withColumn(
+        "r",
+        F.sum(
+            F.col("value") - F.col("mu") - F.lit(CUSUM_ALLOWANCE)
+        ).over(wo),
+    )
+    with_s = with_r.withColumn(
+        "s", F.col("r") - F.least(F.lit(0.0), F.min("r").over(wo))
+    )
+    return (
+        with_s.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.max("s") + F.lit(1e-9), 6).alias("max_cusum"),
+            F.sum(
+                (
+                    F.round(F.col("s") + F.lit(1e-9), 6)
+                    > F.lit(CUSUM_THRESHOLD)
+                ).cast("long")
+            ).alias("n_alarms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_CUSUM_SQL = f"""
+WITH v AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'view'),
+mu AS (
+  SELECT user_id,
+         list_reduce(list(value ORDER BY ts, event_id), (a, b) -> a + b)
+           / count(*) AS mu
+  FROM v GROUP BY 1
+),
+rs AS (
+  SELECT v.user_id, ts, event_id,
+         sum(value - mu - {CUSUM_ALLOWANCE})
+           OVER (PARTITION BY v.user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS r
+  FROM v JOIN mu ON v.user_id = mu.user_id
+),
+ss AS (
+  SELECT user_id,
+         r - least(0, min(r) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)) AS s
+  FROM rs
+)
+SELECT user_id, count(*) AS n_points,
+       round(max(s) + 1e-9, 6) AS max_cusum,
+       sum(CASE WHEN round(s + 1e-9, 6) > {CUSUM_THRESHOLD}
+                THEN 1 ELSE 0 END)::BIGINT AS n_alarms
+FROM ss GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES.update({"ev_cusum_drift": ev_cusum_drift})
+ORACLES.update({"ev_cusum_drift": EV_CUSUM_SQL})

@@ -153,3 +153,19 @@ def test_histogram_single_small_shuffle(spark, sf_dir):
         sketches.histogram_quantiles(ev, "value").count()
     )
     assert hist_rows == 3  # one row per requested quantile
+
+
+def test_engine_approx_key_count(spark, tmp_path):
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+
+    db = HelixSpark.open(
+        spark,
+        str(tmp_path / "db"),
+        HelixOptions(rick_range=1000, outdate_range=1 << 40, auto_maintain=False),
+    )
+    db.put([(t, f"key{k}".encode(), b"v") for t in range(50) for k in range(40)])
+    exact = db.user_keys().count()
+    approx = db.approx_key_count()
+    assert exact == 40
+    assert abs(approx - exact) <= 0.3 * exact + 2
+    db.close()
