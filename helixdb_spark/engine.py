@@ -91,6 +91,14 @@ class HelixOptions:
     # workload would churn the cache; the reference sizes its caches for
     # the read-mostly benchmark shape (benchmarks/src/read.rs:15-56).
     cache_reads: bool = False
+    # Deferred compaction GC: keep the last K commits' superseded cold
+    # bucket dirs AND the hot partitions they replaced (parked under
+    # trash/), so ``rollback_compaction()`` can restore the exact
+    # pre-compaction state — the operational escape hatch after e.g. a
+    # misbehaving UDCF codec compacted garbage. 0 = GC immediately (no
+    # rollback), the reference's behavior (its LEVEL_INFO advance is
+    # one-way, src/types/level_info.rs:98-111).
+    keep_generations: int = 0
 
 
 class HelixSpark:
@@ -750,37 +758,118 @@ class HelixSpark:
             return
 
         # 2. COMMIT: one atomic state flip publishes the new generation.
-        manifest = dict(self._state.get("cold_manifest") or {})
+        manifest_before = dict(self._state.get("cold_manifest") or {})
+        manifest = dict(manifest_before)
         superseded = [
             (int(manifest[str(b)]), b) for b in produced if str(b) in manifest
         ]
         for b in produced:
             manifest[str(b)] = gen
-        self._state["cold_manifest"] = manifest
-        self._state["cold_gen_seq"] = gen + 1
-        self._save_state()
-
-        # 3. GC (best-effort; see the commit-protocol docstring).
-        for old_gen, b in superseded:
-            self._fs.delete(f"{self.layout.cold_gen_path(old_gen)}/time_bucket={b}")
-        # Drop compacted hot partitions (the reference purges its memindex
-        # range + advances the rick GC offset — level.rs:430-459; for us the
-        # unit of GC is the partition directory).
         full_lo = start_ts // self.layout.rick_range
         if start_ts % self.layout.rick_range:
             full_lo += 1  # never drop a bucket the range only partially covers
         full_hi = (end_ts + 1) // self.layout.rick_range - 1
-        for b in range(full_lo, full_hi + 1):
+        hot_dropped = list(range(full_lo, full_hi + 1))
+        keep = int(getattr(self.options, "keep_generations", 0))
+        if keep > 0:
+            # the history entry rides the SAME atomic flip as the manifest,
+            # so rollback info can never be lost to a crash window
+            history = list(self._state.get("commit_history") or [])
+            history.append(
+                {
+                    "gen": gen,
+                    "manifest_before": manifest_before,
+                    "superseded": [[g, b] for g, b in superseded],
+                    "hot_dropped": hot_dropped,
+                }
+            )
+            expired, history = history[:-keep], history[-keep:]
+            self._state["commit_history"] = history
+        self._state["cold_manifest"] = manifest
+        self._state["cold_gen_seq"] = gen + 1
+        self._save_state()
+
+        # 3. GC (best-effort; see the commit-protocol docstring). With
+        # keep_generations > 0 the dropped hot partitions PARK in trash/
+        # (restorable) instead of dying, superseded cold dirs stay put
+        # (the manifest hides them from readers), and only commits that
+        # just fell out of the retention window are actually collected.
+        if keep > 0:
+            for b in hot_dropped:
+                self._fs.move(
+                    f"{self.layout.hot_path}/time_bucket={b}",
+                    f"{self.layout.trash_path(gen)}/time_bucket={b}",
+                )
+            for e in expired:
+                for old_gen, b in e["superseded"]:
+                    self._fs.delete(
+                        f"{self.layout.cold_gen_path(int(old_gen))}/time_bucket={int(b)}"
+                    )
+                self._fs.delete(self.layout.trash_path(int(e["gen"])))
+            return
+        # Drop compacted hot partitions (the reference purges its memindex
+        # range + advances the rick GC offset — level.rs:430-459; for us the
+        # unit of GC is the partition directory).
+        for old_gen, b in superseded:
+            self._fs.delete(f"{self.layout.cold_gen_path(old_gen)}/time_bucket={b}")
+        for b in hot_dropped:
             self._fs.delete(f"{self.layout.hot_path}/time_bucket={b}")
+
+    def rollback_compaction(self) -> bool:
+        """Undo the most recent compaction commit — restore the previous
+        manifest and un-park the hot partitions it dropped. Returns False
+        when there is nothing to roll back (no history retained; see
+        ``HelixOptions.keep_generations``).
+
+        Sound because deferred GC keeps every byte the previous state
+        referenced: superseded cold dirs were never deleted (the manifest
+        merely stopped pointing at them) and dropped hot partitions moved
+        to trash/ instead of dying. The rolled-back generation dir becomes
+        an uncommitted staging leftover — the next compact's
+        mode("overwrite") or ``vacuum()`` clears it.
+        """
+        self._check_open()
+        history = list(self._state.get("commit_history") or [])
+        if not history:
+            return False
+        e = history.pop()
+        gen = int(e["gen"])
+        for b in e["hot_dropped"]:
+            src = f"{self.layout.trash_path(gen)}/time_bucket={int(b)}"
+            dst = f"{self.layout.hot_path}/time_bucket={int(b)}"
+            if self._fs.exists(dst):
+                # puts since the compaction re-created this bucket dir —
+                # merge file-by-file (uuid part names cannot collide) so
+                # the new writes survive; LWW dedup reconciles the rows
+                for name in self._fs.listdir(src):
+                    self._fs.move(f"{src}/{name}", f"{dst}/{name}")
+                self._fs.delete(src)
+            else:
+                self._fs.move(src, dst)
+        self._fs.delete(self.layout.trash_path(gen))
+        self._state["cold_manifest"] = dict(e["manifest_before"])
+        self._state["cold_gen_seq"] = gen
+        self._state["commit_history"] = history
+        self._save_state()
+        self._invalidate_cache()
+        return True
 
     def vacuum(self) -> None:
         """Collect garbage a crashed GC left behind: cold bucket dirs no
         manifest entry references, and empty generation dirs. Safe to run
-        any time — the manifest is the single source of truth for liveness,
-        so nothing here can touch live data."""
+        any time — the manifest is the single source of truth for liveness
+        (together with the rollback history's retained references), so
+        nothing here can touch live or restorable data."""
         self._check_open()
         manifest: dict = self._state.get("cold_manifest") or {}
         live = {(int(g), int(b)) for b, g in manifest.items()}
+        # dirs a retained rollback entry still references are not garbage
+        for e in self._state.get("commit_history") or []:
+            live |= {
+                (int(g), int(b))
+                for b, g in (e.get("manifest_before") or {}).items()
+            }
+            live |= {(int(g), int(b)) for g, b in e.get("superseded") or []}
         next_gen = int(self._state.get("cold_gen_seq", 0))
         for name in self._fs.listdir(self.layout.cold_path):
             if not name.startswith("gen="):

@@ -76,6 +76,29 @@ class EngineFS:
             return
         self._fs.delete(self._path(p), True)
 
+    def move(self, src: str, dst: str) -> bool:
+        """Move a directory (parents created), False if ``src`` is missing.
+
+        Used only for GC-deferral (trashing dropped partitions so a
+        rollback can restore them) — never on the read path, so the
+        object-store copy+delete degradation is a background cost.
+        """
+        if not self.remote:
+            if not os.path.exists(src):
+                return False
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.exists(dst):
+                shutil.rmtree(dst, ignore_errors=True)
+            shutil.move(src, dst)
+            return True
+        sp, dp = self._path(src), self._path(dst)
+        if not self._fs.exists(sp):
+            return False
+        self._fs.mkdirs(dp.getParent())
+        if self._fs.exists(dp):
+            self._fs.delete(dp, True)
+        return bool(self._fs.rename(sp, dp))
+
     def read_text(self, p: str) -> str | None:
         if not self.remote:
             if not os.path.exists(p):

@@ -113,6 +113,12 @@ class Layout:
     def meta_path(self) -> str:
         return f"{self.base_path}/_meta/state.json"
 
+    def trash_path(self, commit_gen: int) -> str:
+        """Deferred-GC parking for the hot partitions a compaction dropped —
+        restorable by ``rollback_compaction`` while the commit stays inside
+        the ``keep_generations`` window."""
+        return f"{self.base_path}/trash/commit={int(commit_gen)}"
+
     def bucket_of(self, ts: int) -> int:
         return ts // self.rick_range
 

@@ -478,3 +478,74 @@ ORDER BY key, ts
 
 QUERIES["kv_late_data"] = kv_late_data
 ORACLES["kv_late_data"] = KV_LATE_DATA_SQL
+
+
+def kv_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """put -> compact -> amend some rows -> ROLLBACK the compaction -> scan.
+
+    Exercises the deferred-GC commit history (HelixOptions.keep_generations):
+    the rollback must restore the exact pre-compaction hot layout from
+    trash/ while keeping the amendment that was put AFTER the compaction
+    (file-level merge into the restored bucket; LWW reconciles). The scan
+    must equal the plain SQL last-write-wins select — the amended values
+    win, everything else reads as originally written. The reference cannot
+    express this at all: its LEVEL_INFO advance is one-way
+    (src/types/level_info.rs:98-111).
+    """
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.col("props"), "utf-8").alias("value"),
+    )
+    base = tempfile.mkdtemp(prefix="helix_kvrb_")
+    db = HelixSpark.open(
+        spark,
+        base,
+        HelixOptions(
+            rick_range=86400,
+            outdate_range=1 << 40,
+            auto_maintain=False,
+            keep_generations=2,
+        ),
+    )
+    db.put(entries)
+    db.compact(SCAN_TS_LO, COMPACT_TS_HI)
+    amend = ev.where(
+        (F.unix_timestamp("ts") <= COMPACT_TS_HI) & (F.col("event_id") % 11 == 0)
+    ).select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.concat(F.col("props"), F.lit("+amended")), "utf-8").alias("value"),
+    )
+    db.put(amend)
+    assert db.rollback_compaction()
+    scanned = db.scan(
+        (SCAN_TS_LO, SCAN_TS_HI),
+        (KEY_LO.encode(), KEY_HI.encode()),
+    )
+    return scanned.select(
+        "ts",
+        F.decode("key", "utf-8").alias("key"),
+        F.decode("value", "utf-8").alias("value"),
+    )
+
+
+KV_ROLLBACK_SQL = f"""
+SELECT ts, key, value FROM (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+         event_id::VARCHAR AS key,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) <= {COMPACT_TS_HI}
+                   AND event_id % 11 = 0
+              THEN props || '+amended' ELSE props END AS value
+  FROM events
+)
+WHERE ts >= {SCAN_TS_LO} AND ts <= {SCAN_TS_HI}
+  AND key >= '{KEY_LO}' AND key <= '{KEY_HI}'
+ORDER BY key, ts
+"""
+
+QUERIES["kv_rollback_scan"] = kv_rollback_scan
+ORACLES["kv_rollback_scan"] = KV_ROLLBACK_SQL

@@ -409,3 +409,103 @@ def test_scan_iter_streamed_order(spark, db_path):
         seen.append((struct.unpack("<Q", bytes(row["key"]))[0], row["ts"]))
     assert len(seen) == num_ts * num_key
     assert seen == sorted(seen)  # key-major, then ts — the scan contract
+
+
+# ------------------------------------------------- compaction rollback
+def _rollback_db(spark, path, keep=2):
+    return HelixSpark.open(
+        spark,
+        path,
+        HelixOptions(
+            rick_range=100,
+            outdate_range=1 << 40,
+            auto_maintain=False,
+            keep_generations=keep,
+        ),
+    )
+
+
+def _grid(n_ts=300, n_key=4):
+    return [
+        (t, f"k{k}".encode(), f"v{t}-{k}".encode())
+        for t in range(n_ts)
+        for k in range(n_key)
+    ]
+
+
+def _snapshot(db):
+    return sorted(
+        (r["ts"], bytes(r["key"]), bytes(r["value"]))
+        for r in db.scan((0, 1 << 40)).collect()
+    )
+
+
+def test_rollback_restores_pre_compaction_state(spark, db_path):
+    db = _rollback_db(spark, db_path)
+    db.put(_grid())
+    before = _snapshot(db)
+    db.compact(0, 199)
+    assert _snapshot(db) == before  # transparency
+    assert db.rollback_compaction()
+    assert _snapshot(db) == before  # exact pre-compaction data
+    # the engine is fully functional after rollback: compact again, read
+    db.compact(0, 199)
+    assert _snapshot(db) == before
+    assert db.rollback_compaction()
+    assert not db.rollback_compaction()  # history exhausted
+    db.close()
+
+
+def test_rollback_survives_restart(spark, db_path):
+    db = _rollback_db(spark, db_path)
+    db.put(_grid())
+    before = _snapshot(db)
+    db.compact(0, 199)
+    db.close()
+    db2 = _rollback_db(spark, db_path)
+    assert db2.rollback_compaction()  # history rode the atomic state flip
+    assert _snapshot(db2) == before
+    db2.close()
+
+
+def test_rollback_merges_with_new_puts(spark, db_path):
+    db = _rollback_db(spark, db_path)
+    db.put(_grid())
+    db.compact(0, 199)
+    db.put([(50, b"k0", b"amended")])  # recreates a parked bucket dir
+    assert db.rollback_compaction()
+    # the post-compaction put must survive the restore and win LWW
+    assert db.get(50, b"k0") == b"amended"
+    # and the pre-compaction neighbors are back
+    assert db.get(50, b"k1") == b"v50-1"
+    db.close()
+
+
+def test_deferred_gc_expires_beyond_keep(spark, db_path):
+    import os
+
+    db = _rollback_db(spark, db_path, keep=1)
+    db.put(_grid())
+    db.compact(0, 99)
+    trash1 = db.layout.trash_path(0)
+    assert os.path.exists(trash1)
+    db.put([(150, b"k9", b"x")])
+    db.compact(100, 199)  # second commit pushes the first out of keep=1
+    assert not os.path.exists(trash1)
+    # only the newest commit remains rollbackable
+    assert db.rollback_compaction()
+    assert not db.rollback_compaction()
+    db.close()
+
+
+def test_vacuum_preserves_rollback_capability(spark, db_path):
+    db = _rollback_db(spark, db_path)
+    db.put(_grid())
+    before = _snapshot(db)
+    db.compact(0, 199)
+    db.compact(200, 299)
+    db.vacuum()  # must not collect dirs the rollback history references
+    assert db.rollback_compaction()
+    assert db.rollback_compaction()
+    assert _snapshot(db) == before
+    db.close()
