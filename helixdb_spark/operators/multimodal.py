@@ -277,3 +277,65 @@ def phash_candidate_degree(hashes: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+AUDIO_SCHEMA = "doc_id bigint, win int, rms double, peak int"
+AUDIO_N_SAMPLES = 200
+AUDIO_WINDOW = 50
+
+
+def audio_window_energy(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = AUDIO_N_SAMPLES,
+    window: int = AUDIO_WINDOW,
+) -> DataFrame:
+    """Windowed RMS/peak energy over decoded audio samples — the
+    frame-level feature pass an audio curation pipeline runs before VAD /
+    silence trimming.
+
+    The decode step is the deterministic stand-in this container forces
+    (no soundfile/librosa; same policy as ``decode_image``): sample i of a
+    doc is an md5-derived centered byte, so the DuckDB oracle regenerates
+    the identical PCM. Everything AROUND the stub is the real plumbing:
+    payloads arrive in Arrow batches, each doc's samples materialize as a
+    numpy vector, and the windowed reductions (RMS, peak) happen
+    vectorized per batch — swap ``_synth_pcm`` for a real decoder and the
+    operator is production audio feature extraction. Output is one row per
+    (doc, window): shuffle-free, the window loop lives inside the batch.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    n_windows = n_samples // window
+
+    def _synth_pcm(doc_id: int) -> "np.ndarray":
+        return np.array(
+            [
+                int(
+                    hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:2], 16
+                )
+                - 128
+                for i in range(n_samples)
+            ],
+            dtype=np.float64,
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, rmss, peaks = [], [], [], []
+            for doc_id in pdf[id_col]:
+                pcm = _synth_pcm(int(doc_id)).reshape(n_windows, window)
+                rms = np.sqrt((pcm * pcm).mean(axis=1))
+                peak = np.abs(pcm).max(axis=1).astype("int64")
+                ids.extend([int(doc_id)] * n_windows)
+                wins.extend(range(n_windows))
+                rmss.extend(np.round(rms + 1e-9, 6))
+                peaks.extend(peak)
+            yield pd.DataFrame(
+                {"doc_id": ids, "win": wins, "rms": rmss, "peak": peaks}
+            )
+
+    return media.select(id_col).mapInPandas(op, AUDIO_SCHEMA)

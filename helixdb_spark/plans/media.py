@@ -194,3 +194,27 @@ ORDER BY h.doc_id
 
 QUERIES["mm_dedup_phash"] = mm_dedup_phash
 ORACLES["mm_dedup_phash"] = MM_PHASH_SQL
+
+
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS/peak over synthetic-decoded audio — Arrow-batched
+    numpy reductions; the oracle regenerates the identical PCM."""
+    media = mm.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return mm.audio_window_energy(media).orderBy("doc_id", "win")
+
+
+MM_AUDIO_SQL = f"""
+WITH s AS (
+  SELECT doc_id, (i // {mm.AUDIO_WINDOW})::INT AS win,
+         (('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 2))::BIGINT
+           - 128)::DOUBLE AS v
+  FROM documents, range({mm.AUDIO_N_SAMPLES}) t(i)
+)
+SELECT doc_id, win,
+       round(sqrt(avg(v * v)) + 1e-9, 6) AS rms,
+       max(abs(v))::INT AS peak
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES.update({"mm_audio_energy": mm_audio_energy})
+ORACLES.update({"mm_audio_energy": MM_AUDIO_SQL})
