@@ -1381,3 +1381,72 @@ FROM ss GROUP BY 1 ORDER BY 1
 
 QUERIES.update({"ev_cusum_drift": ev_cusum_drift})
 ORACLES.update({"ev_cusum_drift": EV_CUSUM_SQL})
+
+
+# ------------------------------------------- trajectory similarity
+def ev_trajectory_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most similar user pairs by hour-of-day activity trajectory —
+    lock-step (resampled-grid) trajectory similarity, the distributed
+    baseline the trajectory-search literature refines (cf. REPOSE, ICDE'21).
+
+    Each user becomes a dense 24-dim vector of per-hour value sums
+    (components rounded BEFORE the distance so both engines feed identical
+    inputs into the cosine); the pair stage reuses the blocked all-pairs
+    matmul operator (dedup.embedding_dup_pairs — n·B replication, never n²
+    rows), so the same code path that dedups embeddings answers trajectory
+    search. Zero-fill for silent hours: a missing hour is genuinely zero
+    activity, not a gap to interpolate.
+    """
+    from helixdb_spark.operators import dedup
+
+    ev = load_table(spark, sf_dir, "events")
+    comps = ev.groupBy("user_id", F.hour("ts").alias("h")).agg(
+        F.round(F.lit(1e-9) + F.sum("value"), 6).alias("s")
+    )
+    vecs = (
+        comps.groupBy("user_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("h", "s"))).alias("m"))
+        .select(
+            "user_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(23)),
+                lambda h: F.coalesce(F.try_element_at("m", h), F.lit(0.0)),
+            ).alias("traj"),
+        )
+    )
+    pairs = dedup.embedding_dup_pairs(
+        vecs, id_col="user_id", vec_col="traj", threshold=0.0, num_blocks=4
+    )
+    return (
+        pairs.orderBy(F.desc("cosine"), "id_a", "id_b")
+        .limit(10)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+EV_TRAJ_SQL = """
+WITH comps AS (
+  SELECT user_id, extract(hour FROM ts)::INT AS h,
+         round(1e-9 + sum(value), 6) AS s
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT user_id, map(list(h ORDER BY h), list(s ORDER BY h)) AS mp
+  FROM comps GROUP BY 1
+),
+vecs AS (
+  SELECT user_id,
+         list_transform(range(0, 24), h -> coalesce(mp[h::INT][1], 0.0)) AS traj
+  FROM m
+),
+p AS (
+  SELECT a.user_id AS id_a, b.user_id AS id_b,
+         round(1e-9 + list_cosine_similarity(a.traj, b.traj), 6) AS cosine
+  FROM vecs a JOIN vecs b ON a.user_id < b.user_id
+)
+SELECT id_a, id_b, cosine FROM p
+ORDER BY cosine DESC, id_a, id_b LIMIT 10
+"""
+
+QUERIES.update({"ev_trajectory_topk": ev_trajectory_topk})
+ORACLES.update({"ev_trajectory_topk": EV_TRAJ_SQL})
