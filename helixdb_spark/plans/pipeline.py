@@ -1432,3 +1432,64 @@ ORDER BY id_a, id_b
 
 QUERIES.update({"dedup_edit_distance": dedup_edit_distance})
 ORACLES.update({"dedup_edit_distance": DEDUP_EDIT_SQL})
+
+
+# ------------------------------------------------- token-budgeted mixing
+TOKEN_BUDGET_PER_SOURCE = 800
+
+
+def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted source mixing: each source contributes documents in
+    deterministic md5 order until its token budget fills — the "N billion
+    tokens per domain" recipe step of LLM data mixtures (fixed budgets per
+    source, not fixed fractions). Prefix semantics: the first doc whose
+    tokens would overflow the budget is cut, and so is everything after it
+    in hash order — deterministic, seedless, and reproducible shard-by-
+    shard at 100 TB because rank and running sum live inside one per-source
+    window (a single shuffle on source; integer arithmetic throughout).
+    """
+    from helixdb_spark.functions.text import token_count
+    from helixdb_spark.operators.util import spread
+    from pyspark.sql.window import Window as W
+
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("rk")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )
+
+
+CURATE_TOKEN_BUDGET_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+           AS n_tokens,
+         md5(doc_id::VARCHAR) AS rk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY rk
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM d
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c
+WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
+ORDER BY source, cum_tokens
+"""
+
+QUERIES.update({"curate_token_budget": curate_token_budget})
+ORACLES.update({"curate_token_budget": CURATE_TOKEN_BUDGET_SQL})
