@@ -1450,3 +1450,158 @@ ORDER BY cosine DESC, id_a, id_b LIMIT 10
 
 QUERIES.update({"ev_trajectory_topk": ev_trajectory_topk})
 ORACLES.update({"ev_trajectory_topk": EV_TRAJ_SQL})
+
+
+# --------------------------------------------- robust (MAD) outliers
+MAD_K = 3.0
+MAD_CONSISTENCY = 1.4826  # normal-consistency constant
+
+
+def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier screen: |x - median| > 3 · 1.4826 · MAD.
+
+    The z-score screen (`ev_user_zscore_outliers`) breaks when the outliers
+    themselves inflate the stddev; median/MAD is the standard robust
+    alternative. Two grouped exact-percentile passes (median, then median
+    of absolute deviations) — both map to Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` identically (the established parity pair).
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    med = ev.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "user_id").where(
+        F.col("adev") > F.lit(MAD_K * MAD_CONSISTENCY) * F.col("mad")
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_outliers"),
+            F.round(F.lit(1e-9) + F.max("adev"), 4).alias("max_abs_dev"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_MAD_SQL = f"""
+WITH v AS (SELECT user_id, value FROM events WHERE event_type = 'view'),
+med AS (SELECT user_id, quantile_cont(value, 0.5) AS med FROM v GROUP BY 1),
+dev AS (
+  SELECT v.user_id, abs(value - med) AS adev
+  FROM v JOIN med ON v.user_id = med.user_id
+),
+mad AS (SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT dev.user_id, count(*) AS n_outliers,
+       round(1e-9 + max(adev), 4) AS max_abs_dev
+FROM dev JOIN mad ON dev.user_id = mad.user_id
+WHERE adev > {MAD_K * MAD_CONSISTENCY} * mad
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------- cohort retention matrix
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week; for each
+    (cohort_week, weeks_since) the count of cohort members still active —
+    the product-analytics retention triangle, from two hash aggregations
+    (first-touch min, then distinct actives per cell). Integer-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("week")).distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+                / (7 * 86400)
+            )
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+EV_COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, min(date_trunc('week', ts))::TIMESTAMP AS cohort_week
+  FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS week FROM events
+)
+SELECT cohort_week,
+       floor((floor(epoch(week)) - floor(epoch(cohort_week))) / (7 * 86400))::INT
+         AS weeks_since,
+       count(DISTINCT a.user_id) AS n_active
+FROM active a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------- event-type transitions
+def ev_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type bigram (Markov transition) frequencies: lag the
+    type over each user's timeline, count (prev -> next) pairs corpus-wide,
+    and attach the row-conditional transition probability. One window sort
+    per user + one count aggregation — the clickstream path-analysis core.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    bi = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wp = W.partitionBy("prev_type")
+    return (
+        bi.withColumn(
+            "p_next",
+            F.round(F.lit(1e-9) + F.col("n") / F.sum("n").over(wp), 6),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EV_TRANSITIONS_SQL = """
+WITH bi AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(1e-9 + n / (sum(n) OVER (PARTITION BY prev_type)), 6) AS p_next
+FROM bi ORDER BY 1, 2
+"""
+
+QUERIES.update(
+    {
+        "ev_mad_outliers": ev_mad_outliers,
+        "ev_cohort_retention": ev_cohort_retention,
+        "ev_event_transitions": ev_event_transitions,
+    }
+)
+ORACLES.update(
+    {
+        "ev_mad_outliers": EV_MAD_SQL,
+        "ev_cohort_retention": EV_COHORT_SQL,
+        "ev_event_transitions": EV_TRANSITIONS_SQL,
+    }
+)
