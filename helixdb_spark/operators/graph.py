@@ -1,0 +1,79 @@
+"""Graph analytics over DataFrame edge lists.
+
+Connected components (transitive dedup closure) lives in operators/dedup.py;
+this module adds weighted PageRank — the canonical iterative graph operator.
+
+Scale shape: the rank vector is a (node, rank) DataFrame joined to the
+edge list each round — one shuffle per iteration on the edge source key
+(or a broadcast when the node set fits, the common case for entity graphs
+distilled from a corpus). Out-degree normalization is precomputed once.
+Dangling mass is redistributed uniformly (the standard correction), so
+ranks sum to 1 every round. The driver never sees per-node state — only
+the fixed iteration count; contrast GraphX's Pregel, same algebra.
+
+No reference analog (the reference has no joins at all — SURVEY.md §2.3);
+this is an engine addition alongside the dedup closure operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Weighted PageRank with uniform dangling redistribution; returns
+    (node, rank) after a FIXED iteration count (deterministic — the oracle
+    unrolls the same rounds as CTEs).
+
+    ``rank' = (1-d)/N + d * (flow_in + dangling_mass/N)`` where flow
+    follows out-weight-normalized edges.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    norm = e.join(out, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    )
+    n = nodes.count()  # one scalar to the driver; the rank vector never moves
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        flow = (
+            norm.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("flow"))
+        )
+        # dangling nodes (no out-edges) leak their rank; redistribute
+        dangling = (
+            ranks.join(out.select(F.col("src").alias("node")), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(flow, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("flow"), F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+        )
+    return ranks

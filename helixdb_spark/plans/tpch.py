@@ -1465,3 +1465,165 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES.update({"bloom_join_urgent_revenue": bloom_join_urgent_revenue})
 ORACLES.update({"bloom_join_urgent_revenue": BLOOM_JOIN_SQL})
+
+
+# ---------------------------------------------------- nation PageRank
+PR_DAMPING = 0.85
+PR_ITERS = 5
+
+
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph: an edge supplier-nation →
+    customer-nation weighted by shipped revenue (the q7 join shape), then
+    five fixed rounds of weighted PageRank (operators.graph.pagerank).
+    The oracle unrolls the identical rounds as CTEs — the kmeans pattern
+    applied to graph iteration.
+    """
+    from helixdb_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("w")
+        )
+        .where(F.col("src") != F.col("dst"))  # self-trade stays out of the walk
+    )
+    ranks = pagerank(
+        edges, "src", "dst", "w", damping=PR_DAMPING, iterations=PR_ITERS
+    )
+    return (
+        ranks.join(F.broadcast(nation), ranks["node"] == nation["n_nationkey"])
+        .select(
+            "n_name", F.round(F.col("rank") + F.lit(1e-9), 6).alias("rank")
+        )
+        .orderBy("n_name")
+    )
+
+
+def _pagerank_sql(damping: float = PR_DAMPING, iters: int = PR_ITERS) -> str:
+    head = """
+WITH edges AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst,
+         sum(l_extendedprice * (1 - l_discount)) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+  HAVING s_nationkey != c_nationkey
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+  )
+),
+nsz AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY 1),
+norm AS (
+  SELECT e.src, e.dst, e.w / o.out_w AS p FROM edges e JOIN outw o ON e.src = o.src
+),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nsz) AS rank FROM nodes)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        prev = f"r{i-1}"
+        parts.append(f""",
+flow{i} AS (
+  SELECT norm.dst AS node, sum(r.rank * norm.p) AS flow
+  FROM norm JOIN {prev} r ON norm.src = r.node GROUP BY 1
+),
+dang{i} AS (
+  SELECT coalesce(sum(rank), 0.0) AS dm FROM {prev}
+  WHERE node NOT IN (SELECT src FROM outw)
+),
+r{i} AS (
+  SELECT n.node,
+         (1.0 - {damping}) / (SELECT n FROM nsz)
+           + {damping} * (coalesce(f.flow, 0.0)
+                          + (SELECT dm FROM dang{i}) / (SELECT n FROM nsz))
+           AS rank
+  FROM nodes n LEFT JOIN flow{i} f ON n.node = f.node
+)""")
+    parts.append(f"""
+SELECT n_name, round(rank + 1e-9, 6) AS rank
+FROM r{iters} JOIN nation ON node = n_nationkey
+ORDER BY n_name
+""")
+    return "".join(parts)
+
+
+QUERIES.update({"nation_trade_pagerank": nation_trade_pagerank})
+ORACLES.update({"nation_trade_pagerank": _pagerank_sql()})
+
+
+# ---------------------------------------------------- data validation
+def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/dbt-style quality gate over orders: predicate rules fold into
+    one scan (operators.validate.check_rules); the referential rule is a
+    broadcast anti-join. The priority-domain rule intentionally has real
+    violations so the report is non-trivial."""
+    from helixdb_spark.operators.validate import check_foreign_key, check_rules
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    preds = check_rules(
+        orders,
+        {
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "orderdate_in_range": F.col("o_orderdate").between(
+                "1992-01-01", "1998-12-31"
+            ),
+            "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "priority_is_urgent": F.col("o_orderpriority") == "1-URGENT",
+        },
+    )
+    fk = check_foreign_key(
+        orders, "o_custkey", customer, "c_custkey", "custkey_references_customer"
+    )
+    return preds.unionByName(fk).orderBy("rule")
+
+
+VALIDATE_ORDERS_SQL = """
+WITH base AS (SELECT count(*)::BIGINT AS n FROM orders)
+SELECT * FROM (
+  SELECT 'totalprice_positive' AS rule,
+         (SELECT count(*) FROM orders
+          WHERE NOT coalesce(o_totalprice > 0, FALSE))::BIGINT AS n_violations,
+         (SELECT n FROM base) AS n_checked
+  UNION ALL
+  SELECT 'orderdate_in_range',
+         (SELECT count(*) FROM orders
+          WHERE NOT coalesce(o_orderdate BETWEEN '1992-01-01' AND '1998-12-31',
+                             FALSE))::BIGINT,
+         (SELECT n FROM base)
+  UNION ALL
+  SELECT 'status_in_domain',
+         (SELECT count(*) FROM orders
+          WHERE NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE))::BIGINT,
+         (SELECT n FROM base)
+  UNION ALL
+  SELECT 'priority_is_urgent',
+         (SELECT count(*) FROM orders
+          WHERE NOT coalesce(o_orderpriority = '1-URGENT', FALSE))::BIGINT,
+         (SELECT n FROM base)
+  UNION ALL
+  SELECT 'custkey_references_customer',
+         (SELECT count(*) FROM orders
+          WHERE o_custkey IS NULL
+             OR o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT,
+         (SELECT n FROM base)
+)
+ORDER BY rule
+"""
+
+QUERIES.update({"validate_orders": validate_orders})
+ORACLES.update({"validate_orders": VALIDATE_ORDERS_SQL})

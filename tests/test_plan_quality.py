@@ -261,6 +261,8 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "sketch_bloom_probe",  # 1-row collected-bitset broadcast to the probe side
         "sketch_hist_quantiles",  # 1-row min/max/n stats broadcast into binning
         "bloom_join_urgent_revenue",  # 1-row bloom-sketch broadcast onto the fact side
+        "nation_trade_pagerank",  # 1-row dangling-mass broadcast per iteration
+        "validate_orders",  # 1-row total-count broadcast into the FK report row
     }
     # streaming queries execute on construction; dedup_clusters and
     # emb_kmeans run their iterative jobs on construction — covered by
