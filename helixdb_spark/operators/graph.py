@@ -28,6 +28,7 @@ def pagerank(
     weight_col: str | None = None,
     damping: float = 0.85,
     iterations: int = 5,
+    truncate_lineage_every: int = 2,
 ) -> DataFrame:
     """Weighted PageRank with uniform dangling redistribution; returns
     (node, rank) after a FIXED iteration count (deterministic — the oracle
@@ -50,8 +51,26 @@ def pagerank(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
     )
     n = nodes.count()  # one scalar to the driver; the rank vector never moves
+    norm = norm.persist()
+    nodes = nodes.persist()
+    # The dangling SET is static — only its rank mass changes per round.
+    # Precompute it once; when it is empty (most entity graphs distilled
+    # from joins), every round drops a join + aggregate + broadcast — at
+    # this vector size the iteration cost is stage overhead, not data.
+    dang_nodes = nodes.join(
+        out.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
+    has_dangling = not dang_nodes.isEmpty()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
+    for it in range(iterations):
+        # Iterative DataFrames grow join-on-join lineage whose Catalyst
+        # analysis cost is superlinear in depth — the classic driver-side
+        # blowup of loops over joins. Truncate every couple of rounds
+        # (localCheckpoint materializes the ~|V|-row rank vector and cuts
+        # the logical plan; swap for checkpoint() with a checkpoint dir on
+        # a real cluster for executor-loss tolerance).
+        if it and truncate_lineage_every and it % truncate_lineage_every == 0:
+            ranks = ranks.localCheckpoint()
         flow = (
             norm.join(
                 ranks.select(F.col("node").alias("src"), "rank"), "src"
@@ -59,21 +78,17 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("flow"))
         )
-        # dangling nodes (no out-edges) leak their rank; redistribute
-        dangling = (
-            ranks.join(out.select(F.col("src").alias("node")), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-        )
-        ranks = (
-            nodes.join(flow, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("flow"), F.lit(0.0)) + F.col("dm") / n)
-                ).alias("rank"),
+        stepped = nodes.join(flow, "node", "left")
+        if has_dangling:
+            dangling = ranks.join(dang_nodes, "node", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
             )
+            stepped = stepped.crossJoin(F.broadcast(dangling))
+            inflow = F.coalesce(F.col("flow"), F.lit(0.0)) + F.col("dm") / n
+        else:
+            inflow = F.coalesce(F.col("flow"), F.lit(0.0))
+        ranks = stepped.select(
+            "node",
+            (F.lit((1.0 - damping) / n) + F.lit(damping) * inflow).alias("rank"),
         )
     return ranks

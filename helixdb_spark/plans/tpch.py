@@ -1511,8 +1511,11 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_sql(damping: float = PR_DAMPING, iters: int = PR_ITERS) -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    # reference, and the r_i chain references compound — the edge build
+    # would be re-planned O(2^iters) times without it
     head = """
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT s_nationkey AS src, c_nationkey AS dst,
          sum(l_extendedprice * (1 - l_discount)) AS w
   FROM lineitem
@@ -1522,30 +1525,30 @@ WITH edges AS (
   GROUP BY 1, 2
   HAVING s_nationkey != c_nationkey
 ),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM edges UNION SELECT dst FROM edges
   )
 ),
-nsz AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY 1),
-norm AS (
+nsz AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+outw AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM edges GROUP BY 1),
+norm AS MATERIALIZED (
   SELECT e.src, e.dst, e.w / o.out_w AS p FROM edges e JOIN outw o ON e.src = o.src
 ),
-r0 AS (SELECT node, 1.0 / (SELECT n FROM nsz) AS rank FROM nodes)"""
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nsz) AS rank FROM nodes)"""
     parts = [head]
     for i in range(1, iters + 1):
         prev = f"r{i-1}"
         parts.append(f""",
-flow{i} AS (
+flow{i} AS MATERIALIZED (
   SELECT norm.dst AS node, sum(r.rank * norm.p) AS flow
   FROM norm JOIN {prev} r ON norm.src = r.node GROUP BY 1
 ),
-dang{i} AS (
+dang{i} AS MATERIALIZED (
   SELECT coalesce(sum(rank), 0.0) AS dm FROM {prev}
   WHERE node NOT IN (SELECT src FROM outw)
 ),
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT n.node,
          (1.0 - {damping}) / (SELECT n FROM nsz)
            + {damping} * (coalesce(f.flow, 0.0)
