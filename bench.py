@@ -65,6 +65,15 @@ HEADLINE = [
     "dedup_edit_distance",
     "ev_session_overlap",
     "bloom_join_urgent_revenue",
+    "ev_mad_outliers",
+    "ev_cohort_retention",
+    "ev_event_transitions",
+    "ev_cusum_drift",
+    "ev_trajectory_topk",
+    "curate_token_budget",
+    "mm_audio_energy",
+    "nation_trade_pagerank",
+    "validate_orders",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

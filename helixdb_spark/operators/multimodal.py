@@ -163,6 +163,42 @@ def sample_frames(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     return media.select("doc_id", "payload", "n_frames").mapInPandas(op, FRAME_SCHEMA)
 
 
+def scene_changes(frames: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Scene-boundary detection over per-frame fingerprints.
+
+    The frame "feature" is the first 32 bits of the fingerprint scaled to
+    [0,1) — a stand-in for a real frame histogram/embedding distance (the
+    container ships no video libs; the Spark plumbing is the real part). A
+    boundary is a frame whose feature jumps by more than ``threshold``
+    against the previous frame of the same video. One window per doc
+    (videos are short relative to the corpus, so the partition-by key is
+    well-spread — no skew), then a single groupBy; everything past the
+    frame extraction is JVM expressions.
+    """
+    from pyspark.sql import Window
+
+    feat = F.conv(F.substring("frame_md5", 1, 8), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    df = frames.withColumn("feat", feat).withColumn("prev", F.lag("feat").over(w))
+    boundary = (
+        F.col("prev").isNotNull() & (F.abs(F.col("feat") - F.col("prev")) > threshold)
+    ).cast("int")
+    return (
+        df.withColumn("b", boundary)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            (F.sum("b") + F.lit(1)).cast("long").alias("n_scenes"),
+        )
+        .withColumn(
+            "avg_scene_len",
+            F.round(F.col("n_frames") / F.col("n_scenes") + F.lit(1e-9), 4),
+        )
+    )
+
+
 # ---------------------------------------------------- perceptual-hash dedup
 PHASH_BITS = 64
 PHASH_BLOCKS = 4  # 16 bits per block; pigeonhole: hamming<=3 pairs always

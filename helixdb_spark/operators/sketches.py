@@ -74,8 +74,43 @@ def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def hll_estimate(registers: DataFrame, key_name: str) -> DataFrame:
-    """One summary row from the register state.
+def hll_registers_by(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group HLL state: (key_name, register, max_rho), ≤ m rows/group.
+
+    The grouped form is what a partitioned 100 TB corpus actually produces —
+    each source/shard folds its own ≤ m-row register set, and union is a
+    register-wise max (``hll_merge``). One shuffle over (group, register)
+    with map-side combine."""
+    h = _md5_hex(F.col(key_col))
+    register = F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("register")
+    w = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
+    rho = F.when(w > 0, F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(HLL_RHO_BITS + 1)
+    )
+    return (
+        df.select(
+            F.col(group_col).cast("string").alias("key_name"),
+            register,
+            rho.alias("rho"),
+        )
+        .groupBy("key_name", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(registers_by: DataFrame, merged_name: str = "__merged__") -> DataFrame:
+    """Union per-group sketches into one: register-wise max over ≤ m·groups
+    rows — the O(m) merge that makes HLL the right distinct-count carrier
+    across shards/days at scale (never re-reads the raw data)."""
+    return (
+        registers_by.groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .select(F.lit(merged_name).alias("key_name"), "register", "max_rho")
+    )
+
+
+def hll_estimate_by(registers_by: DataFrame) -> DataFrame:
+    """Per-group summary rows from (key_name, register, max_rho) state.
 
     The harmonic sum is kept in scaled integers — sum(2^(49-rho)) with
     absent registers contributing 2^49 — so it is exact in int64 (≤ 2^57)
@@ -84,16 +119,17 @@ def hll_estimate(registers: DataFrame, key_name: str) -> DataFrame:
     2.5·m, matching the published HLL algorithm.
     """
     scale = 1 << (HLL_RHO_BITS + 1)  # 2^49, the rho=0 (absent) contribution
-    agg = registers.agg(
-        F.count("*").alias("nonzero"),
+    agg = registers_by.groupBy("key_name").agg(
+        F.count("*").alias("nonzero_raw"),
         F.sum(
             F.pow(F.lit(2.0), (F.lit(HLL_RHO_BITS + 1) - F.col("max_rho")))
             .cast("long")
         ).alias("present_sum"),
     ).select(
-        F.col("nonzero").cast("long").alias("nonzero"),
-        (F.lit(HLL_M) - F.col("nonzero")).cast("long").alias("v_zero"),
-        (F.col("present_sum") + (F.lit(HLL_M) - F.col("nonzero")) * F.lit(scale))
+        "key_name",
+        F.col("nonzero_raw").cast("long").alias("nonzero"),
+        (F.lit(HLL_M) - F.col("nonzero_raw")).cast("long").alias("v_zero"),
+        (F.col("present_sum") + (F.lit(HLL_M) - F.col("nonzero_raw")) * F.lit(scale))
         .cast("long")
         .alias("sum_scaled"),
     )
@@ -105,12 +141,20 @@ def hll_estimate(registers: DataFrame, key_name: str) -> DataFrame:
         m * F.log(m / F.col("v_zero")),
     ).otherwise(e_raw)
     return agg.select(
-        F.lit(key_name).alias("key_name"),
+        "key_name",
         F.lit(HLL_M).cast("long").alias("m"),
         "nonzero",
         "v_zero",
         "sum_scaled",
         F.round(estimate + F.lit(1e-9), 4).alias("estimate"),
+    )
+
+
+def hll_estimate(registers: DataFrame, key_name: str) -> DataFrame:
+    """One summary row from an ungrouped register state (see
+    ``hll_estimate_by`` for the arithmetic guarantees)."""
+    return hll_estimate_by(
+        registers.select(F.lit(key_name).alias("key_name"), "register", "max_rho")
     )
 
 

@@ -218,3 +218,47 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES.update({"mm_audio_energy": mm_audio_energy})
 ORACLES.update({"mm_audio_energy": MM_AUDIO_SQL})
+
+
+def mm_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change counts per video: every frame (stride 1) fingerprinted
+    in the Arrow mapInPandas decode pass, then boundary detection as a pure
+    JVM lag-window + groupBy (operators/multimodal.py:scene_changes)."""
+    media = mm.synthesize_media(load_table(spark, sf_dir, "documents"))
+    frames = mm.sample_frames(media, stride=1)
+    return mm.scene_changes(frames).orderBy("doc_id")
+
+
+MM_SCENE_SQL = f"""
+WITH m AS (
+  SELECT doc_id, text, (strlen(text) // {mm.BYTES_PER_FRAME})::INT AS n_frames
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, text, unnest(range(0, n_frames))::INT AS frame_idx
+  FROM m WHERE n_frames >= 1
+),
+f AS (
+  SELECT doc_id, frame_idx,
+         ('0x' || substr(md5(text || ':' || frame_idx), 1, 8))::BIGINT
+           / 4294967296.0 AS feat
+  FROM idx
+),
+d AS (
+  SELECT doc_id, feat,
+         lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+  FROM f
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_frames,
+         (1 + sum(CASE WHEN prev IS NOT NULL AND abs(feat - prev) > 0.7
+                       THEN 1 ELSE 0 END))::BIGINT AS n_scenes
+  FROM d GROUP BY 1
+)
+SELECT doc_id, n_frames, n_scenes,
+       round(n_frames / n_scenes::DOUBLE + 1e-9, 4) AS avg_scene_len
+FROM agg ORDER BY doc_id
+"""
+
+QUERIES.update({"mm_scene_change": mm_scene_change})
+ORACLES.update({"mm_scene_change": MM_SCENE_SQL})

@@ -225,3 +225,79 @@ ORDER BY pr.q
 
 QUERIES.update({"sketch_hist_quantiles": sketch_hist_quantiles})
 ORACLES.update({"sketch_hist_quantiles": SKETCH_HIST_SQL})
+
+
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof: per-event-type HLL register sets unioned by
+    register-wise max (``hll_merge``) next to each per-type estimate. At
+    100 TB this is the whole point of the sketch — per-shard/day states are
+    ≤ m rows each and the union never re-reads raw data; the __merged__ row
+    must equal a direct fold over everything (max is associative), which the
+    oracle checks bit-for-bit through sum_scaled."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = sketches.hll_registers_by(ev, "event_type", "user_id")
+    est = sketches.hll_estimate_by(regs.unionByName(sketches.hll_merge(regs)))
+    exact = (
+        ev.groupBy(F.col("event_type").alias("key_name"))
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(
+                F.lit("__merged__").alias("key_name"),
+                F.count_distinct("user_id").alias("exact_distinct"),
+            )
+        )
+    )
+    return est.join(exact, "key_name").orderBy("key_name")
+
+
+SKETCH_HLL_MERGE_SQL = f"""
+WITH keys AS (
+  SELECT event_type AS key_name, user_id::VARCHAR AS k FROM events
+  UNION ALL
+  SELECT '__merged__', user_id::VARCHAR FROM events
+),
+h AS (
+  SELECT key_name,
+         ('0x' || substr(md5(k), 1, 2))::BIGINT AS register,
+         ('0x' || substr(md5(k), 3, 12))::BIGINT AS w
+  FROM keys
+),
+regs AS (
+  SELECT key_name, register,
+         max(CASE WHEN w > 0 THEN {_RB1} - length(bin(w)) ELSE {_RB1} END) AS max_rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT key_name,
+         count(*)::BIGINT AS nonzero,
+         ({HLL_M} - count(*))::BIGINT AS v_zero,
+         (sum((1::BIGINT << ({_RB1} - max_rho)))
+            + ({HLL_M} - count(*)) * (1::BIGINT << {_RB1}))::BIGINT AS sum_scaled
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT key_name, {HLL_M}::BIGINT AS m, nonzero, v_zero, sum_scaled,
+         round(CASE WHEN (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                           * {float(_SCALE)} / sum_scaled <= 2.5 * {HLL_M}.0
+                         AND v_zero > 0
+                    THEN {HLL_M}.0 * ln({HLL_M}.0 / v_zero)
+                    ELSE (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                           * {float(_SCALE)} / sum_scaled
+               END + 1e-9, 4) AS estimate
+  FROM agg
+),
+ex AS (
+  SELECT event_type AS key_name, count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT '__merged__', count(DISTINCT user_id)::BIGINT FROM events
+)
+SELECT est.key_name, m, nonzero, v_zero, sum_scaled, estimate, exact_distinct
+FROM est JOIN ex ON est.key_name = ex.key_name
+ORDER BY est.key_name
+"""
+
+QUERIES.update({"sketch_hll_merge": sketch_hll_merge})
+ORACLES.update({"sketch_hll_merge": SKETCH_HLL_MERGE_SQL})

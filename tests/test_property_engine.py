@@ -96,6 +96,7 @@ _op_st = st.one_of(
         ),
     ),
     st.tuples(st.just("outdate"), st.integers(min_value=0, max_value=400)),
+    st.tuples(st.just("rollback"), st.none()),
 )
 
 
@@ -106,8 +107,8 @@ _op_st = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_mutation_sequence_matches_model(spark, ops):
-    """Any interleaving of put / compact / outdate agrees with a trivial
-    last-write-wins + retention model. Exercises the generation-manifest
+    """Any interleaving of put / compact / outdate / rollback agrees with
+    a trivial last-write-wins + retention model. Exercises the generation-manifest
     commit across MULTIPLE compactions (gen chains, bucket re-merges) and
     the cutoff/manifest interplay — the state space the example tests
     can't enumerate."""
@@ -115,7 +116,12 @@ def test_mutation_sequence_matches_model(spark, ops):
     db = HelixSpark.open(
         spark,
         base,
-        HelixOptions(rick_range=100, outdate_range=1 << 40, auto_maintain=False),
+        HelixOptions(
+            rick_range=100,
+            outdate_range=1 << 40,
+            auto_maintain=False,
+            keep_generations=2,
+        ),
     )
     model: dict[tuple[int, bytes], bytes] = {}
     cutoff = None
@@ -128,9 +134,17 @@ def test_mutation_sequence_matches_model(spark, ops):
         elif kind == "compact":
             lo, hi = min(arg), max(arg)
             db.compact(lo, hi)
-        else:
+        elif kind == "outdate":
             db.outdate(arg)
             cutoff = arg if cutoff is None else max(cutoff, arg)
+        else:
+            # compaction is logically transparent, so its rollback is a
+            # logical no-op too — under ANY interleaving with puts and
+            # retention (the outdate cutoff lives in state, not in the
+            # rolled-back manifest, and the read path re-applies it to
+            # whatever directories the restore resurrects). The model
+            # therefore doesn't change; only the physical layout does.
+            db.rollback_compaction()
 
     expected = {
         (ts, key, val)
