@@ -74,6 +74,8 @@ HEADLINE = [
     "mm_audio_energy",
     "nation_trade_pagerank",
     "validate_orders",
+    "sketch_hll_merge",
+    "mm_scene_change",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -233,6 +233,34 @@ def test_repetition_metrics_shuffle_only_for_output_order(spark, sf_dir):
     assert "HashAggregate" not in plan  # nothing aggregates across rows
 
 
+def test_scene_change_groupby_reuses_window_partitioning(spark, sf_dir):
+    """Scene detection after the frame decode is one shuffle: the lag
+    window hashes on doc_id and the scene-count groupBy reuses that exact
+    partitioning — adding the aggregate must not add an Exchange."""
+    import re
+
+    from helixdb_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media(load_table(spark, sf_dir, "documents"))
+    plan = plan_of(mm.scene_changes(mm.sample_frames(media, stride=1)))
+    # spread fan-out + the doc_id hash exchange for the window; nothing else
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+
+
+def test_hll_registers_partial_aggregate(spark, sf_dir):
+    """The HLL register fold must partially aggregate before its exchange —
+    each input partition emits ≤ m register rows, so the shuffle volume is
+    O(m · partitions) regardless of input size. Same pin for the grouped
+    (mergeable) form."""
+    from helixdb_spark.operators import sketches as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    for df in (sk.hll_registers(ev, "user_id"), sk.hll_registers_by(ev, "event_type", "user_id")):
+        plan = plan_of(df)
+        pre_exchange = plan.split("Exchange", 1)[0]
+        assert "HashAggregate" in pre_exchange  # map-side combine before shuffle
+
+
 def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
     """Sweep every batch graded query's physical plan: CartesianProduct is
     never acceptable; BroadcastNestedLoopJoin only where it is the point —
