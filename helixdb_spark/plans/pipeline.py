@@ -1493,3 +1493,64 @@ ORDER BY source, cum_tokens
 
 QUERIES.update({"curate_token_budget": curate_token_budget})
 ORACLES.update({"curate_token_budget": CURATE_TOKEN_BUDGET_SQL})
+
+
+# ------------------------------------------------------- ANN recall audit
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the sub-quadratic ANN tiers, measured — not guessed.
+
+    The brute-force tier is ground truth (same metric, same tie-break);
+    each approximate tier's top-k is semi-joined against it and the hit
+    fraction reported per method. This is the accuracy/throughput dial a
+    100 TB deployment actually tunes (probe more LSH buckets / IVF lists
+    until recall clears the bar), so the audit itself ships as a graded
+    query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vecs(spark, sf_dir)
+    truth = _sim.brute_force_topk(emb, q, k=ANN_K).select("query_id", "neighbor_id")
+
+    def hits(method: str, approx: DataFrame) -> DataFrame:
+        return (
+            truth.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .agg(F.count("*").alias("hits"))
+            .select(F.lit(method).alias("method"), "hits")
+        )
+
+    poss = truth.agg(F.count("*").alias("possible"))
+    return (
+        hits("ivf", _sim.ivf_topk(emb, q, k=ANN_K))
+        .unionByName(hits("lsh", _sim.lsh_topk(emb, q, k=ANN_K)))
+        .crossJoin(poss)
+        .withColumn(
+            "recall_at_k",
+            F.round(F.col("hits") / F.col("possible") + F.lit(1e-9), 4),
+        )
+        .orderBy("method")
+    )
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({ANN_BRUTE_SQL})),
+l AS (SELECT query_id, neighbor_id FROM ({_lsh_sql()})),
+i AS (SELECT query_id, neighbor_id FROM ({ANN_IVF_SQL})),
+poss AS (SELECT count(*)::BIGINT AS possible FROM truth),
+h AS (
+  SELECT 'ivf' AS method, count(*)::BIGINT AS hits
+  FROM truth SEMI JOIN i USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'lsh', count(*)::BIGINT
+  FROM truth SEMI JOIN l USING (query_id, neighbor_id)
+)
+SELECT method, hits, possible,
+       round(hits / possible::DOUBLE + 1e-9, 4) AS recall_at_k
+FROM h, poss ORDER BY method
+"""
+
+
+QUERIES.update({"ann_recall_audit": ann_recall_audit})
+ORACLES.update({"ann_recall_audit": _ann_recall_sql()})
