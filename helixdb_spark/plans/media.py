@@ -116,6 +116,7 @@ QUERIES = {
     "stream_dedup": stream.stream_dedup,
     "stream_static_enrich": stream.stream_static_enrich,
     "stream_hll_registers": stream.stream_hll_registers,
+    "stream_cms_cells": stream.stream_cms_cells,
 }
 
 ORACLES = {
@@ -131,6 +132,7 @@ ORACLES = {
     "stream_dedup": stream.STREAM_DEDUP_SQL,
     "stream_static_enrich": stream.STREAM_ENRICH_SQL,
     "stream_hll_registers": stream.STREAM_HLL_SQL,
+    "stream_cms_cells": stream.STREAM_CMS_SQL,
 }
 
 

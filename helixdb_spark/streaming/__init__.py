@@ -407,3 +407,34 @@ SELECT register,
        max(CASE WHEN w > 0 THEN 49 - length(bin(w)) ELSE 49 END) AS max_rho
 FROM h GROUP BY 1 ORDER BY 1
 """
+
+
+def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: the SAME cell-fold as the batch sketch
+    (operators.sketches.cms_cells — explode to d cells, groupBy count)
+    runs unchanged on the stream. State is bounded at d·w cells no matter
+    how much flows past — the live heavy-hitter monitor a 100 TB/day
+    ingest runs without keeping per-key counts. Complete mode emits the
+    cell table; probing it for any key's estimate is a broadcast lookup."""
+    from helixdb_spark.operators import sketches
+
+    ev = _events_stream(spark, sf_dir)
+    agg = sketches.cms_cells(ev, "user_id")
+    out = _run_to_memory(agg, "complete")
+    return out.orderBy("row", "col")
+
+
+def _stream_cms_sql() -> str:
+    from helixdb_spark.operators import sketches
+
+    return f"""
+SELECT j AS "row",
+       ('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR), 1, 15))::BIGINT
+         % {sketches.CMS_WIDTH} AS col,
+       count(*)::BIGINT AS cnt
+FROM events, range({sketches.CMS_DEPTH}) t(j)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+STREAM_CMS_SQL = _stream_cms_sql()
