@@ -1554,3 +1554,69 @@ FROM h, poss ORDER BY method
 
 QUERIES.update({"ann_recall_audit": ann_recall_audit})
 ORACLES.update({"ann_recall_audit": _ann_recall_sql()})
+
+
+# ------------------------------------------------- end-to-end curation run
+def curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE pipelined Catalyst plan: lang
+    allowlist (pushed to the scan) → quality gate → exact-dedup
+    survivorship (anti-join) → per-source sequence packing. No stage
+    materializes: the packing window consumes the filtered/deduped rows
+    directly, so at 100 TB this runs as a single job whose only shuffles
+    are the dedup hash groupBy and the packing group partition — the shape
+    a batch-builder wants instead of three separate passes over the corpus."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isin(*CURATE_LANGS)
+    )
+    q = _ta.quality_metrics(docs).select("doc_id", "n_words", "quality_score")
+    dups = dedup.exact_duplicates(docs).select(F.col("dup_id").alias("doc_id"))
+    kept = (
+        docs.join(q, "doc_id")
+        .join(dups, "doc_id", "left_anti")
+        .where(
+            (F.col("n_words") >= CURATE_MIN_WORDS)
+            & (F.col("quality_score") >= CURATE_MIN_QUALITY)
+        )
+    )
+    return _ck.pack_contexts(kept.select("doc_id", "text", "source"))
+
+
+def _curate_end_to_end_sql() -> str:
+    langs = ", ".join(f"'{l}'" for l in CURATE_LANGS)
+    quality = _ta.quality_sql(_NORM).replace(
+        "FROM documents", f"FROM documents WHERE lang IN ({langs})"
+    )
+    return f"""
+WITH q AS ({quality}),
+h AS (SELECT doc_id, md5({_NORM}) AS text_hash
+      FROM documents WHERE lang IN ({langs})),
+keepers AS (SELECT text_hash, min(doc_id) AS keep_id FROM h GROUP BY 1),
+dups AS (SELECT h.doc_id FROM h JOIN keepers USING (text_hash)
+         WHERE h.doc_id != keepers.keep_id),
+kept AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+    AND q.n_words >= {CURATE_MIN_WORDS}
+    AND q.quality_score >= {CURATE_MIN_QUALITY}
+),
+w AS (SELECT doc_id, source,
+             CASE WHEN {_NORM} = ''
+                  THEN 0 ELSE len(string_split({_NORM}, ' ')) END AS nw
+      FROM kept),
+b AS (
+  SELECT source, doc_id, nw,
+         coalesce(sum(nw) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_ck.PACK_CONTEXT} AS bin_id
+  FROM w
+)
+SELECT source, bin_id::BIGINT AS bin_id, count(*) AS n_docs,
+       sum(nw)::BIGINT AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM b GROUP BY source, bin_id ORDER BY source, bin_id
+"""
+
+
+QUERIES.update({"curate_end_to_end": curate_end_to_end})
+ORACLES.update({"curate_end_to_end": _curate_end_to_end_sql()})
