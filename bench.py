@@ -76,6 +76,9 @@ HEADLINE = [
     "validate_orders",
     "sketch_hll_merge",
     "mm_scene_change",
+    "ann_recall_audit",
+    "curate_end_to_end",
+    "stream_cms_cells",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

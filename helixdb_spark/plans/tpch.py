@@ -1630,3 +1630,73 @@ ORDER BY rule
 
 QUERIES.update({"validate_orders": validate_orders})
 ORACLES.update({"validate_orders": VALIDATE_ORDERS_SQL})
+
+
+def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the undirected nation trade graph
+    (operators.graph.triangle_counts — degree-ordered orientation, so no
+    hub self-joins; the clustering-coefficient numerator of the q7 trade
+    network). The oracle enumerates the same triangles id-ordered — both
+    algorithms count each triangle exactly once, so the per-node credits
+    agree."""
+    from helixdb_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    tc = triangle_counts(edges, "src", "dst")
+    return (
+        tc.join(F.broadcast(nation), tc["node"] == nation["n_nationkey"])
+        .select("node", "n_name", "deg", "n_triangles")
+        .orderBy("node")
+    )
+
+
+NATION_TRIANGLES_SQL = """
+WITH e0 AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey != c.c_nationkey
+),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1
+),
+tri AS (
+  SELECT t1.a AS x, t1.b AS y, t2.b AS z
+  FROM und t1
+  JOIN und t2 ON t2.a = t1.a AND t2.b > t1.b
+  JOIN und t3 ON t3.a = t1.b AND t3.b = t2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT node, count(*)::BIGINT AS n_triangles FROM corners GROUP BY 1)
+SELECT d.node, n.n_name, d.deg,
+       coalesce(cnt.n_triangles, 0)::BIGINT AS n_triangles
+FROM deg d
+JOIN nation n ON d.node = n.n_nationkey
+LEFT JOIN cnt USING (node)
+ORDER BY d.node
+"""
+
+QUERIES.update({"nation_trade_triangles": nation_trade_triangles})
+ORACLES.update({"nation_trade_triangles": NATION_TRIANGLES_SQL})

@@ -63,3 +63,28 @@ def test_check_foreign_key_orphans(spark):
     row = check_foreign_key(facts, "k", dim, "dk").collect()[0]
     assert row["n_violations"] == 2  # 7 and NULL
     assert row["n_checked"] == 4
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    """K4 (every node in 3 triangles) plus a pendant node (0 triangles);
+    reversed and duplicated edges must canonicalize away."""
+    from helixdb_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(b, a) for a, b in k4] + [(1, 5), (5, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: (r["deg"], r["n_triangles"])
+        for r in triangle_counts(df).collect()
+    }
+    assert got == {1: (4, 3), 2: (3, 3), 3: (3, 3), 4: (3, 3), 5: (1, 0)}
+
+
+def test_triangle_counts_no_triangles(spark):
+    """A path graph has no triangles but every node is still reported."""
+    from helixdb_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
+    rows = triangle_counts(df).collect()
+    assert {r["node"] for r in rows} == {1, 2, 3, 4}
+    assert all(r["n_triangles"] == 0 for r in rows)
