@@ -79,6 +79,7 @@ HEADLINE = [
     "ann_recall_audit",
     "curate_end_to_end",
     "stream_cms_cells",
+    "nation_trade_triangles",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench
