@@ -1700,3 +1700,33 @@ ORDER BY d.node
 
 QUERIES.update({"nation_trade_triangles": nation_trade_triangles})
 ORACLES.update({"nation_trade_triangles": NATION_TRIANGLES_SQL})
+
+
+def nation_trade_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per nation: 2·triangles/(deg·(deg−1))
+    over the deduped undirected trade graph — the standard cohesion metric
+    riding the same degree-ordered triangle plan (zero extra shuffles
+    beyond nation_trade_triangles)."""
+    base = nation_trade_triangles(spark, sf_dir)
+    cc = (
+        F.when(
+            F.col("deg") >= 2,
+            F.lit(2.0)
+            * F.col("n_triangles")
+            / (F.col("deg") * (F.col("deg") - 1)),
+        ).otherwise(F.lit(0.0))
+    )
+    return base.withColumn("local_cc", F.round(cc + F.lit(1e-9), 6))
+
+
+NATION_CLUSTERING_SQL = f"""
+SELECT node, n_name, deg, n_triangles,
+       round(CASE WHEN deg >= 2
+                  THEN 2.0 * n_triangles / (deg * (deg - 1))
+                  ELSE 0.0 END + 1e-9, 6) AS local_cc
+FROM ({NATION_TRIANGLES_SQL})
+ORDER BY node
+"""
+
+QUERIES.update({"nation_trade_clustering": nation_trade_clustering})
+ORACLES.update({"nation_trade_clustering": NATION_CLUSTERING_SQL})
