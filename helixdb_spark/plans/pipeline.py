@@ -1505,9 +1505,17 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB deployment actually tunes (probe more LSH buckets / IVF lists
     until recall clears the bar), so the audit itself ships as a graded
     query."""
+    from pyspark import StorageLevel
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vecs(spark, sf_dir)
-    truth = _sim.brute_force_topk(emb, q, k=ANN_K).select("query_id", "neighbor_id")
+    # built once, consumed three times (possible + two semi-joins) — the
+    # same "build the index once" persist discipline as the dedup operators
+    truth = (
+        _sim.brute_force_topk(emb, q, k=ANN_K)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def hits(method: str, approx: DataFrame) -> DataFrame:
         return (
