@@ -1605,3 +1605,107 @@ ORACLES.update(
         "ev_event_transitions": EV_TRANSITIONS_SQL,
     }
 )
+
+
+# --------------------------------------------------- RFM segmentation
+def ev_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM (recency/frequency/monetary) quintile scores.
+
+    Scale-safe scoring: instead of a global ntile window (which collapses
+    to one partition), the quintile BOUNDARIES are computed in a 1-row
+    aggregate (Spark ``percentile`` == DuckDB ``quantile_cont``, rounded
+    so both engines compare identical doubles), broadcast, and each user
+    scores map-side with CASE comparisons — the same two-tiny-broadcast
+    shape as ev_value_histogram, O(1) state however many users exist.
+    Higher score = better: 5 = most recent / most frequent / highest
+    spend. Ties at a boundary land identically in both engines because
+    the compared values are integer or pre-rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max(F.unix_timestamp("ts")).alias("last_sec"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("value") + F.lit(1e-9), 4).alias("monetary"),
+    )
+    ref = per.agg(F.max("last_sec").alias("ref_sec"))
+    pm = per.join(F.broadcast(ref)).select(
+        "user_id",
+        F.floor((F.col("ref_sec") - F.col("last_sec")) / F.lit(86400))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    qcols = []
+    for name, col in (("r", "recency_days"), ("f", "frequency"), ("m", "monetary")):
+        for p in (20, 40, 60, 80):
+            qcols.append(
+                F.round(
+                    F.percentile(F.col(col), F.lit(p / 100.0)) + F.lit(1e-9), 6
+                ).alias(f"{name}{p}")
+            )
+    qs = pm.agg(*qcols)
+
+    def steps(col: str, prefix: str, better_low: bool) -> F.Column:
+        s = F.lit(1)
+        for p in (20, 40, 60, 80):
+            b = F.col(f"{prefix}{p}")
+            hit = (F.col(col) < b) if better_low else (F.col(col) > b)
+            s = s + F.when(hit, 1).otherwise(0)
+        return s.cast("int")
+
+    scored = pm.join(F.broadcast(qs)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        steps("recency_days", "r", True).alias("r_score"),
+        steps("frequency", "f", False).alias("f_score"),
+        steps("monetary", "m", False).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm", F.concat_ws("", "r_score", "f_score", "m_score")
+    ).orderBy("user_id")
+
+
+def _rfm_sql() -> str:
+    q = ", ".join(
+        f"round(1e-9 + quantile_cont({col}, {p / 100.0}), 6) AS {name}{p}"
+        for name, col in (("r", "recency_days"), ("f", "frequency"), ("m", "monetary"))
+        for p in (20, 40, 60, 80)
+    )
+
+    def steps(col: str, prefix: str, op: str) -> str:
+        cases = " + ".join(
+            f"(CASE WHEN {col} {op} {prefix}{p} THEN 1 ELSE 0 END)"
+            for p in (20, 40, 60, 80)
+        )
+        return f"(1 + {cases})::INT"
+
+    return f"""
+WITH per AS (
+  SELECT user_id, max(floor(epoch(ts))) AS last_sec, count(*)::BIGINT AS frequency,
+         round(1e-9 + sum(value), 4) AS monetary
+  FROM events GROUP BY 1
+),
+ref AS (SELECT max(last_sec) AS ref_sec FROM per),
+pm AS (
+  SELECT user_id, floor((ref_sec - last_sec) / 86400)::BIGINT AS recency_days,
+         frequency, monetary
+  FROM per, ref
+),
+qs AS (SELECT {q} FROM pm),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         {steps("recency_days", "r", "<")} AS r_score,
+         {steps("frequency", "f", ">")} AS f_score,
+         {steps("monetary", "m", ">")} AS m_score
+  FROM pm, qs
+)
+SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
+       r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS rfm
+FROM scored ORDER BY user_id
+"""
+
+
+QUERIES.update({"ev_rfm_scores": ev_rfm_scores})
+ORACLES.update({"ev_rfm_scores": _rfm_sql()})

@@ -281,6 +281,7 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "ev_gapfill_locf",  # dense grid = tiny hour sequence x tiny type set
         "kv_asof_probes",  # keys x 3-row probe-instant broadcast
         "ev_value_histogram",  # 1-row min/max span broadcast
+        "ev_rfm_scores",  # 1-row ref-instant + 1-row quintile-boundary broadcasts
         "sample_temperature_mix",  # 1-row corpus-total broadcast
         "text_bm25_search",  # 1-row N/avgdl corpus-stats broadcast
         "text_lm_score",  # 1-row corpus-total/vocab-size broadcast
