@@ -80,6 +80,8 @@ HEADLINE = [
     "curate_end_to_end",
     "stream_cms_cells",
     "nation_trade_triangles",
+    "nation_trade_clustering",
+    "ev_rfm_scores",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -428,3 +428,67 @@ def embedding_covariance(
         )
         .orderBy("i", "j")
     )
+
+
+def power_iteration_top_eigen(
+    cov: DataFrame,
+    dim: int,
+    iterations: int = 5,
+) -> DataFrame:
+    """Leading eigenvector of a (i, j, cov) upper-triangle covariance via
+    power iteration — the PCA building block on top of
+    ``embedding_covariance``.
+
+    Scale shape (the kmeans discipline): the matrix stays distributed
+    (symmetrized once, persisted — d(d+1) rows); the only driver state is
+    the d-float vector between rounds, re-broadcast as a literal array
+    each matvec. Every matvec is one groupBy(i) sum over the matrix rows.
+    Both engines round the matvec (6 dp, +1e-9 nudge), the norm, and the
+    normalized components each round, so the iterate stays bit-identical
+    to the oracle's unrolled CTEs. Returns one row per dimension:
+    (i, loading, eigenvalue) with eigenvalue = the final pre-normalization
+    norm (the Rayleigh-quotient estimate under a unit iterate).
+    """
+    import math
+
+    full = (
+        cov.select("i", "j", "cov")
+        .unionByName(
+            cov.where(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+            )
+        )
+        .persist()
+    )
+    v = [0.125 if dim == 64 else 1.0 / math.sqrt(dim)] * dim
+
+    def matvec(vec: list[float]) -> DataFrame:
+        x = F.element_at(
+            F.array(*[F.lit(float(c)) for c in vec]), F.col("j") + 1
+        )
+        return (
+            full.select("i", (F.col("cov") * x).alias("t"))
+            .groupBy("i")
+            .agg(F.round(F.sum("t") + F.lit(1e-9), 6).alias("w"))
+        )
+
+    nrm = 1.0
+    prev = list(v)
+    for _ in range(iterations):
+        prev = list(v)
+        w_rows = {r["i"]: r["w"] for r in matvec(v).collect()}  # d floats
+        nrm = round(1e-9 + math.sqrt(sum(w_rows[i] ** 2 for i in range(dim))), 6)
+        v = [round(1e-9 + w_rows[i] / nrm, 6) for i in range(dim)]
+
+    # final projection stays distributed: re-run the last round's matvec
+    # plan (input = the pre-final iterate) and normalize JVM-side — the
+    # per-round collects above were d-float state, not data
+    return (
+        matvec(prev)
+        .select(
+            "i",
+            F.round(F.col("w") / F.lit(nrm) + F.lit(1e-9), 6).alias("loading"),
+            F.lit(nrm).alias("eigenvalue"),
+        )
+        .orderBy("i")
+    )

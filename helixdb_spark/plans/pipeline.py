@@ -1628,3 +1628,53 @@ FROM b GROUP BY source, bin_id ORDER BY source, bin_id
 
 QUERIES.update({"curate_end_to_end": curate_end_to_end})
 ORACLES.update({"curate_end_to_end": _curate_end_to_end_sql()})
+
+
+# ------------------------------------------------- PCA power iteration
+PI_ITERS = 5
+
+
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the embedding corpus: power
+    iteration on the (rounded) sample covariance from emb_covariance
+    (operators.similarity.power_iteration_top_eigen — matrix distributed,
+    d-float driver state per round, every rounding step mirrored by the
+    oracle's unrolled CTE rounds)."""
+    cov = _sim.embedding_covariance(load_table(spark, sf_dir, "embeddings"))
+    return _sim.power_iteration_top_eigen(cov, dim=_sim.DIM, iterations=PI_ITERS)
+
+
+def _power_iteration_sql() -> str:
+    d = _sim.DIM
+    v0 = 1.0 / (d ** 0.5)
+    rounds = []
+    prev = "v0"
+    for r in range(1, PI_ITERS + 1):
+        rounds.append(
+            f"""w{r} AS (
+  SELECT f.i, round(1e-9 + sum(f.cov * {prev}.x), 6) AS w
+  FROM fm f JOIN {prev} ON {prev}.i = f.j GROUP BY f.i
+),
+n{r} AS (SELECT round(1e-9 + sqrt(sum(w * w)), 6) AS nrm FROM w{r}),
+v{r} AS (SELECT i, round(1e-9 + w / nrm, 6) AS x FROM w{r}, n{r})"""
+        )
+        prev = f"v{r}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH covq AS (SELECT i, j, cov FROM ({EMB_COV_SQL})),
+fm AS (
+  SELECT i, j, cov FROM covq
+  UNION ALL
+  SELECT j, i, cov FROM covq WHERE i != j
+),
+v0 AS (SELECT unnest(range(0, {d}))::BIGINT AS i, {v0!r}::DOUBLE AS x),
+{chain}
+SELECT w{PI_ITERS}.i, round(1e-9 + w{PI_ITERS}.w / n{PI_ITERS}.nrm, 6) AS loading,
+       n{PI_ITERS}.nrm AS eigenvalue
+FROM w{PI_ITERS}, n{PI_ITERS}
+ORDER BY w{PI_ITERS}.i
+"""
+
+
+QUERIES.update({"emb_power_iteration": emb_power_iteration})
+ORACLES.update({"emb_power_iteration": _power_iteration_sql()})

@@ -302,7 +302,15 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
     # stage is asserted equi-join (not BNLJ) in test_pipeline_ops
     # dedup_canonical reuses dedup_clusters' iterative closure on
     # construction; its election window and joins are equi by construction
-    SKIP = {"dedup_clusters", "dedup_canonical", "emb_kmeans", "dedup_semantic"}
+    # emb_power_iteration runs its matvec rounds on construction (d-float
+    # driver state per round, the kmeans discipline)
+    SKIP = {
+        "dedup_clusters",
+        "dedup_canonical",
+        "emb_kmeans",
+        "dedup_semantic",
+        "emb_power_iteration",
+    }
     qs = entrymod.queries()
     offenders = []
     for name, fn in sorted(qs.items()):
