@@ -1678,3 +1678,57 @@ ORDER BY w{PI_ITERS}.i
 
 QUERIES.update({"emb_power_iteration": emb_power_iteration})
 ORACLES.update({"emb_power_iteration": _power_iteration_sql()})
+
+
+def emb_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA apply step: every embedding projected onto the corpus's leading
+    principal component (emb_power_iteration's eigenvector). The d-float
+    loading vector is driver state broadcast as a literal; each score is a
+    single JVM zip_with/aggregate fold — the map-side projection a
+    whitening/feature pipeline runs corpus-wide, no shuffle at all past
+    the eigenvector build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = _sim.embedding_covariance(emb)
+    pc = _sim.power_iteration_top_eigen(cov, dim=_sim.DIM, iterations=PI_ITERS)
+    loading = [r["loading"] for r in pc.orderBy("i").collect()]  # d floats
+    arr = F.array(*[F.lit(float(x)) for x in loading])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        _sim.spread(emb)
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot + F.lit(1e-9), 6).alias("pc1_score"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _pca_scores_sql() -> str:
+    base = _power_iteration_sql().strip().rstrip()
+    # reuse the unrolled chain: swap the final SELECT for a projection CTE
+    head, _, _ = base.rpartition("SELECT w")
+    return f"""{head.rstrip()},
+pc AS (
+  SELECT w{PI_ITERS}.i, round(1e-9 + w{PI_ITERS}.w / n{PI_ITERS}.nrm, 6) AS x
+  FROM w{PI_ITERS}, n{PI_ITERS}
+),
+dims AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+)
+SELECT d.vec_id, d.label, round(1e-9 + sum(d.v * pc.x), 6) AS pc1_score
+FROM dims d JOIN pc ON pc.i = d.i
+GROUP BY d.vec_id, d.label
+ORDER BY d.vec_id
+"""
+
+
+QUERIES.update({"emb_pca_scores": emb_pca_scores})
+ORACLES.update({"emb_pca_scores": _pca_scores_sql()})

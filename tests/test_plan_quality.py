@@ -310,6 +310,7 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "emb_kmeans",
         "dedup_semantic",
         "emb_power_iteration",
+        "emb_pca_scores",  # runs the eigenvector build on construction
     }
     qs = entrymod.queries()
     offenders = []
