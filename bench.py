@@ -82,6 +82,8 @@ HEADLINE = [
     "nation_trade_triangles",
     "nation_trade_clustering",
     "ev_rfm_scores",
+    "emb_power_iteration",
+    "emb_pca_scores",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench
