@@ -834,6 +834,12 @@ class HelixSpark:
             return False
         e = history.pop()
         gen = int(e["gen"])
+        # The entry must describe the MOST RECENT commit. A keep==0 compact
+        # (e.g. the DB reopened with keep_generations=0) bumps cold_gen_seq
+        # without appending history AND immediately GC's what it superseded
+        # — a stale entry would "restore" a manifest whose dirs are gone.
+        if gen != int(self._state.get("cold_gen_seq", 0)) - 1:
+            return False
         for b in e["hot_dropped"]:
             src = f"{self.layout.trash_path(gen)}/time_bucket={int(b)}"
             dst = f"{self.layout.hot_path}/time_bucket={int(b)}"
@@ -884,6 +890,19 @@ class HelixSpark:
                     self._fs.delete(f"{gen_dir}/time_bucket={b}")
             if not self._fs.list_buckets(gen_dir):
                 self._fs.delete(gen_dir)
+        # trash/commit=G parking dirs are restorable only while a history
+        # entry references G; orphans (a crash between compact's expired-GC
+        # deletes, a mid-rollback crash, or keep_generations lowered) would
+        # otherwise leak disk forever.
+        retained = {
+            int(e["gen"]) for e in self._state.get("commit_history") or []
+        }
+        trash_root = f"{self.layout.base_path}/trash"
+        for name in self._fs.listdir(trash_root):
+            if not name.startswith("commit="):
+                continue
+            if int(name.split("=", 1)[1]) not in retained:
+                self._fs.delete(f"{trash_root}/{name}")
 
     def outdate(self, cutoff_ts: int) -> None:
         """Retention: retire data with ts <= cutoff (reference

@@ -29,6 +29,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 5,
     truncate_lineage_every: int = 2,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank with uniform dangling redistribution; returns
     (node, rank) after a FIXED iteration count (deterministic — the oracle
@@ -36,6 +37,12 @@ def pagerank(
 
     ``rank' = (1-d)/N + d * (flow_in + dangling_mass/N)`` where flow
     follows out-weight-normalized edges.
+
+    ``round_dp`` rounds the rank at the END of each iteration (with a
+    +1e-9 half-even nudge) — the same per-round quantization discipline as
+    power_iteration_top_eigen, so an unrolled-CTE oracle stays bit-equal
+    even though the two engines sum doubles in different orders; without
+    it the ~1e-15 order noise compounds across iterations.
     """
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     e = edges.select(
@@ -87,10 +94,10 @@ def pagerank(
             inflow = F.coalesce(F.col("flow"), F.lit(0.0)) + F.col("dm") / n
         else:
             inflow = F.coalesce(F.col("flow"), F.lit(0.0))
-        ranks = stepped.select(
-            "node",
-            (F.lit((1.0 - damping) / n) + F.lit(damping) * inflow).alias("rank"),
-        )
+        new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * inflow
+        if round_dp is not None:
+            new_rank = F.round(new_rank + F.lit(1e-9), round_dp)
+        ranks = stepped.select("node", new_rank.alias("rank"))
     return ranks
 
 

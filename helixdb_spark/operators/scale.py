@@ -123,7 +123,16 @@ def salted_join(
     splitting doesn't apply (e.g. shuffled hash join, or aggregated
     downstream state). Cost: right side shuffles num_salts x its size —
     choose num_salts ~ (hot-key rows / target partition rows).
+
+    Only inner/left/left_semi/left_anti are supported: the right side is
+    replicated num_salts times, so right/full outer would emit each
+    unmatched right row num_salts times instead of once.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "leftsemi", "leftanti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — right-side replication "
+            "duplicates unmatched right rows under right/full outer joins"
+        )
     on = list(on)
     # deterministic salt (see salted_agg): hash every left column so equal
     # join-key rows still spread across salts, but a task retry re-derives
@@ -168,7 +177,17 @@ def bloom_filtered_join(
 
     Sizing: ~10 bits/item ≈ 1% false positives; FPs cost shuffle bytes,
     not correctness.
+
+    Only inner/left_semi are supported: the pre-filter drops left rows
+    with no build-side match, which is exactly what left/full outer must
+    keep and what left_anti must OUTPUT — those joins would silently lose
+    rows.
     """
+    if how not in ("inner", "left_semi", "leftsemi", "semi"):
+        raise ValueError(
+            f"bloom_filtered_join: how={how!r} unsupported — the Bloom "
+            "pre-filter drops unmatched left rows, breaking outer/anti joins"
+        )
     import functools
     import operator
 

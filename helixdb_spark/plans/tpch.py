@@ -1470,6 +1470,11 @@ ORACLES.update({"bloom_join_urgent_revenue": BLOOM_JOIN_SQL})
 # ---------------------------------------------------- nation PageRank
 PR_DAMPING = 0.85
 PR_ITERS = 5
+# per-iteration rank quantization (graph.pagerank round_dp): kills the
+# ~1e-15 double-sum-order noise before it compounds across iterations,
+# so Spark and the unrolled DuckDB CTEs stay bit-equal at ANY scale /
+# partitioning — the power-iteration discipline applied to PageRank
+PR_ROUND_DP = 9
 
 
 def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1499,7 +1504,8 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src") != F.col("dst"))  # self-trade stays out of the walk
     )
     ranks = pagerank(
-        edges, "src", "dst", "w", damping=PR_DAMPING, iterations=PR_ITERS
+        edges, "src", "dst", "w",
+        damping=PR_DAMPING, iterations=PR_ITERS, round_dp=PR_ROUND_DP,
     )
     return (
         ranks.join(F.broadcast(nation), ranks["node"] == nation["n_nationkey"])
@@ -1510,7 +1516,11 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_sql(damping: float = PR_DAMPING, iters: int = PR_ITERS) -> str:
+def _pagerank_sql(
+    damping: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+    round_dp: int = PR_ROUND_DP,
+) -> str:
     # every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
     # reference, and the r_i chain references compound — the edge build
     # would be re-planned O(2^iters) times without it
@@ -1550,9 +1560,10 @@ dang{i} AS MATERIALIZED (
 ),
 r{i} AS MATERIALIZED (
   SELECT n.node,
-         (1.0 - {damping}) / (SELECT n FROM nsz)
+         round((1.0 - {damping}) / (SELECT n FROM nsz)
            + {damping} * (coalesce(f.flow, 0.0)
                           + (SELECT dm FROM dang{i}) / (SELECT n FROM nsz))
+           + 1e-9, {round_dp})
            AS rank
   FROM nodes n LEFT JOIN flow{i} f ON n.node = f.node
 )""")

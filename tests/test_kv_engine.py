@@ -620,3 +620,45 @@ def test_remote_pointer_missing_adopts_complete_tmp(spark, remote_db_path):
     assert set(db2._state["cold_manifest"]) == {"0"}  # manifest recovered
     assert _kv_state(db2) == expect
     db2.close()
+
+
+def test_rollback_refuses_stale_history(spark, db_path):
+    """A keep==0 compact bumps cold_gen_seq without appending history and
+    GC's superseded dirs immediately — a later rollback must detect the
+    retained entry is stale (gen != cold_gen_seq - 1) and refuse rather
+    than restore a manifest whose directories are gone."""
+    db = _rollback_db(spark, db_path, keep=2)
+    db.put(_grid())
+    db.compact(0, 199)          # history entry for gen=0
+    db.close()
+    db0 = _rollback_db(spark, db_path, keep=0)  # reopened without retention
+    db0.put([(50, b"k0", b"late")])
+    db0.compact(0, 199)         # gen=1 commits, no history, immediate GC
+    after = _snapshot(db0)
+    assert not db0.rollback_compaction()  # stale gen=0 entry refused
+    assert _snapshot(db0) == after        # state untouched
+    assert db0.get(50, b"k0") == b"late"
+    db0.close()
+
+
+def test_vacuum_collects_orphan_trash(spark, db_path):
+    """trash/commit=G dirs no retained history entry references (crash
+    debris or a lowered keep_generations) are collected by vacuum();
+    referenced parking dirs survive."""
+    import os
+
+    db = _rollback_db(spark, db_path, keep=2)
+    db.put(_grid())
+    before = _snapshot(db)
+    db.compact(0, 199)  # trash/commit=0 parked, referenced by history
+    live_trash = db.layout.trash_path(0)
+    orphan = db.layout.trash_path(99)
+    os.makedirs(orphan + "/time_bucket=7", exist_ok=True)
+    with open(orphan + "/time_bucket=7/part-junk.parquet", "w") as f:
+        f.write("debris")
+    db.vacuum()
+    assert not os.path.exists(orphan)      # orphan collected
+    assert os.path.exists(live_trash)      # referenced parking survives
+    assert db.rollback_compaction()        # and still restores exactly
+    assert _snapshot(db) == before
+    db.close()
