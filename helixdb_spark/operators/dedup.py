@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from helixdb_spark.functions.text import normalized_text, word_shingles, words
 from helixdb_spark.operators.util import spread as _spread
+from helixdb_spark.operators.util import unpersist_on_gc
 
 NUM_MINHASHES = 32
 LSH_BANDS = 16  # 2 rows per band
@@ -189,12 +190,15 @@ def _shingle_pair_counts(
         .groupBy("p.id_a", "p.id_b")
         .agg(F.count("*").alias("n_common"))
     )
-    return pair_counts.join(
-        sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"),
-        "id_a",
-    ).join(
-        sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"),
-        "id_b",
+    return unpersist_on_gc(
+        pair_counts.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        ).join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+        ),
+        postings,
     )
 
 
@@ -209,9 +213,11 @@ def ngram_jaccard_pairs(
     """All near-duplicate pairs with word-n-gram Jaccard >= threshold,
     over the df-capped shingle space (see MAX_SHINGLE_DF and the scale
     notes on _shingle_pair_counts)."""
-    return (
-        _shingle_pair_counts(docs, id_col, text_col, n, max_df)
-        .withColumn(
+    from helixdb_spark.operators.util import carry_caches
+
+    counts = _shingle_pair_counts(docs, id_col, text_col, n, max_df)
+    return carry_caches(
+        counts.withColumn(
             "jaccard",
             F.round(
                 F.lit(1e-9)
@@ -222,7 +228,8 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
+        .orderBy("id_a", "id_b"),
+        counts,
     )
 
 
@@ -246,9 +253,11 @@ def ngram_containment_pairs(
     (_shingle_pair_counts); only the scoring expression differs, so the
     100 TB posture is identical.
     """
-    return (
-        _shingle_pair_counts(docs, id_col, text_col, n, max_df)
-        .withColumn(
+    from helixdb_spark.operators.util import carry_caches
+
+    counts = _shingle_pair_counts(docs, id_col, text_col, n, max_df)
+    return carry_caches(
+        counts.withColumn(
             "containment",
             F.round(
                 F.lit(1e-9) + F.col("n_common") / F.least("n_a", "n_b"),
@@ -257,7 +266,8 @@ def ngram_containment_pairs(
         )
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
-        .orderBy("id_a", "id_b")
+        .orderBy("id_a", "id_b"),
+        counts,
     )
 
 
@@ -395,7 +405,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
     )
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
+    return unpersist_on_gc(
         candidates.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn(
@@ -408,7 +418,8 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
+        .orderBy("id_a", "id_b"),
+        shingled,
     )
 
 
@@ -593,7 +604,7 @@ def simhash_pairs(
     # survive, and deduplicating survivors shuffles kilobytes where
     # deduplicating candidates shuffles the whole blow-up. Same output —
     # filter-then-distinct ≡ distinct-then-filter on identical columns.
-    return (
+    return unpersist_on_gc(
         blocks.alias("a")
         .join(
             blocks.alias("b"),
@@ -609,7 +620,8 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()
-        .orderBy("id_a", "id_b")
+        .orderBy("id_a", "id_b"),
+        sim,
     )
 
 
@@ -747,7 +759,9 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select("node", F.col("label").alias("cluster_id"))
+    return unpersist_on_gc(
+        labels.select("node", F.col("label").alias("cluster_id")), labels
+    )
 
 
 def benchmark_contamination(

@@ -69,6 +69,9 @@ def pagerank(
     ).persist()
     has_dangling = not dang_nodes.isEmpty()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    from helixdb_spark.operators.util import tracked_local_checkpoint, unpersist_on_gc
+
+    cp_handles: list = []
     for it in range(iterations):
         # Iterative DataFrames grow join-on-join lineage whose Catalyst
         # analysis cost is superlinear in depth — the classic driver-side
@@ -77,7 +80,7 @@ def pagerank(
         # the logical plan; swap for checkpoint() with a checkpoint dir on
         # a real cluster for executor-loss tolerance).
         if it and truncate_lineage_every and it % truncate_lineage_every == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = tracked_local_checkpoint(ranks, cp_handles)
         flow = (
             norm.join(
                 ranks.select(F.col("node").alias("src"), "rank"), "src"
@@ -98,7 +101,7 @@ def pagerank(
         if round_dp is not None:
             new_rank = F.round(new_rank + F.lit(1e-9), round_dp)
         ranks = stepped.select("node", new_rank.alias("rank"))
-    return ranks
+    return unpersist_on_gc(ranks, norm, nodes, dang_nodes, *cp_handles)
 
 
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -247,7 +247,11 @@ def bloom_filtered_join(
         )
     scratch = [f"__b{ch}{i}" for i in range(k) for ch in "wmt"]
     filtered = cur.where(functools.reduce(operator.and_, conds)).drop(*scratch)
-    return filtered.join(right, filtered[left_key] == right[right_key], how)
+    from helixdb_spark.operators.util import unpersist_on_gc
+
+    return unpersist_on_gc(
+        filtered.join(right, filtered[left_key] == right[right_key], how), words
+    )
 
 
 def zorder_value(a, b, bits: int = 16):

@@ -483,12 +483,15 @@ def power_iteration_top_eigen(
     # final projection stays distributed: re-run the last round's matvec
     # plan (input = the pre-final iterate) and normalize JVM-side — the
     # per-round collects above were d-float state, not data
-    return (
+    from helixdb_spark.operators.util import unpersist_on_gc
+
+    return unpersist_on_gc(
         matvec(prev)
         .select(
             "i",
             F.round(F.col("w") / F.lit(nrm) + F.lit(1e-9), 6).alias("loading"),
             F.lit(nrm).alias("eigenvalue"),
         )
-        .orderBy("i")
+        .orderBy("i"),
+        full,
     )

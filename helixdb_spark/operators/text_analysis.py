@@ -545,7 +545,9 @@ def boilerplate_metrics(
         ),
         6,
     )
-    return (
+    from helixdb_spark.operators.util import unpersist_on_gc
+
+    return unpersist_on_gc(
         sh.select(F.col(id_col), F.size("shingles").alias("n_shingles"))
         .join(n_boiler, id_col, "left")
         .select(
@@ -557,7 +559,8 @@ def boilerplate_metrics(
         .withColumn(
             "kept", (F.col("boiler_frac") <= frac_threshold).cast("int")
         )
-        .orderBy(id_col)
+        .orderBy(id_col),
+        sh,
     )
 
 

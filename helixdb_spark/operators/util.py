@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 # InferFiltersFromGenerate duplicates a generator's child expression into an
@@ -74,6 +76,99 @@ def ensure_session_tuned(spark: SparkSession) -> None:
             )
     except Exception:
         pass
+
+
+def unpersist_on_gc(result: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Tie the lifetime of ``persist()``ed build stages to the result
+    DataFrame that uses them: when the caller drops its last reference to
+    ``result``, every cache unpersists automatically.
+
+    This is the operator cache-lifecycle contract (the reference bounds its
+    LRU caches with size thresholds, src/cache.rs:12-162; Spark's
+    CacheManager holds strong refs, so an un-unpersisted build stage leaks
+    executor memory for the session's lifetime). Unpersisting any earlier
+    would be wrong for perf: the returned plan still references the cached
+    stage — often from both sides of a self-join — so releasing before the
+    caller's evaluation would recompute the build once per reference.
+    ``unpersist()`` is safe at any point for correctness (Spark recomputes
+    the stage from lineage), so a result evaluated again after release
+    stays correct — it just rebuilds.
+
+    The finalizer keeps only the cache handles alive, never ``result``
+    itself; Python GC of the result object is the release trigger, and
+    ``weakref.finalize`` fires it synchronously on collection (CPython:
+    usually the moment the last reference dies).
+
+    A function that *wraps* a cache-owning DataFrame into a derived one
+    must transfer ownership with ``carry_caches`` — otherwise the
+    intermediate object dies at return and releases the caches before the
+    caller evaluates.
+    """
+    entry = _CACHE_REGISTRY.setdefault(result, [])
+    fin = weakref.finalize(result, _release_caches, tuple(caches))
+    entry.append((fin, tuple(caches)))
+    return result
+
+
+def _release_caches(caches) -> None:
+    for c in caches:
+        try:
+            c.unpersist()
+        except Exception:
+            pass  # session already stopped / interpreter shutdown
+
+
+# result DataFrame -> [(finalizer, caches), ...]; weak keys so the registry
+# itself never keeps a result alive
+_CACHE_REGISTRY: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+class _RddCacheHandle:
+    """unpersist()-able wrapper for an RDD persisted OUTSIDE CacheManager
+    (``localCheckpoint`` blocks): pyspark's GC never releases those —
+    ContextCleaner needs the JVM RDD to become weakly reachable, which the
+    py4j object registry prevents — so the id is captured at checkpoint
+    time and released explicitly."""
+
+    def __init__(self, sc, rdd_id: int) -> None:
+        self._sc = sc
+        self.rdd_id = int(rdd_id)
+
+    def unpersist(self) -> None:
+        # SparkContext.unpersistRDD is private[spark] in Scala = public in
+        # bytecode, so py4j can call it; blocking=False matches
+        # DataFrame.unpersist's default
+        self._sc._jsc.sc().unpersistRDD(self.rdd_id, False)
+
+
+def tracked_local_checkpoint(df: DataFrame, handles: list) -> DataFrame:
+    """Eager ``localCheckpoint`` that records the checkpointed RDD's
+    persisted-block id(s) as release handles (appended to ``handles``; pass
+    them to ``unpersist_on_gc`` alongside the DataFrame caches). Captured
+    by diffing the persistent-RDD map around the checkpoint — exact in the
+    single-driver engine sessions this package runs in."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    cp = df.localCheckpoint()
+    after = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    for rid in after - before:
+        handles.append(_RddCacheHandle(df.sparkSession.sparkContext, rid))
+    return cp
+
+
+def carry_caches(new_result: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Transfer build-cache ownership from intermediate result DataFrames
+    onto the derived DataFrame actually handed to the caller (detaching the
+    intermediates' finalizers so the caches survive until ``new_result``
+    is dropped)."""
+    moved: list = []
+    for s in sources:
+        for fin, caches in _CACHE_REGISTRY.pop(s, []):
+            fin.detach()
+            moved.extend(caches)
+    if moved:
+        unpersist_on_gc(new_result, *moved)
+    return new_result
 
 
 def spread(df: DataFrame) -> DataFrame:

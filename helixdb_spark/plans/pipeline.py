@@ -206,13 +206,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
     )
     comp = dedup.connected_components(pairs)
-    return (
+    from helixdb_spark.operators.util import carry_caches
+
+    return carry_caches(
         comp.select(
             F.col("node").alias("doc_id"),
             "cluster_id",
             F.count("*").over(W.partitionBy("cluster_id")).alias("cluster_size"),
         )
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        comp,
     )
 
 
@@ -245,10 +248,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.simhash_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=MAX_HAMMING
     )
-    return (
+    from helixdb_spark.operators.util import carry_caches
+
+    return carry_caches(
         pairs.groupBy("hamming")
         .agg(F.count("*").alias("n_pairs"), F.min("id_a").alias("min_id_a"))
-        .orderBy("hamming")
+        .orderBy("hamming"),
+        pairs,
     )
 
 
@@ -300,10 +306,13 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.simhash_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=MAX_HAMMING, bits=64
     )
-    return (
+    from helixdb_spark.operators.util import carry_caches
+
+    return carry_caches(
         pairs.groupBy("hamming")
         .agg(F.count("*").alias("n_pairs"), F.min("id_a").alias("min_id_a"))
-        .orderBy("hamming")
+        .orderBy("hamming"),
+        pairs,
     )
 
 
@@ -1304,7 +1313,9 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = elected.where(F.col("rk") == 1).select(
         "cluster_id", F.col("doc_id").alias("canonical_id")
     )
-    return (
+    from helixdb_spark.operators.util import carry_caches
+
+    return carry_caches(
         elected.join(canon, "cluster_id")
         .select(
             "doc_id",
@@ -1314,7 +1325,8 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("is_canonical"),
         )
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        comp,
     )
 
 
@@ -1529,7 +1541,9 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     poss = truth.agg(F.count("*").alias("possible"))
-    return (
+    from helixdb_spark.operators.util import unpersist_on_gc
+
+    return unpersist_on_gc(
         hits("ivf", _sim.ivf_topk(emb, q, k=ANN_K))
         .unionByName(hits("lsh", _sim.lsh_topk(emb, q, k=ANN_K)))
         .crossJoin(poss)
@@ -1537,7 +1551,8 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k",
             F.round(F.col("hits") / F.col("possible") + F.lit(1e-9), 4),
         )
-        .orderBy("method")
+        .orderBy("method"),
+        truth,
     )
 
 

@@ -1439,7 +1439,9 @@ def bloom_join_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bloom_filtered_join(
         li, urgent, "l_orderkey", "o_orderkey", num_bits=1 << 20
     )
-    return (
+    from helixdb_spark.operators.util import carry_caches
+
+    return carry_caches(
         joined.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_items"),
@@ -1449,7 +1451,8 @@ def bloom_join_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2,
             ).alias("revenue"),
         )
-        .orderBy("l_returnflag")
+        .orderBy("l_returnflag"),
+        joined,
     )
 
 
@@ -1507,12 +1510,15 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, "src", "dst", "w",
         damping=PR_DAMPING, iterations=PR_ITERS, round_dp=PR_ROUND_DP,
     )
-    return (
+    from helixdb_spark.operators.util import carry_caches
+
+    return carry_caches(
         ranks.join(F.broadcast(nation), ranks["node"] == nation["n_nationkey"])
         .select(
             "n_name", F.round(F.col("rank") + F.lit(1e-9), 6).alias("rank")
         )
-        .orderBy("n_name")
+        .orderBy("n_name"),
+        ranks,
     )
 
 
