@@ -32,6 +32,51 @@ NUM_PLANES = 6
 IVF_CENTROID_STRIDE = 50
 DIM = 64
 
+# Above this dimension, driver-side constant vectors stop being inlined as
+# F.array(*literals) (at dim 1024-4096 each round's plan would carry
+# thousands of literal nodes — analysis time and plan size blow up) and
+# switch to a broadcast join / Arrow path. At or below it, the literal
+# fold is the ideal shape: zero shuffle, whole-stage codegen.
+BROADCAST_DIM_THRESHOLD = 256
+
+
+def vector_dot(vec_col: Column, vector: list[float]) -> Column:
+    """Dot product of an array column with a driver-side constant vector
+    (the PCA/projection apply step).
+
+    dim <= BROADCAST_DIM_THRESHOLD: JVM ``zip_with``/``aggregate`` fold
+    over an inlined literal array — zero shuffle, codegen'd. Larger dims:
+    an Arrow-batched pandas UDF holding the vector as a closure ndarray —
+    still zero shuffle and O(1) plan size, at the cost of the Arrow hop.
+    Both paths accumulate in float64.
+    """
+    vec = [float(x) for x in vector]
+    if len(vec) <= BROADCAST_DIM_THRESHOLD:
+        arr = F.array(*[F.lit(x) for x in vec])
+        return F.aggregate(
+            F.zip_with(vec_col, arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _dot(s):
+        import numpy as np
+        import pandas as pd
+
+        w = np.asarray(vec, dtype=np.float64)
+        try:  # uniform dims: one vectorized matmul per Arrow batch
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+            return pd.Series(m @ w)
+        except ValueError:  # ragged rows: per-row dot
+            return s.map(
+                lambda v: float(np.dot(np.asarray(v, dtype=np.float64), w))
+            )
+
+    return _dot(vec_col)
+
 
 def plane_sign(p: int, d: int) -> int:
     """±1 from md5 — bit-identical to the SQL
@@ -237,11 +282,14 @@ def kmeans_assign(
     Returns (id, cluster_id, sqdist) with sqdist rounded to 6 (the rank key,
     so both engines rank identical values).
     """
-    if len(centroids) <= 256:
-        # k is small enough to inline the centroids as literals: the argmin
-        # becomes array_min over (sqdist, cluster_id) structs — a pure
-        # projection with NO join and NO shuffle; lexicographic struct-min
-        # reproduces the (dist asc, cid asc) tie-break exactly.
+    dim = len(centroids[0][1]) if centroids else 0
+    if len(centroids) <= 256 and dim <= BROADCAST_DIM_THRESHOLD:
+        # k AND dim are small enough to inline the centroids as literals:
+        # the argmin becomes array_min over (sqdist, cluster_id) structs —
+        # a pure projection with NO join and NO shuffle; lexicographic
+        # struct-min reproduces the (dist asc, cid asc) tie-break exactly.
+        # (High dims fall through to the broadcast-table path below — k×dim
+        # literal nodes would bloat every round's plan.)
         candidates = F.array(
             *[
                 F.struct(
@@ -463,13 +511,26 @@ def power_iteration_top_eigen(
     v = [0.125 if dim == 64 else 1.0 / math.sqrt(dim)] * dim
 
     def matvec(vec: list[float]) -> DataFrame:
-        x = F.element_at(
-            F.array(*[F.lit(float(c)) for c in vec]), F.col("j") + 1
-        )
-        return (
-            full.select("i", (F.col("cov") * x).alias("t"))
-            .groupBy("i")
-            .agg(F.round(F.sum("t") + F.lit(1e-9), 6).alias("w"))
+        if dim <= BROADCAST_DIM_THRESHOLD:
+            # literal fast path: the iterate is inlined, the matvec is a
+            # pure projection + one groupBy(i) — no join at all
+            x = F.element_at(
+                F.array(*[F.lit(float(c)) for c in vec]), F.col("j") + 1
+            )
+            scored = full.select("i", (F.col("cov") * x).alias("t"))
+        else:
+            # high-dim guard: d literal nodes per round would bloat the
+            # plan; ship the iterate as a d-row broadcast table instead —
+            # same arithmetic, one extra (broadcast, zero-shuffle) join
+            vdf = full.sparkSession.createDataFrame(
+                [(i, float(c)) for i, c in enumerate(vec)],
+                "j bigint, x double",
+            )
+            scored = full.join(F.broadcast(vdf), "j").select(
+                "i", (F.col("cov") * F.col("x")).alias("t")
+            )
+        return scored.groupBy("i").agg(
+            F.round(F.sum("t") + F.lit(1e-9), 6).alias("w")
         )
 
     nrm = 1.0

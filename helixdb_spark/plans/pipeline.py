@@ -1706,13 +1706,9 @@ def emb_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = _sim.embedding_covariance(emb)
     pc = _sim.power_iteration_top_eigen(cov, dim=_sim.DIM, iterations=PI_ITERS)
     loading = [r["loading"] for r in pc.orderBy("i").collect()]  # d floats
-    arr = F.array(*[F.lit(float(x)) for x in loading])
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(v, arr, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # dim-guarded projection: literal zip_with fold at this DIM, Arrow
+    # pandas-UDF dot above BROADCAST_DIM_THRESHOLD (similarity.vector_dot)
+    dot = _sim.vector_dot(F.col("embedding"), loading)
     return (
         _sim.spread(emb)
         .select(
