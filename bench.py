@@ -278,7 +278,57 @@ def main() -> None:
     }
     if errors:
         result["errors"] = errors
+
+    # Regression gate vs the newest committed same-box baseline
+    # (BENCH_local_r{N}.json, min-of-N on an idle box). Cross-box numbers
+    # swing 1.5-4x on scheduler noise, so by default regressions are only
+    # REPORTED; SPARK_GRAFT_BENCH_STRICT=1 (the local pre-commit workflow)
+    # makes a >1.3x per-query regression fail the run.
+    regressions = _regressions(timings)
+    if regressions:
+        result["regressions"] = regressions
+        print(f"# REGRESSIONS vs {_baseline_name()}: {regressions}", file=sys.stderr)
     print(json.dumps(result))
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+        sys.exit(1)
+
+
+REGRESSION_FACTOR = 1.3
+
+
+def _baseline_name() -> str | None:
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = glob.glob(os.path.join(here, "BENCH_local_r*.json"))
+    if not cands:
+        return None
+
+    def rnum(p: str) -> int:
+        m = re.search(r"BENCH_local_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    return max(cands, key=rnum)
+
+
+def _regressions(timings: dict[str, float]) -> dict[str, dict[str, float]]:
+    path = _baseline_name()
+    if path is None:
+        return {}
+    try:
+        with open(path) as f:
+            base = json.load(f).get("queries", {})
+    except Exception:
+        return {}
+    out: dict[str, dict[str, float]] = {}
+    for name, t in timings.items():
+        b = base.get(name)
+        # sub-100ms timings are scheduler jitter, not signal
+        if b is None or b < 0.1 or t <= b * REGRESSION_FACTOR:
+            continue
+        out[name] = {"now": t, "baseline": b, "ratio": round(t / b, 2)}
+    return out
 
 
 if __name__ == "__main__":

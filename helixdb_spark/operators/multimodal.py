@@ -60,30 +60,68 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - container lacks PIL
-    """Real image decode — stubbed: the container ships no imaging libs.
-    The surrounding operators never call this in tests; swap it in by
-    installing PIL and replacing `_fake_features`."""
-    try:
-        from PIL import Image  # type: ignore
+# Pluggable decoder: fn(payload: bytes) -> numpy uint8 array, H×W or
+# H×W×C. A PIL/torchvision environment installs one with set_decoder()
+# (or passes decoder= per call) and the mm operators run on real pixels
+# with NO code edits; without one, the deterministic byte-resample stubs
+# keep the exact Spark plumbing (schema, Arrow batching, partitioning)
+# testable in this lib-less container.
+_DECODER = None
+
+
+def set_decoder(fn) -> None:
+    """Install a process-wide image decoder, e.g.::
+
+        from PIL import Image
+        import io, numpy as np
+        set_decoder(lambda b: np.asarray(Image.open(io.BytesIO(b)).convert("RGB")))
+
+    The callable is shipped to executors by cloudpickle, so it must be
+    picklable (a top-level function or a closure over picklable state).
+    ``set_decoder(None)`` restores the stub behavior."""
+    global _DECODER
+    _DECODER = fn
+
+
+def decode_image(payload: bytes):
+    """Decode one payload via the injected decoder, falling back to PIL if
+    present; raises NotImplementedError in a decoder-less environment."""
+    if _DECODER is not None:
+        return _DECODER(payload)
+    try:  # pragma: no cover - container lacks PIL
         import io
 
-        return Image.open(io.BytesIO(payload))
+        import numpy as np
+        from PIL import Image  # type: ignore
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError as e:
         raise NotImplementedError(
-            "image decoding requires PIL, not present in this environment"
+            "image decoding requires an injected decoder (set_decoder) or PIL"
         ) from e
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """Byte-level feature extraction over Arrow batches (the deterministic
-    stand-in for an embedding/decoder model)."""
+def extract_features(media: DataFrame, decoder=None) -> DataFrame:
+    """Feature extraction over Arrow batches. Without a ``decoder``, the
+    deterministic byte-level stand-in for an embedding/decoder model; with
+    one (fn(bytes) -> uint8 ndarray, see ``set_decoder``), the same
+    features computed over the DECODED pixel buffer — identical schema and
+    plan shape, swapped kernel."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
+        def buf(b):
+            if decoder is None or len(b) == 0:
+                return bytes(b)
+            return np.ascontiguousarray(
+                np.asarray(decoder(bytes(b)), dtype=np.uint8)
+            ).tobytes()
+
         for pdf in batches:
-            payloads = pdf["payload"]
+            payloads = pdf["payload"].map(buf)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -103,18 +141,25 @@ def resize_media(
     media: DataFrame,
     target_w: int = RESIZE_TARGET_W,
     target_h: int = RESIZE_TARGET_H,
+    decoder=None,
 ) -> DataFrame:
-    """Nearest-neighbor resize of the opaque payload to target_w×target_h
-    bytes: out[i] = payload[i*n // T]. With a real imaging lib this is
-    `decode_image(...).resize(...)`; the deterministic byte resample keeps
-    the exact Spark plumbing (Arrow-batched mapInPandas, binary in/out,
-    1 row per media item) while staying oracle-checkable. Emits the resized
-    length and md5 so the gate hashes every output byte without shipping
-    payloads through the compare."""
+    """Nearest-neighbor resize to target_w×target_h.
+
+    Without a ``decoder``: the deterministic byte resample
+    (out[i] = payload[i*n // T]) — keeps the exact Spark plumbing
+    (Arrow-batched mapInPandas, binary in/out, 1 row per media item) while
+    staying oracle-checkable in the lib-less container. With a ``decoder``
+    (fn(bytes) -> H×W[×C] uint8 ndarray, see ``set_decoder``): real pixels
+    are decoded and nearest-neighbor-resampled over both axes — the same
+    plan shape, job layout, and output schema, only the per-row kernel
+    changes. Emits the resized length and md5 so the gate hashes every
+    output byte without shipping payloads through the compare."""
     t = target_w * target_h
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        import numpy as np
 
         for pdf in batches:
             ids, lens, digests = [], [], []
@@ -125,11 +170,18 @@ def resize_media(
                     ids.append(doc_id)
                     lens.append(0)
                     digests.append(None)
-                else:
+                    continue
+                if decoder is None:
                     rb = bytes(b[(i * n) // t] for i in range(t))
-                    ids.append(doc_id)
-                    lens.append(t)
-                    digests.append(hashlib.md5(rb).hexdigest())
+                else:
+                    arr = np.asarray(decoder(b), dtype=np.uint8)
+                    h, w = arr.shape[0], arr.shape[1]
+                    ri = (np.arange(target_h) * h) // target_h
+                    ci = (np.arange(target_w) * w) // target_w
+                    rb = np.ascontiguousarray(arr[ri][:, ci]).tobytes()
+                ids.append(doc_id)
+                lens.append(len(rb))
+                digests.append(hashlib.md5(rb).hexdigest())
             yield pd.DataFrame(
                 {"doc_id": ids, "out_len": lens, "resized_md5": digests}
             )

@@ -313,3 +313,92 @@ def test_lm_score_hand_computed(spark):
     assert abs(
         rows[2]["lm_bits"] - round(1e-9 - expect2 / math.log(2.0), 6)
     ) < 1e-9
+
+
+# ------------------------------------------------- pluggable image decoder
+def _make_fake_decoder():
+    """Deterministic stand-in for a real decoder: payload bytes tiled into
+    an (len%7+3) x (len%5+4) uint8 'image'. Returned as a CLOSURE so
+    cloudpickle ships it to executors by value (a module-level function in
+    a test file pickles by reference, which workers cannot import — the
+    same constraint a user's real decoder callable has)."""
+
+    def fake(payload: bytes):
+        import numpy as np
+
+        n = len(payload)
+        h, w = n % 7 + 3, n % 5 + 4
+        flat = np.frombuffer(
+            (payload * (h * w // n + 1))[: h * w], dtype=np.uint8
+        )
+        return flat.reshape(h, w)
+
+    return fake
+
+
+_fake_decoder = _make_fake_decoder()
+
+
+def test_resize_media_with_injected_decoder(spark):
+    """Decoder injection (round-3 verdict item 8): a real-decoder
+    environment upgrades resize/features from the byte stub with no code
+    edits — same schema, same 1-row-per-item plumbing, kernel swapped."""
+    import hashlib
+
+    import numpy as np
+
+    from helixdb_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "abc"), (3, "")], "doc_id long, text string"
+    )
+    media = mm.synthesize_media(docs)
+    stub = {r["doc_id"]: r for r in mm.resize_media(media).collect()}
+    real = {
+        r["doc_id"]: r
+        for r in mm.resize_media(media, decoder=_fake_decoder).collect()
+    }
+    assert set(real) == {1, 2, 3} and set(stub) == {1, 2, 3}
+    # empty payload: both paths emit the 0/None row
+    assert real[3]["out_len"] == 0 and real[3]["resized_md5"] is None
+    # decoded path resamples the fake image — expected md5 computed locally
+    for doc_id, text in ((1, "hello world"), (2, "abc")):
+        arr = _fake_decoder(text.encode())
+        h, w = arr.shape
+        ri = (np.arange(mm.RESIZE_TARGET_H) * h) // mm.RESIZE_TARGET_H
+        ci = (np.arange(mm.RESIZE_TARGET_W) * w) // mm.RESIZE_TARGET_W
+        want = hashlib.md5(np.ascontiguousarray(arr[ri][:, ci]).tobytes()).hexdigest()
+        assert real[doc_id]["resized_md5"] == want
+        assert real[doc_id]["out_len"] == mm.RESIZE_TARGET_W * mm.RESIZE_TARGET_H
+    # and the stub path is untouched by the feature's existence
+    assert stub[1]["resized_md5"] != real[1]["resized_md5"]
+
+
+def test_extract_features_with_injected_decoder(spark):
+    import hashlib
+
+    import numpy as np
+
+    from helixdb_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(7, "spark")], "doc_id long, text string")
+    media = mm.synthesize_media(docs)
+    row = mm.extract_features(media, decoder=_fake_decoder).collect()[0]
+    buf = np.ascontiguousarray(_fake_decoder(b"spark")).tobytes()
+    assert row["n_bytes"] == len(buf)
+    assert row["first_byte"] == buf[0] and row["last_byte"] == buf[-1]
+    assert row["checksum_hex"] == hashlib.md5(buf).hexdigest()[:8]
+
+
+def test_set_decoder_routes_decode_image():
+    import numpy as np
+
+    from helixdb_spark.operators import multimodal as mm
+
+    mm.set_decoder(_fake_decoder)
+    try:
+        out = mm.decode_image(b"hello world")
+        assert out.shape == _fake_decoder(b"hello world").shape
+        assert np.array_equal(out, _fake_decoder(b"hello world"))
+    finally:
+        mm.set_decoder(None)
