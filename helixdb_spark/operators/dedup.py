@@ -326,52 +326,58 @@ def minhash_lsh_pairs(
     so no bucket key can go quadratic (see MAX_LSH_BUCKET).
     """
     rows = num_hashes // bands
-    # no size>0 filter: docs with no shingles produce no bands and no
-    # candidates, and a filter here would be predicate-pushed below the
-    # spread exchange and re-evaluate the shingling serially
-    shingled = doc_shingles(docs, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # The persisted build stage carries BOTH the shingle strings (the
+    # verification join intersects them) and the md5 base-hash longs (the
+    # signature input) — hashed once at cache materialization, ~8 bytes per
+    # shingle of extra cache. No size>0 filter below the cache: it would be
+    # predicate-pushed under the spread exchange and re-evaluate the
+    # shingling serially; the empty-doc filter sits ABOVE the cache (sig
+    # below), where it reads materialized rows.
+    shingled = (
+        doc_shingles(docs, id_col, text_col, n)
+        .withColumn("bhs", F.transform("shingles", lambda s: _hex_long(s, 8)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # Band keys in ONE fold pass over each doc's base hashes. The
-    # column-per-hash formulation (minhash_signatures) walks the gathered
-    # hash array once PER hash — k traversals; here the accumulator holds
-    # all k running minima and the array is traversed once, with the
-    # finisher emitting the band-key array directly off the accumulator
-    # VARIABLE (bound lambda vars evaluate once — no CollapseProject
-    # re-evaluation, the trap a sig-array column would hit). Identical
-    # arithmetic and key format, so the oracle SQL is unchanged; measured
-    # ~4.7x faster on the sf0.1 corpus. Docs with no shingles produce no
-    # gathered row (explode drops them), so every emitted key is non-null.
-    exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    gathered = (
-        exploded.select(F.col(id_col), _hex_long(F.col("shingle"), 8).alias("bh"))
-        .groupBy(id_col)
-        .agg(F.collect_list("bh").alias("bhs"))
-    )
+    # Signature minima as k per-row array_min(transform(...)) folds over
+    # the CACHED hash array — ZERO shuffle for the signatures (the
+    # formulations tried before all paid a groupBy: r3's single-pass
+    # higher-order fold also allocated a fresh k-array accumulator per
+    # shingle, ~1.1 s of the sf0.1 wall). The k traversals are codegen'd
+    # long arithmetic over the materialized bhs column (a<2^28 × bh<2^32
+    # cannot overflow; md5 is NOT re-evaluated — bhs is a cache column,
+    # not an inlined expression). Identical arithmetic and key format, so
+    # the oracle SQL is unchanged. Docs with no shingles are filtered out
+    # here (above the cache), matching the no-row behavior the exploded
+    # formulations got for free.
     coeffs = minhash_coeffs(num_hashes)
-    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
-    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
     prime = F.lit(MINHASH_PRIME).cast("long")
-    band_key_array = F.aggregate(
-        F.col("bhs"),
-        F.array_repeat(prime, num_hashes),
-        lambda acc, x: F.transform(
-            acc,
-            lambda m, i: F.least(m, (F.get(a_arr, i) * x + F.get(b_arr, i)) % prime),
-        ),
-        lambda acc: F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.md5(
+
+    def _affine_min(a: int, b: int):
+        return F.array_min(
+            F.transform("bhs", lambda x: (F.lit(a) * x + F.lit(b)) % prime)
+        )
+
+    sig = shingled.where(F.size("shingles") > 0).select(
+        F.col(id_col),
+        *[_affine_min(a, b).alias(f"m{i}") for i, (a, b) in enumerate(coeffs)],
+    )
+    band_key_array = F.array(
+        *[
+            F.md5(
                 F.concat_ws(
                     ",",
-                    b.cast("string"),
-                    *[F.get(acc, b * rows + r).cast("string") for r in range(rows)],
+                    F.lit(str(b)),
+                    *[
+                        F.col(f"m{b * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
                 )
-            ),
-        ),
+            )
+            for b in range(bands)
+        ]
     )
-    stacked = gathered.select(
+    stacked = sig.select(
         F.col(id_col), F.explode(band_key_array).alias("band_key")
     )
     # ONE shuffle on the band key builds the bucket member lists; buckets
