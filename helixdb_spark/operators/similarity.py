@@ -556,3 +556,88 @@ def power_iteration_top_eigen(
         .orderBy("i"),
         full,
     )
+
+
+# ------------------------------------------------------ scalar quantization
+def int8_quantize_report(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-dimension int8 scalar quantization QC — the compression step an
+    embedding store runs before serving (FAISS SQ8): per-dim corpus
+    min/max → scale = (max-min)/255 → q = round((x-min)/scale) clamped to
+    [0,255] → report per-label reconstruction error (avg/max absolute).
+
+    Scale shape: ONE posexplode pass feeds a d-row min/max aggregate
+    (map-side combined — the shuffle carries d rows per partition); the
+    d-row scale table broadcasts back onto the same exploded pass for the
+    error fold; the final groupBy is k labels. No vector ever leaves its
+    partition un-aggregated; driver state is zero (the scale table stays
+    a DataFrame). Rounding discipline: the quantization round carries the
+    +1e-9 nudge and errors round at 6dp, mirrored in the oracle.
+    """
+    dims = spread(embeddings).select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    stats = dims.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    scale = F.when(
+        F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / F.lit(255.0)
+    ).otherwise(F.lit(0.0))
+    q = F.when(
+        F.col("scale") > 0,
+        F.least(
+            F.lit(255.0),
+            F.greatest(
+                F.lit(0.0),
+                F.round((F.col("x") - F.col("lo")) / F.col("scale") + F.lit(1e-9), 0),
+            ),
+        ),
+    ).otherwise(F.lit(0.0))
+    err = F.abs(F.col("x") - (F.col("lo") + F.col("q") * F.col("scale")))
+    return (
+        dims.join(F.broadcast(stats.withColumn("scale", scale)), "dim")
+        .withColumn("q", q)
+        .withColumn("err", err)
+        .groupBy(label_col)
+        .agg(
+            F.count("*").alias("n_values"),
+            F.round(F.avg("err") + F.lit(1e-9), 6).alias("avg_abs_err"),
+            F.round(F.max("err") + F.lit(1e-9), 6).alias("max_abs_err"),
+        )
+        .orderBy(label_col)
+    )
+
+
+INT8_QUANTIZE_SQL = """
+WITH dims AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+stats AS (
+  SELECT dim, min(x) AS lo, max(x) AS hi,
+         CASE WHEN max(x) > min(x) THEN (max(x) - min(x)) / 255.0
+              ELSE 0.0 END AS scale
+  FROM dims GROUP BY 1
+),
+qd AS (
+  SELECT d.label,
+         abs(d.x - (s.lo + (CASE WHEN s.scale > 0
+              THEN least(255.0, greatest(0.0,
+                   round((d.x - s.lo) / s.scale + 1e-9, 0)))
+              ELSE 0.0 END) * s.scale)) AS err
+  FROM dims d JOIN stats s USING (dim)
+)
+SELECT label, count(*) AS n_values,
+       round(avg(err) + 1e-9, 6) AS avg_abs_err,
+       round(max(err) + 1e-9, 6) AS max_abs_err
+FROM qd GROUP BY 1 ORDER BY 1
+"""

@@ -747,3 +747,99 @@ FROM tf t JOIN freq f USING (term) CROSS JOIN totals s
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ----------------------------------------------------------- collocations
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 25
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = COLLOC_MIN_COUNT,
+    k: int = COLLOC_TOP_K,
+) -> DataFrame:
+    """Corpus collocation mining: top-k adjacent word bigrams by pointwise
+    mutual information, ``pmi = ln(c_ab * N1 * N1 / (N2 * c_a * c_b))``
+    (the Church-Hanks association measure) with a min-count floor so rare
+    accidental pairs can't dominate.
+
+    Scale shape: two token-key shuffles (unigram counts, bigram counts —
+    both map-side partially aggregated), the min-count filter applied to
+    the bigram table BEFORE its unigram joins, and the scalar totals ride
+    in as broadcast 1-row crossJoins. Corpus-size-independent driver state.
+    The PMI division runs in one double expression written identically in
+    the oracle, so both engines evaluate the same IEEE operation order.
+    """
+    ws = words(normalized_text(F.col(text_col)))
+    base = spread(docs).select(ws.alias("__ws"))
+    toks = base.select(F.explode("__ws").alias("w"))
+    pair_arr = F.when(
+        F.size("__ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__ws") - 2),
+            lambda i: F.struct(
+                F.get("__ws", i).alias("w1"), F.get("__ws", i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = base.select(F.explode(pair_arr).alias("p")).select("p.w1", "p.w2")
+
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    n1 = toks.agg(F.count("*").cast("double").alias("n1"))
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    n2 = pairs.agg(F.count("*").cast("double").alias("n2"))
+    pmi = F.log(
+        F.col("c_ab").cast("double")
+        * F.col("n1")
+        * F.col("n1")
+        / (F.col("n2") * F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    )
+    return (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(pmi + F.lit(1e-9), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )
+
+
+def collocations_sql(
+    norm_sql: str,
+    min_count: int = COLLOC_MIN_COUNT,
+    k: int = COLLOC_TOP_K,
+) -> str:
+    return f"""
+WITH norm AS (SELECT string_split({norm_sql}, ' ') AS ws FROM documents),
+t AS (SELECT unnest(ws) AS w FROM norm),
+toks AS (SELECT w FROM t WHERE w != ''),
+uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+n1 AS (SELECT count(*)::DOUBLE AS n1 FROM toks),
+b AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM norm WHERE len(ws) >= 2)
+  WHERE ws[i] != ''
+),
+big AS (SELECT w1, w2, count(*) AS c_ab FROM b GROUP BY 1, 2
+        HAVING count(*) >= {min_count}),
+n2 AS (SELECT count(*)::DOUBLE AS n2 FROM b)
+SELECT w1, w2, c_ab,
+       round(ln(c_ab::DOUBLE * n1 * n1 / (n2 * ca.c::DOUBLE * cb.c::DOUBLE))
+             + 1e-9, 6) AS pmi
+FROM big
+JOIN uni ca ON ca.w = big.w1
+JOIN uni cb ON cb.w = big.w2, n1, n2
+ORDER BY pmi DESC, w1, w2 LIMIT {k}
+"""

@@ -1743,3 +1743,104 @@ ORDER BY d.vec_id
 
 QUERIES.update({"emb_pca_scores": emb_pca_scores})
 ORACLES.update({"emb_pca_scores": _pca_scores_sql()})
+
+
+# --------------------------------------------- collocations / quantize QC
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent-bigram collocations by PMI (operators.text_analysis
+    .collocations — two map-side-combined token shuffles, min-count
+    prefilter before the unigram joins, scalar totals broadcast)."""
+    return _ta.collocations(load_table(spark, sf_dir, "documents"))
+
+
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantization QC over the embedding corpus
+    (operators.similarity.int8_quantize_report — one posexplode pass, a
+    d-row broadcast scale table, per-label error rollup)."""
+    return _sim.int8_quantize_report(load_table(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------ deterministic shard assignment
+N_SHARDS = 16
+
+
+def curate_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle → training shards: every doc gets a
+    reproducible md5-derived position hash; shard = hash % N_SHARDS; the
+    within-shard read order is (hash, doc_id). This is the step that turns
+    a curated corpus into N equally-loaded, order-stable input shards for
+    a trainer — seedless, engine-independent, rerun-stable (TABLESAMPLE
+    and rand(seed) are neither).
+
+    Scale posture: the assignment is a pure projection (no shuffle); the
+    graded per-shard summary aggregates map-side. The order-sensitive
+    proof the grading needs (did both engines produce the SAME read
+    order?) is the first/last doc in hash order per shard — min/max of a
+    zero-padded sortable hash:doc key, NOT a collect_list of the shard
+    (which at 100 TB would be the corpus itself); bit_xor of the hashes
+    checksums membership order-independently."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    )
+    key = F.concat(
+        F.lpad(F.col("h").cast("string"), 20, "0"),
+        F.lit(":"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        docs.select("doc_id", "n_chars", h.alias("h"))
+        .select(
+            (F.col("h") % N_SHARDS).alias("shard"),
+            "n_chars",
+            "h",
+            key.alias("k"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("k").alias("first_key"),
+            F.max("k").alias("last_key"),
+            F.bit_xor("h").alias("membership_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+SHARD_ASSIGNMENT_SQL = f"""
+WITH a AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM documents
+),
+b AS (
+  SELECT h % {N_SHARDS} AS shard, n_chars, h,
+         lpad(h::VARCHAR, 20, '0') || ':' || doc_id::VARCHAR AS k
+  FROM a
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(k) AS first_key, max(k) AS last_key,
+       bit_xor(h) AS membership_checksum
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES.update(
+    {
+        "text_collocations": text_collocations,
+        "emb_int8_quantize": emb_int8_quantize,
+        "curate_shard_assignment": curate_shard_assignment,
+    }
+)
+ORACLES.update(
+    {
+        "text_collocations": _ta.collocations_sql(_NORM),
+        "emb_int8_quantize": _sim.INT8_QUANTIZE_SQL,
+        "curate_shard_assignment": SHARD_ASSIGNMENT_SQL,
+    }
+)

@@ -402,3 +402,69 @@ def test_set_decoder_routes_decode_image():
         assert np.array_equal(out, _fake_decoder(b"hello world"))
     finally:
         mm.set_decoder(None)
+
+
+# -------------------------------- collocations / quantize / shard assignment
+def test_collocations_hand_computed(spark):
+    """4 docs, 'data pipeline' appears together far above chance."""
+    from helixdb_spark.operators.text_analysis import collocations
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data pipeline data pipeline data pipeline x"),
+            (2, "data pipeline y data pipeline"),
+            (3, "pipeline z data q"),
+            (4, "a b a b a b a b a b"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = collocations(docs, min_count=2, k=5).collect()
+    top = rows[0]
+    # unigrams N1 = 7+5+4+10 = 26; bigrams N2 = 6+4+3+9 = 22
+    # 'a b': c_ab=5, c_a=5, c_b=5 -> pmi = ln(5*26*26/(22*5*5))
+    # 'data pipeline': c_ab=5, c_a=6, c_b=6 -> ln(5*26*26/(22*6*6))
+    import math
+
+    assert (top["w1"], top["w2"]) == ("a", "b")
+    want = round(math.log(5 * 26 * 26 / (22 * 5 * 5)) + 1e-9, 6)
+    assert abs(top["pmi"] - want) < 1e-9
+    dp = {(r["w1"], r["w2"]): r["pmi"] for r in rows}
+    want_dp = round(math.log(5 * 26 * 26 / (22 * 6 * 6)) + 1e-9, 6)
+    assert abs(dp[("data", "pipeline")] - want_dp) < 1e-9
+
+
+def test_int8_quantize_error_bounded_by_half_scale(spark):
+    """Quantization error can never exceed scale/2 (+fp dust); constant
+    dims quantize losslessly to q=0."""
+    from helixdb_spark.operators.similarity import int8_quantize_report
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 5.0], "a"),
+            (2, [2.55, 5.0], "a"),
+            (3, [1.0, 5.0], "b"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    rows = {r["label"]: r for r in int8_quantize_report(emb).collect()}
+    # dim0: lo=0, hi=2.55 -> scale=0.01, every value lands on the grid
+    # dim1: constant -> scale=0, error 0
+    assert rows["a"]["max_abs_err"] <= 0.005 + 1e-6
+    assert rows["b"]["max_abs_err"] <= 0.005 + 1e-6
+    assert rows["a"]["n_values"] == 4 and rows["b"]["n_values"] == 2
+
+
+def test_shard_assignment_partition_of_corpus(spark, sf_dir):
+    """Shards partition the corpus exactly (no doc lost or duplicated) and
+    the summary is stable across reruns (deterministic hash, no seed)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    a = qs["curate_shard_assignment"](spark, sf_dir).collect()
+    b = qs["curate_shard_assignment"](spark, sf_dir).collect()
+    assert a == b
+    from helixdb_spark.sources import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in a) == n_docs
+    assert len({r["shard"] for r in a}) == len(a)
