@@ -1709,3 +1709,190 @@ FROM scored ORDER BY user_id
 
 QUERIES.update({"ev_rfm_scores": ev_rfm_scores})
 ORACLES.update({"ev_rfm_scores": _rfm_sql()})
+
+
+# ------------------------------------------------ multi-touch attribution
+ATTR_WINDOW_S = 6 * 3600  # lookback from each purchase
+ATTR_FIRST_W = 0.4
+ATTR_LAST_W = 0.4
+
+
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every purchase
+    credits its user's click/view touches in the preceding 6 h — 40% to
+    the first touch, 40% to the last, 20% split across the middles (one
+    touch takes 100%, two split 50/50). The marketing-analytics workload a
+    warehouse runs daily, here as one graded plan.
+
+    Scale shape: the touch↔purchase pairing is the bucketed range join
+    (operators.rangejoin — equi on user + time-band re-check, never a
+    nested loop); per-purchase ordering is one window over the matched
+    touches (purchase-sized partitions); the final rollup is a 2-row
+    aggregate. Ties inside a window break on event_id, mirrored in the
+    oracle."""
+    from helixdb_spark.operators.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w_us = ATTR_WINDOW_S * 1_000_000
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+        (F.unix_micros("ts") - F.lit(w_us)).alias("lo_us"),
+        (F.unix_micros("ts") - F.lit(1)).alias("hi_us"),  # strictly before
+    )
+    matched = bucketed_range_join(
+        touches,
+        purchases,
+        point_col="t_us",
+        lo_col="lo_us",
+        hi_col="hi_us",
+        bucket_width=float(w_us),
+        extra_keys=["user_id"],
+    )
+    w = W.partitionBy("p_id").orderBy("t_us", "t_id")
+    n = F.count("*").over(W.partitionBy("p_id"))
+    rn = F.row_number().over(w)
+    weight = (
+        F.when(n == 1, F.lit(1.0))
+        .when(rn == 1, F.when(n == 2, F.lit(0.5)).otherwise(F.lit(ATTR_FIRST_W)))
+        .when(rn == n, F.when(n == 2, F.lit(0.5)).otherwise(F.lit(ATTR_LAST_W)))
+        .otherwise(
+            F.lit(1.0 - ATTR_FIRST_W - ATTR_LAST_W) / (n - 2).cast("double")
+        )
+    )
+    return (
+        matched.withColumn("credit", F.col("p_value") * weight)
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.count_distinct("p_id").alias("n_purchases"),
+            F.round(F.sum("credit") + F.lit(1e-9), 2).alias("credited_value"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+EV_ATTRIBUTION_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_id AS t_id, event_type AS touch_type,
+         epoch_us(ts) AS t_us
+  FROM events WHERE event_type IN ('click', 'view')
+),
+p AS (
+  SELECT user_id, event_id AS p_id, value AS p_value, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT p.p_id, p.p_value, t.touch_type, t.t_us, t.t_id
+  FROM p JOIN t ON t.user_id = p.user_id
+   AND t.t_us >= p.p_us - {ATTR_WINDOW_S}::BIGINT * 1000000
+   AND t.t_us <= p.p_us - 1
+),
+r AS (
+  SELECT p_id, p_value, touch_type,
+         row_number() OVER (PARTITION BY p_id ORDER BY t_us, t_id) AS rn,
+         count(*) OVER (PARTITION BY p_id) AS n
+  FROM m
+),
+c AS (
+  SELECT touch_type, p_id,
+         p_value * (CASE
+           WHEN n = 1 THEN 1.0
+           WHEN rn = 1 THEN (CASE WHEN n = 2 THEN 0.5 ELSE {ATTR_FIRST_W} END)
+           WHEN rn = n THEN (CASE WHEN n = 2 THEN 0.5 ELSE {ATTR_LAST_W} END)
+           ELSE {1.0 - ATTR_FIRST_W - ATTR_LAST_W} / (n - 2)::DOUBLE
+         END) AS credit
+  FROM r
+)
+SELECT touch_type, count(*) AS n_touches,
+       count(DISTINCT p_id) AS n_purchases,
+       round(sum(credit) + 1e-9, 2) AS credited_value
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------- rolling correlation
+CORR_WINDOW_DAYS = 7
+
+
+def ev_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between daily event count and
+    daily total value, per event type — drift detection between volume and
+    monetization. All window math: five running sums over a ROWS frame
+    feed the closed-form corr; the only shuffle is the daily rollup. The
+    daily value sum is rounded to 2 dp BEFORE the correlation so both
+    engines feed identical inputs; windows under 2 rows or with zero
+    variance yield NULL on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").cast("double").alias("x"),
+        F.round(F.sum("value") + F.lit(1e-9), 2).alias("y"),
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-(CORR_WINDOW_DAYS - 1), 0)
+    n = F.count("*").over(w).cast("double")
+    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    corr = F.when(
+        (n >= 2) & (dx > 0) & (dy > 0),
+        F.round((n * sxy - sx * sy) / F.sqrt(dx * dy) + F.lit(1e-9), 6),
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            n.cast("long").alias("n_days"),
+            corr.alias("rolling_corr"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EV_ROLLING_CORR_SQL = f"""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day,
+         count(*)::DOUBLE AS x, round(sum(value) + 1e-9, 2) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, day,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * y) OVER w AS sxy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {CORR_WINDOW_DAYS - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, n AS n_days,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                       + 1e-9, 6)
+       END AS rolling_corr
+FROM s ORDER BY event_type, day
+"""
+
+QUERIES.update(
+    {
+        "ev_attribution": ev_attribution,
+        "ev_rolling_corr": ev_rolling_corr,
+    }
+)
+ORACLES.update(
+    {
+        "ev_attribution": EV_ATTRIBUTION_SQL,
+        "ev_rolling_corr": EV_ROLLING_CORR_SQL,
+    }
+)

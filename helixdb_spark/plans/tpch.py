@@ -1747,3 +1747,39 @@ ORDER BY node
 
 QUERIES.update({"nation_trade_clustering": nation_trade_clustering})
 ORACLES.update({"nation_trade_clustering": NATION_CLUSTERING_SQL})
+
+
+# ------------------------------------------------------ k-anonymity gate
+K_ANONYMITY = 10
+
+
+def validate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy gate: quasi-identifier groups (nation × market segment)
+    whose population is below k — the k-anonymity re-identification risk
+    report a dataset release runs before publishing (Sweeney 2002). One
+    map-side-combined groupBy; the risky-group set is small by definition
+    (it is the tail of the group-size distribution), so the report never
+    materializes the compliant majority."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(F.count("*").alias("group_size"))
+        .where(F.col("group_size") < K_ANONYMITY)
+        .orderBy("nationkey", "mktsegment")
+    )
+
+
+K_ANONYMITY_SQL = f"""
+SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+       count(*) AS group_size
+FROM customer
+GROUP BY 1, 2
+HAVING count(*) < {K_ANONYMITY}
+ORDER BY 1, 2
+"""
+
+QUERIES.update({"validate_k_anonymity": validate_k_anonymity})
+ORACLES.update({"validate_k_anonymity": K_ANONYMITY_SQL})

@@ -88,3 +88,73 @@ def test_triangle_counts_no_triangles(spark):
     rows = triangle_counts(df).collect()
     assert {r["node"] for r in rows} == {1, 2, 3, 4}
     assert all(r["n_triangles"] == 0 for r in rows)
+
+
+def test_k_anonymity_flags_only_small_groups(spark):
+    from helixdb_spark.plans.tpch import K_ANONYMITY, validate_k_anonymity
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    rows = qs["validate_k_anonymity"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "sf0.001 has 150 customers over 125 groups — risk must exist"
+    assert all(r["group_size"] < K_ANONYMITY for r in rows)
+
+
+def test_attribution_weights_hand_computed(spark, monkeypatch):
+    """3 touches before one purchase: 0.4 / 0.2 / 0.4 of the value, order
+    by time; a second purchase with one touch credits 100%."""
+    import datetime as dt
+
+    from helixdb_spark.plans import events as evp
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(eid, t_off_s, typ, user, value):
+        return (eid, base + dt.timedelta(seconds=t_off_s), user, typ, value, "{}")
+
+    data = [
+        mk(1, 0, "click", 7, 0.0),
+        mk(2, 60, "view", 7, 0.0),
+        mk(3, 120, "click", 7, 0.0),
+        mk(4, 300, "purchase", 7, 100.0),
+        mk(5, 0, "view", 8, 0.0),
+        mk(6, 200, "purchase", 8, 50.0),
+        mk(7, 999999, "click", 9, 0.0),  # no purchase follows in-window
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    monkeypatch.setattr(evp, "load_table", lambda s, d, t: df)
+    got = {r["touch_type"]: r for r in evp.ev_attribution(spark, "ignored").collect()}
+    # clicks: 0.4*100 (first) + 0.4*100 (last) = 80; views: 0.2*100 + 1.0*50 = 70
+    assert got["click"]["credited_value"] == 80.0
+    assert got["view"]["credited_value"] == 70.0
+    assert got["click"]["n_touches"] == 2 and got["view"]["n_touches"] == 2
+    assert got["click"]["n_purchases"] == 1 and got["view"]["n_purchases"] == 2
+
+
+def test_rolling_corr_perfect_linear(spark, monkeypatch):
+    """y = 2x daily series -> corr exactly 1 once the window has 2+ days."""
+    import datetime as dt
+
+    from helixdb_spark.plans import events as evp
+
+    rows = []
+    eid = 0
+    for d in range(5):
+        for i in range(d + 1):  # x = d+1 events on day d
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1 + d, 1, 0, 0), 1, "click",
+                 2.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    monkeypatch.setattr(evp, "load_table", lambda s, d, t: df)
+    out = evp.ev_rolling_corr(spark, "ignored").collect()
+    assert out[0]["rolling_corr"] is None  # 1-day window
+    for r in out[1:]:
+        assert abs(r["rolling_corr"] - 1.0) < 1e-6
