@@ -564,6 +564,121 @@ class HelixSpark:
             df = df.orderBy(comparator(F.col("key")), F.col("ts"))
         return df
 
+    def scan_asof_commit(
+        self,
+        commits_back: int,
+        time_range: tuple[int, int],
+        key_range: Optional[tuple[bytes, bytes]] = None,
+        comparator: comparators.Comparator = comparators.lexical,
+    ) -> DataFrame:
+        """Time travel: range-scan the DB as it stood immediately BEFORE the
+        ``commits_back``-th most recent compaction commit (1 = before the
+        latest). Read-only — unlike :meth:`rollback_compaction` nothing is
+        restored or mutated, so snapshots of a live DB are free.
+
+        Works because deferred GC (``keep_generations``) retains every byte
+        a retained commit's previous state referenced: superseded cold dirs
+        stay on disk (hidden by the manifest), dropped hot partitions park
+        in trash/, and each history entry snapshots the pre-commit manifest
+        plus the put-sequence watermark. A snapshot read is then: current
+        hot ∪ the rewound commits' parked hot partitions ∪ cold per the
+        historical manifest, with rows put after the snapshot's sequence
+        watermark filtered out, under the same LWW dedup as a live scan.
+        The reference cannot express this — its LEVEL_INFO advance is
+        one-way (src/types/level_info.rs:98-111); engine addition.
+
+        Raises ValueError if the history does not retain ``commits_back``
+        contiguous commits (e.g. keep_generations too small, or a keep=0
+        compact broke the chain). Retention caveat: an ``outdate`` between
+        the snapshot point and now has physically dropped data — snapshots
+        are exact only within the retention horizon.
+        """
+        self._check_open()
+        history = list(self._state.get("commit_history") or [])
+        if commits_back < 1 or commits_back > len(history):
+            raise ValueError(
+                f"scan_asof_commit: {commits_back} commits back not retained "
+                f"(history holds {len(history)}; see keep_generations)"
+            )
+        tail = history[-commits_back:]
+        next_gen = int(self._state.get("cold_gen_seq", 0))
+        for i, e in enumerate(tail):
+            if int(e["gen"]) != next_gen - commits_back + i:
+                raise ValueError(
+                    "scan_asof_commit: commit history is not contiguous with "
+                    "the current state (a keep_generations=0 compact ran in "
+                    "between)"
+                )
+        target = tail[0]
+        seq_cut = target.get("seq_at_commit")
+        manifest = {
+            str(b): int(g)
+            for b, g in (target.get("manifest_before") or {}).items()
+        }
+
+        parts = []
+        hot = self._hot_df()
+        if hot is not None:
+            parts.append(hot)
+        for e in tail:  # hot partitions the rewound commits parked
+            trash = self.layout.trash_path(int(e["gen"]))
+            if self._fs.list_buckets(trash):
+                try:
+                    parts.append(
+                        self.spark.read.schema(HOT_SCHEMA).parquet(trash)
+                    )
+                except Exception:
+                    pass
+        if manifest:
+            try:
+                cold = self.spark.read.schema(COLD_GEN_SCHEMA).parquet(
+                    self.layout.cold_path
+                )
+                by_gen: dict[int, list[int]] = {}
+                for bucket, gen in manifest.items():
+                    by_gen.setdefault(int(gen), []).append(int(bucket))
+                pred = None
+                for gen, buckets in by_gen.items():
+                    p = (F.col("gen") == gen) & F.col("time_bucket").isin(buckets)
+                    pred = p if pred is None else (pred | p)
+                parts.append(self._decode_cold(cold.where(pred).drop("gen")))
+            except Exception:
+                pass
+        if not parts:
+            return self.spark.createDataFrame([], HOT_SCHEMA).select(
+                "ts", "key", "value"
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if seq_cut is not None:
+            # cold rows carry seq=-1 and always pass — their generations are
+            # manifest_before-listed, i.e. staged before the snapshot commit
+            df = df.where(F.col("seq") < int(seq_cut))
+
+        ts_lo, ts_hi = time_range
+        df = df.where(
+            (F.col("time_bucket") >= self.layout.bucket_of(ts_lo))
+            & (F.col("time_bucket") <= self.layout.bucket_of(ts_hi))
+            & (F.col("ts") >= ts_lo)
+            & (F.col("ts") <= ts_hi)
+        )
+        if key_range is not None and comparator is not None:
+            lo, hi = key_range
+            kexpr = comparator(F.col("key"))
+            df = df.where(
+                (kexpr >= comparator(F.lit(bytes(lo))))
+                & (kexpr <= comparator(F.lit(bytes(hi))))
+            )
+        df = (
+            df.groupBy("ts", "key")
+            .agg(F.max(F.struct("seq", "value")).alias("_w"))
+            .select("ts", "key", F.col("_w.value").alias("value"))
+        )
+        if comparator is not None:
+            df = df.orderBy(comparator(F.col("key")), F.col("ts"))
+        return df
+
     def scan_iter(
         self,
         time_range: tuple[int, int],
@@ -781,6 +896,10 @@ class HelixSpark:
                     "manifest_before": manifest_before,
                     "superseded": [[g, b] for g, b in superseded],
                     "hot_dropped": hot_dropped,
+                    # put-sequence watermark at commit time: lets
+                    # scan_asof_commit exclude rows written after this
+                    # commit (time travel); rides the same atomic flip
+                    "seq_at_commit": int(self._state.get("seq", 0)),
                 }
             )
             expired, history = history[:-keep], history[-keep:]

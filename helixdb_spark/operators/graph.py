@@ -177,3 +177,47 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             ),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling on the undirected, deduped edge set:
+    each round drops every node whose current degree is below ``k``
+    (and the edges touching it). With enough rounds this converges to the
+    k-core; a FIXED round count keeps it oracle-unrollable — the same
+    determinism discipline as pagerank/power iteration. Returns
+    (node, core_deg) for the survivors, core_deg their degree inside the
+    surviving subgraph.
+
+    Scale shape: each round is one degree aggregate plus two semi-joins of
+    the edge set against the (node-sized, broadcastable) keep set — never
+    anything quadratic; ``rounds`` bounds the lineage depth so no
+    checkpointing is needed at small fixed depths.
+    """
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    cur = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+
+    for _ in range(rounds):
+        keep = degrees(cur).where(F.col("deg") >= k).select("node")
+        cur = cur.join(
+            keep.withColumnRenamed("node", "a"), "a", "left_semi"
+        ).join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+    return degrees(cur).select("node", F.col("deg").alias("core_deg"))

@@ -549,3 +549,70 @@ ORDER BY key, ts
 
 QUERIES["kv_rollback_scan"] = kv_rollback_scan
 ORACLES["kv_rollback_scan"] = KV_ROLLBACK_SQL
+
+
+def kv_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: put -> compact -> amended put -> compact -> read the
+    snapshot as of BEFORE the first commit (``scan_asof_commit(2)``) — the
+    original data, with both later mutations invisible, while the live scan
+    would show the amendments. Read-only (nothing restored or mutated),
+    built on the deferred-GC commit history: parked hot partitions + the
+    historical cold manifest + the per-commit put-sequence watermark. The
+    reference's LEVEL_INFO advance is one-way (src/types/level_info.rs:
+    98-111) — engine addition. Oracle: the plain original rows."""
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.col("props"), "utf-8").alias("value"),
+    )
+    base = tempfile.mkdtemp(prefix="helix_kvsnap_")
+    db = HelixSpark.open(
+        spark,
+        base,
+        HelixOptions(
+            rick_range=86400,
+            outdate_range=1 << 40,
+            auto_maintain=False,
+            keep_generations=2,
+        ),
+    )
+    db.put(entries)
+    db.compact(SCAN_TS_LO, COMPACT_TS_HI)  # commit 1
+    amend = ev.where(
+        (F.unix_timestamp("ts") <= COMPACT_TS_HI) & (F.col("event_id") % 5 == 0)
+    ).select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.concat(F.col("props"), F.lit("+v2")), "utf-8").alias("value"),
+    )
+    db.put(amend)
+    db.compact(SCAN_TS_LO, COMPACT_TS_HI)  # commit 2 folds the amendment in
+    snap = db.scan_asof_commit(
+        2,
+        (SCAN_TS_LO, SCAN_TS_HI),
+        (KEY_LO.encode(), KEY_HI.encode()),
+    )
+    return snap.select(
+        "ts",
+        F.decode("key", "utf-8").alias("key"),
+        F.decode("value", "utf-8").alias("value"),
+    )
+
+
+KV_SNAPSHOT_SQL = f"""
+SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+       event_id::VARCHAR AS key,
+       props AS value
+FROM events
+WHERE CAST(floor(epoch(ts)) AS BIGINT) >= {SCAN_TS_LO}
+  AND CAST(floor(epoch(ts)) AS BIGINT) <= {SCAN_TS_HI}
+  AND event_id::VARCHAR >= '{KEY_LO}' AND event_id::VARCHAR <= '{KEY_HI}'
+ORDER BY key, ts
+"""
+
+
+QUERIES["kv_snapshot_scan"] = kv_snapshot_scan
+ORACLES["kv_snapshot_scan"] = KV_SNAPSHOT_SQL

@@ -1783,3 +1783,112 @@ ORDER BY 1, 2
 
 QUERIES.update({"validate_k_anonymity": validate_k_anonymity})
 ORACLES.update({"validate_k_anonymity": K_ANONYMITY_SQL})
+
+
+# ---------------------------------------------------------- k-core backbone
+KCORE_K = 4
+KCORE_ROUNDS = 3
+KCORE_TOP_PARTNERS = 3
+
+
+def nation_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade-backbone k-core: keep each supplier nation's top-3 customer
+    nations by (rounded) revenue — the backbone-extraction step that makes
+    a dense trade graph sparse — then peel to the 4-core with three fixed
+    rounds (operators.graph.kcore_peel). Returns the core members with
+    their in-core degree; the oracle ranks the same backbone and unrolls
+    the same peel rounds as CTEs. Revenue is rounded to 2 dp BEFORE the
+    rank so both engines order identically; ties break on dst."""
+    from pyspark.sql.window import Window as W
+
+    from helixdb_spark.operators.graph import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair_rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + F.lit(1e-9),
+                2,
+            ).alias("rev")
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("rev"), F.asc("dst"))
+    backbone = (
+        pair_rev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KCORE_TOP_PARTNERS)
+        .select("src", "dst")
+    )
+    core = kcore_peel(backbone, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return (
+        core.join(F.broadcast(nation), core["node"] == nation["n_nationkey"])
+        .select("node", "n_name", "core_deg")
+        .orderBy("node")
+    )
+
+
+def _kcore_sql(
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    top: int = KCORE_TOP_PARTNERS,
+) -> str:
+    head = f"""
+WITH pair_rev AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+  HAVING s.s_nationkey != c.c_nationkey
+),
+backbone AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY rev DESC, dst) AS rk
+    FROM pair_rev
+  ) WHERE rk <= {top}
+),
+e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM backbone WHERE src != dst)"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        prev = f"e{r-1}"
+        parts.append(f""",
+d{r} AS (
+  SELECT node, count(*)::BIGINT AS deg
+  FROM (SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+  GROUP BY 1
+),
+keep{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+e{r} AS (
+  SELECT a, b FROM {prev}
+  WHERE a IN (SELECT node FROM keep{r}) AND b IN (SELECT node FROM keep{r})
+)""")
+    parts.append(f"""
+SELECT node, n_name, deg AS core_deg
+FROM (
+  SELECT node, count(*)::BIGINT AS deg
+  FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+  GROUP BY 1
+)
+JOIN nation ON node = n_nationkey
+ORDER BY node
+""")
+    return "".join(parts)
+
+
+QUERIES.update({"nation_trade_kcore": nation_trade_kcore})
+ORACLES.update({"nation_trade_kcore": _kcore_sql()})

@@ -158,3 +158,31 @@ def test_rolling_corr_perfect_linear(spark, monkeypatch):
     assert out[0]["rolling_corr"] is None  # 1-day window
     for r in out[1:]:
         assert abs(r["rolling_corr"] - 1.0) < 1e-6
+
+
+def test_kcore_peels_to_clique(spark):
+    """K5 with a pendant path attached: the 4-core is exactly the K5 (the
+    path nodes peel away over the fixed rounds, cascading)."""
+    from helixdb_spark.operators.graph import kcore_peel
+
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    tail = [(4, 5), (5, 6), (6, 7)]  # chain hanging off the clique
+    edges = spark.createDataFrame(k5 + tail, "src int, dst int")
+    core = {r["node"]: r["core_deg"] for r in kcore_peel(edges, k=4, rounds=3).collect()}
+    assert core == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+    # k=5 peels everything (K5 max degree is 4)
+    assert kcore_peel(edges, k=5, rounds=3).count() == 0
+
+
+def test_kcore_cascade_needs_rounds(spark):
+    """A chain into a triangle: each round peels one more chain node —
+    rounds=1 leaves chain remnants, rounds=3 reaches the stable 2-core."""
+    from helixdb_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 2)], "src int, dst int"
+    )  # path 0-1-2 into triangle {2,3,4}
+    one = {r["node"] for r in kcore_peel(edges, k=2, rounds=1).collect()}
+    full = {r["node"] for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    assert full == {2, 3, 4}
+    assert one >= full and one != full  # round 1 still holds node 1

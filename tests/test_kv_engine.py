@@ -662,3 +662,51 @@ def test_vacuum_collects_orphan_trash(spark, db_path):
     assert db.rollback_compaction()        # and still restores exactly
     assert _snapshot(db) == before
     db.close()
+
+
+def test_scan_asof_commit_time_travel(spark, db_path):
+    """Snapshot reads at 1 and 2 commits back see exactly the historical
+    states, read-only (the live scan is untouched); depth beyond retention
+    raises."""
+    db = _rollback_db(spark, db_path, keep=2)
+    db.put(_grid(n_ts=150))  # seq 0
+    v0 = _snapshot(db)
+    db.compact(0, 99)        # commit 1 (seq_at=1)
+    db.put([(50, b"k0", b"amended")])  # seq 1
+    v1 = sorted(set(v0) - {(50, b"k0", "v50-0".encode())} | {(50, b"k0", b"amended")})
+    db.compact(0, 99)        # commit 2 folds the amendment (seq_at=2)
+    db.put([(120, b"k1", b"newest")])  # seq 2, outside compacted range
+
+    def snap(n):
+        return sorted(
+            (r["ts"], bytes(r["key"]), bytes(r["value"]))
+            for r in db.scan_asof_commit(n, (0, 1 << 40)).collect()
+        )
+
+    assert snap(2) == v0                      # before commit 1: original
+    assert snap(1) == v1                      # before commit 2: + amendment
+    live = _snapshot(db)
+    assert (120, b"k1", b"newest") in live    # live state unaffected
+    assert (50, b"k0", b"amended") in live
+    with pytest.raises(ValueError, match="not retained"):
+        db.scan_asof_commit(3, (0, 1 << 40))
+    # key-range + comparator path
+    few = db.scan_asof_commit(2, (0, 1 << 40), (b"k0", b"k0")).collect()
+    assert all(bytes(r["key"]) == b"k0" for r in few)
+    assert len(few) == 150
+    db.close()
+
+
+def test_scan_asof_commit_refuses_broken_chain(spark, db_path):
+    """A keep=0 compact between commits breaks history contiguity — the
+    snapshot must refuse rather than mix epochs."""
+    db = _rollback_db(spark, db_path, keep=2)
+    db.put(_grid(n_ts=150))
+    db.compact(0, 99)
+    db.close()
+    db0 = _rollback_db(spark, db_path, keep=0)
+    db0.put([(10, b"k0", b"x")])
+    db0.compact(0, 99)  # bumps gen without history
+    with pytest.raises(ValueError, match="not contiguous"):
+        db0.scan_asof_commit(1, (0, 1 << 40))
+    db0.close()
