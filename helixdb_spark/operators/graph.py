@@ -179,6 +179,57 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round min-label propagation: every node starts labeled with
+    its own id; each round every node takes the minimum label among itself
+    and its neighbors. After ``rounds`` >= the graph diameter the label is
+    the component's minimum node id. A FIXED round count keeps the result
+    oracle-unrollable (same determinism discipline as pagerank/kcore_peel);
+    under-provisioned rounds are still deterministic, just a coarser
+    partition refinement.
+
+    Returns (node, comp).
+
+    Scale shape: each round is one shuffle (edge ⋈ label on the neighbor
+    key) plus one min-aggregate — O(m) per round, nothing quadratic. For
+    graphs whose diameter outgrows a fixed small round count (web-scale
+    crawls), swap the propagation step for the alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce", SoCC'14), which converges in O(log^2 n) rounds on the same
+    join+min algebra; entity graphs distilled from joins (this module's
+    use) have tiny diameters and take the simple form.
+    """
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # neighbor list in both directions: label flows along every edge
+    nbr = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = nbr.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("comp"))
+    for _ in range(rounds):
+        msgs = (
+            nbr.join(labels.select(F.col("node").alias("a"), "comp"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        labels = labels.join(msgs, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+    return labels
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int,

@@ -843,3 +843,188 @@ JOIN uni ca ON ca.w = big.w1
 JOIN uni cb ON cb.w = big.w2, n1, n2
 ORDER BY pmi DESC, w1, w2 LIMIT {k}
 """
+
+
+# ------------------------------------------------------------- readability
+def readability(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document with the classic proxies:
+    sentences = runs of terminal punctuation, syllables = vowel groups per
+    word (min 1). Pure JVM expression fold (regexp_extract_all + one HOF
+    aggregate over the staged word array) — zero Python per row; the SQL
+    twin (readability_sql) computes the identical counts, so the score is
+    exactly reproducible.
+
+    flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+    """
+    docs = spread(docs).withColumn(
+        "__ws", words(normalized_text(F.col(text_col)))
+    )
+    ws = F.col("__ws")
+    n_words = F.size(ws)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    )
+    n_syll = F.aggregate(
+        ws,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiou]+"), 0)), F.lit(1)
+        ),
+    )
+    flesch = F.when(
+        n_words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent)
+        - F.lit(84.6) * (n_syll.cast("double") / n_words),
+    ).otherwise(F.lit(0.0))
+    flesch_r = F.round(flesch + F.lit(1e-9), 3)
+    band = (
+        F.when(flesch_r >= 60, "easy")
+        .when(flesch_r >= 30, "medium")
+        .otherwise("hard")
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        flesch_r.alias("flesch"),
+        band.alias("band"),
+    ).orderBy(id_col)
+
+
+def readability_sql(norm_sql: str) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, string_split({norm_sql}, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent,
+         list_sum(list_transform(ws,
+           x -> greatest(len(regexp_extract_all(x, '[aeiou]+')), 1)))::BIGINT
+           AS n_syll
+  FROM w
+),
+s AS (
+  SELECT doc_id, n_words, n_sent, n_syll,
+         round(CASE WHEN n_words > 0
+               THEN 206.835 - 1.015 * (n_words::DOUBLE / n_sent)
+                    - 84.6 * (n_syll::DOUBLE / n_words)
+               ELSE 0.0 END + 1e-9, 3) AS flesch
+  FROM m
+)
+SELECT doc_id, n_words::INT AS n_words, n_sent::INT AS n_sentences,
+       n_syll::INT AS n_syllables, flesch,
+       CASE WHEN flesch >= 60 THEN 'easy'
+            WHEN flesch >= 30 THEN 'medium'
+            ELSE 'hard' END AS band
+FROM s
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------ quality ensemble
+# fixed logistic blend weights (arbitrary but frozen — what a trained
+# fastText-style quality classifier would export; the pipeline contract is
+# determinism + filterability, not the particular weights)
+ENSEMBLE_W = {
+    "bias": -1.0,
+    "len": 2.5,
+    "stop": 3.0,
+    "awl_dev": -0.2,
+    "digit": -4.0,
+}
+
+
+def quality_ensemble(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Ensemble quality classifier: a fixed logistic blend of cheap
+    features (length saturation, stopword ratio, word-length deviation,
+    digit density) -> per-doc score in (0,1) -> decile buckets with counts
+    and mean score. This is the score-then-threshold shape of model-based
+    quality filtering (e.g. CCNet/fastText-style filters) with the model
+    replaced by frozen public weights, so the oracle can replay it exactly.
+
+    One scan, one groupBy on the 10-valued bucket key; per-doc scores are
+    rounded to 6 dp BEFORE the bucket floor and the bucket mean, so neither
+    engine's exp() ulp noise nor double-sum order can move a result.
+    """
+    docs = spread(docs).withColumn(
+        "__ws", words(normalized_text(F.col(text_col)))
+    )
+    ws = F.col("__ws")
+    n_words = F.size(ws)
+    n_chars = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    f_len = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+    awl = F.when(
+        n_words > 0,
+        F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    f_stop = F.when(
+        n_words > 0, _count_in(ws, EN_STOPWORDS).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    f_digit = (
+        F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")).cast("double")
+        / n_chars
+    )
+    z = (
+        F.lit(ENSEMBLE_W["bias"])
+        + F.lit(ENSEMBLE_W["len"]) * f_len
+        + F.lit(ENSEMBLE_W["stop"]) * f_stop
+        + F.lit(ENSEMBLE_W["awl_dev"]) * F.abs(awl - F.lit(5.0))
+        + F.lit(ENSEMBLE_W["digit"]) * f_digit
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) + F.lit(1e-9), 6)
+    bucket = F.least(F.floor(score * 10).cast("int"), F.lit(9))
+    return (
+        docs.select(score.alias("score"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("score") + F.lit(1e-9), 4).alias("mean_score"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def quality_ensemble_sql(norm_sql: str) -> str:
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    w = ENSEMBLE_W
+    return f"""
+WITH w0 AS (
+  SELECT doc_id, text, string_split({norm_sql}, ' ') AS ws FROM documents
+),
+f AS (
+  SELECT doc_id,
+         least(len(ws)::DOUBLE / 100.0, 1.0) AS f_len,
+         CASE WHEN len(ws) > 0
+              THEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
+              ELSE 0.0 END AS awl,
+         CASE WHEN len(ws) > 0
+              THEN len(list_filter(ws, x -> x IN ({stop})))::DOUBLE / len(ws)
+              ELSE 0.0 END AS f_stop,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS f_digit
+  FROM w0
+),
+s AS (
+  SELECT round(1.0 / (1.0 + exp(-({w["bias"]} + {w["len"]} * f_len
+           + {w["stop"]} * f_stop + {w["awl_dev"]} * abs(awl - 5.0)
+           + {w["digit"]} * f_digit))) + 1e-9, 6) AS score
+  FROM f
+)
+SELECT least(floor(score * 10), 9)::INT AS bucket,
+       count(*) AS n_docs,
+       round(avg(score) + 1e-9, 4) AS mean_score
+FROM s
+GROUP BY 1
+ORDER BY 1
+"""

@@ -1896,3 +1896,159 @@ ORACLES.update(
         "ev_rolling_corr": EV_ROLLING_CORR_SQL,
     }
 )
+
+
+# ----------------------------------------------------- time-to-conversion
+def ev_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-to-convert: hours from the user's first ``signup``
+    event to their first ``purchase`` at-or-after it (survival/funnel
+    latency — the time-to-event profile a growth team reads).
+
+    One shuffle on user_id: the signup floor is a partition-window min, the
+    qualifying-purchase min a groupBy on the SAME key, so the window's hash
+    partitioning is reused and no second exchange appears. Users who never
+    convert are kept with a NULL latency (they are the censored tail a
+    survival curve needs).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    with_floor = ev.withColumn(
+        "signup_ts",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    )
+    return (
+        with_floor.where(F.col("signup_ts").isNotNull())
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("signup_ts")),
+                    F.col("ts"),
+                )
+            ).alias("purchase_ts")
+        )
+        .select(
+            "user_id",
+            "signup_ts",
+            "purchase_ts",
+            F.round(
+                (
+                    F.col("purchase_ts").cast("double")
+                    - F.col("signup_ts").cast("double")
+                )
+                / F.lit(3600.0)
+                + F.lit(1e-9),
+                3,
+            ).alias("hours_to_convert"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_TTC_SQL = """
+WITH floors AS (
+  SELECT user_id, min(ts) FILTER (event_type = 'signup') AS signup_ts
+  FROM events GROUP BY 1
+),
+conv AS (
+  SELECT f.user_id, f.signup_ts, min(e.ts) AS purchase_ts
+  FROM floors f
+  LEFT JOIN events e
+    ON e.user_id = f.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts >= f.signup_ts
+  WHERE f.signup_ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT user_id, signup_ts, purchase_ts,
+       round((epoch(purchase_ts) - epoch(signup_ts)) / 3600.0 + 1e-9, 3)
+         AS hours_to_convert
+FROM conv
+ORDER BY user_id
+"""
+
+
+# ----------------------------------------------------- seasonal anomalies
+SEASONAL_Z = 3.0
+
+
+def ev_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly report: per (event_type, hour-of-day)
+    cell, the corpus-wide mean/stddev of ``value`` is the seasonal
+    baseline; events whose |z| exceeds 3 are counted as anomalies.
+
+    Two aggregations over the SAME (event_type, hod) key — the baseline
+    agg and the anomaly count — expressed as one window + one groupBy so
+    the hash partitioning is computed once. z is rounded to 6 dp (with the
+    repo's 1e-9 nudge) BEFORE thresholding, so the flag never depends on
+    sub-ulp double-sum ordering differences between engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        "value",
+    )
+    w = W.partitionBy("event_type", "hod")
+    scored = (
+        cell.withColumn("mu", F.avg("value").over(w))
+        .withColumn("sd", F.stddev_samp("value").over(w))
+        .withColumn(
+            "z",
+            F.round(
+                (F.col("value") - F.col("mu"))
+                / F.when(F.col("sd") > 0, F.col("sd"))
+                + F.lit(1e-9),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.groupBy("event_type", "hod")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("mu") + F.lit(1e-9), 4).alias("mean_value"),
+            F.sum(
+                F.when(F.abs(F.col("z")) > SEASONAL_Z, 1).otherwise(0)
+            ).cast("long").alias("n_anomalies"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+EV_SEASONAL_SQL = f"""
+WITH scored AS (
+  SELECT event_type, hour(ts) AS hod, value,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, hour(ts))
+),
+z AS (
+  SELECT event_type, hod, mu,
+         round((value - mu) / (CASE WHEN sd > 0 THEN sd END) + 1e-9, 6) AS z
+  FROM scored
+)
+SELECT event_type, hod, count(*) AS n,
+       round(any_value(mu) + 1e-9, 4) AS mean_value,
+       sum(CASE WHEN abs(z) > {SEASONAL_Z} THEN 1 ELSE 0 END)::BIGINT
+         AS n_anomalies
+FROM z
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "ev_time_to_conversion": ev_time_to_conversion,
+        "ev_seasonal_anomaly": ev_seasonal_anomaly,
+    }
+)
+ORACLES.update(
+    {
+        "ev_time_to_conversion": EV_TTC_SQL,
+        "ev_seasonal_anomaly": EV_SEASONAL_SQL,
+    }
+)

@@ -1844,3 +1844,33 @@ ORACLES.update(
         "curate_shard_assignment": SHARD_ASSIGNMENT_SQL,
     }
 )
+
+
+# --------------------------------------------- readability + quality ensemble
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease bands per document (operators.text_analysis
+    .readability) — the length/complexity prior curation stacks on top of
+    the stopword/entropy features."""
+    return _ta.readability(load_table(spark, sf_dir, "documents"))
+
+
+def curate_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-weight logistic quality classifier -> decile histogram
+    (operators.text_analysis.quality_ensemble): the score-then-bucket shape
+    of model-based quality filtering, with the oracle replaying the exact
+    blend."""
+    return _ta.quality_ensemble(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update(
+    {
+        "text_readability": text_readability,
+        "curate_quality_ensemble": curate_quality_ensemble,
+    }
+)
+ORACLES.update(
+    {
+        "text_readability": _ta.readability_sql(_NORM),
+        "curate_quality_ensemble": _ta.quality_ensemble_sql(_NORM),
+    }
+)

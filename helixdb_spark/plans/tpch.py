@@ -1892,3 +1892,110 @@ ORDER BY node
 
 QUERIES.update({"nation_trade_kcore": nation_trade_kcore})
 ORACLES.update({"nation_trade_kcore": _kcore_sql()})
+
+
+# ------------------------------------------------- trade connected components
+CC_TOP_PARTNERS = 1
+CC_ROUNDS = 6
+
+
+def nation_trade_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the sparsified trade graph: keep only each
+    supplier nation's single top customer nation by (rounded) revenue — the
+    "primary trade partner" backbone — then run six fixed rounds of
+    min-label propagation (operators.graph.connected_components). The
+    component label is the smallest nationkey in the component; the oracle
+    unrolls the same rounds as CTEs. Six rounds exceed the 25-node
+    backbone's diameter, so labels are converged; determinism never
+    depends on that (both engines run the same round count either way).
+    """
+    from pyspark.sql.window import Window as W
+
+    from helixdb_spark.operators.graph import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair_rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + F.lit(1e-9),
+                2,
+            ).alias("rev")
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("rev"), F.asc("dst"))
+    backbone = (
+        pair_rev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= CC_TOP_PARTNERS)
+        .select("src", "dst")
+    )
+    comps = connected_components(backbone, rounds=CC_ROUNDS)
+    return (
+        comps.join(F.broadcast(nation), comps["node"] == nation["n_nationkey"])
+        .select("node", "n_name", "comp")
+        .orderBy("node")
+    )
+
+
+def _components_sql(rounds: int = CC_ROUNDS, top: int = CC_TOP_PARTNERS) -> str:
+    head = f"""
+WITH pair_rev AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+  HAVING s.s_nationkey != c.c_nationkey
+),
+backbone AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY rev DESC, dst) AS rk
+    FROM pair_rev
+  ) WHERE rk <= {top}
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM backbone WHERE src != dst
+),
+nbr AS MATERIALIZED (
+  SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS comp FROM nbr
+)"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        prev = f"l{r-1}"
+        parts.append(f""",
+m{r} AS MATERIALIZED (
+  SELECT nbr.b AS node, min(p.comp) AS nbr_comp
+  FROM nbr JOIN {prev} p ON nbr.a = p.node GROUP BY 1
+),
+l{r} AS MATERIALIZED (
+  SELECT p.node, least(p.comp, coalesce(m.nbr_comp, p.comp)) AS comp
+  FROM {prev} p LEFT JOIN m{r} m ON p.node = m.node
+)""")
+    parts.append(f"""
+SELECT node, n_name, comp
+FROM l{rounds} JOIN nation ON node = n_nationkey
+ORDER BY node
+""")
+    return "".join(parts)
+
+
+QUERIES.update({"nation_trade_components": nation_trade_components})
+ORACLES.update({"nation_trade_components": _components_sql()})
