@@ -987,3 +987,76 @@ def edit_distance_pairs(
         .select("id_a", "id_b", dist.alias("edit_dist"))
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------- record linkage
+LINKAGE_W_NAME = 2.0
+LINKAGE_W_TYPE = 1.5
+LINKAGE_W_SIZE = 1.0
+LINKAGE_W_PRICE = 1.0
+LINKAGE_SIZE_TOL = 2
+LINKAGE_PRICE_TOL = 5.0
+
+
+def record_linkage_pairs(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    brand_col: str,
+    type_col: str,
+    size_col: str,
+    price_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Fellegi-Sunter-style record linkage over a product catalog: block on
+    (name head noun, brand), then score each within-block pair with frozen
+    field-agreement weights — name token Jaccard, categorical equality,
+    numeric tolerance bands — and keep pairs at/above ``threshold``.
+
+    The entity-resolution shape (Fellegi & Sunter, JASA 1969): blocking
+    bounds the candidate space (nothing all-pairs — a block is one
+    (noun, brand) cell, whose size is set by catalog vocabulary, not corpus
+    size), the per-pair score is a pure JVM expression, and the output is
+    the match set a survivorship pass (dedup.canonical_pick) consumes.
+    One shuffle: the self-join on the compound block key.
+    """
+    toks = F.array_distinct(F.split(F.col(name_col), " "))
+    t = records.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        F.element_at(toks, -1).alias("blk"),
+        F.col(brand_col).alias("brand"),
+        F.col(type_col).alias("typ"),
+        F.col(size_col).alias("sz"),
+        F.col(price_col).alias("price"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    score = (
+        F.lit(LINKAGE_W_NAME) * jac
+        + F.lit(LINKAGE_W_TYPE)
+        * (F.col("a.typ") == F.col("b.typ")).cast("int")
+        + F.lit(LINKAGE_W_SIZE)
+        * (F.abs(F.col("a.sz") - F.col("b.sz")) <= LINKAGE_SIZE_TOL).cast("int")
+        + F.lit(LINKAGE_W_PRICE)
+        * (
+            F.abs(F.col("a.price") - F.col("b.price")) <= LINKAGE_PRICE_TOL
+        ).cast("int")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.brand") == F.col("b.brand"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(score + F.lit(1e-9), 3).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -641,3 +641,84 @@ SELECT label, count(*) AS n_values,
        round(max(err) + 1e-9, 6) AS max_abs_err
 FROM qd GROUP BY 1 ORDER BY 1
 """
+
+
+def mips_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_planes: int = NUM_PLANES,
+    dim: int = DIM,
+) -> DataFrame:
+    """Maximum-inner-product search via the asymmetric norm-augmentation
+    reduction (Shrivastava & Li, NeurIPS 2014): append to every corpus
+    vector the coordinate sqrt(M^2 - |x|^2) (M the max corpus norm) and to
+    every query the coordinate 0 — the augmented-space cosine order equals
+    the inner-product order — then reuse the hyperplane-LSH bucket index at
+    dim+1. Candidates are scored by the TRUE inner product.
+
+    Scale shape: identical to lsh_topk (one bucket-key shuffle, queries
+    broadcast); the only extra cost is one corpus aggregate for M^2, a
+    single scalar to the driver. Norms and the augmented coordinate are
+    rounded to 6 dp so both engines derive bit-identical buckets.
+    """
+    norm2 = F.round(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+        + F.lit(1e-9),
+        6,
+    )
+    c = spread(corpus).withColumn("_n2", norm2)
+    m2 = c.agg(F.max("_n2")).first()[0]  # one scalar; the vector never moves
+    aug = F.round(
+        F.sqrt(F.greatest(F.lit(m2) - F.col("_n2"), F.lit(0.0))) + F.lit(1e-9), 6
+    )
+    c = c.withColumn(
+        "_avec",
+        F.concat(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.array(aug),
+        ),
+    ).withColumn("_bucket", lsh_bucket(F.col("_avec"), num_planes, dim + 1))
+    q = queries.select(query_id_col, F.col(vec_col).alias("_qvec")).withColumn(
+        "_abucket",
+        lsh_bucket(
+            F.concat(
+                F.transform(F.col("_qvec"), lambda x: x.cast("double")),
+                F.array(F.lit(0.0)),
+            ),
+            num_planes,
+            dim + 1,
+        ),
+    )
+    scored = c.join(
+        F.broadcast(q), c["_bucket"] == q["_abucket"]
+    ).withColumn(
+        "dot",
+        F.round(
+            F.lit(1e-9)
+            + F.aggregate(
+                F.zip_with(
+                    F.col("_qvec"),
+                    F.col(vec_col),
+                    lambda a, b: a.cast("double") * b.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("dot"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "rk", F.col(id_col).alias("neighbor_id"), "dot")
+        .orderBy(query_id_col, "rk")
+    )

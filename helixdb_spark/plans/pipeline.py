@@ -1874,3 +1874,137 @@ ORACLES.update(
         "curate_quality_ensemble": _ta.quality_ensemble_sql(_NORM),
     }
 )
+
+
+# ----------------------------------------------------------- record linkage
+LINKAGE_THRESHOLD = 3.5
+
+
+def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part catalog: blocked Fellegi-Sunter
+    field-agreement scoring (operators.dedup.record_linkage_pairs) — the
+    structured-record counterpart of the text near-dup family. Blocks are
+    (head noun, brand) cells; score = name-token Jaccard + type equality +
+    size/price tolerance bands, frozen weights, threshold 3.5."""
+    from helixdb_spark.operators import dedup as _dd
+
+    return _dd.record_linkage_pairs(
+        load_table(spark, sf_dir, "part"),
+        id_col="p_partkey",
+        name_col="p_name",
+        brand_col="p_brand",
+        type_col="p_type",
+        size_col="p_size",
+        price_col="p_retailprice",
+        threshold=LINKAGE_THRESHOLD,
+    )
+
+
+def _record_linkage_sql() -> str:
+    from helixdb_spark.operators.dedup import (
+        LINKAGE_PRICE_TOL,
+        LINKAGE_SIZE_TOL,
+        LINKAGE_W_NAME,
+        LINKAGE_W_PRICE,
+        LINKAGE_W_SIZE,
+        LINKAGE_W_TYPE,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT p_partkey AS id,
+         list_distinct(string_split(p_name, ' ')) AS toks,
+         list_extract(string_split(p_name, ' '),
+                      len(string_split(p_name, ' '))) AS blk,
+         p_brand AS brand, p_type AS typ, p_size AS sz,
+         p_retailprice AS price
+  FROM part
+)
+SELECT id_a, id_b, score FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round({LINKAGE_W_NAME} * (len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))))
+               + {LINKAGE_W_TYPE} * (a.typ = b.typ)::INT
+               + {LINKAGE_W_SIZE}
+                 * (abs(a.sz - b.sz) <= {LINKAGE_SIZE_TOL})::INT
+               + {LINKAGE_W_PRICE}
+                 * (abs(a.price - b.price) <= {LINKAGE_PRICE_TOL})::INT
+               + 1e-9, 3) AS score
+  FROM t a JOIN t b
+    ON a.blk = b.blk AND a.brand = b.brand AND a.id < b.id
+)
+WHERE score >= {LINKAGE_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES.update({"dedup_record_linkage": dedup_record_linkage})
+ORACLES.update({"dedup_record_linkage": _record_linkage_sql()})
+
+
+# ------------------------------------------------------------- MIPS via LSH
+def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k through the asymmetric norm-augmentation
+    reduction to cosine LSH (operators.similarity.mips_lsh_topk) — the
+    retrieval mode recommendation/embedding-score pipelines need, where the
+    un-normalized dot product (not cosine) is the ranking signal."""
+    return _sim.mips_lsh_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _query_vecs(spark, sf_dir),
+        k=ANN_K,
+    )
+
+
+def _mips_sql() -> str:
+    dim = _sim.DIM + 1
+
+    def bucket_expr(vec: str) -> str:
+        bits = []
+        for p in range(_sim.NUM_PLANES):
+            signs = ", ".join(
+                str(float(_sim.plane_sign(p, d))) for d in range(dim)
+            )
+            dot = (
+                f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> ([{signs}])[i] * ({vec})[i]))"
+            )
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        return "(" + " + ".join(bits) + ")"
+
+    return f"""
+WITH n2 AS (
+  SELECT vec_id, embedding,
+         round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))
+               + 1e-9, 6) AS nn
+  FROM embeddings
+),
+m AS (SELECT max(nn) AS m2 FROM n2),
+c AS (
+  SELECT vec_id, embedding,
+         list_concat(embedding::DOUBLE[],
+                     [round(sqrt(greatest(m2 - nn, 0.0)) + 1e-9, 6)]) AS avec
+  FROM n2, m
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec,
+         list_concat(embedding::DOUBLE[], [0.0]) AS aqvec
+  FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+cb AS (SELECT vec_id, embedding, {bucket_expr('avec')} AS b FROM c),
+qb AS (SELECT query_id, qvec, {bucket_expr('aqvec')} AS b FROM q),
+scored AS (
+  SELECT qb.query_id, cb.vec_id AS neighbor_id,
+         round(1e-9 + list_sum(list_transform(range(1, {_sim.DIM + 1}),
+           i -> (qb.qvec::DOUBLE[])[i] * (cb.embedding::DOUBLE[])[i])), 6)
+           AS dot
+  FROM cb JOIN qb USING (b)
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY dot DESC, neighbor_id ASC) AS rk FROM scored)
+SELECT query_id, rk, neighbor_id, dot FROM r WHERE rk <= {ANN_K}
+ORDER BY query_id, rk
+"""
+
+
+QUERIES.update({"ann_mips_topk": ann_mips_topk})
+ORACLES.update({"ann_mips_topk": _mips_sql()})
