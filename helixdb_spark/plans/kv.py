@@ -616,3 +616,100 @@ ORDER BY key, ts
 
 QUERIES["kv_snapshot_scan"] = kv_snapshot_scan
 ORACLES["kv_snapshot_scan"] = KV_SNAPSHOT_SQL
+
+
+def kv_commit_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture: put -> compact (commit 1) -> put amendments
+    ('+v2' overwrites of every 5th key in the compacted window) AND brand-new
+    entries (ts+1 echoes of every 7th key) -> compact (commit 2) -> diff the
+    snapshot from before commit 2 against the live view
+    (``HelixSpark.commit_diff``). The result is exactly the incremental
+    feed: one ``updated`` row per overwrite, one ``added`` row per new
+    entry, nothing for the untouched majority. Oracle: the same amendment /
+    insert arithmetic replayed over the source table.
+    """
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.col("props"), "utf-8").alias("value"),
+    )
+    base = tempfile.mkdtemp(prefix="helix_kvdiff_")
+    db = HelixSpark.open(
+        spark,
+        base,
+        HelixOptions(
+            rick_range=86400,
+            outdate_range=1 << 40,
+            auto_maintain=False,
+            keep_generations=2,
+        ),
+    )
+    db.put(entries)
+    db.compact(SCAN_TS_LO, COMPACT_TS_HI)  # commit 1: the "before" snapshot
+    amend = ev.where(
+        (F.unix_timestamp("ts") <= COMPACT_TS_HI) & (F.col("event_id") % 5 == 0)
+    ).select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.concat(F.col("props"), F.lit("+v2")), "utf-8").alias("value"),
+    )
+    inserts = ev.where(
+        (F.col("event_id") % 7 == 0)
+        & (F.unix_timestamp("ts") + 1 <= SCAN_TS_HI)
+    ).select(
+        (F.unix_timestamp("ts") + 1).alias("ts"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.concat(F.col("props"), F.lit("+new")), "utf-8").alias("value"),
+    )
+    db.put(amend.unionByName(inserts))
+    db.compact(SCAN_TS_LO, COMPACT_TS_HI)  # commit 2 folds both in
+    # commits_back=2: the snapshot sequence watermark is commit 1's, so the
+    # amendment/insert puts (staged between the commits) are invisible in
+    # the "old" side — the diff is exactly those two put batches
+    diff = db.commit_diff(
+        2,
+        (SCAN_TS_LO, SCAN_TS_HI),
+        (KEY_LO.encode(), KEY_HI.encode()),
+    )
+    return diff.select(
+        "ts",
+        F.decode("key", "utf-8").alias("key"),
+        "change",
+        F.decode("old_value", "utf-8").alias("old_value"),
+        F.decode("new_value", "utf-8").alias("new_value"),
+    )
+
+
+KV_COMMIT_DIFF_SQL = f"""
+WITH src AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+         event_id,
+         event_id::VARCHAR AS key,
+         props
+  FROM events
+),
+updated AS (
+  SELECT ts, key, 'updated' AS change,
+         props AS old_value, props || '+v2' AS new_value
+  FROM src
+  WHERE ts <= {COMPACT_TS_HI} AND event_id % 5 = 0
+),
+added AS (
+  SELECT ts + 1 AS ts, key, 'added' AS change,
+         NULL AS old_value, props || '+new' AS new_value
+  FROM src
+  WHERE event_id % 7 = 0 AND ts + 1 <= {SCAN_TS_HI}
+)
+SELECT ts, key, change, old_value, new_value
+FROM (SELECT * FROM updated UNION ALL SELECT * FROM added)
+WHERE ts >= {SCAN_TS_LO} AND ts <= {SCAN_TS_HI}
+  AND key >= '{KEY_LO}' AND key <= '{KEY_HI}'
+ORDER BY key, ts
+"""
+
+
+QUERIES["kv_commit_diff"] = kv_commit_diff
+ORACLES["kv_commit_diff"] = KV_COMMIT_DIFF_SQL

@@ -710,3 +710,33 @@ def test_scan_asof_commit_refuses_broken_chain(spark, db_path):
     with pytest.raises(ValueError, match="not contiguous"):
         db0.scan_asof_commit(1, (0, 1 << 40))
     db0.close()
+
+
+def test_commit_diff_classifies_all_three(spark, db_path):
+    """commit_diff emits added / updated / deleted (and nothing for the
+    untouched majority): overwrite one key, insert one new identity, and
+    outdate a prefix so rows the snapshot could see are gone live."""
+    db = _rollback_db(spark, db_path, keep=2)
+    db.put(_grid(n_ts=150))  # identities (t, k) for t in 0..149
+    db.compact(0, 99)        # commit 1 — the snapshot point
+    db.put([(50, b"k0", b"amended"), (200, b"k0", b"brandnew")])
+    db.compact(0, 99)        # commit 2
+    db.outdate(9)            # drops ts <= 9 from the live view only
+
+    rows = {
+        (r["ts"], bytes(r["key"]), r["change"]): (
+            None if r["old_value"] is None else bytes(r["old_value"]),
+            None if r["new_value"] is None else bytes(r["new_value"]),
+        )
+        for r in db.commit_diff(2, (0, 1 << 40)).collect()
+    }
+    assert rows[(50, b"k0", "updated")] == (b"v50-0", b"amended")
+    assert rows[(200, b"k0", "added")] == (None, b"brandnew")
+    # every grid key at each outdated ts shows as deleted
+    assert rows[(5, b"k1", "deleted")][1] is None
+    n_keys = len({k for (_, k, c) in rows if c == "deleted"})
+    n_deleted = sum(1 for (_, _, c) in rows if c == "deleted")
+    assert n_deleted == 10 * n_keys
+    # nothing else: untouched identities never appear
+    assert len(rows) == 2 + n_deleted
+    db.close()
