@@ -117,6 +117,7 @@ QUERIES = {
     "stream_static_enrich": stream.stream_static_enrich,
     "stream_hll_registers": stream.stream_hll_registers,
     "stream_cms_cells": stream.stream_cms_cells,
+    "stream_topk_users": stream.stream_topk_users,
 }
 
 ORACLES = {
@@ -133,6 +134,7 @@ ORACLES = {
     "stream_static_enrich": stream.STREAM_ENRICH_SQL,
     "stream_hll_registers": stream.STREAM_HLL_SQL,
     "stream_cms_cells": stream.STREAM_CMS_SQL,
+    "stream_topk_users": stream.STREAM_TOPK_SQL,
 }
 
 

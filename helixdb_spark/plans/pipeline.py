@@ -2008,3 +2008,141 @@ ORDER BY query_id, rk
 
 QUERIES.update({"ann_mips_topk": ann_mips_topk})
 ORACLES.update({"ann_mips_topk": _mips_sql()})
+
+
+# ------------------------------------------------------ product quantization
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes per vector (operators.similarity
+    .pq_encode): 4 subspace codebooks of 8 centroids, deterministic Lloyd
+    fit per subspace, summed quantization error. The oracle replays each
+    subspace's Lloyd rounds as an independent CTE chain over the sliced
+    vectors and joins the four code tables."""
+    return _sim.pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_cte_body(j: int, lo: int, hi: int, k: int, n_iter: int) -> str:
+    """The emb_kmeans CTE chain, suffixed per subspace and running on
+    list_slice of the vector (1-based inclusive bounds)."""
+    dist = (
+        "round(1e-9 + list_sum(list_transform(range(1, len(p.v)+1), "
+        "i -> (p.v[i]-c.cv[i])*(p.v[i]-c.cv[i]))), 6)"
+    )
+    ctes = [
+        f"pts_{j} AS (SELECT vec_id, "
+        f"list_slice(embedding::DOUBLE[], {lo}, {hi}) AS v FROM embeddings)",
+        f"""c0_{j} AS (
+  SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1 AS cluster_id, v AS cv
+  FROM (SELECT vec_id, v FROM pts_{j} ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for it in range(1, n_iter + 1):
+        ctes.append(f"""s{it}_{j} AS (
+  SELECT p.vec_id, c.cluster_id, {dist} AS sqdist
+  FROM pts_{j} p CROSS JOIN c{it - 1}_{j} c
+),
+a{it}_{j} AS (
+  SELECT vec_id, cluster_id, sqdist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+        ORDER BY sqdist, cluster_id) AS rn
+    FROM s{it}_{j}
+  ) WHERE rn = 1
+)""")
+        if it < n_iter:
+            ctes.append(f"""m{it}_{j} AS (
+  SELECT a.cluster_id, i, round(1e-9 + avg(p.v[i]), 4) AS m
+  FROM a{it}_{j} a JOIN pts_{j} p USING (vec_id),
+       unnest(range(1, len(p.v)+1)) t(i)
+  GROUP BY 1, 2
+),
+c{it}_{j} AS (SELECT cluster_id, list(m ORDER BY i) AS cv FROM m{it}_{j} GROUP BY 1)""")
+    return ",\n".join(ctes)
+
+
+def _pq_sql() -> str:
+    m, k, n_iter = _sim.PQ_M, _sim.PQ_K, _sim.PQ_ITERS
+    dim = _sim.DIM
+    sub = dim // m
+    bodies = ",\n".join(
+        _pq_cte_body(j, j * sub + 1, (j + 1) * sub, k, n_iter)
+        for j in range(m)
+    )
+    codes = ", ".join(f"a{j}.cluster_id AS code_{j}" for j in range(m))
+    err = " + ".join(f"a{j}.sqdist" for j in range(m))
+    joins = " ".join(
+        f"JOIN a{n_iter}_{j} a{j} USING (vec_id)" for j in range(1, m)
+    )
+    return f"""
+WITH {bodies}
+SELECT vec_id, {codes}, round({err} + 1e-9, 6) AS recon_err
+FROM a{n_iter}_0 a0 {joins}
+ORDER BY vec_id
+"""
+
+
+QUERIES.update({"emb_pq_encode": emb_pq_encode})
+ORACLES.update({"emb_pq_encode": _pq_sql()})
+
+
+# ------------------------------------------------- PQ asymmetric search
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search with asymmetric distance computation (operators.similarity
+    .pq_adc_topk): corpus touched only through its m byte codes, per-query
+    distances assembled from m driver-sized lookup tables — the
+    memory-bounded ANN tier PQ exists for. Oracle: the same codebook CTE
+    chains, LUT CTEs, and lookup-sum ranking."""
+    return _sim.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _query_vecs(spark, sf_dir),
+        k_nn=ANN_K,
+    )
+
+
+def _pq_adc_sql() -> str:
+    m, k, n_iter = _sim.PQ_M, _sim.PQ_K, _sim.PQ_ITERS
+    dim = _sim.DIM
+    sub = dim // m
+    cb = n_iter - 1  # the codebook generation the final assignment used
+    bodies = ",\n".join(
+        _pq_cte_body(j, j * sub + 1, (j + 1) * sub, k, n_iter)
+        for j in range(m)
+    )
+    luts = ",\n".join(
+        f"""lut{j} AS (
+  SELECT q.query_id, c.cluster_id AS code,
+         round(1e-9 + list_sum(list_transform(range(1, {sub + 1}),
+           i -> (q.qv[{j * sub} + i] - c.cv[i])
+              * (q.qv[{j * sub} + i] - c.cv[i]))), 6) AS d2
+  FROM q CROSS JOIN c{cb}_{j} c
+)"""
+        for j in range(m)
+    )
+    code_joins = " ".join(
+        f"JOIN a{n_iter}_{j} a{j} USING (vec_id)" for j in range(1, m)
+    )
+    lut_joins = "JOIN lut0 l0 ON l0.code = a0.cluster_id " + " ".join(
+        f"JOIN lut{j} l{j} ON l{j}.code = a{j}.cluster_id "
+        f"AND l{j}.query_id = l0.query_id"
+        for j in range(1, m)
+    )
+    d2_sum = " + ".join(f"l{j}.d2" for j in range(m))
+    return f"""
+WITH {bodies},
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+{luts},
+scored AS (
+  SELECT l0.query_id, a0.vec_id,
+         round({d2_sum} + 1e-9, 6) AS adc_dist
+  FROM a{n_iter}_0 a0 {code_joins}
+  {lut_joins}
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc_dist ASC, vec_id ASC) AS rk FROM scored)
+SELECT query_id, rk, vec_id AS neighbor_id, adc_dist
+FROM r WHERE rk <= {ANN_K}
+ORDER BY query_id, rk
+"""
+
+
+QUERIES.update({"ann_pq_adc_topk": ann_pq_adc_topk})
+ORACLES.update({"ann_pq_adc_topk": _pq_adc_sql()})

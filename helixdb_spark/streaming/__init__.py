@@ -438,3 +438,48 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 STREAM_CMS_SQL = _stream_cms_sql()
+
+
+STREAM_TOPK = 3
+
+
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window top-k: tumbling 6-hour windows of per-user event
+    counts maintained as streaming state (complete mode on the bounded
+    source), then the k heaviest users per window ranked over the emitted
+    state. The streaming stage keeps only (window, user, count) rows —
+    bounded by actives per window, never raw events; the rank is a cheap
+    batch window over the sink, which is how a monitoring surface would
+    read it."""
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "6 hours").alias("win"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = _run_to_memory(agg, "complete")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("win").orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= STREAM_TOPK)
+        .select(
+            F.col("win.start").alias("win_start"), "rk", "user_id", "n_events"
+        )
+        .orderBy("win_start", "rk")
+    )
+
+
+STREAM_TOPK_SQL = f"""
+WITH c AS (
+  SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600) AS win_start,
+         user_id, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY win_start
+             ORDER BY n_events DESC, user_id ASC) AS rk
+  FROM c
+)
+SELECT win_start, rk, user_id, n_events FROM r WHERE rk <= {STREAM_TOPK}
+ORDER BY win_start, rk
+"""
