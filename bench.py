@@ -84,6 +84,16 @@ HEADLINE = [
     "ev_rfm_scores",
     "emb_power_iteration",
     "emb_pca_scores",
+    "nation_trade_components",
+    "dedup_record_linkage",
+    "ann_mips_topk",
+    "emb_pq_encode",
+    "ann_pq_adc_topk",
+    "ev_seasonal_anomaly",
+    "ev_time_to_conversion",
+    "curate_quality_ensemble",
+    "text_readability",
+    "stream_topk_users",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

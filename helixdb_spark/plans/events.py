@@ -2052,3 +2052,195 @@ ORACLES.update(
         "ev_seasonal_anomaly": EV_SEASONAL_SQL,
     }
 )
+
+
+# ------------------------------------------------------- session path mining
+PATH_TOP_K = 20
+
+
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: the top-20 within-session event-type
+    trigrams (A>B>C). Sessionization is the ev_sessionize shape (lag +
+    running boundary sum, one shuffle on user_id); the trigram window rides
+    the SAME (user, session) partitioning, so no extra exchange; the final
+    count groupBy is the only other shuffle. The path table a funnel/UX
+    team reads to find the dominant flows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                    > SESSION_GAP_S
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    w2 = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tri = (
+        sess.withColumn("e2", F.lead("event_type", 1).over(w2))
+        .withColumn("e3", F.lead("event_type", 2).over(w2))
+        .where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )
+
+
+EV_TOP_PATHS_SQL = f"""
+WITH sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                        OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+                   THEN 1 ELSE 0 END AS new_session
+    FROM (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    )
+  )
+),
+tri AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS path
+  FROM (
+    SELECT event_type,
+           lead(event_type, 1) OVER w2 AS e2,
+           lead(event_type, 2) OVER w2 AS e3
+    FROM sess
+    WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+  )
+  WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+)
+SELECT path, count(*) AS n
+FROM tri
+GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT {PATH_TOP_K}
+"""
+
+
+# --------------------------------------------------------- distribution drift
+PSI_BUCKETS = 10
+DRIFT_SPLIT_TS = 1704844800  # 2024-01-10: reference window vs current window
+
+
+def ev_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report per event type: the value
+    distribution BEFORE the split date is the reference, after it the
+    current; both histogram into 10 fixed equal-width buckets over a frozen
+    [0, 100) range (fixed edges — never data-dependent quantiles, so the
+    bucketing is reproducible and mergeable) and
+    PSI = Σ (p_cur − p_ref) · ln(p_cur / p_ref) with the standard 1e-6
+    floor on empty cells. One scan, one groupBy on (type, side, bucket),
+    one tiny re-agg; PSI > 0.2 is the conventional "investigate" line."""
+    ev = load_table(spark, sf_dir, "events")
+    side = F.when(
+        F.unix_timestamp("ts") < DRIFT_SPLIT_TS, "ref"
+    ).otherwise("cur")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 10.0), F.lit(0)), F.lit(9)
+    ).cast("int")
+    cells = (
+        ev.select("event_type", side.alias("side"), bucket.alias("bucket"))
+        .groupBy("event_type", "side", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("event_type", "side")
+    frac = cells.withColumn(
+        "p",
+        F.greatest(
+            F.col("n").cast("double") / F.sum("n").over(w), F.lit(1e-6)
+        ),
+    )
+    ref = frac.where(F.col("side") == "ref").select(
+        "event_type", "bucket", F.col("p").alias("p_ref")
+    )
+    cur = frac.where(F.col("side") == "cur").select(
+        "event_type", "bucket", F.col("p").alias("p_cur")
+    )
+    both = ref.join(cur, ["event_type", "bucket"], "full_outer").select(
+        "event_type",
+        F.coalesce("p_ref", F.lit(1e-6)).alias("p_ref"),
+        F.coalesce("p_cur", F.lit(1e-6)).alias("p_cur"),
+    )
+    return (
+        both.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("p_cur") - F.col("p_ref"))
+                    * F.log(F.col("p_cur") / F.col("p_ref"))
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("psi")
+        )
+        .withColumn("drifted", F.col("psi") > 0.2)
+        .orderBy("event_type")
+    )
+
+
+EV_VALUE_DRIFT_SQL = f"""
+WITH cells AS (
+  SELECT event_type,
+         CASE WHEN epoch(ts) < {DRIFT_SPLIT_TS} THEN 'ref' ELSE 'cur' END
+           AS side,
+         least(greatest(floor(value / 10.0), 0), 9)::INT AS bucket,
+         count(*) AS n
+  FROM events
+  GROUP BY 1, 2, 3
+),
+frac AS (
+  SELECT event_type, side, bucket,
+         greatest(n::DOUBLE / sum(n) OVER (PARTITION BY event_type, side),
+                  1e-6) AS p
+  FROM cells
+),
+joined AS (
+  SELECT coalesce(r.event_type, c.event_type) AS event_type,
+         coalesce(r.p, 1e-6) AS p_ref,
+         coalesce(c.p, 1e-6) AS p_cur
+  FROM (SELECT event_type, bucket, p FROM frac WHERE side = 'ref') r
+  FULL OUTER JOIN (SELECT event_type, bucket, p FROM frac WHERE side = 'cur') c
+    ON r.event_type = c.event_type AND r.bucket = c.bucket
+)
+SELECT event_type,
+       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)) + 1e-9, 6) AS psi,
+       (round(sum((p_cur - p_ref) * ln(p_cur / p_ref)) + 1e-9, 6) > 0.2)
+         AS drifted
+FROM joined
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "ev_top_paths": ev_top_paths,
+        "ev_value_drift": ev_value_drift,
+    }
+)
+ORACLES.update(
+    {
+        "ev_top_paths": EV_TOP_PATHS_SQL,
+        "ev_value_drift": EV_VALUE_DRIFT_SQL,
+    }
+)
