@@ -267,6 +267,30 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def assign_struct(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid (sqdist, cluster_id) struct for an arbitrary vector
+    EXPRESSION against inlined literal centroids — the zero-join, zero-
+    shuffle assignment core shared by kmeans_assign's literal path and the
+    PQ encoders (which evaluate it once per subspace slice in ONE
+    projection instead of joining per-subspace assignment tables)."""
+    candidates = F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.lit(1e-9)
+                    + _sq_dist(vec, F.array(*[F.lit(float(x)) for x in v])),
+                    6,
+                ).alias("sqdist"),
+                F.lit(int(c)).alias("cluster_id"),
+            )
+            for c, v in centroids
+        ]
+    )
+    return F.array_min(candidates)
+
+
 def kmeans_assign(
     points: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -290,23 +314,7 @@ def kmeans_assign(
         # struct-min reproduces the (dist asc, cid asc) tie-break exactly.
         # (High dims fall through to the broadcast-table path below — k×dim
         # literal nodes would bloat every round's plan.)
-        candidates = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        F.lit(1e-9)
-                        + _sq_dist(
-                            F.col(vec_col),
-                            F.array(*[F.lit(float(x)) for x in v]),
-                        ),
-                        6,
-                    ).alias("sqdist"),
-                    F.lit(int(c)).alias("cluster_id"),
-                )
-                for c, v in centroids
-            ]
-        )
-        best = F.array_min(candidates)
+        best = assign_struct(F.col(vec_col), centroids)
         return points.select(
             F.col(id_col),
             best["cluster_id"].alias("cluster_id"),
@@ -769,30 +777,56 @@ def pq_encode(
     the id — co-partitioned on the same key, so AQE collapses them onto
     one exchange.
     """
+    codebooks, sub_d = pq_fit_codebooks(
+        embeddings, m, k, n_iter, id_col, vec_col
+    )
+    # encode in ONE projection: per subspace, the nearest-codeword struct
+    # over the vector SLICE against the fitted literal codebook — zero
+    # joins, zero shuffles, whole-stage codegen (contrast stitching m
+    # per-subspace assignment tables back together on the id)
+    bests = [
+        assign_struct(
+            F.slice(F.col(vec_col), j * sub_d + 1, sub_d), codebooks[j]
+        )
+        for j in range(m)
+    ]
+    recon = F.round(
+        sum(b["sqdist"] for b in bests) + F.lit(1e-9), 6
+    ).alias("recon_err")
+    return embeddings.select(
+        F.col(id_col),
+        *[bests[j]["cluster_id"].alias(f"code_{j}") for j in range(m)],
+        recon,
+    ).orderBy(id_col)
+
+
+def pq_fit_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[tuple[int, list[float]]]], int]:
+    """Train the m per-subspace Lloyd codebooks (kmeans_fit_full on each
+    contiguous slice). Returns (codebooks, subspace_dim); total driver
+    state is m·k·(dim/m) = k·dim floats."""
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
     if dim % m != 0:
         raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
     sub_d = dim // m
-    out = None
+    books = []
     for j in range(m):
         sub = embeddings.select(
             F.col(id_col),
             F.slice(F.col(vec_col), j * sub_d + 1, sub_d).alias(vec_col),
         )
-        asg = kmeans_fit(sub, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
-        asg = asg.select(
-            F.col(id_col),
-            F.col("cluster_id").alias(f"code_{j}"),
-            F.col("sqdist").alias(f"_sq{j}"),
+        _, cents = kmeans_fit_full(
+            sub, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
         )
-        out = asg if out is None else out.join(asg, id_col)
-    recon = F.round(
-        sum(F.col(f"_sq{j}") for j in range(m)) + F.lit(1e-9), 6
-    ).alias("recon_err")
-    return out.select(
-        id_col, *[f"code_{j}" for j in range(m)], recon
-    ).orderBy(id_col)
+        books.append(cents)
+    return books, sub_d
 
 
 def pq_adc_topk(
@@ -819,33 +853,29 @@ def pq_adc_topk(
     the one-time training/encode pass. Distances and LUT entries round to
     6 dp with the repo's nudge so the oracle reproduces ranks exactly.
     """
-    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"])
-    sub_d = dim // m
     spark = corpus.sparkSession
-
-    codes = None
-    luts = []
+    codebooks, sub_d = pq_fit_codebooks(corpus, m, k, n_iter, id_col, vec_col)
+    # encode in ONE zero-join projection (see pq_encode)
+    codes = corpus.select(
+        F.col(id_col),
+        *[
+            assign_struct(
+                F.slice(F.col(vec_col), j * sub_d + 1, sub_d), codebooks[j]
+            )["cluster_id"].alias(f"code_{j}")
+            for j in range(m)
+        ],
+    )
     qrows = queries.select(
         query_id_col, F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv")
     ).collect()
+    luts = []
     for j in range(m):
-        sl = F.slice(F.col(vec_col), j * sub_d + 1, sub_d).alias(vec_col)
-        asg, cents = kmeans_fit_full(
-            corpus.select(F.col(id_col), sl),
-            k=k,
-            n_iter=n_iter,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
-        asg = asg.select(F.col(id_col), F.col("cluster_id").alias(f"code_{j}"))
-        codes = asg if codes is None else codes.join(asg, id_col)
         # LUT rows: raw squared distances; the 6 dp rounding happens in
         # Spark expressions so both engines round the same way
         rows = []
         for r in qrows:
             qslice = list(r["_qv"])[j * sub_d : (j + 1) * sub_d]
-            for cid, cv in cents:
+            for cid, cv in codebooks[j]:
                 s = 0.0
                 for a, b in zip(qslice, cv):
                     s += (a - b) * (a - b)
