@@ -204,6 +204,11 @@ def connected_components(
     join+min algebra; entity graphs distilled from joins (this module's
     use) have tiny diameters and take the simple form.
     """
+    from helixdb_spark.operators.util import (
+        tracked_local_checkpoint,
+        unpersist_on_gc,
+    )
+
     a = F.least(F.col(src), F.col(dst))
     b = F.greatest(F.col(src), F.col(dst))
     und = (
@@ -211,11 +216,21 @@ def connected_components(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    # neighbor list in both directions: label flows along every edge
-    nbr = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # neighbor list in both directions: label flows along every edge.
+    # Persisted: every round joins against it, and without the persist the
+    # whole upstream edge build re-executes once per round.
+    nbr = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
     nodes = nbr.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("comp"))
-    for _ in range(rounds):
+    cp_handles: list = []
+    for it in range(rounds):
+        # truncate the join-on-join lineage every couple of rounds — the
+        # same superlinear-Catalyst-analysis fix as pagerank; the
+        # checkpoint materializes only the |V|-row label vector
+        if it and it % 2 == 0:
+            labels = tracked_local_checkpoint(labels, cp_handles)
         msgs = (
             nbr.join(labels.select(F.col("node").alias("a"), "comp"), "a")
             .groupBy(F.col("b").alias("node"))
@@ -227,7 +242,7 @@ def connected_components(
                 "comp"
             ),
         )
-    return labels
+    return unpersist_on_gc(labels, nbr, *cp_handles)
 
 
 def kcore_peel(

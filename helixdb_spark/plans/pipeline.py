@@ -2146,3 +2146,62 @@ ORDER BY query_id, rk
 
 QUERIES.update({"ann_pq_adc_topk": ann_pq_adc_topk})
 ORACLES.update({"ann_pq_adc_topk": _pq_adc_sql()})
+
+
+# -------------------------------------------------- embedding outlier QC
+EMB_OUTLIER_Z = 1.5
+
+
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus outlier QC: after the deterministic Lloyd fit, flag
+    vectors whose squared distance to their own centroid is more than 1.5
+    within-cluster standard deviations above the cluster mean — the
+    corrupt/mislabeled-vector screen an embedding pipeline runs before
+    training an index. One window over the assignment's cluster key (the
+    shuffle the fit already pays), z rounded 6 dp pre-threshold."""
+    from pyspark.sql.window import Window as W
+
+    asg = _sim.kmeans_fit(load_table(spark, sf_dir, "embeddings"))
+    w = W.partitionBy("cluster_id")
+    scored = (
+        asg.withColumn("mu", F.avg("sqdist").over(w))
+        .withColumn("sd", F.stddev_samp("sqdist").over(w))
+        .withColumn(
+            "z",
+            F.round(
+                (F.col("sqdist") - F.col("mu"))
+                / F.when(F.col("sd") > 0, F.col("sd"))
+                + F.lit(1e-9),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.where(F.col("z") > EMB_OUTLIER_Z)
+        .select("vec_id", "cluster_id", "sqdist", "z")
+        .orderBy("vec_id")
+    )
+
+
+def _emb_outliers_sql() -> str:
+    n_iter = _sim.KMEANS_ITERS
+    return f"""
+WITH {_kmeans_cte_body()},
+scored AS (
+  SELECT vec_id, cluster_id, sqdist,
+         avg(sqdist) OVER w AS mu,
+         stddev_samp(sqdist) OVER w AS sd
+  FROM a{n_iter}
+  WINDOW w AS (PARTITION BY cluster_id)
+)
+SELECT vec_id, cluster_id, sqdist,
+       round((sqdist - mu) / (CASE WHEN sd > 0 THEN sd END) + 1e-9, 6) AS z
+FROM scored
+WHERE round((sqdist - mu) / (CASE WHEN sd > 0 THEN sd END) + 1e-9, 6)
+      > {EMB_OUTLIER_Z}
+ORDER BY vec_id
+"""
+
+
+QUERIES.update({"emb_outliers": emb_outliers})
+ORACLES.update({"emb_outliers": _emb_outliers_sql()})

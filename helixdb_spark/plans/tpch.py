@@ -1941,10 +1941,13 @@ def nation_trade_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     comps = connected_components(backbone, rounds=CC_ROUNDS)
-    return (
+    from helixdb_spark.operators.util import carry_caches
+
+    return carry_caches(
         comps.join(F.broadcast(nation), comps["node"] == nation["n_nationkey"])
         .select("node", "n_name", "comp")
-        .orderBy("node")
+        .orderBy("node"),
+        comps,
     )
 
 
@@ -1999,3 +2002,94 @@ ORDER BY node
 
 QUERIES.update({"nation_trade_components": nation_trade_components})
 ORACLES.update({"nation_trade_components": _components_sql()})
+
+
+# --------------------------------------------------- market-basket affinity
+BASKET_MIN_SUPPORT = 3
+BASKET_TOP_K = 20
+
+
+def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order contents: part pairs
+    co-ordered in the same order, scored by lift =
+    P(a,b) / (P(a)·P(b)) with a min-support floor; top-20 by lift.
+
+    Scale shape: the pair generator is a self-join on l_orderkey whose
+    fan-out is items-per-order choose 2 — bounded by basket size (a
+    per-order property), never by catalog or corpus size. Counts stay
+    integers until the final lift division (rounded 6 dp pre-rank);
+    n_orders is a 1-row broadcast, the a-priori item counts a broadcast
+    dimension join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count("*").alias("n_item")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(item.withColumnRenamed("pk", "part_a")
+                        .withColumnRenamed("n_item", "n_a")),
+            "part_a",
+        )
+        .join(
+            F.broadcast(item.withColumnRenamed("pk", "part_b")
+                        .withColumnRenamed("n_item", "n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b"))
+                + F.lit(1e-9),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(BASKET_TOP_K)
+
+
+BASKET_LIFT_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+item AS (SELECT l_partkey AS pk, count(*) AS n_item FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT part_a, part_b, n_ab,
+       round(n_ab * n.n_orders / (ia.n_item * ib.n_item) + 1e-9, 6) AS lift
+FROM pairs
+JOIN item ia ON ia.pk = part_a
+JOIN item ib ON ib.pk = part_b, n
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT {BASKET_TOP_K}
+"""
+
+QUERIES.update({"basket_part_lift": basket_part_lift})
+ORACLES.update({"basket_part_lift": BASKET_LIFT_SQL})
