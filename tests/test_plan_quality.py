@@ -294,6 +294,7 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "nation_trade_pagerank",  # 1-row dangling-mass broadcast per iteration
         "validate_orders",  # 1-row total-count broadcast into the FK report row
         "text_collocations",  # 1-row N1/N2 token-total broadcasts into PMI
+        "basket_part_lift",  # 1-row n_orders broadcast into the lift finisher
     }
     # streaming queries execute on construction; dedup_clusters and
     # emb_kmeans run their iterative jobs on construction — covered by
