@@ -94,6 +94,11 @@ HEADLINE = [
     "curate_quality_ensemble",
     "text_readability",
     "stream_topk_users",
+    "basket_part_lift",
+    "emb_outliers",
+    "ev_top_paths",
+    "ev_value_drift",
+    "kv_commit_diff",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench
