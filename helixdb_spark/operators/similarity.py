@@ -466,12 +466,19 @@ def embedding_covariance(
     sums = (
         staged.select(F.explode(tri).alias("t"))
         .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
-        .agg(F.sum("t.p").alias("sxy"))
+        .agg(
+            # round the summed intermediate at fixed precision so Spark's
+            # partial-aggregation order noise (~1e-10 abs) can never straddle
+            # the FINAL 6-dp boundary downstream: both engines feed the
+            # covariance formula bit-identical doubles (cf. the pagerank /
+            # kmeans round-intermediates discipline).
+            F.round(F.lit(1e-9) + F.sum("t.p"), 4).alias("sxy")
+        )
     )
     mu = (
         staged.select(F.posexplode("v").alias("pos", "x"))
         .groupBy("pos")
-        .agg(F.avg("x").alias("mu"))
+        .agg(F.round(F.lit(1e-9) + F.avg("x"), 8).alias("mu"))
     )
     n = staged.agg(F.count("*").alias("n"))
     return (

@@ -1379,10 +1379,10 @@ WITH d AS (
          unnest(embedding)::DOUBLE AS v
   FROM embeddings
 ),
-mu AS (SELECT i, avg(v) AS mu FROM d GROUP BY 1),
+mu AS (SELECT i, round(1e-9 + avg(v), 8) AS mu FROM d GROUP BY 1),
 n AS (SELECT count(*) AS n FROM embeddings),
 p AS (
-  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy
+  SELECT a.i AS i, b.i AS j, round(1e-9 + sum(a.v * b.v), 4) AS sxy
   FROM d a JOIN d b ON a.vec_id = b.vec_id AND a.i <= b.i
   GROUP BY 1, 2
 )

@@ -471,7 +471,7 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_TOPK_SQL = f"""
 WITH c AS (
-  SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600) AS win_start,
+  SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600)::TIMESTAMP AS win_start,
          user_id, count(*) AS n_events
   FROM events GROUP BY 1, 2
 ),
