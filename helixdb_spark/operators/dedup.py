@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from helixdb_spark.functions.text import normalized_text, word_shingles, words
 from helixdb_spark.operators.util import spread as _spread
@@ -996,6 +997,15 @@ LINKAGE_W_SIZE = 1.0
 LINKAGE_W_PRICE = 1.0
 LINKAGE_SIZE_TOL = 2
 LINKAGE_PRICE_TOL = 5.0
+# Cap on members per (noun, brand) blocking cell. The cell vocabulary is
+# FIXED by the catalog's name/brand domains, so without a cap cell size —
+# and with it the self-join's pair count — grows linearly in catalog size
+# (pairs O(n^2/cells)): the same quadratic cliff MAX_LSH_BUCKET guards the
+# LSH family against. Oversized cells are deterministically SUB-BLOCKED
+# (md5-rank order, replicated in the oracle CTE) rather than dropped, so
+# every record still gets compared inside a bounded cell and total pairs
+# grow linearly with n.
+LINKAGE_MAX_BLOCK = 32
 
 
 def record_linkage_pairs(
@@ -1007,6 +1017,7 @@ def record_linkage_pairs(
     size_col: str,
     price_col: str,
     threshold: float,
+    max_block: int = LINKAGE_MAX_BLOCK,
 ) -> DataFrame:
     """Fellegi-Sunter-style record linkage over a product catalog: block on
     (name head noun, brand), then score each within-block pair with frozen
@@ -1014,21 +1025,39 @@ def record_linkage_pairs(
     numeric tolerance bands — and keep pairs at/above ``threshold``.
 
     The entity-resolution shape (Fellegi & Sunter, JASA 1969): blocking
-    bounds the candidate space (nothing all-pairs — a block is one
-    (noun, brand) cell, whose size is set by catalog vocabulary, not corpus
-    size), the per-pair score is a pure JVM expression, and the output is
-    the match set a survivorship pass (dedup.canonical_pick) consumes.
-    One shuffle: the self-join on the compound block key.
+    bounds the candidate space (nothing all-pairs), the per-pair score is a
+    pure JVM expression, and the output is the match set a survivorship
+    pass (dedup.canonical_pick) consumes.
+
+    Scale shape: a (noun, brand) cell's vocabulary is fixed by the catalog
+    domain, so raw cell size grows O(n) and pairs O(n²/cells). Each cell is
+    therefore sub-blocked at ``max_block`` members by a deterministic
+    md5-of-id rank (id tiebreak), bounding every join cell and keeping
+    total pairs linear in n — the LINKAGE_MAX_BLOCK counterpart of
+    MAX_LSH_BUCKET. Cross-sub-block pairs inside one oversized cell are the
+    (deterministic) recall trade. Two shuffles: the rank window and the
+    self-join, both on the same compound block key.
+
+    The block key is the last token of the RAW name split (not the
+    distinct-token list), so records block identically even when a name's
+    last token repeats an earlier one.
     """
-    toks = F.array_distinct(F.split(F.col(name_col), " "))
+    raw_toks = F.split(F.col(name_col), " ")
     t = records.select(
         F.col(id_col).alias("id"),
-        toks.alias("toks"),
-        F.element_at(toks, -1).alias("blk"),
+        F.array_distinct(raw_toks).alias("toks"),
+        F.element_at(raw_toks, -1).alias("blk"),
         F.col(brand_col).alias("brand"),
         F.col(type_col).alias("typ"),
         F.col(size_col).alias("sz"),
         F.col(price_col).alias("price"),
+    )
+    cell = Window.partitionBy("blk", "brand").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    t = t.withColumn(
+        "sub",
+        F.floor((F.row_number().over(cell) - 1) / F.lit(max_block)),
     )
     a, b = t.alias("a"), t.alias("b")
     jac = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
@@ -1050,6 +1079,7 @@ def record_linkage_pairs(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.brand") == F.col("b.brand"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(

@@ -351,6 +351,7 @@ def kmeans_fit(
     n_iter: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """Distributed Lloyd k-means (fixed iterations, deterministic seed):
     init = the k lowest-id vectors; each round broadcasts the k×dim
@@ -364,7 +365,9 @@ def kmeans_fit(
     iteration state, independent of corpus size. Returns the final
     per-point assignment (id, cluster_id, sqdist).
     """
-    assigned, _ = kmeans_fit_full(embeddings, k, n_iter, id_col, vec_col)
+    assigned, _ = kmeans_fit_full(
+        embeddings, k, n_iter, id_col, vec_col, train_fraction
+    )
     return assigned
 
 
@@ -374,22 +377,43 @@ def kmeans_fit_full(
     n_iter: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float = 1.0,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """`kmeans_fit` that also returns the centroids the final assignment
     used — the codebook a downstream encoder (pq_adc_topk's lookup tables)
-    needs. Same k×dim driver state; nothing extra moves."""
+    needs. Same k×dim driver state; nothing extra moves.
+
+    ``train_fraction < 1.0`` fits the Lloyd rounds on a DETERMINISTIC hash
+    sample of the corpus (md5-of-id bucket filter — the sample_hash_pct
+    discipline: pushed-down, seed-free, engine-stable) while the final
+    assignment still covers every point. This is the 100 TB posture: the
+    iterative training passes read train_fraction of the data; only the
+    single embarrassingly-parallel assign touches the full corpus. At
+    exactly 1.0 no filter is added, so results are bit-identical to the
+    unsampled path.
+    """
     pts = embeddings.select(id_col, vec_col)
+    fit_pts = pts
+    if train_fraction < 1.0:
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 10000
+        )
+        fit_pts = pts.where(bucket < int(round(train_fraction * 10000)))
     init = (
-        pts.orderBy(id_col)
+        fit_pts.orderBy(id_col)
         .limit(k)
         .select(F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
         .collect()
     )
     centroids = [(i, list(r["v"])) for i, r in enumerate(init)]
-    assigned = kmeans_assign(pts, centroids, id_col, vec_col)
+    # training rounds assign + re-mean the (possibly sampled) fit set only
+    assigned = kmeans_assign(fit_pts, centroids, id_col, vec_col)
     for _ in range(n_iter - 1):
         means = (
-            assigned.join(pts, id_col)
+            assigned.join(fit_pts, id_col)
             .select("cluster_id", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cluster_id", "pos")
             .agg(F.round(F.lit(1e-9) + F.avg("x"), 4).alias("m"))
@@ -403,6 +427,9 @@ def kmeans_fit_full(
             .collect()
         )
         centroids = [(r["cluster_id"], list(r["cvec"])) for r in means]
+        assigned = kmeans_assign(fit_pts, centroids, id_col, vec_col)
+    if fit_pts is not pts:
+        # one full-corpus pass: the broadcast-centroid assign, no shuffle
         assigned = kmeans_assign(pts, centroids, id_col, vec_col)
     return assigned, centroids
 
@@ -766,6 +793,7 @@ def pq_encode(
     n_iter: int = PQ_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prefit: "tuple[list, int] | None" = None,
 ) -> DataFrame:
     """Product quantization (Jégou et al., TPAMI 2011): split each vector
     into ``m`` contiguous subspaces, train an independent ``k``-codebook per
@@ -784,7 +812,7 @@ def pq_encode(
     the id — co-partitioned on the same key, so AQE collapses them onto
     one exchange.
     """
-    codebooks, sub_d = pq_fit_codebooks(
+    codebooks, sub_d = prefit or pq_fit_codebooks(
         embeddings, m, k, n_iter, id_col, vec_col
     )
     # encode in ONE projection: per subspace, the nearest-codeword struct
@@ -814,10 +842,17 @@ def pq_fit_codebooks(
     n_iter: int = PQ_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float = 1.0,
 ) -> tuple[list[list[tuple[int, list[float]]]], int]:
     """Train the m per-subspace Lloyd codebooks (kmeans_fit_full on each
     contiguous slice). Returns (codebooks, subspace_dim); total driver
-    state is m·k·(dim/m) = k·dim floats."""
+    state is m·k·(dim/m) = k·dim floats.
+
+    ``train_fraction < 1.0`` trains each subspace codebook on the
+    deterministic md5-of-id hash sample (see kmeans_fit_full) — the 100 TB
+    posture, where the m Lloyd fits read a sliver and only the single
+    encode projection touches the full corpus. 1.0 is bit-identical to the
+    unsampled fit."""
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
     if dim % m != 0:
@@ -830,7 +865,8 @@ def pq_fit_codebooks(
             F.slice(F.col(vec_col), j * sub_d + 1, sub_d).alias(vec_col),
         )
         _, cents = kmeans_fit_full(
-            sub, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+            sub, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+            train_fraction=train_fraction,
         )
         books.append(cents)
     return books, sub_d
@@ -846,6 +882,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    prefit: "tuple[list, int] | None" = None,
 ) -> DataFrame:
     """Asymmetric-distance PQ search (Jégou et al., TPAMI 2011 §III): train
     the per-subspace codebooks, encode the corpus to m codes, precompute
@@ -861,7 +898,9 @@ def pq_adc_topk(
     6 dp with the repo's nudge so the oracle reproduces ranks exactly.
     """
     spark = corpus.sparkSession
-    codebooks, sub_d = pq_fit_codebooks(corpus, m, k, n_iter, id_col, vec_col)
+    codebooks, sub_d = prefit or pq_fit_codebooks(
+        corpus, m, k, n_iter, id_col, vec_col
+    )
     # encode in ONE zero-join projection (see pq_encode)
     codes = corpus.select(
         F.col(id_col),

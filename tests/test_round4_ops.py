@@ -58,6 +58,39 @@ def test_record_linkage_scores_duplicates_above_unrelated(spark):
     assert (1, 3) not in pairs and (3, 4) not in pairs  # weak / cross-block
 
 
+def test_record_linkage_block_cap_keeps_pair_growth_linear(spark):
+    # Degenerate catalog: EVERY record lands in one (noun, brand) cell.
+    # Uncapped, pairs would be n(n-1)/2 (quadratic); with the
+    # LINKAGE_MAX_BLOCK sub-blocking, each join cell holds <= cap members,
+    # so doubling the catalog at most doubles the pair count (+ one extra
+    # partially-filled cell).
+    from helixdb_spark.operators.dedup import (
+        LINKAGE_MAX_BLOCK,
+        record_linkage_pairs,
+    )
+
+    def catalog(n):
+        return spark.createDataFrame(
+            [(i, "cold widget", "Brand#1", "ECONOMY", 10, 100.0)
+             for i in range(n)],
+            "id long, name string, brand string, typ string,"
+            " sz int, price double",
+        )
+
+    def npairs(n):
+        return record_linkage_pairs(
+            catalog(n), "id", "name", "brand", "typ", "sz", "price",
+            threshold=0.0,
+        ).count()
+
+    cap = LINKAGE_MAX_BLOCK
+    n1, n2 = 4 * cap, 8 * cap
+    p1, p2 = npairs(n1), npairs(n2)
+    full_cell = cap * (cap - 1) // 2
+    assert p1 == (n1 // cap) * full_cell  # every cell bounded at cap
+    assert p2 == 2 * p1  # linear, not quadratic (uncapped would be ~4x)
+
+
 def _pattern_corpus(spark, n_rows=64, dim=8):
     # 8 distinct patterns, ids 0..7 are the patterns themselves (the
     # deterministic lowest-id k-means init), the rest repeat them
@@ -131,3 +164,49 @@ def test_mips_topk_returns_true_inner_products(spark):
     # ranked by descending inner product
     dots = [r["dot"] for r in out]
     assert dots == sorted(dots, reverse=True)
+
+
+def test_kmeans_train_fraction_one_is_bit_identical(spark):
+    corpus, _ = _pattern_corpus(spark)
+    a = sorted(map(tuple, sim.kmeans_fit(corpus, k=8, n_iter=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            sim.kmeans_fit(
+                corpus, k=8, n_iter=2, train_fraction=1.0
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_kmeans_sampled_training_assigns_full_corpus(spark):
+    corpus, _ = _pattern_corpus(spark)
+    out = sim.kmeans_fit(corpus, k=4, n_iter=2, train_fraction=0.5)
+    # the fit read only the hash sample, but EVERY point gets an assignment
+    assert out.count() == corpus.count()
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            sim.kmeans_fit(
+                corpus, k=4, n_iter=2, train_fraction=0.5
+            ).collect(),
+        )
+    )
+    assert a == b  # hash sample, not RNG: stable across runs
+
+
+def test_pq_encode_prefit_matches_internal_fit(spark):
+    corpus, _ = _pattern_corpus(spark)
+    books = sim.pq_fit_codebooks(corpus, m=2, k=4, n_iter=2)
+    a = sorted(
+        map(tuple, sim.pq_encode(corpus, m=2, k=4, n_iter=2).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            sim.pq_encode(corpus, m=2, k=4, n_iter=2, prefit=books).collect(),
+        )
+    )
+    assert a == b
