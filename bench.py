@@ -99,6 +99,13 @@ HEADLINE = [
     "ev_top_paths",
     "ev_value_drift",
     "kv_commit_diff",
+    "ann_range_search",
+    "ann_truncated_recall",
+    "sample_weighted_topn",
+    "dedup_chunk_exact",
+    "text_zipf_slope",
+    "ev_decayed_value",
+    "profile_orders",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -990,6 +990,50 @@ def edit_distance_pairs(
     )
 
 
+# ------------------------------------------------------- passage-level dedup
+CHUNK_DUP_WINDOW = 16
+CHUNK_DUP_TOPK = 50
+
+
+def chunk_dup_passages(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = CHUNK_DUP_WINDOW,
+    top_k: int = CHUNK_DUP_TOPK,
+) -> DataFrame:
+    """Substring-level (passage) dedup: hash every NON-OVERLAPPING
+    ``window``-token chunk exactly and report the chunk hashes appearing in
+    >= 2 distinct documents — boilerplate passages, repeated headers, and
+    cross-document template reuse that document-level dedup (exact or
+    near-dup) cannot see. A sort-free approximation of the suffix-array
+    substring dedup used on web corpora (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): chunk
+    boundaries quantize the match start, trading boundary-straddling
+    recall for one aggregation instead of a corpus-wide suffix sort.
+
+    Scale shape: the chunk explode is row-parallel inside the scan stage
+    (operators.chunking.chunk_windows with stride = window); ONE shuffle —
+    the groupBy(chunk_hash) with map-side partial aggregation — then a
+    driver-bounded top-k. Partial (tail) chunks are excluded so every
+    counted hash covers exactly ``window`` tokens.
+    """
+    from helixdb_spark.operators.chunking import chunk_windows
+
+    ch = chunk_windows(docs, id_col, text_col, window=window, stride=window)
+    return (
+        ch.where(F.col("n_tokens") == window)
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "chunk_hash")
+        .limit(top_k)
+    )
+
+
 # ---------------------------------------------------------- record linkage
 LINKAGE_W_NAME = 2.0
 LINKAGE_W_TYPE = 1.5

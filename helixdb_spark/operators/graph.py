@@ -193,7 +193,11 @@ def connected_components(
     under-provisioned rounds are still deterministic, just a coarser
     partition refinement.
 
-    Returns (node, comp).
+    Returns (node, comp). The node domain is derived from the EDGE LIST:
+    only nodes that appear as an endpoint are returned — an isolated node
+    in the caller's wider vertex universe is silently absent. Callers that
+    need singleton components should union their vertex table in afterward
+    (left-anti join against this output, label = own id).
 
     Scale shape: each round is one shuffle (edge ⋈ label on the neighbor
     key) plus one min-aggregate — O(m) per round, nothing quadratic. For

@@ -157,6 +157,47 @@ def lsh_topk(
     )
 
 
+def lsh_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_planes: int = NUM_PLANES,
+    dim: int = DIM,
+) -> DataFrame:
+    """Range search: every corpus vector in the query's hyperplane bucket
+    with cosine >= ``threshold`` (self-matches excluded) — the "all
+    neighbors within a radius" form of ANN that near-dup mining and
+    retrieval filtering use when the neighbor COUNT is unknown a priori
+    (top-k is the wrong contract there). Same deterministic bucket index
+    and recall trade as lsh_topk; same scale shape (bucket-key join only,
+    queries broadcast), minus the per-query window — a pure filter, so at
+    100 TB the output streams without any rank shuffle at all.
+    """
+    c = spread(corpus).withColumn(
+        "_bucket", lsh_bucket(F.col(vec_col), num_planes, dim)
+    )
+    q = queries.select(query_id_col, F.col(vec_col).alias("_qvec")).withColumn(
+        "_bucket", lsh_bucket(F.col("_qvec"), num_planes, dim)
+    )
+    scored = c.join(F.broadcast(q), "_bucket").withColumn(
+        "cosine",
+        F.round(
+            F.lit(1e-9) + cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6
+        ),
+    )
+    return (
+        scored.where(
+            (F.col("cosine") >= threshold)
+            & (F.col(id_col) != F.col(query_id_col))
+        )
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine")
+        .orderBy(query_id_col, F.desc("cosine"), "neighbor_id")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

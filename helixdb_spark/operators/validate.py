@@ -69,3 +69,48 @@ def check_foreign_key(
             F.col("__n").cast("long").alias("n_checked"),
         )
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column-level profile of a table — (column_name, n_nulls, n_distinct,
+    min_val, max_val) per requested column, the ingest-time profiling
+    report a catalog/observability layer (Deequ profiles, dbt source
+    freshness) materializes next to every batch.
+
+    One scan: all per-column aggregates fold into a single Aggregate node
+    (the distinct counts share one Expand — row multiplication x|cols|,
+    map-side combined), then a stack() unpivot of the 1-row result.
+    min/max are computed on the NATIVE type (so numeric ordering is
+    numeric) and cast to string only for the report. At 100 TB swap the
+    exact distinct counts for approx_count_distinct / the HLL sketch
+    operator (operators.sketches) — same report shape, no Expand.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__nn_{c}").cast("long").alias("n_nulls"),
+                F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_val"),
+                F.col(f"__mx_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        row.select(F.explode(report).alias("r"))
+        .select(
+            "r.column_name", "r.n_nulls", "r.n_distinct", "r.min_val",
+            "r.max_val",
+        )
+        .orderBy("column_name")
+    )

@@ -2244,3 +2244,64 @@ ORACLES.update(
         "ev_value_drift": EV_VALUE_DRIFT_SQL,
     }
 )
+
+
+# --------------------------------------------------- time-decayed value
+DECAY_HALF_LIFE_DAYS = 30.0
+
+
+def ev_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed value: each event contributes
+    value * 0.5^(age_days / half_life) with age measured back from the
+    corpus max timestamp — the recency-weighted LTV / engagement score a
+    ranking or churn model consumes (a smooth alternative to RFM's hard
+    recency buckets, cf. ev_rfm_scores).
+
+    Scale shape: the reference timestamp is ONE scalar (a 1-row broadcast
+    the plan-quality sweep allowlists by pattern); the decay factor is a
+    pure JVM projection, and the per-user rollup is a single map-side-
+    combined shuffle. Rounding discipline: contributions round at 6 dp so
+    both engines sum bit-identical terms, then the sum rounds at 4 dp
+    (the emb_covariance lesson: never round a raw float sum near its
+    output precision)."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("_ref_ts"))
+    age_days = (
+        F.col("_ref_ts").cast("double") - F.col("ts").cast("double")
+    ) / F.lit(86400.0)
+    contrib = F.round(
+        F.col("value")
+        * F.pow(F.lit(0.5), age_days / F.lit(DECAY_HALF_LIFE_DAYS))
+        + F.lit(1e-9),
+        6,
+    )
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .select("user_id", contrib.alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("c") + F.lit(1e-9), 4).alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_DECAYED_SQL = f"""
+WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
+c AS (
+  SELECT user_id,
+         round(value * pow(0.5, ((epoch(ref_ts) - epoch(ts)) / 86400.0)
+               / {DECAY_HALF_LIFE_DAYS}) + 1e-9, 6) AS c
+  FROM events CROSS JOIN ref
+)
+SELECT user_id, count(*) AS n_events,
+       round(sum(c) + 1e-9, 4) AS decayed_value
+FROM c
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES.update({"ev_decayed_value": ev_decayed_value})
+ORACLES.update({"ev_decayed_value": EV_DECAYED_SQL})

@@ -454,20 +454,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_sql() -> str:
-    def bucket_expr(vec: str) -> str:
-        bits = []
-        for p in range(_sim.NUM_PLANES):
-            signs = ", ".join(
-                str(float(_sim.plane_sign(p, d))) for d in range(_sim.DIM)
-            )
-            dot = (
-                f"list_sum(list_transform(range(1, {_sim.DIM + 1}), "
-                f"i -> ([{signs}])[i] * ({vec}::DOUBLE[])[i]))"
-            )
-            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
-        return "(" + " + ".join(bits) + ")"
+def _bucket_expr_sql(vec: str) -> str:
+    """DuckDB twin of similarity.lsh_bucket for a vector expression."""
+    bits = []
+    for p in range(_sim.NUM_PLANES):
+        signs = ", ".join(
+            str(float(_sim.plane_sign(p, d))) for d in range(_sim.DIM)
+        )
+        dot = (
+            f"list_sum(list_transform(range(1, {_sim.DIM + 1}), "
+            f"i -> ([{signs}])[i] * ({vec}::DOUBLE[])[i]))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
 
+
+def _lsh_sql() -> str:
+    bucket_expr = _bucket_expr_sql
     return f"""
 WITH c AS (SELECT vec_id, embedding, {bucket_expr('embedding')} AS bucket
            FROM embeddings),
@@ -2233,3 +2236,271 @@ ORDER BY vec_id
 
 QUERIES.update({"emb_outliers": emb_outliers})
 ORACLES.update({"emb_outliers": _emb_outliers_sql()})
+
+
+# ================================================== round-5 additions
+# range-form ANN, embedding-truncation QC, weighted sampling, passage-level
+# dedup, and a corpus-statistics fit — each a single-shuffle (or
+# shuffle-free) shape with the full pipeline replicated in the oracle.
+
+ANN_RANGE_TAU = 0.25
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-form ANN (operators.similarity.lsh_range_search): every
+    same-bucket corpus vector with cosine >= tau per query — the
+    unknown-neighbor-count contract near-dup mining needs, where top-k is
+    the wrong API. Pure bucket-join + filter: no rank window at all."""
+    return _sim.lsh_range_search(
+        load_table(spark, sf_dir, "embeddings"),
+        _query_vecs(spark, sf_dir),
+        threshold=ANN_RANGE_TAU,
+    )
+
+
+def _ann_range_sql() -> str:
+    return f"""
+WITH c AS (SELECT vec_id, embedding, {_bucket_expr_sql('embedding')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec,
+             {_bucket_expr_sql('embedding')} AS bucket
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(1e-9 + list_cosine_similarity(q.qvec::DOUBLE[],
+               c.embedding::DOUBLE[]), 6) AS cosine
+  FROM c JOIN q USING (bucket)
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine FROM scored
+WHERE cosine >= {ANN_RANGE_TAU}
+ORDER BY query_id, cosine DESC, neighbor_id
+"""
+
+
+QUERIES.update({"ann_range_search": ann_range_search})
+ORACLES.update({"ann_range_search": _ann_range_sql()})
+
+
+# ------------------------------------------- embedding-truncation recall QC
+TRUNC_DIM = 16
+
+
+def ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation QC: recall@k of brute-force search over
+    the FIRST {TRUNC_DIM} dimensions against the full-dimension truth — the
+    measurement that decides whether a 4x cheaper prefix index is usable
+    (Kusupati et al., "Matryoshka Representation Learning", NeurIPS 2022).
+    Same audit shape as ann_recall_audit: truth semi-joined per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vecs(spark, sf_dir)
+    truth = _sim.brute_force_topk(emb, q, k=ANN_K)
+    temb = emb.select(
+        "vec_id", F.slice("embedding", 1, TRUNC_DIM).alias("embedding")
+    )
+    tq = q.select(
+        "query_id", F.slice("embedding", 1, TRUNC_DIM).alias("embedding")
+    )
+    approx = _sim.brute_force_topk(temb, tq, k=ANN_K)
+    hits = (
+        truth.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    base = truth.select("query_id").distinct()
+    h = F.coalesce(F.col("hits"), F.lit(0))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            h.cast("long").alias("hits"),
+            F.lit(ANN_K).cast("long").alias("possible"),
+            F.round(h / F.lit(ANN_K) + F.lit(1e-9), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _trunc_recall_sql() -> str:
+    return f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({ANN_BRUTE_SQL})),
+tq AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       WHERE vec_id < {N_QUERY_VECS}),
+t_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(1e-9 + list_cosine_similarity(
+             (q.embedding::DOUBLE[])[1:{TRUNC_DIM}],
+             (e.embedding::DOUBLE[])[1:{TRUNC_DIM}]), 6) AS cosine
+  FROM embeddings e CROSS JOIN tq q
+),
+t_r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM t_scored),
+approx AS (SELECT query_id, neighbor_id FROM t_r WHERE rk <= {ANN_K}),
+hits AS (
+  SELECT query_id, count(*) AS hits
+  FROM truth JOIN approx USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT q.query_id, coalesce(h.hits, 0)::BIGINT AS hits,
+       {ANN_K}::BIGINT AS possible,
+       round(coalesce(h.hits, 0) / {ANN_K} + 1e-9, 4) AS recall
+FROM (SELECT DISTINCT query_id FROM truth) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+"""
+
+
+QUERIES.update({"ann_truncated_recall": ann_truncated_recall})
+ORACLES.update({"ann_truncated_recall": _trunc_recall_sql()})
+
+
+# ------------------------------------------------ weighted sampling (A-ES)
+WEIGHTED_SAMPLE_N = 100
+_U53 = 4503599627370496.0  # 2^52: 13 hex chars of md5 -> uniform in [0,1)
+
+
+def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis
+    exponential-race form (IPL 2006): each doc draws a deterministic
+    md5-uniform u and races with key -ln(u)/weight (weight = n_chars,
+    i.e. length-proportional inclusion); the N smallest keys are the
+    sample. Equivalent to ranking by u^(1/w), seedless and stable across
+    engines/reruns/partitionings — the distributed counterpart of a
+    weighted reservoir. Scale shape: a pure projection, then Spark's
+    TakeOrderedAndProject (per-partition top-N, driver merge of N rows) —
+    no full sort, no shuffle of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        ).cast("double")
+        / F.lit(_U53)
+    )
+    key = F.round(-F.log(u) / F.col("n_chars") + F.lit(1e-9), 9)
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars", key.alias("wkey"))
+        .orderBy("wkey", "doc_id")
+        .limit(WEIGHTED_SAMPLE_N)
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, source, n_chars,
+       round(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT)
+                 ::DOUBLE / {_U53}) / n_chars + 1e-9, 9) AS wkey
+FROM documents
+WHERE n_chars > 0
+ORDER BY wkey, doc_id
+LIMIT {WEIGHTED_SAMPLE_N}
+"""
+
+
+QUERIES.update({"sample_weighted_topn": sample_weighted_topn})
+ORACLES.update({"sample_weighted_topn": SAMPLE_WEIGHTED_SQL})
+
+
+# --------------------------------------------------- passage-level dedup
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage detection (operators.dedup.chunk_dup_passages):
+    exact hashes of non-overlapping 16-token chunks appearing in >= 2
+    distinct docs — the substring-level dedup tier document-level hashing
+    cannot see."""
+    return dedup.chunk_dup_passages(load_table(spark, sf_dir, "documents"))
+
+
+def _chunk_dup_sql() -> str:
+    w = dedup.CHUNK_DUP_WINDOW
+    inner = _ck.chunk_windows_sql(_NORM, window=w, stride=w)
+    return f"""
+WITH ch AS (SELECT * FROM ({inner}))
+SELECT chunk_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences
+FROM ch WHERE n_tokens = {w}
+GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
+LIMIT {dedup.CHUNK_DUP_TOPK}
+"""
+
+
+QUERIES.update({"dedup_chunk_exact": dedup_chunk_exact})
+ORACLES.update({"dedup_chunk_exact": _chunk_dup_sql()})
+
+
+# ------------------------------------------------------ Zipf curve fit
+ZIPF_TOP = 100
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus unigram distribution: OLS slope of
+    ln(freq) on ln(rank) over the top-{ZIPF_TOP} tokens — the one-number
+    corpus-health statistic (natural text sits near -1; template spam and
+    synthetic floods drift it) a curation dashboard tracks per batch.
+
+    Scale shape: the token count is the text_top_tokens map-side-combine
+    shuffle; everything after the top-k runs on <= {ZIPF_TOP} rows (the
+    unpartitioned rank window is over the LIMITed set, not the corpus).
+    Rounding discipline: ln() inputs are exact integers, x/y round at 8 dp,
+    the four OLS sums at 6 dp — both engines feed the closed-form slope
+    bit-identical doubles (the emb_covariance lesson)."""
+    from helixdb_spark.functions.text import normalized_text, words
+    from helixdb_spark.operators.util import spread
+    from pyspark.sql.window import Window as W
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.withColumn(
+        "__ws", words(normalized_text(F.col("text")))
+    ).select(F.explode("__ws").alias("token"))
+    counts = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(ZIPF_TOP)
+    )
+    xy = counts.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("n"), F.asc("token")))
+    ).select(
+        F.round(F.log("rk") + F.lit(1e-9), 8).alias("x"),
+        F.round(F.log("n") + F.lit(1e-9), 8).alias("y"),
+    )
+    sums = xy.agg(
+        F.count("*").alias("n_pts"),
+        F.round(F.sum("x") + F.lit(1e-9), 6).alias("sx"),
+        F.round(F.sum("y") + F.lit(1e-9), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("y")) + F.lit(1e-9), 6).alias("sxy"),
+        F.round(F.sum(F.col("x") * F.col("x")) + F.lit(1e-9), 6).alias("sxx"),
+    )
+    slope = (
+        F.col("n_pts") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n_pts") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return sums.select(
+        F.col("n_pts").cast("long").alias("n_pts"),
+        F.round(slope + F.lit(1e-9), 6).alias("zipf_slope"),
+    )
+
+
+ZIPF_SQL = f"""
+WITH norm AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+t AS (SELECT unnest(ws) AS token FROM norm),
+c AS (SELECT token, count(*) AS n FROM t WHERE token != ''
+      GROUP BY 1 ORDER BY n DESC, token ASC LIMIT {ZIPF_TOP}),
+r AS (SELECT round(ln(row_number() OVER (ORDER BY n DESC, token ASC))
+                   + 1e-9, 8) AS x,
+             round(ln(n) + 1e-9, 8) AS y
+      FROM c),
+s AS (SELECT count(*) AS n_pts,
+             round(sum(x) + 1e-9, 6) AS sx, round(sum(y) + 1e-9, 6) AS sy,
+             round(sum(x * y) + 1e-9, 6) AS sxy,
+             round(sum(x * x) + 1e-9, 6) AS sxx
+      FROM r)
+SELECT n_pts::BIGINT AS n_pts,
+       round((n_pts * sxy - sx * sy) / (n_pts * sxx - sx * sx) + 1e-9, 6)
+         AS zipf_slope
+FROM s
+"""
+
+
+QUERIES.update({"text_zipf_slope": text_zipf_slope})
+ORACLES.update({"text_zipf_slope": ZIPF_SQL})

@@ -1785,6 +1785,66 @@ QUERIES.update({"validate_k_anonymity": validate_k_anonymity})
 ORACLES.update({"validate_k_anonymity": K_ANONYMITY_SQL})
 
 
+# ------------------------------------------------------- column profiling
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time column profile of the orders table (operators.validate
+    .profile_columns): per-column null count, exact distinct count, and
+    native-typed min/max rendered as strings — the batch-observability
+    report a catalog materializes next to every promoted partition. One
+    scan; the distinct counts share a single Expand."""
+    from helixdb_spark.operators.validate import profile_columns
+
+    return profile_columns(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
+
+
+PROFILE_ORDERS_SQL = """
+SELECT * FROM (
+SELECT 'o_custkey' AS column_name,
+       sum((o_custkey IS NULL)::INT)::BIGINT AS n_nulls,
+       count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+       min(o_custkey)::VARCHAR AS min_val, max(o_custkey)::VARCHAR AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderdate' AS column_name,
+       sum((o_orderdate IS NULL)::INT)::BIGINT AS n_nulls,
+       count(DISTINCT o_orderdate)::BIGINT AS n_distinct,
+       min(o_orderdate)::VARCHAR AS min_val, max(o_orderdate)::VARCHAR AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderkey' AS column_name,
+       sum((o_orderkey IS NULL)::INT)::BIGINT AS n_nulls,
+       count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+       min(o_orderkey)::VARCHAR AS min_val, max(o_orderkey)::VARCHAR AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority' AS column_name,
+       sum((o_orderpriority IS NULL)::INT)::BIGINT AS n_nulls,
+       count(DISTINCT o_orderpriority)::BIGINT AS n_distinct,
+       min(o_orderpriority)::VARCHAR AS min_val, max(o_orderpriority)::VARCHAR AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus' AS column_name,
+       sum((o_orderstatus IS NULL)::INT)::BIGINT AS n_nulls,
+       count(DISTINCT o_orderstatus)::BIGINT AS n_distinct,
+       min(o_orderstatus)::VARCHAR AS min_val, max(o_orderstatus)::VARCHAR AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_totalprice' AS column_name,
+       sum((o_totalprice IS NULL)::INT)::BIGINT AS n_nulls,
+       count(DISTINCT o_totalprice)::BIGINT AS n_distinct,
+       min(o_totalprice)::VARCHAR AS min_val, max(o_totalprice)::VARCHAR AS max_val
+FROM orders
+) ORDER BY column_name
+"""
+
+QUERIES.update({"profile_orders": profile_orders})
+ORACLES.update({"profile_orders": PROFILE_ORDERS_SQL})
+
+
 # ---------------------------------------------------------- k-core backbone
 KCORE_K = 4
 KCORE_ROUNDS = 3

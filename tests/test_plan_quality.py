@@ -295,6 +295,8 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "validate_orders",  # 1-row total-count broadcast into the FK report row
         "text_collocations",  # 1-row N1/N2 token-total broadcasts into PMI
         "basket_part_lift",  # 1-row n_orders broadcast into the lift finisher
+        "ann_truncated_recall",  # two brute-force tiers (truth + truncated)
+        "ev_decayed_value",  # 1-row max-ts reference-instant broadcast
     }
     # streaming queries execute on construction; dedup_clusters and
     # emb_kmeans run their iterative jobs on construction — covered by
