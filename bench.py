@@ -106,6 +106,7 @@ HEADLINE = [
     "text_zipf_slope",
     "ev_decayed_value",
     "profile_orders",
+    "dedup_winnow_pairs",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

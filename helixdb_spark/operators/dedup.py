@@ -990,6 +990,74 @@ def edit_distance_pairs(
     )
 
 
+# --------------------------------------------------- winnow-overlap dedup
+# df cap on the winnow-fingerprint inverted index — same rationale as
+# MAX_SHINGLE_DF: a fingerprint shared by more docs than this is corpus
+# boilerplate, not local-similarity signal, and its posting list would
+# emit df-choose-2 pairs.
+WINNOW_PAIR_MAX_DF = 16
+WINNOW_PAIR_MIN_SHARED = 20
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = WINNOW_PAIR_MAX_DF,
+    min_shared: int = WINNOW_PAIR_MIN_SHARED,
+) -> DataFrame:
+    """Fingerprint-overlap candidate pairs over winnowing fingerprints
+    (Schleimer et al., SIGMOD'03): docs sharing >= ``min_shared`` winnow
+    minima share a guaranteed long common substring — the LOCAL-similarity
+    dedup tier (plagiarized passages, quoted blocks, shared boilerplate
+    runs) that whole-document Jaccard/MinHash dilutes away and exact
+    chunk hashing (chunk_dup_passages) only catches at aligned offsets.
+    Returns (id_a, id_b, n_shared).
+
+    Scale shape: the fingerprint pass is the Arrow numpy winnower (C-speed
+    per batch, functions.text.winnow_fingerprints_arrow); then the standard
+    inverted-index discipline — ONE shuffle on the fingerprint key,
+    posting lists above ``max_df`` dropped whole, each surviving list
+    emits its sorted id pairs inline, map-side combined into per-pair
+    shared-fingerprint counts. No pair ever ships a fingerprint array.
+    """
+    from helixdb_spark.functions.text import (
+        normalized_text,
+        winnow_fingerprints_arrow,
+    )
+
+    staged = (
+        _spread(docs)
+        .withColumn("__norm", normalized_text(F.col(text_col)))
+        .withColumn("__fps", winnow_fingerprints_arrow(F.col("__norm")))
+    )
+    exploded = staged.select(F.col(id_col), F.explode("__fps").alias("fp"))
+    postings = (
+        exploded.groupBy("fp")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_df))
+    )
+    ids = F.col("ids")
+    pair_lists = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        postings.select(F.explode(pair_lists).alias("p"))
+        .groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ------------------------------------------------------- passage-level dedup
 CHUNK_DUP_WINDOW = 16
 CHUNK_DUP_TOPK = 50

@@ -2504,3 +2504,58 @@ FROM s
 
 QUERIES.update({"text_zipf_slope": text_zipf_slope})
 ORACLES.update({"text_zipf_slope": ZIPF_SQL})
+
+
+# ------------------------------------------------ winnow-overlap dedup
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-similarity dedup candidates (operators.dedup
+    .winnow_overlap_pairs): doc pairs sharing >= 2 winnowing fingerprints —
+    the shared-substring tier between exact chunk hashing and global
+    MinHash."""
+    return dedup.winnow_overlap_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _winnow_pairs_sql() -> str:
+    from helixdb_spark.functions.text import (
+        ROLLING_BASE,
+        ROLLING_PRIME,
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+c AS (SELECT doc_id,
+        list_transform(range(1, len(norm)+1), i -> ascii(norm[i])::BIGINT) AS codes
+      FROM d),
+g AS (SELECT doc_id,
+  CASE WHEN len(codes) >= {k}
+    THEN list_transform(range(1, len(codes) - {k} + 2),
+         i -> list_reduce(codes[i:i+{k - 1}],
+                          (a,b) -> (a*{ROLLING_BASE}+b) % {ROLLING_PRIME}))
+    ELSE [] END AS grams
+  FROM c),
+wn AS (SELECT doc_id,
+  CASE WHEN len(grams) >= {w}
+    THEN list_sort(list_distinct(list_transform(range(1, len(grams) - {w} + 2),
+         i -> list_min(grams[i:i+{w - 1}]))))
+    ELSE [] END AS fps
+  FROM g),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+okf AS (SELECT fp FROM e GROUP BY fp
+        HAVING count(*) BETWEEN 2 AND {dedup.WINNOW_PAIR_MAX_DF}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE a.fp IN (SELECT fp FROM okf)
+)
+SELECT id_a, id_b, count(*) AS n_shared
+FROM pairs GROUP BY 1, 2
+HAVING count(*) >= {dedup.WINNOW_PAIR_MIN_SHARED}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES.update({"dedup_winnow_pairs": dedup_winnow_pairs})
+ORACLES.update({"dedup_winnow_pairs": _winnow_pairs_sql()})

@@ -1,0 +1,105 @@
+"""Unit tests for the round-5 operators: winnow-overlap pairs, passage-level
+chunk dedup, LSH range search, and the profile_columns report. The graded
+oracle replay in test_oracle_parity.py covers end-to-end parity; these pin
+operator-level contracts on small synthetic inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_winnow_overlap_pairs_detects_shared_passage(spark):
+    from helixdb_spark.operators.dedup import winnow_overlap_pairs
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog again and again and "
+        "then once more for good measure"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "omega " + shared + " zeta"),
+            (3, "completely different content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_overlap_pairs(docs, min_shared=2).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)  # disjoint doc never pairs
+
+
+def test_winnow_overlap_df_cap_drops_boilerplate_fingerprints(spark):
+    # A passage shared by MORE than max_df docs is corpus boilerplate: its
+    # posting list is dropped whole, so no pairs are emitted from it.
+    from helixdb_spark.operators.dedup import winnow_overlap_pairs
+
+    shared = "identical boilerplate passage repeated in every document here"
+    docs = spark.createDataFrame(
+        [(i, f"prefix {i} " + shared) for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = winnow_overlap_pairs(docs, max_df=3, min_shared=2).collect()
+    # every fingerprint of the shared run occurs in all 6 docs > max_df=3
+    # (per-doc prefixes contribute doc-unique fingerprints only)
+    assert out == []
+
+
+def test_chunk_dup_passages_counts_docs_and_occurrences(spark):
+    from helixdb_spark.operators.dedup import chunk_dup_passages
+
+    chunk = " ".join(f"w{i}" for i in range(16))
+    other = " ".join(f"x{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, chunk + " " + other),       # chunk at aligned offset 0
+            (2, chunk + " " + chunk),       # chunk twice, both aligned
+            (3, "solo " + chunk),           # misaligned: shifted by 1 token
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_dup_passages(docs).collect()
+    assert len(rows) == 1  # only the aligned repeats are visible
+    r = rows[0]
+    assert r["n_docs"] == 2 and r["n_occurrences"] == 3
+
+
+def test_lsh_range_search_excludes_self_and_applies_threshold(spark):
+    from helixdb_spark.operators.similarity import lsh_range_search
+
+    dim = 8
+    base = [1.0] * dim
+    near = [1.0] * (dim - 1) + [0.9]
+    far = [1.0, -1.0] * (dim // 2)
+    corpus = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, base)], "query_id long, embedding array<float>"
+    )
+    out = lsh_range_search(
+        corpus, queries, threshold=0.9, dim=dim
+    ).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert 0 not in ids  # self excluded
+    assert 1 in ids      # near neighbor above threshold
+    assert 2 not in ids  # orthogonal-ish vector below threshold
+    for r in out:
+        assert r["cosine"] >= 0.9
+
+
+def test_profile_columns_reports_nulls_distinct_minmax(spark):
+    from helixdb_spark.operators.validate import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, 10.0), (2, "b", None)],
+        "k long, s string, v double",
+    )
+    rows = {r["column_name"]: r for r in profile_columns(df, ["k", "s", "v"]).collect()}
+    assert rows["k"]["n_nulls"] == 0 and rows["k"]["n_distinct"] == 2
+    assert rows["k"]["min_val"] == "1" and rows["k"]["max_val"] == "2"
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["v"]["n_nulls"] == 1
+    # min/max computed on the NATIVE type (numeric order, not lexicographic)
+    assert rows["v"]["min_val"] == "2.5" and rows["v"]["max_val"] == "10.0"
