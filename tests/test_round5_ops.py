@@ -103,3 +103,25 @@ def test_profile_columns_reports_nulls_distinct_minmax(spark):
     assert rows["v"]["n_nulls"] == 1
     # min/max computed on the NATIVE type (numeric order, not lexicographic)
     assert rows["v"]["min_val"] == "2.5" and rows["v"]["max_val"] == "10.0"
+
+
+def test_covariance_arrow_and_expr_paths_identical(spark):
+    # The round-intermediates discipline (sxy 4 dp, mu 8 dp) makes the
+    # accumulation strategy swappable: JVM expression explode and Arrow
+    # BLAS Gram partials must produce BIT-identical covariance rows.
+    import numpy as np
+
+    from helixdb_spark.operators.similarity import embedding_covariance
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(200, 12).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    a = sorted(map(tuple, embedding_covariance(emb).collect()))
+    b = sorted(
+        map(tuple, embedding_covariance(emb, accumulate="arrow").collect())
+    )
+    assert a == b
+    assert len(a) == 12 * 13 // 2
