@@ -107,6 +107,10 @@ HEADLINE = [
     "ev_decayed_value",
     "profile_orders",
     "dedup_winnow_pairs",
+    "ev_interevent_burstiness",
+    "emb_kmeans_sampled",
+    "emb_pc1_removed",
+    "ann_pq_recall_audit",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -481,11 +481,12 @@ def kmeans_fit_assign(
     n_iter: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """Per-cluster profile (cluster_id, n_points, avg_sqdist) of the
     `kmeans_fit` assignment — the graded summary surface."""
     return (
-        kmeans_fit(embeddings, k, n_iter, id_col, vec_col)
+        kmeans_fit(embeddings, k, n_iter, id_col, vec_col, train_fraction)
         .groupBy("cluster_id")
         .agg(
             F.count("*").alias("n_points"),

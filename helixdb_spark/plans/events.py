@@ -2305,3 +2305,77 @@ ORDER BY user_id
 
 QUERIES.update({"ev_decayed_value": ev_decayed_value})
 ORACLES.update({"ev_decayed_value": EV_DECAYED_SQL})
+
+
+# ------------------------------------------------ inter-event burstiness
+def ev_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics: mean/stddev of the gap between
+    consecutive events and the burstiness coefficient B = (s - m)/(s + m)
+    (Goh & Barabasi, EPL 2008) — B near -1 = metronome, 0 = Poisson,
+    +1 = extreme bursts. The behavioral-rhythm feature bot-detection and
+    engagement models consume.
+
+    Scale shape: one shuffle on user_id for the lag pairing; the stats
+    reuse that partitioning. Rounding discipline: the gap is exact
+    (timestamp double diff), m and s round at 4 dp, then B is computed
+    from the ROUNDED m/s in both engines (round-intermediates rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+            ).alias("dt"),
+        )
+    )
+    g = d.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("dt") + F.lit(1e-9), 4).alias("mean_gap_s"),
+        F.round(F.stddev_samp("dt") + F.lit(1e-9), 4).alias("sd_gap_s"),
+    )
+    return (
+        g.where(F.col("n_gaps") >= 2)
+        .select(
+            "user_id",
+            "n_gaps",
+            "mean_gap_s",
+            "sd_gap_s",
+            F.round(
+                (F.col("sd_gap_s") - F.col("mean_gap_s"))
+                / (F.col("sd_gap_s") + F.col("mean_gap_s"))
+                + F.lit(1e-9),
+                6,
+            ).alias("burstiness"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_BURSTINESS_SQL = """
+WITH d AS (
+  SELECT user_id,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) AS dt
+  FROM events
+),
+g AS (
+  SELECT user_id, count(*) AS n_gaps,
+         round(avg(dt) + 1e-9, 4) AS mean_gap_s,
+         round(stddev_samp(dt) + 1e-9, 4) AS sd_gap_s
+  FROM d WHERE dt IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_gaps, mean_gap_s, sd_gap_s,
+       round((sd_gap_s - mean_gap_s) / (sd_gap_s + mean_gap_s) + 1e-9, 6)
+         AS burstiness
+FROM g
+WHERE n_gaps >= 2
+ORDER BY user_id
+"""
+
+
+QUERIES.update({"ev_interevent_burstiness": ev_interevent_burstiness})
+ORACLES.update({"ev_interevent_burstiness": EV_BURSTINESS_SQL})

@@ -2559,3 +2559,248 @@ ORDER BY id_a, id_b
 
 QUERIES.update({"dedup_winnow_pairs": dedup_winnow_pairs})
 ORACLES.update({"dedup_winnow_pairs": _winnow_pairs_sql()})
+
+
+# --------------------------------------------- sampled-training k-means
+KMEANS_TRAIN_FRACTION = 0.5
+
+
+def emb_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB training posture under the correctness gate: the Lloyd
+    rounds fit on a deterministic md5-hash HALF of the corpus
+    (kmeans_fit_full train_fraction — seedless, engine-stable), and only
+    the final broadcast-centroid assignment touches every vector. The
+    oracle replays the sampled fit CTEs and the full-corpus assign
+    exactly, so the sampled path is hash-checked end to end, not just
+    unit-tested."""
+    return _sim.kmeans_fit_assign(
+        load_table(spark, sf_dir, "embeddings"),
+        train_fraction=KMEANS_TRAIN_FRACTION,
+    )
+
+
+def _kmeans_sampled_sql(
+    k: int = _sim.KMEANS_K,
+    n_iter: int = _sim.KMEANS_ITERS,
+    frac: float = KMEANS_TRAIN_FRACTION,
+) -> str:
+    dist = (
+        "round(1e-9 + list_sum(list_transform(range(1, len(p.v)+1), "
+        "i -> (p.v[i]-c.cv[i])*(p.v[i]-c.cv[i]))), 6)"
+    )
+    bucket = int(round(frac * 10000))
+    ctes = [
+        "pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""fit AS (
+  SELECT * FROM pts
+  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 10000
+        < {bucket}
+)""",
+        f"""c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1 AS cluster_id, v AS cv
+  FROM (SELECT vec_id, v FROM fit ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    # training rounds assign + re-mean the SAMPLE only
+    for it in range(1, n_iter):
+        ctes.append(f"""s{it} AS (
+  SELECT p.vec_id, c.cluster_id, {dist} AS sqdist
+  FROM fit p CROSS JOIN c{it - 1} c
+),
+a{it} AS (
+  SELECT vec_id, cluster_id, sqdist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+        ORDER BY sqdist, cluster_id) AS rn
+    FROM s{it}
+  ) WHERE rn = 1
+),
+m{it} AS (
+  SELECT a.cluster_id, i, round(1e-9 + avg(p.v[i]), 4) AS m
+  FROM a{it} a JOIN fit p USING (vec_id),
+       unnest(range(1, len(p.v)+1)) t(i)
+  GROUP BY 1, 2
+),
+c{it} AS (SELECT cluster_id, list(m ORDER BY i) AS cv FROM m{it} GROUP BY 1)""")
+    # final assignment covers the FULL corpus
+    ctes.append(f"""sF AS (
+  SELECT p.vec_id, c.cluster_id, {dist} AS sqdist
+  FROM pts p CROSS JOIN c{n_iter - 1} c
+),
+aF AS (
+  SELECT vec_id, cluster_id, sqdist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+        ORDER BY sqdist, cluster_id) AS rn
+    FROM sF
+  ) WHERE rn = 1
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT cluster_id, count(*) AS n_points,
+       round(1e-9 + avg(sqdist), 4) AS avg_sqdist
+FROM aF
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
+QUERIES.update({"emb_kmeans_sampled": emb_kmeans_sampled})
+ORACLES.update({"emb_kmeans_sampled": _kmeans_sampled_sql()})
+
+
+# -------------------------------------------- common-direction removal QC
+def emb_pc1_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top post-processing QC (Mu & Viswanath, ICLR 2018 /
+    Arora et al. SIF): project out the corpus's leading principal
+    component and report each vector's PC1 score and residual norm — the
+    isotropy fix embedding pipelines apply before similarity search, here
+    with the energy split measured per vector.
+
+    Scale shape: the eigenvector build is emb_power_iteration's (d-float
+    driver state); the removal itself is a zero-shuffle JVM fold per
+    vector: residual^2 = ||x||^2 - s^2 (2 - ||v||^2) with s = x.v, all
+    driver-side scalars broadcast as literals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = _sim.embedding_covariance(emb)
+    pc = _sim.power_iteration_top_eigen(cov, dim=_sim.DIM, iterations=PI_ITERS)
+    loading = [r["loading"] for r in pc.orderBy("i").collect()]
+    vv = sum(x * x for x in loading)  # 6-dp loadings are not exactly unit
+    dot = _sim.vector_dot(F.col("embedding"), loading)
+    s_col = F.round(dot + F.lit(1e-9), 6)
+    xx = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    resid2 = xx - s_col * s_col * (F.lit(2.0) - F.lit(float(vv)))
+    return (
+        _sim.spread(emb)
+        .select(
+            "vec_id",
+            "label",
+            s_col.alias("pc1_score"),
+            F.round(
+                F.sqrt(F.greatest(resid2, F.lit(0.0))) + F.lit(1e-9), 6
+            ).alias("residual_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _pc1_removed_sql() -> str:
+    base = _power_iteration_sql().strip()
+    head, _, _ = base.rpartition("SELECT w")
+    return f"""{head.rstrip()},
+pc AS (
+  SELECT w{PI_ITERS}.i, round(1e-9 + w{PI_ITERS}.w / n{PI_ITERS}.nrm, 6) AS x
+  FROM w{PI_ITERS}, n{PI_ITERS}
+),
+vv AS (SELECT sum(x * x) AS vv FROM pc),
+dims AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+sc AS (
+  SELECT d.vec_id, d.label,
+         round(1e-9 + sum(d.v * pc.x), 6) AS s,
+         sum(d.v * d.v) AS xx
+  FROM dims d JOIN pc ON pc.i = d.i
+  GROUP BY d.vec_id, d.label
+)
+SELECT vec_id, label, s AS pc1_score,
+       round(sqrt(greatest(xx - s * s * (2.0 - vv.vv), 0.0)) + 1e-9, 6)
+         AS residual_norm
+FROM sc, vv
+ORDER BY vec_id
+"""
+
+
+QUERIES.update({"emb_pc1_removed": emb_pc1_removed})
+ORACLES.update({"emb_pc1_removed": _pc1_removed_sql()})
+
+
+# ------------------------------------------------------ PQ recall audit
+def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ ADC tier against the EXACT squared-L2 truth —
+    completes the measured-accuracy family (ann_recall_audit covers the
+    LSH/IVF cosine tiers): per query, how many of the true k nearest the
+    code-only search recovers. This is the compression-accuracy dial a PQ
+    deployment tunes (m, k, training fraction) before trusting codes at
+    100 TB."""
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vecs(spark, sf_dir)
+    approx = _sim.pq_adc_topk(
+        emb, q, k_nn=ANN_K, prefit=_pq_prefit(spark, sf_dir)
+    ).select("query_id", "neighbor_id")
+    qv = q.select("query_id", F.col("embedding").alias("_qvec"))
+    d2 = F.round(
+        F.lit(1e-9) + _sim._sq_dist(F.col("embedding"), F.col("_qvec")), 6
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    truth = (
+        _sim.spread(emb)
+        .join(F.broadcast(qv))
+        .select("query_id", "vec_id", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= ANN_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    hits = (
+        truth.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    h = F.coalesce(F.col("hits"), F.lit(0))
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            h.cast("long").alias("hits"),
+            F.lit(ANN_K).cast("long").alias("possible"),
+            F.round(h / F.lit(ANN_K) + F.lit(1e-9), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _pq_recall_sql() -> str:
+    dim = _sim.DIM
+    return f"""
+WITH approx AS (SELECT query_id, neighbor_id FROM ({_pq_adc_sql()})),
+tq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id < {N_QUERY_VECS}),
+t_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(1e-9 + list_sum(list_transform(range(1, {dim} + 1),
+             i -> ((e.embedding::DOUBLE[])[i] - q.qv[i])
+                * ((e.embedding::DOUBLE[])[i] - q.qv[i]))), 6) AS d2
+  FROM embeddings e CROSS JOIN tq q
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY d2 ASC, neighbor_id ASC) AS rk
+    FROM t_scored
+  ) WHERE rk <= {ANN_K}
+),
+hits AS (
+  SELECT query_id, count(*) AS hits
+  FROM truth JOIN approx USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT q.query_id, coalesce(h.hits, 0)::BIGINT AS hits,
+       {ANN_K}::BIGINT AS possible,
+       round(coalesce(h.hits, 0) / {ANN_K} + 1e-9, 4) AS recall
+FROM (SELECT DISTINCT query_id FROM truth) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+"""
+
+
+QUERIES.update({"ann_pq_recall_audit": ann_pq_recall_audit})
+ORACLES.update({"ann_pq_recall_audit": _pq_recall_sql()})

@@ -297,6 +297,7 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "basket_part_lift",  # 1-row n_orders broadcast into the lift finisher
         "ann_truncated_recall",  # two brute-force tiers (truth + truncated)
         "ev_decayed_value",  # 1-row max-ts reference-instant broadcast
+        "ann_pq_recall_audit",  # exact-L2 brute truth tier vs the PQ codes
     }
     # streaming queries execute on construction; dedup_clusters and
     # emb_kmeans run their iterative jobs on construction — covered by
@@ -315,6 +316,8 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "dedup_semantic",
         "emb_power_iteration",
         "emb_pca_scores",  # runs the eigenvector build on construction
+        "emb_pc1_removed",  # same eigenvector build on construction
+        "emb_kmeans_sampled",  # runs the sampled Lloyd fit on construction
     }
     qs = entrymod.queries()
     offenders = []
