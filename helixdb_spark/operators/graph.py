@@ -20,6 +20,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Below this node count an iterative operator's per-round cost is Spark
+# stage-scheduling overhead, not data: the vertex state is driver-sized by
+# definition, so the rounds run as plain arithmetic on the collected edge
+# list with the IDENTICAL update + rounding sequence (the
+# power_iteration_top_eigen discipline — results are bit-equal, asserted in
+# tests/test_round5_ops.py). The edge/weight BUILD stays distributed either
+# way; only the iteration moves. Above the threshold the distributed rounds
+# below are the right shape.
+SMALL_GRAPH_DRIVER_NODES = 1024
+SMALL_GRAPH_DRIVER_EDGES = 1 << 18
+
+
+def _rank_schema(nodes_df: DataFrame, value_name: str, value_type):
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [nodes_df.schema.fields[0], StructField(value_name, value_type)]
+    )
+
 
 def pagerank(
     edges: DataFrame,
@@ -68,6 +87,40 @@ def pagerank(
         out.select(F.col("src").alias("node")), "node", "left_anti"
     ).persist()
     has_dangling = not dang_nodes.isEmpty()
+    if n <= SMALL_GRAPH_DRIVER_NODES:
+        erows = [(r["src"], r["dst"], r["p"]) for r in norm.collect()]
+        if len(erows) <= SMALL_GRAPH_DRIVER_EDGES:
+            from pyspark.sql.types import DoubleType
+
+            node_ids = [r["node"] for r in nodes.collect()]
+            dang = (
+                [r["node"] for r in dang_nodes.collect()]
+                if has_dangling
+                else []
+            )
+            rank = {v: 1.0 / n for v in node_ids}
+            for _ in range(iterations):
+                flow: dict = {}
+                for s_, d_, p_ in erows:
+                    flow[d_] = flow.get(d_, 0.0) + rank[s_] * p_
+                dm = sum(rank[v] for v in dang) if dang else 0.0
+                nxt = {}
+                for v in node_ids:
+                    inflow = flow.get(v, 0.0)
+                    if has_dangling:
+                        inflow = inflow + dm / n
+                    val = (1.0 - damping) / n + damping * inflow
+                    if round_dp is not None:
+                        val = round(val + 1e-9, round_dp)
+                    nxt[v] = val
+                rank = nxt
+            out = norm.sparkSession.createDataFrame(
+                [(v, float(rank[v])) for v in node_ids],
+                _rank_schema(nodes, "rank", DoubleType()),
+            )
+            for c in (norm, nodes, dang_nodes):
+                c.unpersist()
+            return out
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     from helixdb_spark.operators.util import tracked_local_checkpoint, unpersist_on_gc
 
@@ -227,6 +280,31 @@ def connected_components(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
     nodes = nbr.select(F.col("a").alias("node")).distinct()
+    n = nodes.count()
+    if n <= SMALL_GRAPH_DRIVER_NODES:
+        erows = [(r["a"], r["b"]) for r in nbr.collect()]
+        if len(erows) <= SMALL_GRAPH_DRIVER_EDGES:
+            # integer-exact driver rounds: same fixed-radius refinement,
+            # bit-equal by construction (no floats involved at all)
+            comp = {}
+            for a_, b_ in erows:
+                comp[a_] = a_
+                comp[b_] = b_
+            for _ in range(rounds):
+                msgs: dict = {}
+                for a_, b_ in erows:
+                    cur = msgs.get(b_)
+                    if cur is None or comp[a_] < cur:
+                        msgs[b_] = comp[a_]
+                comp = {
+                    v: min(c, msgs.get(v, c)) for v, c in comp.items()
+                }
+            out = nbr.sparkSession.createDataFrame(
+                sorted(comp.items()),
+                _rank_schema(nodes, "comp", nodes.schema.fields[0].dataType),
+            )
+            nbr.unpersist()
+            return out
     labels = nodes.select("node", F.col("node").alias("comp"))
     cp_handles: list = []
     for it in range(rounds):
@@ -285,6 +363,49 @@ def kcore_peel(
             .agg(F.count("*").alias("deg"))
         )
 
+    erows = None
+    cur.persist()
+    n_nodes = (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .distinct()
+        .count()
+    )
+    if n_nodes <= SMALL_GRAPH_DRIVER_NODES:
+        erows = [(r["a"], r["b"]) for r in cur.collect()]
+        if len(erows) > SMALL_GRAPH_DRIVER_EDGES:
+            erows = None
+    if erows is not None:
+        # integer-exact driver peel: identical fixed rounds, no floats
+        from pyspark.sql.types import LongType
+
+        es = list(erows)
+        for _ in range(rounds):
+            deg: dict = {}
+            for a_, b_ in es:
+                deg[a_] = deg.get(a_, 0) + 1
+                deg[b_] = deg.get(b_, 0) + 1
+            keep = {v for v, d in deg.items() if d >= k}
+            es = [(a_, b_) for a_, b_ in es if a_ in keep and b_ in keep]
+        deg = {}
+        for a_, b_ in es:
+            deg[a_] = deg.get(a_, 0) + 1
+            deg[b_] = deg.get(b_, 0) + 1
+        node_field = cur.schema.fields[0]
+        from pyspark.sql.types import StructField, StructType
+
+        out = cur.sparkSession.createDataFrame(
+            sorted(deg.items()),
+            StructType(
+                [
+                    StructField("node", node_field.dataType),
+                    StructField("core_deg", LongType()),
+                ]
+            ),
+        )
+        cur.unpersist()
+        return out
+    cur.unpersist()
     for _ in range(rounds):
         keep = degrees(cur).where(F.col("deg") >= k).select("node")
         cur = cur.join(
