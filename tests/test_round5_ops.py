@@ -125,3 +125,85 @@ def test_covariance_arrow_and_expr_paths_identical(spark):
     )
     assert a == b
     assert len(a) == 12 * 13 // 2
+
+
+def _toy_weighted_graph(spark):
+    # 5 nodes, weighted, includes a dangling node (4 has no out-edges)
+    return spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0), (3, 4, 1.0)],
+        "src int, dst int, w double",
+    )
+
+
+def test_pagerank_driver_and_distributed_paths_identical(spark, monkeypatch):
+    import helixdb_spark.operators.graph as G
+
+    edges = _toy_weighted_graph(spark)
+    fast = sorted(
+        map(tuple, G.pagerank(edges, weight_col="w", round_dp=6).collect())
+    )
+    monkeypatch.setattr(G, "SMALL_GRAPH_DRIVER_NODES", 0)
+    slow = sorted(
+        map(tuple, G.pagerank(edges, weight_col="w", round_dp=6).collect())
+    )
+    assert fast == slow
+
+
+def test_components_driver_and_distributed_paths_identical(spark, monkeypatch):
+    import helixdb_spark.operators.graph as G
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (20, 21)],
+        "src int, dst int",
+    )
+    fast = sorted(map(tuple, G.connected_components(edges, rounds=4).collect()))
+    monkeypatch.setattr(G, "SMALL_GRAPH_DRIVER_NODES", 0)
+    slow = sorted(map(tuple, G.connected_components(edges, rounds=4).collect()))
+    assert fast == slow
+
+
+def test_kcore_driver_and_distributed_paths_identical(spark, monkeypatch):
+    import helixdb_spark.operators.graph as G
+
+    # K4 plus a pendant chain: the 3-core is exactly the K4
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(3, 4), (4, 5)],
+        "src int, dst int",
+    )
+    fast = sorted(map(tuple, G.kcore_peel(edges, k=3, rounds=3).collect()))
+    monkeypatch.setattr(G, "SMALL_GRAPH_DRIVER_NODES", 0)
+    slow = sorted(map(tuple, G.kcore_peel(edges, k=3, rounds=3).collect()))
+    assert fast == slow
+    assert {t[0] for t in fast} == {0, 1, 2, 3}
+
+
+def test_power_iteration_driver_and_distributed_paths_identical(
+    spark, monkeypatch
+):
+    import numpy as np
+
+    import helixdb_spark.operators.similarity as sim
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(100, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    cov = sim.embedding_covariance(emb)
+    fast = sorted(
+        map(
+            tuple,
+            sim.power_iteration_top_eigen(cov, dim=8, iterations=3).collect(),
+        )
+    )
+    monkeypatch.setattr(sim, "BROADCAST_DIM_THRESHOLD", 0)
+    cov2 = sim.embedding_covariance(emb)
+    slow = sorted(
+        map(
+            tuple,
+            sim.power_iteration_top_eigen(cov2, dim=8, iterations=3).collect(),
+        )
+    )
+    assert fast == slow
