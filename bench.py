@@ -111,6 +111,7 @@ HEADLINE = [
     "emb_kmeans_sampled",
     "emb_pc1_removed",
     "ann_pq_recall_audit",
+    "decontaminate_semantic",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -2820,3 +2820,69 @@ ORDER BY q.query_id
 
 QUERIES.update({"ann_pq_recall_audit": ann_pq_recall_audit})
 ORACLES.update({"ann_pq_recall_audit": _pq_recall_sql()})
+
+
+# ------------------------------------------- semantic decontamination
+SEM_DECON_STRIDE = 50   # every 50th vector plays the held-out eval set
+SEM_DECON_TAU = 0.25
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination: corpus vectors whose
+    cosine to ANY held-out eval vector clears tau are leakage candidates —
+    the semantic counterpart of decontaminate_ngram, catching paraphrased
+    contamination that n-gram overlap misses. Eval set = every
+    SEM_DECON_STRIDE-th vector (deterministic stand-in for a benchmark
+    table). Rides the hyperplane-LSH bucket index (lsh_range_search), so
+    the corpus-side cost is the bucket join, never corpus x eval; reports
+    each flagged doc's strongest eval match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    evalset = emb.where((F.col("vec_id") % SEM_DECON_STRIDE) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where((F.col("vec_id") % SEM_DECON_STRIDE) != 0)
+    hits = _sim.lsh_range_search(corpus, evalset, threshold=SEM_DECON_TAU)
+    w = _W.partitionBy("neighbor_id").orderBy(
+        F.desc("cosine"), F.asc("query_id")
+    )
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("neighbor_id").alias("doc_vec_id"),
+            F.col("query_id").alias("eval_vec_id"),
+            F.col("cosine").alias("max_cosine"),
+        )
+        .orderBy("doc_vec_id")
+    )
+
+
+def _sem_decon_sql() -> str:
+    return f"""
+WITH c AS (SELECT vec_id, embedding, {_bucket_expr_sql('embedding')} AS bucket
+           FROM embeddings WHERE vec_id % {SEM_DECON_STRIDE} != 0),
+q AS (SELECT vec_id AS query_id, embedding AS qvec,
+             {_bucket_expr_sql('embedding')} AS bucket
+      FROM embeddings WHERE vec_id % {SEM_DECON_STRIDE} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(1e-9 + list_cosine_similarity(q.qvec::DOUBLE[],
+               c.embedding::DOUBLE[]), 6) AS cosine
+  FROM c JOIN q USING (bucket)
+  WHERE c.vec_id != q.query_id
+),
+flagged AS (
+  SELECT neighbor_id, query_id, cosine,
+         row_number() OVER (PARTITION BY neighbor_id
+             ORDER BY cosine DESC, query_id ASC) AS rk
+  FROM scored WHERE cosine >= {SEM_DECON_TAU}
+)
+SELECT neighbor_id AS doc_vec_id, query_id AS eval_vec_id,
+       cosine AS max_cosine
+FROM flagged WHERE rk = 1
+ORDER BY doc_vec_id
+"""
+
+
+QUERIES.update({"decontaminate_semantic": decontaminate_semantic})
+ORACLES.update({"decontaminate_semantic": _sem_decon_sql()})
