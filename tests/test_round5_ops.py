@@ -207,3 +207,31 @@ def test_power_iteration_driver_and_distributed_paths_identical(
         )
     )
     assert fast == slow
+
+
+def test_weighted_sampling_favors_heavier_docs(spark):
+    # Efraimidis-Spirakis: P(doc in top-N) scales with weight. With weights
+    # 1000 vs 1, the 100-doc sample over 200 heavy + 1800 light docs should
+    # be overwhelmingly heavy — a statistical sanity check of the race key
+    # -ln(u)/w (deterministic here: md5-uniforms are fixed by doc_id).
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, 1000 if i < 200 else 1) for i in range(2000)],
+        "doc_id long, n_chars long",
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        ).cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    key = -F.log(u) / F.col("n_chars")
+    top = (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(100)
+        .collect()
+    )
+    heavy = sum(1 for r in top if r["n_chars"] == 1000)
+    assert heavy >= 90  # expected ~99+; light docs win only on extreme u
