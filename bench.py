@@ -287,6 +287,14 @@ def main() -> None:
                 # those caches and the later runs measure memory pressure,
                 # not the query
                 spark.catalog.clearCache()
+                # py4j keeps every JVM DataFrame/plan object referenced until
+                # Python's CYCLIC collector runs; across ~90 queries that
+                # backlog is the "session aging" that inflates late
+                # sub-second queries 1.5-2x. Collect between runs so each
+                # query is timed against a drained object registry.
+                import gc
+
+                gc.collect()
         except Exception as ex:  # noqa: BLE001
             errors[name] = f"{type(ex).__name__}: {ex}"
             print(f"# {name} ERROR: {errors[name][:300]}", file=sys.stderr)
