@@ -24,8 +24,11 @@ from pyspark.sql import functions as F
 # stage-scheduling overhead, not data: the vertex state is driver-sized by
 # definition, so the rounds run as plain arithmetic on the collected edge
 # list with the IDENTICAL update + rounding sequence (the
-# power_iteration_top_eigen discipline — results are bit-equal, asserted in
-# tests/test_round5_ops.py). The edge/weight BUILD stays distributed either
+# power_iteration_top_eigen discipline — bit-equal under per-round rounding
+# (round_dp) / integer state, asserted in tests/test_round5_ops.py; with
+# round_dp=None pagerank's two paths differ at summation-order ulp level,
+# the same caveat the distributed path already has across partitionings).
+# The edge/weight BUILD stays distributed either
 # way; only the iteration moves. Above the threshold the distributed rounds
 # below are the right shape.
 SMALL_GRAPH_DRIVER_NODES = 1024
@@ -87,40 +90,46 @@ def pagerank(
         out.select(F.col("src").alias("node")), "node", "left_anti"
     ).persist()
     has_dangling = not dang_nodes.isEmpty()
-    if n <= SMALL_GRAPH_DRIVER_NODES:
+    if (
+        n <= SMALL_GRAPH_DRIVER_NODES
+        and norm.count() <= SMALL_GRAPH_DRIVER_EDGES  # count BEFORE collect
+    ):
         erows = [(r["src"], r["dst"], r["p"]) for r in norm.collect()]
-        if len(erows) <= SMALL_GRAPH_DRIVER_EDGES:
-            from pyspark.sql.types import DoubleType
+        from pyspark.sql.types import DoubleType
 
-            node_ids = [r["node"] for r in nodes.collect()]
-            dang = (
-                [r["node"] for r in dang_nodes.collect()]
-                if has_dangling
-                else []
-            )
-            rank = {v: 1.0 / n for v in node_ids}
-            for _ in range(iterations):
-                flow: dict = {}
-                for s_, d_, p_ in erows:
-                    flow[d_] = flow.get(d_, 0.0) + rank[s_] * p_
-                dm = sum(rank[v] for v in dang) if dang else 0.0
-                nxt = {}
-                for v in node_ids:
-                    inflow = flow.get(v, 0.0)
-                    if has_dangling:
-                        inflow = inflow + dm / n
-                    val = (1.0 - damping) / n + damping * inflow
-                    if round_dp is not None:
-                        val = round(val + 1e-9, round_dp)
-                    nxt[v] = val
-                rank = nxt
-            out = norm.sparkSession.createDataFrame(
-                [(v, float(rank[v])) for v in node_ids],
-                _rank_schema(nodes, "rank", DoubleType()),
-            )
-            for c in (norm, nodes, dang_nodes):
-                c.unpersist()
-            return out
+        node_ids = [r["node"] for r in nodes.collect()]
+        dang = (
+            [r["node"] for r in dang_nodes.collect()]
+            if has_dangling
+            else []
+        )
+        rank = {v: 1.0 / n for v in node_ids}
+        for _ in range(iterations):
+            flow: dict = {}
+            for s_, d_, p_ in erows:
+                if p_ is None:
+                    # zero total out-weight: the distributed
+                    # F.sum(rank*p) skips the NULL; mirror it
+                    continue
+                flow[d_] = flow.get(d_, 0.0) + rank[s_] * p_
+            dm = sum(rank[v] for v in dang) if dang else 0.0
+            nxt = {}
+            for v in node_ids:
+                inflow = flow.get(v, 0.0)
+                if has_dangling:
+                    inflow = inflow + dm / n
+                val = (1.0 - damping) / n + damping * inflow
+                if round_dp is not None:
+                    val = round(val + 1e-9, round_dp)
+                nxt[v] = val
+            rank = nxt
+        out = norm.sparkSession.createDataFrame(
+            [(v, float(rank[v])) for v in node_ids],
+            _rank_schema(nodes, "rank", DoubleType()),
+        )
+        for c in (norm, nodes, dang_nodes):
+            c.unpersist()
+        return out
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     from helixdb_spark.operators.util import tracked_local_checkpoint, unpersist_on_gc
 
@@ -280,10 +289,13 @@ def connected_components(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
     nodes = nbr.select(F.col("a").alias("node")).distinct()
-    n = nodes.count()
-    if n <= SMALL_GRAPH_DRIVER_NODES:
+    # ONE cheap count on the persisted neighbor list decides the path (it
+    # also pre-materializes the cache the distributed rounds would build
+    # anyway); the node set is derived in Python from the collected edges,
+    # so the small path never runs a distinct job
+    if nbr.count() <= 2 * SMALL_GRAPH_DRIVER_EDGES:
         erows = [(r["a"], r["b"]) for r in nbr.collect()]
-        if len(erows) <= SMALL_GRAPH_DRIVER_EDGES:
+        if len({v for e_ in erows for v in e_}) <= SMALL_GRAPH_DRIVER_NODES:
             # integer-exact driver rounds: same fixed-radius refinement,
             # bit-equal by construction (no floats involved at all)
             comp = {}
@@ -365,15 +377,11 @@ def kcore_peel(
 
     erows = None
     cur.persist()
-    n_nodes = (
-        cur.select(F.col("a").alias("node"))
-        .unionAll(cur.select(F.col("b").alias("node")))
-        .distinct()
-        .count()
-    )
-    if n_nodes <= SMALL_GRAPH_DRIVER_NODES:
+    # one cheap count on the persisted edge set decides the path; node
+    # cardinality is derived from the collected edges, never a distinct job
+    if cur.count() <= SMALL_GRAPH_DRIVER_EDGES:
         erows = [(r["a"], r["b"]) for r in cur.collect()]
-        if len(erows) > SMALL_GRAPH_DRIVER_EDGES:
+        if len({v for e_ in erows for v in e_}) > SMALL_GRAPH_DRIVER_NODES:
             erows = None
     if erows is not None:
         # integer-exact driver peel: identical fixed rounds, no floats

@@ -173,8 +173,9 @@ def lsh_range_search(
     retrieval filtering use when the neighbor COUNT is unknown a priori
     (top-k is the wrong contract there). Same deterministic bucket index
     and recall trade as lsh_topk; same scale shape (bucket-key join only,
-    queries broadcast), minus the per-query window — a pure filter, so at
-    100 TB the output streams without any rank shuffle at all.
+    queries broadcast), minus the per-query rank window — the match set is
+    a pure filter. The trailing orderBy is presentation only; drop it (or
+    write partitioned-by-query) when consuming the match stream at scale.
     """
     c = spread(corpus).withColumn(
         "_bucket", lsh_bucket(F.col(vec_col), num_planes, dim)

@@ -2344,8 +2344,11 @@ def ev_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_gap_s",
             "sd_gap_s",
             F.round(
-                (F.col("sd_gap_s") - F.col("mean_gap_s"))
-                / (F.col("sd_gap_s") + F.col("mean_gap_s"))
+                F.when(
+                    F.col("sd_gap_s") + F.col("mean_gap_s") > 0,
+                    (F.col("sd_gap_s") - F.col("mean_gap_s"))
+                    / (F.col("sd_gap_s") + F.col("mean_gap_s")),
+                )
                 + F.lit(1e-9),
                 6,
             ).alias("burstiness"),
@@ -2369,8 +2372,9 @@ g AS (
   GROUP BY user_id
 )
 SELECT user_id, n_gaps, mean_gap_s, sd_gap_s,
-       round((sd_gap_s - mean_gap_s) / (sd_gap_s + mean_gap_s) + 1e-9, 6)
-         AS burstiness
+       round(CASE WHEN sd_gap_s + mean_gap_s > 0
+                  THEN (sd_gap_s - mean_gap_s) / (sd_gap_s + mean_gap_s)
+             END + 1e-9, 6) AS burstiness
 FROM g
 WHERE n_gaps >= 2
 ORDER BY user_id

@@ -2047,6 +2047,14 @@ ORACLES.update({"ann_mips_topk": _mips_sql()})
 _PQ_FIT_MEMO: dict[tuple, tuple] = {}
 
 
+def reset_prefit_memos() -> None:
+    """Clear the process-level PQ-codebook and eigenvector memos — used by
+    the bench to time one FRESH fit explicitly (the memoized graded
+    queries deliberately measure the shared-fit steady state)."""
+    _PQ_FIT_MEMO.clear()
+    _PC_LOADING_MEMO.clear()
+
+
 def _pq_prefit(spark: SparkSession, sf_dir: str) -> tuple:
     key = (sf_dir, _sim.PQ_M, _sim.PQ_K, _sim.PQ_ITERS)
     if key not in _PQ_FIT_MEMO:
@@ -2527,9 +2535,10 @@ ORACLES.update({"text_zipf_slope": ZIPF_SQL})
 # ------------------------------------------------ winnow-overlap dedup
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-similarity dedup candidates (operators.dedup
-    .winnow_overlap_pairs): doc pairs sharing >= 2 winnowing fingerprints —
-    the shared-substring tier between exact chunk hashing and global
-    MinHash."""
+    .winnow_overlap_pairs): doc pairs sharing >= WINNOW_PAIR_MIN_SHARED
+    winnowing fingerprints (threshold tuned on the corpus candidate
+    distribution) — the shared-substring tier between exact chunk hashing
+    and global MinHash."""
     return dedup.winnow_overlap_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -2680,13 +2689,21 @@ def emb_pc1_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side scalars broadcast as literals."""
     emb = load_table(spark, sf_dir, "embeddings")
     loading = _pc_loading(spark, sf_dir)  # d floats, memoized build
-    vv = sum(x * x for x in loading)  # 6-dp loadings are not exactly unit
+    # round the summed intermediates (xx 6 dp, vv 8 dp) so both engines
+    # feed the residual formula bit-identical doubles — the
+    # emb_covariance round-intermediates rule (sum-order noise must never
+    # reach the final 6-dp boundary)
+    vv = round(1e-9 + sum(x * x for x in loading), 8)
     dot = _sim.vector_dot(F.col("embedding"), loading)
     s_col = F.round(dot + F.lit(1e-9), 6)
-    xx = F.aggregate(
-        F.col("embedding"),
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    xx = F.round(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+        + F.lit(1e-9),
+        6,
     )
     resid2 = xx - s_col * s_col * (F.lit(2.0) - F.lit(float(vv)))
     return (
@@ -2711,7 +2728,7 @@ pc AS (
   SELECT w{PI_ITERS}.i, round(1e-9 + w{PI_ITERS}.w / n{PI_ITERS}.nrm, 6) AS x
   FROM w{PI_ITERS}, n{PI_ITERS}
 ),
-vv AS (SELECT sum(x * x) AS vv FROM pc),
+vv AS (SELECT round(1e-9 + sum(x * x), 8) AS vv FROM pc),
 dims AS (
   SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS i,
          unnest(embedding)::DOUBLE AS v
@@ -2720,7 +2737,7 @@ dims AS (
 sc AS (
   SELECT d.vec_id, d.label,
          round(1e-9 + sum(d.v * pc.x), 6) AS s,
-         sum(d.v * d.v) AS xx
+         round(1e-9 + sum(d.v * d.v), 6) AS xx
   FROM dims d JOIN pc ON pc.i = d.i
   GROUP BY d.vec_id, d.label
 )

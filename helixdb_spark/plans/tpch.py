@@ -1790,8 +1790,9 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time column profile of the orders table (operators.validate
     .profile_columns): per-column null count, exact distinct count, and
     native-typed min/max rendered as strings — the batch-observability
-    report a catalog materializes next to every promoted partition. One
-    scan; the distinct counts share a single Expand."""
+    report a catalog materializes next to every promoted partition. Two
+    hash-aggregate scans (stats + unpivoted distinct stream — deliberately
+    NOT Spark's multi-distinct Expand rewrite; see profile_columns)."""
     from helixdb_spark.operators.validate import profile_columns
 
     return profile_columns(
