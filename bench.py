@@ -112,6 +112,7 @@ HEADLINE = [
     "emb_pc1_removed",
     "ann_pq_recall_audit",
     "decontaminate_semantic",
+    "sketch_hll_sliding",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -158,6 +158,71 @@ def hll_estimate(registers: DataFrame, key_name: str) -> DataFrame:
     )
 
 
+def hll_sliding_estimate_by_day(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-``window_days`` distinct-count per day from DAILY HLL
+    sketches — the sliding-window cardinality a dashboard shows as
+    "7-day active users", computed WITHOUT re-reading raw data per window
+    position (the naive form rescans ``window_days`` of raw events for
+    every day).
+
+    Shape: one map-side-combined fold to (day, register, rho_day) — at
+    most m rows per day regardless of volume — then a register-partitioned
+    window max over a dense (day x m) grid performs every day's
+    register-wise union in ONE pass (max is associative, so the sliding
+    merge is exactly ``hll_merge`` applied per frame). The estimate
+    arithmetic is hll_estimate_by's, scaled-integer exact. Total post-fold
+    state: days*m rows, independent of corpus size.
+    """
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    h = _md5_hex(F.col(key_col))
+    register = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    w_ = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
+    rho = F.when(
+        w_ > 0, F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(w_))
+    ).otherwise(F.lit(HLL_RHO_BITS + 1))
+    daily = (
+        df.select(
+            F.to_date(F.col(ts_col)).alias("day"),
+            register.alias("register"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "register")
+        .agg(F.max("rho").alias("rho_day"))
+    )
+    days = daily.select("day").distinct()
+    # dense (day x m) grid so a register seen only EARLIER in the frame
+    # still contributes to the current day's merged sketch (a 256-row
+    # broadcast — the nested-loop is the design, not an accident)
+    grid = days.crossJoin(
+        F.broadcast(spark.range(HLL_M).select(F.col("id").alias("register")))
+    )
+    win = (
+        W.partitionBy("register")
+        .orderBy("day_num")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    merged = (
+        grid.join(daily, ["day", "register"], "left")
+        .withColumn("day_num", F.unix_date("day"))
+        .withColumn("max_rho", F.max("rho_day").over(win))
+        .where(F.col("max_rho").isNotNull())
+    )
+    return hll_estimate_by(
+        merged.select(
+            F.col("day").cast("string").alias("key_name"),
+            "register",
+            "max_rho",
+        )
+    )
+
+
 def hll_distinct(df: DataFrame, key_col: str, key_name: str | None = None) -> DataFrame:
     """HLL cardinality summary row for ``df[key_col]`` plus the exact count
     (the exact side makes the sketch's error visible and the query a

@@ -301,3 +301,103 @@ ORDER BY est.key_name
 
 QUERIES.update({"sketch_hll_merge": sketch_hll_merge})
 ORACLES.update({"sketch_hll_merge": SKETCH_HLL_MERGE_SQL})
+
+
+# --------------------------------------------------- sliding HLL window
+HLL_SLIDING_DAYS = 7
+
+
+def sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from daily HLL sketches
+    (operators.sketches.hll_sliding_estimate_by_day): the register-wise
+    window max merges every day's frame in one pass over days*m state —
+    the "7-day actives" rollup that never rescans raw events per window
+    position. The exact trailing distinct rides along as the accuracy
+    audit."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    est = sketches.hll_sliding_estimate_by_day(
+        ev, "ts", "user_id", window_days=HLL_SLIDING_DAYS
+    )
+    days = est.select(F.to_date("key_name").alias("day"))
+    edays = ev.select(F.to_date("ts").alias("eday"), "user_id")
+    exact = (
+        days.join(
+            edays,
+            (F.col("eday") >= F.date_sub(F.col("day"), HLL_SLIDING_DAYS - 1))
+            & (F.col("eday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_distinct_7d"))
+        .select(F.col("day").cast("string").alias("key_name"), "exact_distinct_7d")
+    )
+    return est.join(exact, "key_name").orderBy("key_name")
+
+
+SKETCH_HLL_SLIDING_SQL = f"""
+WITH daily AS (
+  SELECT ts::DATE AS day,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT AS register,
+         max(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 3, 12))::BIGINT > 0
+                  THEN {_RB1} - length(bin(
+                       ('0x' || substr(md5(user_id::VARCHAR), 3, 12))::BIGINT))
+                  ELSE {_RB1} END) AS rho_day
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM daily),
+grid AS (
+  SELECT d.day, r.register
+  FROM days d CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS register) r
+),
+j AS (
+  SELECT g.day, g.register, daily.rho_day,
+         (g.day - DATE '1970-01-01') AS day_num
+  FROM grid g LEFT JOIN daily ON daily.day = g.day AND daily.register = g.register
+),
+merged AS (
+  SELECT day, register,
+         max(rho_day) OVER (PARTITION BY register ORDER BY day_num
+                            RANGE BETWEEN {HLL_SLIDING_DAYS - 1} PRECEDING
+                                      AND CURRENT ROW) AS max_rho
+  FROM j
+),
+regs AS (
+  SELECT day::VARCHAR AS key_name, register, max_rho
+  FROM merged WHERE max_rho IS NOT NULL
+),
+agg AS (
+  SELECT key_name,
+         count(*)::BIGINT AS nonzero,
+         ({HLL_M} - count(*))::BIGINT AS v_zero,
+         (sum((1::BIGINT << ({_RB1} - max_rho)))
+            + ({HLL_M} - count(*)) * (1::BIGINT << {_RB1}))::BIGINT AS sum_scaled
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT key_name, {HLL_M}::BIGINT AS m, nonzero, v_zero, sum_scaled,
+         round(CASE WHEN (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                           * {float(_SCALE)} / sum_scaled <= 2.5 * {HLL_M}.0
+                         AND v_zero > 0
+                    THEN {HLL_M}.0 * ln({HLL_M}.0 / v_zero)
+                    ELSE (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                           * {float(_SCALE)} / sum_scaled
+               END + 1e-9, 4) AS estimate
+  FROM agg
+),
+ex AS (
+  SELECT d.day::VARCHAR AS key_name,
+         count(DISTINCT e.user_id)::BIGINT AS exact_distinct_7d
+  FROM days d
+  JOIN (SELECT ts::DATE AS eday, user_id FROM events) e
+    ON e.eday BETWEEN d.day - {HLL_SLIDING_DAYS - 1} AND d.day
+  GROUP BY 1
+)
+SELECT est.key_name, m, nonzero, v_zero, sum_scaled, estimate,
+       ex.exact_distinct_7d
+FROM est JOIN ex ON est.key_name = ex.key_name
+ORDER BY est.key_name
+"""
+
+QUERIES.update({"sketch_hll_sliding": sketch_hll_sliding})
+ORACLES.update({"sketch_hll_sliding": SKETCH_HLL_SLIDING_SQL})

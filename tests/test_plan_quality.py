@@ -298,6 +298,8 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "ann_truncated_recall",  # two brute-force tiers (truth + truncated)
         "ev_decayed_value",  # 1-row max-ts reference-instant broadcast
         "ann_pq_recall_audit",  # exact-L2 brute truth tier vs the PQ codes
+        "sketch_hll_sliding",  # 256-row register grid broadcast + the
+        # trailing-window exact-audit range join over the tiny day list
     }
     # streaming queries execute on construction; dedup_clusters and
     # emb_kmeans run their iterative jobs on construction — covered by

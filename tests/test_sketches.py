@@ -169,3 +169,26 @@ def test_engine_approx_key_count(spark, tmp_path):
     assert exact == 40
     assert abs(approx - exact) <= 0.3 * exact + 2
     db.close()
+
+
+def test_hll_sliding_full_window_equals_global_sketch(spark):
+    # With window_days >= the whole span, the LAST day's sliding estimate
+    # must equal the single global sketch over all rows (register max is
+    # associative, so the frame union degenerates to the full union).
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from helixdb_spark.operators import sketches as sk
+
+    rows = [
+        (datetime.datetime(2024, 1, 1 + d, 12, 0), f"u{i % 37}")
+        for d in range(3)
+        for i in range(40 * (d + 1))
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user string")
+    sliding = sk.hll_sliding_estimate_by_day(df, "ts", "user", window_days=30)
+    last = sliding.orderBy(F.desc("key_name")).first()
+    glob = sk.hll_estimate(sk.hll_registers(df, "user"), "g").first()
+    assert last["sum_scaled"] == glob["sum_scaled"]
+    assert last["estimate"] == glob["estimate"]
