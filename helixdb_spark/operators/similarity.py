@@ -517,11 +517,16 @@ def embedding_covariance(
     broadcast. Nothing touches the driver.
 
     Elements are cast to double BEFORE any arithmetic so both engines
-    accumulate in the same precision. Summed intermediates round at fixed
-    precision (sxy 4 dp, mu 8 dp) so either engine's partial-sum ORDER
-    noise (~1e-10 abs) can never straddle the final 6-dp boundary — which
-    also makes the summation STRATEGY swappable (proven identical in
-    tests/test_round5_ops.py):
+    see the same per-row values. The accumulation itself is EXACT: each
+    per-row product is quantized to a scaled int64 (round(1e-9 + p*1e6)
+    → long; elements for the mean at 1e8) and summed as integers — sums
+    of integers are order-independent, so partition/shuffle order can
+    NEVER move the result (the HLL/sketch discipline; rounding a float
+    sum cannot guarantee this because an exact value can sit on a
+    rounding boundary). Both engines quantize the identical per-row
+    double, so every intermediate is bit-identical by construction —
+    which also makes the summation STRATEGY swappable (proven identical
+    in tests/test_round5_ops.py):
 
     - ``accumulate="expr"`` (default): codegen'd index-aware transform
       emits each vector's d(d+1)/2 upper-triangle products JVM-side, one
@@ -545,7 +550,15 @@ def embedding_covariance(
             lambda xi, i: F.transform(
                 F.slice(F.col("v"), i + F.lit(1), F.size("v")),
                 lambda xj, k: F.struct(
-                    i.alias("i"), (i + k).alias("j"), (xi * xj).alias("p")
+                    i.alias("i"),
+                    (i + k).alias("j"),
+                    # per-row quantization: round(1e-9 + p*1e6) as int64.
+                    # The product of two identical doubles is identical in
+                    # both engines, so the quantized integer is too; the
+                    # integer SUM below is then order-independent exact.
+                    F.round(F.lit(1e-9) + xi * xj * F.lit(1e6), 0)
+                    .cast("long")
+                    .alias("p"),
                 ),
             ),
         )
@@ -553,17 +566,23 @@ def embedding_covariance(
     sums = (
         staged.select(F.explode(tri).alias("t"))
         .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
-        .agg(
-            # fixed-precision round of the summed intermediate: both
-            # engines feed the covariance formula bit-identical doubles
-            # (cf. the pagerank / kmeans round-intermediates discipline)
-            F.round(F.lit(1e-9) + F.sum("t.p"), 4).alias("sxy")
-        )
+        # exact int64 sum, descaled once at the end — bit-identical in
+        # both engines regardless of partial-sum order
+        .agg((F.sum("t.p") / F.lit(1e6)).alias("sxy"))
     )
     mu = (
         staged.select(F.posexplode("v").alias("pos", "x"))
         .groupBy("pos")
-        .agg(F.round(F.lit(1e-9) + F.avg("x"), 8).alias("mu"))
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.lit(1e-9) + F.col("x") * F.lit(1e8), 0
+                    ).cast("long")
+                )
+                / (F.count("*") * F.lit(1e8))
+            ).alias("mu")
+        )
     )
     n = staged.agg(F.count("*").alias("n"))
     return _covariance_finisher(sums, mu, n)
@@ -590,11 +609,19 @@ def _covariance_finisher(sums, mu, n, *caches) -> DataFrame:
         .select(
             "i",
             "j",
-            F.round(
-                F.lit(1e-9)
-                + (F.col("sxy") - F.col("n") * F.col("mu_i") * F.col("mu_j"))
-                / (F.col("n") - 1),
-                6,
+            # trailing + 0.0 normalizes IEEE negative zero (-0.0 + 0.0 is
+            # +0.0) so both engines print "0.0" for a zero covariance
+            (
+                F.round(
+                    F.lit(1e-9)
+                    + (
+                        F.col("sxy")
+                        - F.col("n") * F.col("mu_i") * F.col("mu_j")
+                    )
+                    / (F.col("n") - 1),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("cov"),
         )
         .orderBy("i", "j")
@@ -618,59 +645,77 @@ def _embedding_covariance_arrow(
         import pandas as pd
 
         d_local = None
-        G = None  # d x d Gram partial
-        sx = None  # d-vector sum partial
+        iu = ju = None
+        Gq = None  # upper-triangle quantized-product int64 sums
+        sxq = None  # per-dimension quantized-element int64 sums
         cnt = 0
+        CHUNK = 1024  # bound the n_chunk x d(d+1)/2 product buffer
         for pdf in batches:
             if not len(pdf):
                 continue
-            # one BLAS matmul per Arrow batch: X^T X replaces len(batch)
-            # Python-level outer products
             X = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            if G is None:
+            if Gq is None:
                 d_local = X.shape[1]
-                G = np.zeros((d_local, d_local))
-                sx = np.zeros(d_local)
-            G += X.T @ X
-            sx += X.sum(axis=0)
+                iu, ju = np.triu_indices(d_local)
+                Gq = np.zeros(len(iu), dtype=np.int64)
+                sxq = np.zeros(d_local, dtype=np.int64)
+            # per-row quantization BEFORE summation (matches the expr
+            # strategy exactly): round(1e-9 + p*1e6) -> int64, then the
+            # integer sum is order-independent. floor(v + 0.5) on the
+            # nudged value equals both engines' round() off ties, and
+            # the 1e-9 nudge keeps values off .5 ties.
+            for s in range(0, X.shape[0], CHUNK):
+                C = X[s : s + CHUNK]
+                P = C[:, iu] * C[:, ju]
+                Gq += (
+                    np.floor(P * 1e6 + 1e-9 + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+                sxq += (
+                    np.floor(C * 1e8 + 1e-9 + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
             cnt += len(pdf)
         if cnt == 0:
             return
-        iu, ju = np.triu_indices(d_local)
         yield pd.DataFrame(
             {
                 "i": np.concatenate([iu, np.arange(d_local), [-1]]),
                 "j": np.concatenate([ju, np.full(d_local, -1), [-1]]),
-                "p": np.concatenate([G[iu, ju], sx, [float(cnt)]]),
+                "p": np.concatenate([Gq, sxq, [np.int64(cnt)]]),
             }
         )
 
-    # partial rows: Gram cells (i, j, p), dimension sums (i, -1, p), row
-    # count (-1, -1, p); persisted so the three branches share the pass
+    # partial rows: quantized Gram cells (i, j, p), quantized dimension
+    # sums (i, -1, p), row count (-1, -1, p) — all exact int64, so the
+    # cross-partition merge is order-independent; persisted so the three
+    # branches share the pass
     parts = (
         spread(embeddings)
         .select(vec_col)
-        .mapInPandas(_partials, "i long, j long, p double")
+        .mapInPandas(_partials, "i long, j long, p long")
         .persist()
     )
     sums = (
         parts.where(F.col("j") >= 0)
         .groupBy("i", "j")
-        .agg(F.round(F.lit(1e-9) + F.sum("p"), 4).alias("sxy"))
+        .agg((F.sum("p") / F.lit(1e6)).alias("sxy"))
     )
     n = parts.where((F.col("i") == -1) & (F.col("j") == -1)).agg(
-        F.sum("p").cast("long").alias("n")
+        F.sum("p").alias("n")
     )
     mu = (
         parts.where((F.col("i") >= 0) & (F.col("j") == -1))
         .groupBy("i")
-        .agg(F.sum("p").alias("sx"))
+        .agg(F.sum("p").alias("sxq"))
         .crossJoin(F.broadcast(n))
         .select(
             F.col("i").alias("pos"),
-            F.round(F.lit(1e-9) + F.col("sx") / F.col("n"), 8).alias("mu"),
+            (F.col("sxq") / (F.col("n") * F.lit(1e8))).alias("mu"),
         )
     )
     return _covariance_finisher(sums, mu, n, parts)

@@ -1382,15 +1382,24 @@ WITH d AS (
          unnest(embedding)::DOUBLE AS v
   FROM embeddings
 ),
-mu AS (SELECT i, round(1e-9 + avg(v), 8) AS mu FROM d GROUP BY 1),
+mu AS (
+  -- per-element quantization to scaled int64 BEFORE the sum (mirrors the
+  -- Spark side exactly): integer sums are order-independent, so both
+  -- engines produce bit-identical intermediates by construction
+  SELECT i, sum(CAST(round(1e-9 + v * 1e8, 0) AS BIGINT))::DOUBLE
+            / (count(*) * 1e8) AS mu
+  FROM d GROUP BY 1
+),
 n AS (SELECT count(*) AS n FROM embeddings),
 p AS (
-  SELECT a.i AS i, b.i AS j, round(1e-9 + sum(a.v * b.v), 4) AS sxy
+  SELECT a.i AS i, b.i AS j,
+         sum(CAST(round(1e-9 + a.v * b.v * 1e6, 0) AS BIGINT))::DOUBLE
+           / 1e6 AS sxy
   FROM d a JOIN d b ON a.vec_id = b.vec_id AND a.i <= b.i
   GROUP BY 1, 2
 )
 SELECT p.i, p.j,
-       round(1e-9 + (sxy - n.n * mi.mu * mj.mu) / (n.n - 1), 6) AS cov
+       round(1e-9 + (sxy - n.n * mi.mu * mj.mu) / (n.n - 1), 6) + 0.0 AS cov
 FROM p
 JOIN mu mi ON mi.i = p.i
 JOIN mu mj ON mj.i = p.j
