@@ -13,7 +13,8 @@ shuffle + sort replaces its k-way shard merge (src/iterator.rs).
 """
 
 from helixdb_spark.engine import HelixSpark, HelixOptions
+from helixdb_spark.index_store import AnnIndexStore
 from helixdb_spark.session import get_session
 
-__all__ = ["HelixSpark", "HelixOptions", "get_session"]
+__all__ = ["HelixSpark", "HelixOptions", "AnnIndexStore", "get_session"]
 __version__ = "0.1.0"

@@ -142,10 +142,30 @@ def lsh_topk(
     bucket are scored. Recall < 1 by design; deterministic, so the oracle
     reproduces the same approximation."""
     c = spread(corpus).withColumn("_bucket", lsh_bucket(F.col(vec_col), num_planes, dim))
+    return bucketed_topk(
+        c, queries, k, id_col, vec_col, query_id_col, num_planes, dim
+    )
+
+
+def bucketed_topk(
+    bucketed_corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_planes: int = NUM_PLANES,
+    dim: int = DIM,
+) -> DataFrame:
+    """Top-k probe over an ALREADY-BUCKETED corpus (column ``_bucket``) —
+    the shared core of ``lsh_topk`` (bucket computed inline) and
+    ``AnnIndexStore.lsh_topk`` (bucket read back from a corpus persisted
+    ``partitionBy(_bucket)``, where the probe's bucket filter becomes
+    partition PRUNING at the scan)."""
     q = queries.select(query_id_col, F.col(vec_col).alias("_qvec")).withColumn(
         "_bucket", lsh_bucket(F.col("_qvec"), num_planes, dim)
     )
-    scored = c.join(F.broadcast(q), "_bucket").withColumn(
+    scored = bucketed_corpus.join(F.broadcast(q), "_bucket").withColumn(
         "cosine", F.round(F.lit(1e-9) + cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6)
     )
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
@@ -1118,7 +1138,6 @@ def pq_adc_topk(
     the one-time training/encode pass. Distances and LUT entries round to
     6 dp with the repo's nudge so the oracle reproduces ranks exactly.
     """
-    spark = corpus.sparkSession
     codebooks, sub_d = prefit or pq_fit_codebooks(
         corpus, m, k, n_iter, id_col, vec_col
     )
@@ -1132,6 +1151,29 @@ def pq_adc_topk(
             for j in range(m)
         ],
     )
+    return pq_adc_from_codes(
+        codes, queries, codebooks, sub_d, k_nn=k_nn, m=m,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+def pq_adc_from_codes(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    sub_d: int,
+    k_nn: int = 5,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC scoring over an ALREADY-ENCODED code table — the shared core of
+    ``pq_adc_topk`` (in-session encode) and ``AnnIndexStore.pq_adc_topk``
+    (persisted codes read back from the engine layout). Keeping one scoring
+    path is what makes the persisted index provably bit-identical to the
+    in-session fit."""
+    spark = codes.sparkSession
     qrows = queries.select(
         query_id_col, F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv")
     ).collect()

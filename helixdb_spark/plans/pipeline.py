@@ -2912,3 +2912,70 @@ ORDER BY doc_vec_id
 
 QUERIES.update({"decontaminate_semantic": decontaminate_semantic})
 ORACLES.update({"decontaminate_semantic": _sem_decon_sql()})
+
+
+# ================================================== round-6 additions
+# Persisted ANN indexes: the reference persists its index structures next
+# to the data and reopens them instead of rebuilding (SSTable build + load,
+# src/file/sstable.rs:94-143). These two graded queries build the index
+# ONCE per corpus (write-new-then-flip commit under the engine layout,
+# helixdb_spark.index_store), then answer from a REOPENED store — proving
+# the persisted artifacts are complete and bit-identical to an in-session
+# fit. At 100 TB this converts the dominant fit/encode cost from per-session
+# to per-corpus-version.
+
+_ANN_STORE_MEMO: dict[str, str] = {}
+
+
+def _ann_store(spark: SparkSession, sf_dir: str):
+    """Open (building if absent or stale) the persisted ANN store for
+    ``sf_dir``. The build writes BOTH index kinds; the memo only skips the
+    staleness re-validation inside one process."""
+    import hashlib as _h
+
+    from helixdb_spark.index_store import AnnIndexStore
+
+    base = f"/tmp/helix_ann_store/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
+    store = AnnIndexStore(spark, base)
+    if _ANN_STORE_MEMO.get(sf_dir) == base:
+        return store
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not (store.validate("pq", emb) and store.validate("lsh", emb)):
+        store.write_pq(emb, prefit=_pq_prefit(spark, sf_dir))
+        store.write_lsh(emb)
+    _ANN_STORE_MEMO[sf_dir] = base
+    return store
+
+
+def ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k answered from the PERSISTED code table: codebooks
+    reopened from the JSON descriptor, codes scanned as m small-int columns
+    (raw vectors never read at query time). Must match ann_pq_adc_topk
+    bit-for-bit — same oracle."""
+    return _ann_store(spark, sf_dir).pq_adc_topk(
+        _query_vecs(spark, sf_dir), k_nn=ANN_K
+    )
+
+
+def ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k probed against the corpus persisted
+    ``partitionBy(_bucket)``: the probe's bucket filter prunes 2^P - |Q|
+    partitions at the scan. Must match ann_lsh_topk bit-for-bit — same
+    oracle."""
+    return _ann_store(spark, sf_dir).lsh_topk(
+        _query_vecs(spark, sf_dir), k=ANN_K
+    )
+
+
+QUERIES.update(
+    {
+        "ann_pq_persisted": ann_pq_persisted,
+        "ann_lsh_persisted": ann_lsh_persisted,
+    }
+)
+ORACLES.update(
+    {
+        "ann_pq_persisted": _pq_adc_sql(),
+        "ann_lsh_persisted": _lsh_sql(),
+    }
+)

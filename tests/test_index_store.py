@@ -1,0 +1,121 @@
+"""Persisted ANN index store: commit protocol, staleness guard, and the
+bit-identity contract (a reopened index answers exactly what the in-session
+fit answers). Mirrors the reference's persist-then-reload index lifecycle
+(SSTable build + load, src/file/sstable.rs:94-143) under the Spark layout."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from helixdb_spark.index_store import AnnIndexStore
+from helixdb_spark.operators import similarity as sim
+from helixdb_spark.sources import load_table
+
+
+@pytest.fixture()
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture()
+def queries(emb):
+    return emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_pq_persisted_bit_identical(spark, emb, queries, tmp_path):
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.write_pq(emb)
+    # a FRESH store object: everything must come off disk
+    reopened = AnnIndexStore(spark, str(tmp_path / "idx"))
+    got = sorted(map(tuple, reopened.pq_adc_topk(queries, k_nn=4).collect()))
+    want = sorted(map(tuple, sim.pq_adc_topk(emb, queries, k_nn=4).collect()))
+    assert got == want
+
+
+def test_lsh_persisted_bit_identical(spark, emb, queries, tmp_path):
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.write_lsh(emb)
+    reopened = AnnIndexStore(spark, str(tmp_path / "idx"))
+    got = sorted(map(tuple, reopened.lsh_topk(queries, k=4).collect()))
+    want = sorted(map(tuple, sim.lsh_topk(emb, queries, k=4).collect()))
+    assert got == want
+
+
+def test_lsh_probe_prunes_partitions(spark, emb, tmp_path):
+    """The persisted LSH table is partitioned by _bucket, so a bucket
+    probe must resolve as PartitionFilters at the scan — the 2^P-fold
+    read reduction the persisted layout exists for."""
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.write_lsh(emb)
+    _, bucketed = store.read_lsh()
+    plan = (
+        bucketed.where(F.col("_bucket") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "_bucket" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+
+
+def test_write_flips_generation_and_trashes_old(spark, emb, tmp_path):
+    base = tmp_path / "idx"
+    store = AnnIndexStore(spark, str(base))
+    d1 = store.write_pq(emb)
+    d2 = store.write_pq(emb)
+    assert d2["gen"] > d1["gen"]
+    assert not (base / "pq" / f"gen={d1['gen']}").exists()
+    assert (base / "trash" / "pq" / f"gen={d1['gen']}").exists()
+    # the live generation still answers
+    assert store.read_pq()[2].count() == d2["n_rows"]
+    store.vacuum()
+    assert not (base / "trash").exists()
+
+
+def test_validate_rejects_stale_index(spark, emb, tmp_path):
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.write_pq(emb)
+    assert store.validate("pq", emb)
+    assert not store.validate("pq", emb.where(F.col("vec_id") % 2 == 0))
+    assert not store.validate("nope", emb)
+
+
+def test_missing_index_raises(spark, tmp_path):
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    with pytest.raises(KeyError):
+        store.read_pq("absent")
+
+
+def test_kind_mismatch_raises(spark, emb, tmp_path):
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.write_lsh(emb, name="x")
+    with pytest.raises(TypeError):
+        store.read_pq("x")
+
+
+def test_crash_before_flip_leaves_previous_live(spark, emb, tmp_path):
+    """Write-new-then-flip: artifacts written but state NOT flipped (crash
+    between write and commit) must leave the previous generation live."""
+    base = str(tmp_path / "idx")
+    store = AnnIndexStore(spark, base)
+    d1 = store.write_pq(emb)
+    crashed = AnnIndexStore(spark, base)
+    real_save = crashed._save_state
+
+    def boom():
+        raise RuntimeError("injected crash before pointer flip")
+
+    crashed._save_state = boom
+    with pytest.raises(RuntimeError):
+        crashed.write_pq(emb)
+    # a fresh reader still sees generation 1's descriptor and data
+    reader = AnnIndexStore(spark, base)
+    assert reader._descriptor("pq", "pq")["gen"] == d1["gen"]
+    assert reader.read_pq()[2].count() == d1["n_rows"]
+    del real_save
