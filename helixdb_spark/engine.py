@@ -142,7 +142,10 @@ class HelixSpark:
 
     # ----------------------------------------------------------------- state
     def _load_state(self) -> dict:
-        text = self._fs.read_text(self.layout.meta_path)
+        text, self._state_version = self._fs.read_text_versioned(
+            self.layout.meta_path
+        )
+        self._last_saved_text = text
         if text is not None:
             return json.loads(text)
         return {
@@ -163,10 +166,21 @@ class HelixSpark:
         }
 
     def _save_state(self) -> None:
-        """Atomically replace the JSON state — the engine's ONE commit point
-        (see fsio.write_text_atomic for the per-filesystem guarantees)."""
+        """Atomically publish the JSON state — the engine's ONE commit
+        point. Compare-and-swap against the version this instance last
+        read/wrote (fsio.write_text_cas): if another writer committed in
+        between, this raises ConcurrentWriterError instead of silently
+        clobbering their manifest/watermark flips — reopen and retry. The
+        reference never faces this (single-process by construction,
+        src/db.rs:27-30); two Spark jobs sharing one table do."""
         self._state["reviewer"] = self.reviewer.to_state()
-        self._fs.write_text_atomic(self.layout.meta_path, json.dumps(self._state))
+        text = json.dumps(self._state)
+        if text == self._last_saved_text:
+            return  # clean instance (e.g. read-only close): nothing to publish
+        self._state_version = self._fs.write_text_cas(
+            self.layout.meta_path, text, self._state_version
+        )
+        self._last_saved_text = text
 
     def _check_open(self) -> None:
         if self._closed:
@@ -185,7 +199,14 @@ class HelixSpark:
             entries = self.spark.createDataFrame(
                 [(int(t), bytes(k), bytes(v)) for t, k, v in entries], ENTRY_SCHEMA
             )
+        # CAS-RESERVE the sequence number BEFORE any data lands: a writer
+        # holding stale state loses here (ConcurrentWriterError) with zero
+        # rows written, so a losing put can never leave orphan hot-path
+        # rows carrying a seq the winner also used (LWW would then be
+        # ambiguous). A crash after this reservation merely burns a seq.
         seq = self._state["seq"]
+        self._state["seq"] = seq + 1
+        self._save_state()
         df = (
             entries.select("ts", "key", "value")
             .withColumn("seq", F.lit(seq).cast("long"))
@@ -215,7 +236,6 @@ class HelixSpark:
             .partitionBy("time_bucket")
             .parquet(self.layout.hot_path)
         )
-        self._state["seq"] = seq + 1
         self._invalidate_cache()
 
         max_ts = obs.get["max_ts"]

@@ -22,6 +22,16 @@ gone). Superseded versions are GC'd best-effort after publication, always
 keeping one predecessor. Recovery: if no pointer version survives but a
 complete ``*.tmp-*`` from a crashed legacy-protocol writer does, the
 newest parseable tmp is adopted.
+
+Writer concurrency (round-5 verdict #3): the reference is single-process by
+construction (src/db.rs:27-30) so last-writer-wins was never a hazard there;
+a Spark-native engine WILL see two jobs open one table. ``write_text_cas``
+gives the pointer publish compare-and-swap semantics: a commit targets
+exactly ``v{expected+1}`` and succeeds only if it CREATES that name (O_EXCL
+via ``os.link`` locally, rename-fails-if-destination-exists on Hadoop
+stores). A writer holding stale state therefore cannot clobber a newer
+commit — it raises ``ConcurrentWriterError`` and must reload before
+retrying.
 """
 
 from __future__ import annotations
@@ -30,6 +40,13 @@ import json
 import os
 import shutil
 import uuid
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another writer committed a newer state pointer than the one this
+    writer's in-memory state derives from. Reload the state (reopen the
+    engine / store) and retry the operation — retrying the raw write would
+    publish decisions made against a superseded manifest."""
 
 
 class EngineFS:
@@ -157,14 +174,86 @@ class EngineFS:
         """Read the state pointer: highest parseable version, then the
         legacy unversioned file, then (recovery) the newest complete tmp a
         crashed legacy writer left behind."""
+        return self.read_text_versioned(p)[0]
+
+    def read_text_versioned(self, p: str) -> tuple[str | None, int]:
+        """(text, version) of the state pointer — the version feeds
+        ``write_text_cas`` as the compare-and-swap expectation. Legacy
+        unversioned / tmp-adopted / missing states read as version -1, so
+        their first CAS commit targets ``v0`` (which then outranks the
+        legacy file for every reader)."""
         for v in reversed(self._pointer_versions(p)):
             text = self._read_raw(f"{p}.v{v}")
             if self._parses(text):
-                return text
+                return text, v
         text = self._read_raw(p)
         if text is not None:
-            return text
-        return self._adopt_tmp(p)
+            return text, -1
+        return self._adopt_tmp(p), -1
+
+    def write_text_cas(self, p: str, text: str, expected: int) -> int:
+        """Publish ``v{expected+1}`` if and only if no newer version exists
+        — the engine's writer mutual exclusion. Returns the published
+        version; raises ConcurrentWriterError when another writer got
+        there first (the loser's tmp is cleaned up, the winner's commit is
+        untouched). Crash-safety is unchanged from write_text_atomic: the
+        commit point is a single create/rename of a complete file onto a
+        fresh name."""
+        target = int(expected) + 1
+        newest = (self._pointer_versions(p) or [-1])[-1]
+        if newest > expected:
+            raise ConcurrentWriterError(
+                f"{p}: expected v{expected} newest but found v{newest}"
+            )
+        if not self.remote:
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                f.write(text)
+            try:
+                # os.link is atomic create-if-absent with full content:
+                # exactly one of two racing writers can create v{target}
+                os.link(tmp, f"{p}.v{target}")
+            except FileExistsError:
+                raise ConcurrentWriterError(
+                    f"{p}: v{target} was published by another writer"
+                )
+            finally:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+        else:
+            parent = p.rsplit("/", 1)[0]
+            self._fs.mkdirs(self._path(parent))
+            tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+            out = self._fs.create(self._path(tmp), True)
+            try:
+                out.write(bytearray(text.encode("utf-8")))
+            finally:
+                out.close()
+            if not self._publish_pointer(tmp, f"{p}.v{target}"):
+                self._fs.delete(self._path(tmp), False)
+                raise ConcurrentWriterError(
+                    f"{p}: v{target} was published by another writer"
+                )
+        self._gc_pointer_versions(p, keep_from=target - 1)
+        return target
+
+    def _gc_pointer_versions(self, p: str, keep_from: int) -> None:
+        """Best-effort post-publication GC: versions older than
+        ``keep_from`` (one predecessor stays), the legacy unversioned
+        pointer, and tmp debris. A crash anywhere in here is harmless —
+        readers take the highest parseable version."""
+        parent, base = p.rsplit("/", 1)
+        for v in self._pointer_versions(p):
+            if v < keep_from:
+                self.delete(f"{p}.v{v}")
+        if self.exists(p):
+            self.delete(p)
+        for name in self.listdir(parent):
+            if name.startswith(f"{base}.tmp-"):
+                self.delete(f"{parent}/{name}")
 
     def _adopt_tmp(self, p: str) -> str | None:
         """Recovery branch (round-3 verdict): a legacy delete-then-rename

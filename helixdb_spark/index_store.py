@@ -73,13 +73,19 @@ class AnnIndexStore:
         return f"{self.base}/_meta/index_state.json"
 
     def _load_state(self) -> dict:
-        text = self._fs.read_text(self._meta_path)
+        text, self._state_version = self._fs.read_text_versioned(
+            self._meta_path
+        )
         if text is not None:
             return json.loads(text)
         return {"gen_seq": 0, "indexes": {}}
 
     def _save_state(self) -> None:
-        self._fs.write_text_atomic(self._meta_path, json.dumps(self._state))
+        # CAS publish (fsio.write_text_cas): a concurrent index writer
+        # loses with ConcurrentWriterError instead of clobbering the flip
+        self._state_version = self._fs.write_text_cas(
+            self._meta_path, json.dumps(self._state), self._state_version
+        )
 
     def _gen_path(self, name: str, gen: int) -> str:
         return f"{self.base}/{name}/gen={int(gen)}"
