@@ -2979,3 +2979,65 @@ ORACLES.update(
         "ann_lsh_persisted": _lsh_sql(),
     }
 )
+
+
+# --------------------------------------- wide-dim projection (round 6)
+WIDE_TILE = 8  # 64-dim embeddings tiled to 512 > BROADCAST_DIM_THRESHOLD
+
+
+def _wide_coefs() -> list[float]:
+    """Deterministic 512-dim coefficient vector: md5-derived sign (the
+    lsh plane discipline, similarity.plane_sign) scaled by a small cycle
+    — both engines rebuild it exactly from the same formula."""
+    return [
+        _sim.plane_sign(0, j) * (1 + (j % 7)) / 8.0
+        for j in range(_sim.DIM * WIDE_TILE)
+    ]
+
+
+def emb_wide_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection of a 512-dim vector (the embedding tiled 8x) onto a
+    deterministic constant vector. 512 > similarity.BROADCAST_DIM_THRESHOLD
+    = 256, so this graded row exercises vector_dot's ARROW pandas-UDF
+    branch (one BLAS matvec per batch) — the 100 TB wide-embedding path,
+    which until round 6 was only equality-tested, never oracle-graded
+    (round-5 verdict #4). The oracle folds the tiling algebraically:
+    dot(tile(x, 8), c) = sum_i x_i * sum_t c[t*64+i]; 6-dp rounding with
+    the nudge absorbs the engines' summation-order ulp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    wide = F.flatten(F.array_repeat(F.col("embedding"), WIDE_TILE))
+    dot = _sim.vector_dot(wide, _wide_coefs())
+    return (
+        _sim.spread(emb)
+        .select(
+            "vec_id",
+            F.round(dot + F.lit(1e-9), 6).alias("wide_score"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _wide_projection_sql() -> str:
+    d, t = _sim.DIM, WIDE_TILE
+    return f"""
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+coef AS (
+  SELECT j % {d} AS i, sum(
+    (CASE WHEN ('0x' || substr(md5('0:' || j), 1, 15))::BIGINT & 1 = 1
+          THEN 1.0 ELSE -1.0 END) * (1 + (j % 7)) / 8.0) AS c
+  FROM (SELECT unnest(range(0, {d * t}))::BIGINT AS j)
+  GROUP BY 1
+)
+SELECT d.vec_id, round(1e-9 + sum(d.v * coef.c), 6) AS wide_score
+FROM dims d JOIN coef USING (i)
+GROUP BY d.vec_id
+ORDER BY d.vec_id
+"""
+
+
+QUERIES.update({"emb_wide_projection": emb_wide_projection})
+ORACLES.update({"emb_wide_projection": _wide_projection_sql()})

@@ -2154,3 +2154,106 @@ LIMIT {BASKET_TOP_K}
 
 QUERIES.update({"basket_part_lift": basket_part_lift})
 ORACLES.update({"basket_part_lift": BASKET_LIFT_SQL})
+
+
+# -------------------------------------- entity-grain PageRank (round 6)
+CUST_NODE_OFFSET = 1_000_000  # keep customer node ids disjoint from suppliers
+
+
+def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the supplier→customer SHIPMENT graph at
+    entity grain: ~1.6k nodes at sf0.01 — above graph.py's
+    SMALL_GRAPH_DRIVER_NODES=1024 — so this graded row exercises the
+    DISTRIBUTED iteration branch (per-round join + aggregate + lineage
+    truncation), which until round 6 was only equality-tested against the
+    driver fast path, never oracle-graded (round-5 verdict #4). Customers
+    have no out-edges, so the uniform dangling-mass redistribution runs
+    every round — also previously ungraded (the nation graph has no
+    dangling nodes). Oracle: the identical rounds unrolled as CTEs."""
+    from helixdb_spark.operators.graph import pagerank
+    from helixdb_spark.operators.util import carry_caches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.col("o_custkey").cast("long") + F.lit(CUST_NODE_OFFSET)).alias(
+                "dst"
+            ),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "w"
+            )
+        )
+    )
+    ranks = pagerank(
+        edges, "src", "dst", "w",
+        damping=PR_DAMPING, iterations=PR_ITERS, round_dp=PR_ROUND_DP,
+    )
+    return carry_caches(
+        ranks.select(
+            F.col("node").cast("long").alias("node"),
+            F.round(F.col("rank") + F.lit(1e-9), 6).alias("rank"),
+        ).orderBy("node"),
+        ranks,
+    )
+
+
+def _entity_pagerank_sql(
+    damping: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+    round_dp: int = PR_ROUND_DP,
+) -> str:
+    head = f"""
+WITH edges AS MATERIALIZED (
+  SELECT l_suppkey::BIGINT AS src,
+         o_custkey::BIGINT + {CUST_NODE_OFFSET} AS dst,
+         sum(l_extendedprice * (1 - l_discount)) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+  )
+),
+nsz AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+outw AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM edges GROUP BY 1),
+norm AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w / o.out_w AS p FROM edges e JOIN outw o ON e.src = o.src
+),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nsz) AS rank FROM nodes)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        prev = f"r{i-1}"
+        parts.append(f""",
+flow{i} AS MATERIALIZED (
+  SELECT norm.dst AS node, sum(r.rank * norm.p) AS flow
+  FROM norm JOIN {prev} r ON norm.src = r.node GROUP BY 1
+),
+dang{i} AS MATERIALIZED (
+  SELECT coalesce(sum(rank), 0.0) AS dm FROM {prev}
+  WHERE node NOT IN (SELECT src FROM outw)
+),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         round((1.0 - {damping}) / (SELECT n FROM nsz)
+           + {damping} * (coalesce(f.flow, 0.0)
+                          + (SELECT dm FROM dang{i}) / (SELECT n FROM nsz))
+           + 1e-9, {round_dp})
+           AS rank
+  FROM nodes n LEFT JOIN flow{i} f ON n.node = f.node
+)""")
+    parts.append(f"""
+SELECT node, round(rank + 1e-9, 6) AS rank
+FROM r{iters}
+ORDER BY node
+""")
+    return "".join(parts)
+
+
+QUERIES.update({"supplier_customer_pagerank": supplier_customer_pagerank})
+ORACLES.update({"supplier_customer_pagerank": _entity_pagerank_sql()})

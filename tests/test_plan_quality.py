@@ -360,3 +360,51 @@ def test_ev_percentiles_partial_aggregates(spark, sf_dir):
     plan = plan_of(events.ev_percentiles(spark, sf_dir))
     assert "Window" not in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+
+
+def test_wide_projection_takes_arrow_branch(spark, sf_dir):
+    """emb_wide_projection exists to GRADE the >BROADCAST_DIM_THRESHOLD
+    vector_dot branch: its plan must carry the Arrow pandas-UDF eval, not
+    an inlined literal fold."""
+    from helixdb_spark.plans.pipeline import emb_wide_projection
+
+    plan = (
+        emb_wide_projection(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+
+def test_entity_pagerank_exceeds_driver_threshold_at_sf001(spark):
+    """supplier_customer_pagerank exists to GRADE pagerank's distributed
+    branch: at the driver's grading scale (sf0.01) the node count must
+    exceed SMALL_GRAPH_DRIVER_NODES so the iteration runs distributed."""
+    import os
+
+    from helixdb_spark.operators.graph import SMALL_GRAPH_DRIVER_NODES
+    from helixdb_spark.plans.tpch import CUST_NODE_OFFSET
+    from helixdb_spark.sources import load_table
+
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):
+        import pytest
+
+        pytest.skip("sf0.01 testdata not present")
+    li = load_table(spark, sf01, "lineitem")
+    orders = load_table(spark, sf01, "orders")
+    n_nodes = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").cast("long").alias("node")
+        )
+        .unionByName(
+            orders.select(
+                (F.col("o_custkey").cast("long") + F.lit(CUST_NODE_OFFSET)).alias("node")
+            )
+        )
+        .distinct()
+        .count()
+    )
+    assert n_nodes > SMALL_GRAPH_DRIVER_NODES
