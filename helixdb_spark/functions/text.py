@@ -180,3 +180,38 @@ def winnow_fingerprints_arrow(text: Column, k: int = WINNOW_K, w: int = WINNOW_W
 
         _winnow_arrow_udf = pandas_udf(_winnow, "array<long>")
     return _winnow_arrow_udf(text)
+
+
+# Greedy subword tokenization (round 6). A BPE tokenizer at inference time
+# is exactly "longest vocab match at each position"; encoding the ordered
+# vocab as a regex ALTERNATION (longest entries first) makes both engines'
+# leftmost-first regex scan implement that greedy match JVM-side /
+# RE2-side with zero Python — the broadcast-vocab-as-expression design.
+# Vocab entries are common English subword units (public knowledge — the
+# usual suffix/prefix/function-word merges every BPE fit converges on);
+# single [a-z] / [0-9] / punctuation fall through, so every character is
+# always consumed and token counts are total.
+SUBWORD_VOCAB = [
+    "ation", "tion", "ing", "ent", "ter", "the", "and", "ers", "est",
+    "ati", "ion", "for", "ous", "ive", "able", "ment", "ness", "er",
+    "ed", "ly", "es", "re", "in", "on", "at", "en", "an", "or", "ar",
+    "al", "st", "th", "nd", "ou", "le", "is", "it", "to", "of", "se",
+    "ce", "ur", "ro", "ra", "ri", "li", "ne", "ma", "de", "co",
+]
+
+
+def subword_pattern() -> str:
+    """The greedy-longest-match alternation: vocab sorted by length desc
+    (then lex, for a deterministic pattern string), with single-char
+    fallbacks. Both Java regex and RE2 pick the FIRST matching
+    alternative at each scan position, so ordering by length implements
+    longest-match."""
+    ordered = sorted(SUBWORD_VOCAB, key=lambda v: (-len(v), v))
+    return "|".join(ordered) + r"|[a-z]|[0-9]|[^a-z0-9\s]"
+
+
+def subword_count(text: Column) -> Column:
+    """Subword token count of ``text`` under the greedy vocab match —
+    the unit real training pipelines budget in (whitespace words
+    under-count by the subword fan-out)."""
+    return F.regexp_count(F.lower(text), F.lit(subword_pattern()))

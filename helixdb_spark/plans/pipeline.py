@@ -3041,3 +3041,66 @@ ORDER BY d.vec_id
 
 QUERIES.update({"emb_wide_projection": emb_wide_projection})
 ORACLES.update({"emb_wide_projection": _wide_projection_sql()})
+
+
+# --------------------------------- subword-budgeted mixing (round 6)
+BPE_BUDGET_PER_SOURCE = 1600  # subwords run ~2x whitespace tokens
+
+
+def curate_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_token_budget re-based on SUBWORD tokens (functions.text
+    .subword_count): greedy longest-match over a fixed vocab, encoded as
+    a regex alternation so the tokenizer runs JVM-side inside the same
+    one-window shuffle — real training pipelines budget in subword
+    tokens, and whitespace counts under-fill the budget by the subword
+    fan-out (round-5 verdict #6). Same prefix semantics and determinism
+    as the whitespace variant."""
+    from helixdb_spark.functions.text import subword_count
+    from helixdb_spark.operators.util import spread
+    from pyspark.sql.window import Window as W
+
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        subword_count(F.col("text")).cast("long").alias("n_subwords"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("rk")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("cum_subwords", F.sum("n_subwords").over(w))
+        .where(F.col("cum_subwords") <= BPE_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "n_subwords", "cum_subwords")
+        .orderBy("source", "cum_subwords")
+    )
+
+
+def _bpe_budget_sql() -> str:
+    from helixdb_spark.functions.text import subword_pattern
+
+    pat = subword_pattern().replace("'", "''")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '{pat}'))::BIGINT AS n_subwords,
+         md5(doc_id::VARCHAR) AS rk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_subwords,
+         CAST(sum(n_subwords) OVER (PARTITION BY source ORDER BY rk
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_subwords
+  FROM d
+)
+SELECT doc_id, source, n_subwords, cum_subwords FROM c
+WHERE cum_subwords <= {BPE_BUDGET_PER_SOURCE}
+ORDER BY source, cum_subwords
+"""
+
+
+QUERIES.update({"curate_token_budget_bpe": curate_token_budget_bpe})
+ORACLES.update({"curate_token_budget_bpe": _bpe_budget_sql()})

@@ -468,3 +468,46 @@ def test_shard_assignment_partition_of_corpus(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert sum(r["n_docs"] for r in a) == n_docs
     assert len({r["shard"] for r in a}) == len(a)
+
+
+def test_subword_count_greedy_longest_match(spark):
+    """The regex-alternation tokenizer must implement greedy
+    longest-vocab-match: 'nation' = na|tion? No — greedy at position 0
+    takes 'n' then 'ation' (5-char entry beats 'at'+'ion'), and counts
+    must match a hand-computed greedy walk."""
+    from helixdb_spark.functions.text import (
+        SUBWORD_VOCAB,
+        subword_count,
+        subword_pattern,
+    )
+    import re
+
+    from pyspark.sql import functions as F
+
+    def greedy(word):
+        ordered = sorted(SUBWORD_VOCAB, key=lambda v: (-len(v), v))
+        n, pos = 0, 0
+        while pos < len(word):
+            for v in ordered:
+                if word.startswith(v, pos):
+                    pos += len(v)
+                    break
+            else:
+                pos += 1
+            n += 1
+        return n
+
+    samples = ["nation", "the information", "testing, 123!", "formation"]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = [
+        r["c"]
+        for r in df.select(subword_count(F.col("text")).alias("c"))
+        .collect()
+    ]
+    # punctuation inside \S+ runs is consumed by the single-char fallback
+    # class, which greedy() mirrors via its pos += 1 branch
+    want = [
+        sum(greedy(w) for w in re.findall(r"\S+", s.lower()))
+        for s in samples
+    ]
+    assert got == want
