@@ -1088,6 +1088,116 @@ class HelixSpark:
             if int(name.split("=", 1)[1]) not in retained:
                 self._fs.delete(f"{trash_root}/{name}")
 
+    def optimize(self, target_file_bytes: int = 128 << 20) -> dict:
+        """Bin-pack small cold files into target-size files — the
+        Delta-OPTIMIZE analog of the reference's background compaction
+        scheduler (QueueUpCompSched, src/compact_sched.rs:16-143), for the
+        file-count axis instead of the merge axis. Repeated late-data
+        re-compactions each rewrite a bucket with up-to-shuffle-partition
+        files; at 100 TB that accumulates into the classic small-file tax
+        (footer reads + task-per-file scheduling). This op rewrites ONLY
+        buckets whose file count exceeds ceil(bytes/target), routing rows
+        to ceil-many splits by key hash, and commits with the exact
+        compact() protocol: stage to a fresh generation, flip the manifest
+        atomically (CAS), GC or retain the superseded dirs per
+        ``keep_generations`` — so a crash at any point leaves the previous
+        packing live, and ``rollback_compaction`` undoes an optimize the
+        same way it undoes a compact.
+
+        Pure rewrite: row content is byte-identical (LWW merge already
+        happened at compact time); only file boundaries change — asserted
+        by the scan-parity test. Returns {bucket: packed_file_count} for
+        the rewritten buckets ({} = nothing needed)."""
+        self._check_open()
+        import math
+
+        manifest: dict = dict(self._state.get("cold_manifest") or {})
+        plan: dict[int, int] = {}
+        for b, g in manifest.items():
+            d = f"{self.layout.cold_gen_path(int(g))}/time_bucket={int(b)}"
+            sizes = self._fs.file_sizes(d)
+            if not sizes:
+                continue
+            want = max(1, math.ceil(sum(sizes.values()) / target_file_bytes))
+            if len(sizes) > want:
+                plan[int(b)] = want
+        if not plan:
+            return {}
+
+        # live rows of exactly the planned buckets, via the same pruned
+        # cold read path queries use (uncommitted/superseded gens never
+        # opened)
+        df = self.spark.read.schema(COLD_GEN_SCHEMA).parquet(
+            self.layout.cold_path
+        )
+        pred = None
+        for b in plan:
+            p = (F.col("gen") == int(manifest[str(b)])) & (
+                F.col("time_bucket") == b
+            )
+            pred = p if pred is None else (pred | p)
+        rows = df.where(pred).drop("gen")
+        # route each bucket's rows into its `want` splits by key hash, so
+        # one write pass packs every planned bucket to its target count
+        want_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(b, w) for b, w in plan.items()], "time_bucket long, _want int"
+            )
+        )
+        staged = (
+            rows.join(want_df, "time_bucket")
+            .withColumn("_split", F.pmod(F.xxhash64("key"), F.col("_want")))
+            .repartition("time_bucket", "_split")
+            .select("key", "codec", "chunk", "blob", "time_bucket")
+        )
+        gen = int(self._state.get("cold_gen_seq", 0))
+        gen_dir = self.layout.cold_gen_path(gen)
+        (
+            staged.write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#key", "true")
+            .partitionBy("time_bucket")
+            .parquet(gen_dir)
+        )
+        produced = self._fs.list_buckets(gen_dir)
+
+        # COMMIT + GC: compact()'s protocol with no hot partitions involved
+        manifest_before = dict(manifest)
+        superseded = [(int(manifest[str(b)]), b) for b in produced]
+        for b in produced:
+            manifest[str(b)] = gen
+        keep = int(getattr(self.options, "keep_generations", 0))
+        expired: list = []
+        if keep > 0:
+            history = list(self._state.get("commit_history") or [])
+            history.append(
+                {
+                    "gen": gen,
+                    "manifest_before": manifest_before,
+                    "superseded": [[g, b] for g, b in superseded],
+                    "hot_dropped": [],
+                    "seq_at_commit": int(self._state.get("seq", 0)),
+                }
+            )
+            expired, history = history[:-keep], history[-keep:]
+            self._state["commit_history"] = history
+        self._state["cold_manifest"] = manifest
+        self._state["cold_gen_seq"] = gen + 1
+        self._save_state()
+        self._invalidate_cache()
+        if keep > 0:
+            for e in expired:
+                for old_gen, b in e["superseded"]:
+                    self._fs.delete(
+                        f"{self.layout.cold_gen_path(int(old_gen))}/time_bucket={int(b)}"
+                    )
+                self._fs.delete(self.layout.trash_path(int(e["gen"])))
+        else:
+            for old_gen, b in superseded:
+                self._fs.delete(
+                    f"{self.layout.cold_gen_path(old_gen)}/time_bucket={b}"
+                )
+        return {b: plan[b] for b in produced}
+
     def outdate(self, cutoff_ts: int) -> None:
         """Retention: retire data with ts <= cutoff (reference
         TimestampAction::Outdate, src/level.rs:535-536; the reference's

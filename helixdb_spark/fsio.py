@@ -88,6 +88,29 @@ class EngineFS:
             if n.startswith("time_bucket=")
         )
 
+    def file_sizes(self, p: str) -> dict[str, int]:
+        """name -> size in bytes for the DATA files directly under ``p``
+        ({} if missing). Hidden/metadata entries (``_SUCCESS``, ``.crc``)
+        are excluded — this feeds the small-file bin-packing planner."""
+        out: dict[str, int] = {}
+        if not self.remote:
+            if not os.path.isdir(p):
+                return out
+            for name in os.listdir(p):
+                full = f"{p}/{name}"
+                if name.startswith(("_", ".")) or not os.path.isfile(full):
+                    continue
+                out[name] = os.path.getsize(full)
+            return out
+        if not self._fs.exists(self._path(p)):
+            return out
+        for s in self._fs.listStatus(self._path(p)):
+            name = s.getPath().getName()
+            if name.startswith(("_", ".")) or not s.isFile():
+                continue
+            out[name] = int(s.getLen())
+        return out
+
     def delete(self, p: str) -> None:
         """Recursive delete, missing-ok."""
         if not self.remote:
