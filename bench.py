@@ -113,6 +113,13 @@ HEADLINE = [
     "ann_pq_recall_audit",
     "decontaminate_semantic",
     "sketch_hll_sliding",
+    # round-6 additions
+    "emb_covariance",
+    "ann_pq_persisted",
+    "ann_lsh_persisted",
+    "supplier_customer_pagerank",
+    "emb_wide_projection",
+    "curate_token_budget_bpe",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench
@@ -348,6 +355,15 @@ def main() -> None:
         result["regressions"] = regressions
         print(f"# REGRESSIONS vs {_baseline_name()}: {regressions}", file=sys.stderr)
     print(json.dumps(result))
+    # Round-end baseline capture (verify SKILL.md): write the same result
+    # to a committed BENCH_local_r{N}.json so the next round's regression
+    # gate (and the judge) compares against THIS box at THIS head. Raise
+    # SPARK_GRAFT_BENCH_RUNS for a tighter per-query minimum.
+    out = os.environ.get("SPARK_GRAFT_BENCH_BASELINE_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(result, f)
+        print(f"# baseline written to {out}", file=sys.stderr)
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
         sys.exit(1)
 
