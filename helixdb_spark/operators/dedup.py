@@ -1202,3 +1202,48 @@ def record_linkage_pairs(
         .where(F.col("score") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def linkage_block_stats(
+    records: DataFrame,
+    name_col: str,
+    brand_col: str,
+    max_block: int = LINKAGE_MAX_BLOCK,
+) -> DataFrame:
+    """Observability for the LINKAGE_MAX_BLOCK recall trade (round-5
+    advice): sub-blocking an oversized (noun, brand) cell drops the
+    cross-sub-block candidate pairs SILENTLY — and since cell population
+    grows O(n) with catalog size, that recall loss grows too. This report
+    makes the trade measurable per cell: members, sub-block count, pairs
+    the bounded join keeps, and the cross-sub-block pairs it forgoes.
+    Pure integer arithmetic over one groupBy — run it next to any
+    record_linkage_pairs job (same block key derivation) to decide
+    whether ``max_block`` needs raising for a given catalog.
+    """
+    raw_toks = F.split(F.col(name_col), " ")
+    cells = (
+        records.select(
+            F.element_at(raw_toks, -1).alias("blk"),
+            F.col(brand_col).alias("brand"),
+        )
+        .groupBy("blk", "brand")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > max_block)
+    )
+    n = F.col("n_members")
+    mb = F.lit(max_block)
+    n_sub = F.ceil(n / mb).cast("long")
+    full = n_sub - 1  # sub-blocks filled to max_block; the last holds rem
+    rem = n - full * mb
+    # exact in double well below 2^52, then cast — pairs of consecutive
+    # ints are even so /2 is integral
+    kept = (full * (mb * (mb - 1) / 2) + rem * (rem - 1) / 2).cast("long")
+    total = (n * (n - 1) / 2).cast("long")
+    return cells.select(
+        "blk",
+        "brand",
+        n.cast("long").alias("n_members"),
+        n_sub.alias("n_sub_blocks"),
+        kept.alias("pairs_kept"),
+        (total - kept).alias("pairs_dropped"),
+    ).orderBy(F.desc("pairs_dropped"), "blk", "brand")

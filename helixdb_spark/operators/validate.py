@@ -96,12 +96,26 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     approx_count_distinct / the HLL sketch operator (operators.sketches) —
     same report shape, back to one scan.
     """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    def _render(col: F.Column, c: str) -> F.Column:
+        # Spark string-casts doubles >= 1e7 / < 1e-3 in scientific
+        # notation ('1.0E7') where DuckDB prints '10000000.0' — an
+        # engine-dependent report string (round-5 advice). Fixed-point
+        # %.6f is engine-independent for float/double; the only residual
+        # divergence is an exact decimal TIE at the 7th digit (a
+        # power-of-two fraction like 1/128), which real measurement
+        # columns do not produce.
+        if isinstance(df.schema[c].dataType, (DoubleType, FloatType)):
+            return F.format_string("%.6f", col)
+        return col.cast("string")
+
     aggs = []
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            _render(F.min(F.col(c)), c).alias(f"__mn_{c}"),
+            _render(F.max(F.col(c)), c).alias(f"__mx_{c}"),
         ]
     row = df.agg(*aggs)
     report = F.array(

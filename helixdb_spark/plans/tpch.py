@@ -1837,7 +1837,11 @@ UNION ALL
 SELECT 'o_totalprice' AS column_name,
        sum((o_totalprice IS NULL)::INT)::BIGINT AS n_nulls,
        count(DISTINCT o_totalprice)::BIGINT AS n_distinct,
-       min(o_totalprice)::VARCHAR AS min_val, max(o_totalprice)::VARCHAR AS max_val
+       -- fixed-point render for float/double columns: engine-independent
+       -- (Spark's plain string cast goes scientific >= 1e7; see
+       -- operators.validate.profile_columns)
+       printf('%.6f', min(o_totalprice)) AS min_val,
+       printf('%.6f', max(o_totalprice)) AS max_val
 FROM orders
 ) ORDER BY column_name
 """

@@ -186,3 +186,22 @@ def test_kcore_cascade_needs_rounds(spark):
     full = {r["node"] for r in kcore_peel(edges, k=2, rounds=3).collect()}
     assert full == {2, 3, 4}
     assert one >= full and one != full  # round 1 still holds node 1
+
+
+def test_profile_columns_doubles_render_fixed_point(spark):
+    """Float/double min/max must render fixed-point ('10000000.000000'),
+    never Spark's scientific cast ('1.0E7') — the string must match what
+    DuckDB's printf('%.6f', x) produces for the same value (round-5
+    advice: engine-independent report strings)."""
+    from helixdb_spark.operators.validate import profile_columns
+
+    df = spark.createDataFrame(
+        [(1e7,), (0.0001,), (123.456,)], "x double"
+    )
+    row = {
+        r["column_name"]: r
+        for r in profile_columns(df, ["x"]).collect()
+    }["x"]
+    assert row["min_val"] == "0.000100"
+    assert row["max_val"] == "10000000.000000"
+    assert "E" not in row["max_val"]
