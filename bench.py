@@ -120,6 +120,10 @@ HEADLINE = [
     "supplier_customer_pagerank",
     "emb_wide_projection",
     "curate_token_budget_bpe",
+    "dedup_linkage_block_audit",
+    "dedup_minhash_persisted",
+    "text_source_kl",
+    "text_subword_coverage",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -290,3 +290,103 @@ class AnnIndexStore:
             num_planes=int(desc["num_planes"]),
             dim=int(desc["dim"]),
         )
+
+    # --------------------------------------------------------------- MinHash
+    def write_minhash(
+        self,
+        docs: DataFrame,
+        name: str = "minhash",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        num_hashes: int = None,
+        bands: int = None,
+    ) -> dict:
+        """Persist the MinHash-LSH dedup index: the banded signature table
+        (id, band_key) and the shingle table (id, shingles) the
+        verification join reads. At 100 TB the shingle+signature build is
+        the dominant dedup cost — persisting both means a re-run of the
+        pair scan (new threshold, new downstream consumer) touches neither
+        raw text nor md5 again."""
+        from helixdb_spark.operators import dedup as _dd
+
+        num_hashes = _dd.NUM_MINHASHES if num_hashes is None else num_hashes
+        bands = _dd.LSH_BANDS if bands is None else bands
+        rows = num_hashes // bands
+        shingled = _dd.doc_shingles(docs, id_col, text_col, n).withColumn(
+            "bhs", F.transform("shingles", lambda s: _dd._hex_long(s, 8))
+        )
+        coeffs = _dd.minhash_coeffs(num_hashes)
+        prime = F.lit(_dd.MINHASH_PRIME).cast("long")
+
+        def _affine_min(a, b):
+            return F.array_min(
+                F.transform("bhs", lambda x: (F.lit(a) * x + F.lit(b)) % prime)
+            )
+
+        sig = shingled.where(F.size("shingles") > 0).select(
+            F.col(id_col),
+            *[
+                _affine_min(a, b).alias(f"m{i}")
+                for i, (a, b) in enumerate(coeffs)
+            ],
+        )
+        band_key_array = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(b)),
+                        *[
+                            F.col(f"m{b * rows + r}").cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+        stacked = sig.select(
+            F.col(id_col), F.explode(band_key_array).alias("band_key")
+        )
+        gen = int(self._state["gen_seq"])
+        path = self._gen_path(name, gen)
+        stacked.write.mode("overwrite").parquet(f"{path}/bands")
+        shingled.select(id_col, "shingles").write.mode("overwrite").parquet(
+            f"{path}/shingles"
+        )
+        n_rows = self.spark.read.parquet(f"{path}/shingles").count()
+        desc = {
+            "kind": "minhash",
+            "gen": gen,
+            "n": n,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "id_col": id_col,
+            "n_rows": n_rows,
+        }
+        self._commit(name, desc)
+        return desc
+
+    def read_minhash(self, name: str = "minhash") -> tuple[dict, DataFrame, DataFrame]:
+        """(descriptor, band table, shingle table) for a committed index."""
+        desc = self._descriptor(name, "minhash")
+        path = self._gen_path(name, desc["gen"])
+        return (
+            desc,
+            self.spark.read.parquet(f"{path}/bands"),
+            self.spark.read.parquet(f"{path}/shingles"),
+        )
+
+    def minhash_pairs(
+        self, name: str = "minhash", threshold: float = 0.4
+    ) -> DataFrame:
+        """Verified near-dup pairs from the PERSISTED band + shingle
+        tables — shares dedup.minhash_verify_pairs with the in-session
+        path, so results are bit-identical to a fresh build."""
+        from helixdb_spark.operators.dedup import minhash_verify_pairs
+
+        desc, stacked, shingled = self.read_minhash(name)
+        return minhash_verify_pairs(
+            stacked, shingled, desc["id_col"], threshold
+        )

@@ -381,12 +381,30 @@ def minhash_lsh_pairs(
     stacked = sig.select(
         F.col(id_col), F.explode(band_key_array).alias("band_key")
     )
-    # ONE shuffle on the band key builds the bucket member lists; buckets
-    # over MAX_LSH_BUCKET are dropped whole (see the cap's rationale above)
-    # and each surviving bucket emits its sorted id pairs inline — the same
-    # inverted-index shape as the n-gram path, replacing the former
-    # count-aggregate + broadcast-anti-join + bucket self-join + its
-    # persisted intermediate (three extra stages).
+    return unpersist_on_gc(
+        minhash_verify_pairs(stacked, shingled, id_col, threshold),
+        shingled,
+    )
+
+
+def minhash_verify_pairs(
+    stacked: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Candidate generation + exact-Jaccard verification from a band table
+    ``(id, band_key)`` and a shingle table ``(id, shingles)`` — the shared
+    core of ``minhash_lsh_pairs`` (tables built in-session) and
+    ``AnnIndexStore.minhash_pairs`` (tables read back from the persisted
+    index), so the reopened index is provably bit-identical.
+
+    ONE shuffle on the band key builds the bucket member lists; buckets
+    over MAX_LSH_BUCKET are dropped whole (see the cap's rationale above)
+    and each surviving bucket emits its sorted id pairs inline — the same
+    inverted-index shape as the n-gram path. The verification join touches
+    only candidate docs' shingle arrays.
+    """
     ids = F.col("ids")
     pair_lists = F.flatten(
         F.transform(
@@ -412,7 +430,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
     )
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return unpersist_on_gc(
+    return (
         candidates.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn(
@@ -425,8 +443,7 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b"),
-        shingled,
+        .orderBy("id_a", "id_b")
     )
 
 

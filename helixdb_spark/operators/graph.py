@@ -33,6 +33,10 @@ from pyspark.sql import functions as F
 # below are the right shape.
 SMALL_GRAPH_DRIVER_NODES = 1024
 SMALL_GRAPH_DRIVER_EDGES = 1 << 18
+# Distributed pagerank broadcasts the (node, rank) vector into the flow
+# join while |V| fits an executor comfortably (~100 MB at 4M nodes) —
+# edges then never shuffle per round. Beyond this, shuffle join.
+PAGERANK_BROADCAST_NODES = 1 << 22
 
 
 def _rank_schema(nodes_df: DataFrame, value_name: str, value_type):
@@ -133,6 +137,20 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     from helixdb_spark.operators.util import tracked_local_checkpoint, unpersist_on_gc
 
+    # When the RANK VECTOR (|V| rows of (node, rank)) fits an executor —
+    # the common case far beyond the driver fast path — broadcast it into
+    # the flow join instead of shuffling the EDGE table on src every
+    # round: per-round cost drops from 2 shuffles of |E| + |V| to one
+    # map-side join over the persisted edges plus the |V|-row flow
+    # aggregate (measured 2-3x on the sf0.1 shipment graph: 550k edges x
+    # 5 rounds no longer move). Above the threshold (billions of nodes)
+    # the plain shuffle join is the right shape. Plan-only change: the
+    # arithmetic is identical either way.
+    broadcast_ranks = n <= PAGERANK_BROADCAST_NODES
+
+    def _bc(df):
+        return F.broadcast(df) if broadcast_ranks else df
+
     cp_handles: list = []
     for it in range(iterations):
         # Iterative DataFrames grow join-on-join lineage whose Catalyst
@@ -145,16 +163,16 @@ def pagerank(
             ranks = tracked_local_checkpoint(ranks, cp_handles)
         flow = (
             norm.join(
-                ranks.select(F.col("node").alias("src"), "rank"), "src"
+                _bc(ranks.select(F.col("node").alias("src"), "rank")), "src"
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("flow"))
         )
         stepped = nodes.join(flow, "node", "left")
         if has_dangling:
-            dangling = ranks.join(dang_nodes, "node", "left_semi").agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-            )
+            dangling = ranks.join(
+                _bc(dang_nodes), "node", "left_semi"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
             stepped = stepped.crossJoin(F.broadcast(dangling))
             inflow = F.coalesce(F.col("flow"), F.lit(0.0)) + F.col("dm") / n
         else:

@@ -2162,6 +2162,11 @@ ORACLES.update({"basket_part_lift": BASKET_LIFT_SQL})
 
 # -------------------------------------- entity-grain PageRank (round 6)
 CUST_NODE_OFFSET = 1_000_000  # keep customer node ids disjoint from suppliers
+# 3 rounds, not PR_ITERS=5: this row exists to GRADE the distributed
+# iteration branch (join shapes, dangling redistribution, lineage
+# truncation all exercised by round 2); at 15k nodes the extra rounds
+# are pure stage overhead on the bench.
+ENTITY_PR_ITERS = 3
 
 
 def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2195,7 +2200,8 @@ def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(
         edges, "src", "dst", "w",
-        damping=PR_DAMPING, iterations=PR_ITERS, round_dp=PR_ROUND_DP,
+        damping=PR_DAMPING, iterations=ENTITY_PR_ITERS,
+        round_dp=PR_ROUND_DP,
     )
     return carry_caches(
         ranks.select(
@@ -2208,7 +2214,7 @@ def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _entity_pagerank_sql(
     damping: float = PR_DAMPING,
-    iters: int = PR_ITERS,
+    iters: int = ENTITY_PR_ITERS,
     round_dp: int = PR_ROUND_DP,
 ) -> str:
     head = f"""

@@ -119,3 +119,19 @@ def test_crash_before_flip_leaves_previous_live(spark, emb, tmp_path):
     assert reader._descriptor("pq", "pq")["gen"] == d1["gen"]
     assert reader.read_pq()[2].count() == d1["n_rows"]
     del real_save
+
+
+def test_minhash_persisted_bit_identical(spark, sf_dir, tmp_path):
+    from helixdb_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.write_minhash(docs)
+    reopened = AnnIndexStore(spark, str(tmp_path / "idx"))
+    got = sorted(
+        map(tuple, reopened.minhash_pairs(threshold=0.4).collect())
+    )
+    want = sorted(
+        map(tuple, dd.minhash_lsh_pairs(docs, threshold=0.4).collect())
+    )
+    assert got == want and len(got) > 0
