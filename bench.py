@@ -124,6 +124,8 @@ HEADLINE = [
     "dedup_minhash_persisted",
     "text_source_kl",
     "text_subword_coverage",
+    "kv_optimize_scan",
+    "ev_funnel_conversion",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -2383,3 +2383,102 @@ ORDER BY user_id
 
 QUERIES.update({"ev_interevent_burstiness": ev_interevent_burstiness})
 ORACLES.update({"ev_interevent_burstiness": EV_BURSTINESS_SQL})
+
+
+# ------------------------------------ funnel conversion (round 6)
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_S = 7 * 86400  # each step must land within 7 days of the prior
+
+
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step funnel (view -> click -> purchase): per step,
+    users whose FIRST qualifying event follows their previous step's event
+    within the window — the product-analytics conversion report. Three
+    conditional-min aggregations chained by joins on user_id; each
+    user-level table is tiny relative to the event stream, so at 100 TB
+    this is three map-side-combined aggregates plus two user-key joins
+    (no windows over the raw stream at all). Timestamps compare as raw
+    double seconds (the unix_timestamp-truncation trap)."""
+    from helixdb_spark.operators.util import spread
+
+    ev = spread(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", F.col("ts").cast("double").alias("tss")
+    )
+    v = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("tss").alias("t0"))
+    )
+    c = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(v, "user_id")
+        .where(
+            (F.col("tss") > F.col("t0"))
+            & (F.col("tss") <= F.col("t0") + FUNNEL_WINDOW_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("tss").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(c, "user_id")
+        .where(
+            (F.col("tss") > F.col("t1"))
+            & (F.col("tss") <= F.col("t1") + FUNNEL_WINDOW_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("tss").alias("t2"))
+    )
+    counts = [
+        df.agg(F.count("*").alias("n")).withColumn("step_idx", F.lit(i))
+        for i, df in enumerate((v, c, p))
+    ]
+    funnel = counts[0]
+    for extra in counts[1:]:
+        funnel = funnel.unionByName(extra)
+    from pyspark.sql.window import Window as _Wf
+
+    prev = F.lag("n").over(_Wf.orderBy("step_idx"))
+    steps = F.array(*[F.lit(s) for s in FUNNEL_STEPS])
+    return (
+        funnel.withColumn(
+            "conv_rate",
+            F.round(
+                F.lit(1e-9) + F.col("n") / F.coalesce(prev, F.col("n")), 6
+            ),
+        )
+        .select(
+            F.element_at(steps, F.col("step_idx") + 1).alias("step"),
+            F.col("n").alias("n_users"),
+            "conv_rate",
+        )
+        .orderBy("step")
+    )
+
+
+EV_FUNNEL_SQL = f"""
+WITH e AS (SELECT user_id, event_type, epoch(ts) AS tss FROM events),
+v AS (SELECT user_id, min(tss) AS t0 FROM e
+      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1),
+c AS (SELECT e.user_id, min(tss) AS t1 FROM e JOIN v USING (user_id)
+      WHERE event_type = '{FUNNEL_STEPS[1]}'
+        AND tss > t0 AND tss <= t0 + {FUNNEL_WINDOW_S} GROUP BY 1),
+p AS (SELECT e.user_id, min(tss) AS t2 FROM e JOIN c USING (user_id)
+      WHERE event_type = '{FUNNEL_STEPS[2]}'
+        AND tss > t1 AND tss <= t1 + {FUNNEL_WINDOW_S} GROUP BY 1),
+f AS (
+  SELECT 0 AS step_idx, count(*)::BIGINT AS n FROM v
+  UNION ALL SELECT 1, count(*)::BIGINT FROM c
+  UNION ALL SELECT 2, count(*)::BIGINT FROM p
+)
+SELECT ['{FUNNEL_STEPS[0]}', '{FUNNEL_STEPS[1]}', '{FUNNEL_STEPS[2]}'][step_idx + 1]
+         AS step,
+       n AS n_users,
+       round(1e-9 + n::DOUBLE / coalesce(lag(n) OVER (ORDER BY step_idx), n),
+             6) AS conv_rate
+FROM f
+ORDER BY step
+"""
+
+QUERIES.update({"ev_funnel_conversion": ev_funnel_conversion})
+ORACLES.update({"ev_funnel_conversion": EV_FUNNEL_SQL})

@@ -713,3 +713,50 @@ ORDER BY key, ts
 
 QUERIES["kv_commit_diff"] = kv_commit_diff
 ORACLES["kv_commit_diff"] = KV_COMMIT_DIFF_SQL
+
+
+def kv_optimize_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """put -> compact -> OPTIMIZE -> scan: the small-file bin-packing
+    maintenance op (engine.optimize, round 6 — the QueueUpCompSched
+    file-count analog, reference src/compact_sched.rs:16-143) under the
+    oracle gate. The compact runs with AQE coalescing off so each cold
+    bucket lands as multiple task files; optimize must then rewrite them
+    to the packed target under a new generation WITHOUT changing a single
+    row — the scan must still equal the plain SQL range select. File-count
+    mechanics are pinned in tests/test_optimize.py; this row pins the
+    data across the rewrite at grading scale."""
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.col("props"), "utf-8").alias("value"),
+    )
+    base = tempfile.mkdtemp(prefix="helix_kvopt_")
+    db = HelixSpark.open(
+        spark,
+        base,
+        HelixOptions(rick_range=86400, outdate_range=1 << 40, auto_maintain=False),
+    )
+    db.put(entries)
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        db.compact(SCAN_TS_LO, COMPACT_TS_HI)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    db.optimize()  # packs every multi-file cold bucket to one file
+    scanned = db.scan(
+        (SCAN_TS_LO, SCAN_TS_HI),
+        (KEY_LO.encode(), KEY_HI.encode()),
+    )
+    return scanned.select(
+        "ts",
+        F.decode("key", "utf-8").alias("key"),
+        F.decode("value", "utf-8").alias("value"),
+    )
+
+
+QUERIES["kv_optimize_scan"] = kv_optimize_scan
+ORACLES["kv_optimize_scan"] = KV_ROUNDTRIP_SQL

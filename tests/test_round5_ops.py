@@ -102,7 +102,10 @@ def test_profile_columns_reports_nulls_distinct_minmax(spark):
     assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
     assert rows["v"]["n_nulls"] == 1
     # min/max computed on the NATIVE type (numeric order, not lexicographic)
-    assert rows["v"]["min_val"] == "2.5" and rows["v"]["max_val"] == "10.0"
+    # doubles render fixed-point %.6f since the round-6 engine-independent
+    # report-format change (see operators.validate.profile_columns)
+    assert rows["v"]["min_val"] == "2.500000"
+    assert rows["v"]["max_val"] == "10.000000"
 
 
 def test_covariance_arrow_and_expr_paths_identical(spark):
