@@ -99,6 +99,12 @@ class HelixOptions:
     # rollback), the reference's behavior (its LEVEL_INFO advance is
     # one-way, src/types/level_info.rs:98-111).
     keep_generations: int = 0
+    # Opt-in small-file maintenance: after every reviewer-triggered
+    # compaction, bin-pack cold buckets whose file count exceeds
+    # ceil(bytes/target) (engine.optimize) — the scheduler hook of the
+    # reference's QueueUpCompSched (src/compact_sched.rs:16-143) applied
+    # to the file-count axis. None = manual optimize() only.
+    optimize_target_bytes: Optional[int] = None
 
 
 class HelixSpark:
@@ -766,11 +772,15 @@ class HelixSpark:
     def _handle_actions(self, actions: Iterable[TimestampAction]) -> None:
         """Reference src/level.rs:307-346 minus the shard mesh (one Spark job
         covers all partitions — SURVEY.md M5)."""
+        compacted = False
         for action in actions:
             if isinstance(action, Compact):
                 self.compact(action.start, action.end)
+                compacted = True
             elif isinstance(action, Outdate):
                 self.outdate(action.ts)
+        if compacted and self.options.optimize_target_bytes:
+            self.optimize(int(self.options.optimize_target_bytes))
 
     def compact(self, start_ts: int, end_ts: int) -> None:
         """Move [start_ts, end_ts] (inclusive) from hot to cold
@@ -1148,6 +1158,11 @@ class HelixSpark:
             rows.join(want_df, "time_bucket")
             .withColumn("_split", F.pmod(F.xxhash64("key"), F.col("_want")))
             .repartition("time_bucket", "_split")
+            # key-clustered packing: sorted rows tighten every row-group's
+            # key min/max (and its bloom), so point gets and key-range
+            # scans skip more of the packed file than of the original
+            # task-ordered files — free at rewrite time
+            .sortWithinPartitions("key")
             .select("key", "codec", "chunk", "blob", "time_bucket")
         )
         gen = int(self._state.get("cold_gen_seq", 0))

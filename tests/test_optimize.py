@@ -138,3 +138,36 @@ def test_optimize_rollback(spark, tmp_path):
     assert db._state["cold_manifest"] == manifest_before
     assert _snapshot(db) == before
     db.close()
+
+
+def test_auto_optimize_rides_maintenance(spark, tmp_path):
+    """With optimize_target_bytes set, a reviewer-triggered compaction is
+    followed by the bin-pack pass automatically — the QueueUpCompSched
+    scheduler hook. Scan stays exact throughout."""
+    base = str(tmp_path / "db")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        db = HelixSpark.open(
+            spark,
+            base,
+            HelixOptions(
+                rick_range=100,
+                outdate_range=100_000,
+                auto_maintain=True,
+                optimize_target_bytes=1 << 30,
+            ),
+        )
+        # advance time far enough that the reviewer schedules a compact
+        db.put(_entries(200))
+        db.put([(t, b"k%03d" % (t % 40), b"z%d" % t) for t in range(300, 500)])
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    manifest = db._state["cold_manifest"]
+    assert manifest, "reviewer should have compacted at least one bucket"
+    for b, g in manifest.items():
+        files = _bucket_files(base, g, int(b))
+        assert len(files) == 1, (b, g, files)
+    got = _snapshot(db)
+    assert len(got) == 400
+    db.close()
