@@ -126,6 +126,7 @@ HEADLINE = [
     "text_subword_coverage",
     "kv_optimize_scan",
     "ev_funnel_conversion",
+    "ann_ivf_persisted",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -390,3 +390,77 @@ class AnnIndexStore:
         return minhash_verify_pairs(
             stacked, shingled, desc["id_col"], threshold
         )
+
+    # ------------------------------------------------------------------- IVF
+    def write_ivf(
+        self,
+        corpus: DataFrame,
+        name: str = "ivf",
+        stride: int = sim.IVF_CENTROID_STRIDE,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> dict:
+        """Persist the IVF-flat index: the centroid table and the corpus
+        with its list assignment, written ``partitionBy(centroid_id)`` so
+        a probe reads exactly one inverted list's files (partition
+        pruning — the on-disk analog of an in-memory inverted list)."""
+        from helixdb_spark.operators.similarity import assign_nearest_centroid
+
+        centroids = corpus.where((F.col(id_col) % stride) == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec")
+        )
+        assigned = assign_nearest_centroid(
+            spread(corpus), centroids, vec_col, id_col
+        )
+        gen = int(self._state["gen_seq"])
+        path = self._gen_path(name, gen)
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{path}/lists")
+        )
+        centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        n_rows = self.spark.read.parquet(f"{path}/lists").count()
+        desc = {
+            "kind": "ivf",
+            "gen": gen,
+            "stride": stride,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "n_rows": n_rows,
+        }
+        self._commit(name, desc)
+        return desc
+
+    def read_ivf(self, name: str = "ivf") -> tuple[dict, DataFrame, DataFrame]:
+        desc = self._descriptor(name, "ivf")
+        path = self._gen_path(name, desc["gen"])
+        return (
+            desc,
+            self.spark.read.parquet(f"{path}/lists"),
+            self.spark.read.parquet(f"{path}/centroids"),
+        )
+
+    def ivf_topk(
+        self,
+        queries: DataFrame,
+        name: str = "ivf",
+        k: int = 5,
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        """IVF probe over the persisted lists — shares
+        similarity.ivf_probe_topk with the in-session path, so results are
+        bit-identical to a fresh build; the centroid_id filter prunes all
+        other lists' partitions at the scan."""
+        from helixdb_spark.operators.similarity import ivf_probe_topk
+
+        desc, assigned, centroids = self.read_ivf(name)
+        return ivf_probe_topk(
+            assigned,
+            centroids,
+            queries,
+            k,
+            id_col=desc["id_col"],
+            vec_col=desc["vec_col"],
+            query_id_col=query_id_col,
+        )

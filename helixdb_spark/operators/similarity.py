@@ -235,25 +235,51 @@ def ivf_topk(
     centroids = corpus.where((F.col(id_col) % stride) == 0).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec")
     )
+    assigned = assign_nearest_centroid(spread(corpus), centroids, vec_col, id_col)
+    return ivf_probe_topk(
+        assigned, centroids, queries, k, id_col, vec_col, query_id_col
+    )
 
-    def nearest_centroid(df: DataFrame, vcol: str, part_col: str) -> DataFrame:
-        scored = df.join(F.broadcast(centroids)).withColumn(
-            "_csim", cosine_similarity(F.col(vcol), F.col("_cvec"))
-        )
-        w = W.partitionBy(part_col).orderBy(F.desc("_csim"), F.asc("centroid_id"))
-        return (
-            scored.withColumn("_crk", F.row_number().over(w))
-            .where(F.col("_crk") == 1)
-            .drop("_csim", "_crk", "_cvec")
-        )
 
-    c = nearest_centroid(spread(corpus), vec_col, id_col)
-    q = nearest_centroid(
+def assign_nearest_centroid(
+    df: DataFrame, centroids: DataFrame, vcol: str, part_col: str
+) -> DataFrame:
+    """Attach ``centroid_id`` of the nearest (cosine) coarse centroid —
+    the IVF list-assignment step, shared by the in-session build and the
+    persisted-index build."""
+    scored = df.join(F.broadcast(centroids)).withColumn(
+        "_csim", cosine_similarity(F.col(vcol), F.col("_cvec"))
+    )
+    w = W.partitionBy(part_col).orderBy(F.desc("_csim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_crk", F.row_number().over(w))
+        .where(F.col("_crk") == 1)
+        .drop("_csim", "_crk", "_cvec")
+    )
+
+
+def ivf_probe_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe an ALREADY-ASSIGNED IVF list table: queries route to their
+    nearest centroid and score only that centroid's list — the shared
+    core of ``ivf_topk`` (assignment built in-session) and
+    ``AnnIndexStore.ivf_topk`` (assignment read back from a corpus
+    persisted ``partitionBy(centroid_id)``, where the probe's list filter
+    becomes partition PRUNING at the scan)."""
+    q = assign_nearest_centroid(
         queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
+        centroids,
         "_qvec",
         query_id_col,
     )
-    scored = c.join(F.broadcast(q), "centroid_id").withColumn(
+    scored = assigned.join(F.broadcast(q), "centroid_id").withColumn(
         "cosine", F.round(F.lit(1e-9) + cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6)
     )
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))

@@ -3324,3 +3324,30 @@ GROUP BY 1 ORDER BY n_total DESC, unit ASC LIMIT 50
 
 QUERIES.update({"text_subword_coverage": text_subword_coverage})
 ORACLES.update({"text_subword_coverage": _subword_coverage_sql()})
+
+
+# -------------------------------------- persisted IVF index (round 6)
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_topk answered from the PERSISTED inverted lists
+    (index_store.AnnIndexStore.write_ivf / ivf_topk): the corpus is
+    stored partitionBy(centroid_id), so the probe reads exactly one
+    list's files — completing the persisted-index family (PQ, LSH,
+    MinHash, IVF). Same oracle as ann_ivf_topk."""
+    import hashlib as _h
+
+    from helixdb_spark.index_store import AnnIndexStore
+
+    base = f"/tmp/helix_ann_store/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
+    store = AnnIndexStore(spark, base)
+    emb = load_table(spark, sf_dir, "embeddings")
+    if _IVF_MEMO.get(sf_dir) != base and not store.validate("ivf", emb):
+        store.write_ivf(emb)
+        store = AnnIndexStore(spark, base)  # reopen: answer off disk
+    _IVF_MEMO[sf_dir] = base
+    return store.ivf_topk(_query_vecs(spark, sf_dir), k=ANN_K)
+
+
+_IVF_MEMO: dict[str, str] = {}
+
+QUERIES.update({"ann_ivf_persisted": ann_ivf_persisted})
+ORACLES.update({"ann_ivf_persisted": ANN_IVF_SQL})

@@ -135,3 +135,37 @@ def test_minhash_persisted_bit_identical(spark, sf_dir, tmp_path):
         map(tuple, dd.minhash_lsh_pairs(docs, threshold=0.4).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_ivf_persisted_bit_identical_and_pruned(spark, emb, queries, tmp_path):
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.write_ivf(emb)
+    reopened = AnnIndexStore(spark, str(tmp_path / "idx"))
+    got = sorted(map(tuple, reopened.ivf_topk(queries, k=4).collect()))
+    want = sorted(map(tuple, sim.ivf_topk(emb, queries, k=4).collect()))
+    assert got == want
+    # a single-list probe must prune the other lists' partitions
+    _, assigned, _ = reopened.read_ivf()
+    plan = (
+        assigned.where(F.col("centroid_id") == 0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+
+
+def test_file_sizes_remote_scheme(spark, emb, tmp_path):
+    """EngineFS.file_sizes through the Hadoop path (file://) agrees with
+    the local fast path — the optimize planner depends on it."""
+    from helixdb_spark.fsio import EngineFS
+
+    d = str(tmp_path / "data")
+    emb.limit(10).write.parquet(d)
+    local = EngineFS(spark, d).file_sizes(d)
+    remote = EngineFS(spark, "file://" + d).file_sizes("file://" + d)
+    # names carry no scheme; the remote listing keys are plain names too
+    assert local and local == {k: v for k, v in remote.items()}
+    assert EngineFS(spark, d).file_sizes(d + "/nope") == {}
