@@ -127,6 +127,8 @@ HEADLINE = [
     "kv_optimize_scan",
     "ev_funnel_conversion",
     "ann_ivf_persisted",
+    "sketch_cms_merge",
+    "curate_contamination_report",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -550,3 +550,54 @@ def histogram_quantiles(
         )
         .orderBy("q")
     )
+
+
+def cms_cells_by(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Per-group count-min cell tables (group, row, col, cnt) — the
+    shard/day-grain sketch state a 100 TB pipeline persists instead of raw
+    keys; each group's state is ≤ d·w integer rows."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":", F.lit(str(j)), F.col(key_col).cast("string")
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("col"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.col(group_col).alias("grp"), F.explode(cells).alias("c"))
+        .select("grp", "c.row", "c.col")
+        .groupBy("grp", "row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(cells_by: DataFrame) -> DataFrame:
+    """Union per-group count-min sketches: cellwise SUM over ≤ d·w·groups
+    integer rows (counts are additive, so the merged sketch is
+    BIT-IDENTICAL to one built over the concatenated data — unlike HLL's
+    max-merge this loses nothing). The mergeability that lets per-day
+    states roll up to any window without re-reading raw data."""
+    return cells_by.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))

@@ -3351,3 +3351,75 @@ _IVF_MEMO: dict[str, str] = {}
 
 QUERIES.update({"ann_ivf_persisted": ann_ivf_persisted})
 ORACLES.update({"ann_ivf_persisted": ANN_IVF_SQL})
+
+
+# --------------------------- contamination report by source (round 6)
+def curate_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination rollup: for each corpus source, how many
+    docs share >= {CONTAM_MIN_OVERLAP} trigrams with the benchmark set and
+    what fraction of the source that is — the report a curator reads to
+    decide which SOURCE to drop or re-crawl, where the per-doc
+    decontamination row only says which docs to cut. Rides the same
+    broadcast benchmark-shingle semi-join; adds one source-grain rollup
+    joined against per-source totals (broadcast, both tiny)."""
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = dedup.benchmark_contamination(
+        docs, F.col("source") == BENCH_SOURCE, min_overlap=CONTAM_MIN_OVERLAP
+    )
+    per_src = (
+        docs.where(F.col("source") != BENCH_SOURCE)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    hits = (
+        flagged.join(
+            docs.select("doc_id", "source"), "doc_id"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            F.max("contamination").alias("worst_contamination"),
+        )
+    )
+    return (
+        per_src.join(hits, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.lit(1e-9)
+                + F.coalesce("n_contaminated", F.lit(0)) / F.col("n_docs"),
+                6,
+            ).alias("contaminated_rate"),
+            (F.coalesce("worst_contamination", F.lit(0.0)) + F.lit(0.0)).alias(
+                "worst_contamination"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CONTAM_REPORT_SQL = f"""
+WITH flagged AS ({DECONTAMINATE_SQL.replace("ORDER BY doc_id", "")}),
+per_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents
+  WHERE source != '{BENCH_SOURCE}' GROUP BY 1
+),
+hits AS (
+  SELECT d.source, count(*)::BIGINT AS n_contaminated,
+         max(contamination) AS worst_contamination
+  FROM flagged f JOIN documents d USING (doc_id)
+  GROUP BY 1
+)
+SELECT p.source, n_docs,
+       coalesce(n_contaminated, 0)::BIGINT AS n_contaminated,
+       round(1e-9 + coalesce(n_contaminated, 0)::DOUBLE / n_docs, 6)
+         AS contaminated_rate,
+       coalesce(worst_contamination, 0.0) + 0.0 AS worst_contamination
+FROM per_src p LEFT JOIN hits h ON h.source = p.source
+ORDER BY p.source
+"""
+
+QUERIES.update({"curate_contamination_report": curate_contamination_report})
+ORACLES.update({"curate_contamination_report": CONTAM_REPORT_SQL})

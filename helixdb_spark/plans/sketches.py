@@ -401,3 +401,122 @@ ORDER BY est.key_name
 
 QUERIES.update({"sketch_hll_sliding": sketch_hll_sliding})
 ORACLES.update({"sketch_hll_sliding": SKETCH_HLL_SLIDING_SQL})
+
+
+# ------------------------------------ count-min shard merge (round 6)
+def sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS mergeability proof (the additive counterpart of
+    sketch_hll_merge): per-event-type cell tables summed cellwise into one
+    sketch, probed for the exact top-10 users — and because counts are
+    additive, the merged estimate must equal the direct whole-corpus
+    sketch's estimate BIT-FOR-BIT, which the output exposes as a graded
+    column. At 100 TB this is how per-day/shard CMS states roll up to any
+    window without re-reading raw keys."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    merged = sketches.cms_merge(sketches.cms_cells_by(ev, "event_type", "user_id"))
+    direct = sketches.cms_cells(ev, "user_id")
+    exact = (
+        ev.groupBy(F.col("user_id").alias("key"))
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.col("key"))
+        .limit(10)
+    )
+    probes = exact.select(
+        "key",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ":",
+                                            F.lit(str(j)),
+                                            F.col("key").cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % CMS_WIDTH
+                        ).alias("col"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("key", "exact_cnt", "p.row", "p.col")
+    est_m = (
+        probes.join(F.broadcast(merged), ["row", "col"])
+        .groupBy("key", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est_merged"))
+    )
+    est_d = (
+        probes.join(F.broadcast(direct), ["row", "col"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("cms_est_direct"))
+    )
+    return (
+        est_m.join(est_d, "key")
+        .select(
+            "key",
+            "exact_cnt",
+            "cms_est_merged",
+            "cms_est_direct",
+            (F.col("cms_est_merged") == F.col("cms_est_direct"))
+            .cast("int")
+            .alias("merge_exact"),
+        )
+        .orderBy(F.desc("exact_cnt"), "key")
+    )
+
+
+SKETCH_CMS_MERGE_SQL = f"""
+WITH by_grp AS (
+  SELECT event_type AS grp, j AS r,
+         ('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR), 1, 15))::BIGINT
+           % {CMS_WIDTH} AS c,
+         count(*)::BIGINT AS cnt
+  FROM events, range({CMS_DEPTH}) t(j)
+  GROUP BY 1, 2, 3
+),
+merged AS (SELECT r, c, sum(cnt)::BIGINT AS cnt FROM by_grp GROUP BY 1, 2),
+direct AS (
+  SELECT j AS r,
+         ('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR), 1, 15))::BIGINT
+           % {CMS_WIDTH} AS c,
+         count(*)::BIGINT AS cnt
+  FROM events, range({CMS_DEPTH}) t(j)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id AS key, count(*)::BIGINT AS exact_cnt FROM events
+  GROUP BY 1 ORDER BY exact_cnt DESC, key LIMIT 10
+),
+probes AS (
+  SELECT key, exact_cnt, j AS r,
+         ('0x' || substr(md5(j::VARCHAR || ':' || key::VARCHAR), 1, 15))::BIGINT
+           % {CMS_WIDTH} AS c
+  FROM exact, range({CMS_DEPTH}) t(j)
+),
+em AS (SELECT key, exact_cnt, min(cnt)::BIGINT AS cms_est_merged
+       FROM probes JOIN merged USING (r, c) GROUP BY 1, 2),
+ed AS (SELECT key, min(cnt)::BIGINT AS cms_est_direct
+       FROM probes JOIN direct USING (r, c) GROUP BY 1)
+SELECT em.key, exact_cnt, cms_est_merged, cms_est_direct,
+       (cms_est_merged = cms_est_direct)::INT AS merge_exact
+FROM em JOIN ed ON ed.key = em.key
+ORDER BY exact_cnt DESC, em.key
+"""
+
+QUERIES.update({"sketch_cms_merge": sketch_cms_merge})
+ORACLES.update({"sketch_cms_merge": SKETCH_CMS_MERGE_SQL})
