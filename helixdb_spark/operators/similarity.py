@@ -1125,8 +1125,14 @@ def pq_fit_codebooks(
     if dim % m != 0:
         raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
     sub_d = dim // m
-    books = []
-    for j in range(m):
+    # The m subspace fits are independent Spark jobs over tiny slices;
+    # submit them CONCURRENTLY (Spark's scheduler interleaves jobs from
+    # threads) instead of serially paying m x per-round job latency — the
+    # dominant cost of a fresh fit is scheduling, not data. Results are
+    # unchanged: each fit is deterministic and touches only its slice.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit(j: int):
         sub = embeddings.select(
             F.col(id_col),
             F.slice(F.col(vec_col), j * sub_d + 1, sub_d).alias(vec_col),
@@ -1135,7 +1141,10 @@ def pq_fit_codebooks(
             sub, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
             train_fraction=train_fraction,
         )
-        books.append(cents)
+        return cents
+
+    with ThreadPoolExecutor(max_workers=m) as ex:
+        books = list(ex.map(_fit, range(m)))
     return books, sub_d
 
 
