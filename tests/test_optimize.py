@@ -171,3 +171,32 @@ def test_auto_optimize_rides_maintenance(spark, tmp_path):
     got = _snapshot(db)
     assert len(got) == 400
     db.close()
+
+
+def test_optimize_on_remote_scheme(spark, tmp_path):
+    """optimize() through the Hadoop FileSystem path (file://): planner
+    file listing, staged write, manifest flip, and GC all work on a
+    scheme:// store; scan parity holds."""
+    base = "file://" + str(tmp_path / "rdb")
+    db = HelixSpark.open(
+        spark, base, HelixOptions(rick_range=100, auto_maintain=False)
+    )
+    db.put(_entries(200))
+    db.put(_entries(200))
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        db.compact(0, 199)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    before = _snapshot(db)
+    local_base = str(tmp_path / "rdb")
+    gen0 = db._state["cold_manifest"]["0"]
+    had_many = len(_bucket_files(local_base, gen0, 0)) > 1
+    packed = db.optimize(target_file_bytes=1 << 30)
+    if had_many:
+        assert packed
+        gen1 = db._state["cold_manifest"]["0"]
+        assert len(_bucket_files(local_base, gen1, 0)) == 1
+    assert _snapshot(db) == before
+    db.close()
