@@ -169,3 +169,19 @@ def test_file_sizes_remote_scheme(spark, emb, tmp_path):
     # names carry no scheme; the remote listing keys are plain names too
     assert local and local == {k: v for k, v in remote.items()}
     assert EngineFS(spark, d).file_sizes(d + "/nope") == {}
+
+
+def test_persisted_lsh_probe_uses_dynamic_partition_pruning(spark, emb, queries, tmp_path):
+    """The graded probe path (broadcast bucket join against the
+    partitionBy(_bucket) table) must carry a dynamicpruningexpression in
+    its PartitionFilters — only the probed buckets' files are read."""
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.write_lsh(emb)
+    plan = (
+        AnnIndexStore(spark, str(tmp_path / "idx"))
+        .lsh_topk(queries, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()
