@@ -129,6 +129,7 @@ HEADLINE = [
     "ann_ivf_persisted",
     "sketch_cms_merge",
     "curate_contamination_report",
+    "text_bigram_lm_score",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -1028,3 +1028,106 @@ FROM s
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def bigram_lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-2 LM quality score: the bigram upgrade of ``lm_score``
+    (CCNet filters in production use n-gram KenLM models, not unigrams —
+    a bigram already separates fluent word ORDER from token-soup with the
+    same unigram mix). Laplace-smoothed conditional
+    ``p(w | w_prev) = (c2(w_prev, w) + 1) / (c1(w_prev) + V)`` trained on
+    the corpus itself; per-doc mean log-prob over its bigram positions.
+
+    Scale shape: one posexplode, a per-doc lag window (shuffles on doc_id
+    — same key the per-doc aggregate needs, so AQE reuses the exchange),
+    one (prev, term) count shuffle for the bigram table, the unigram
+    count shuffle, and the two count joins on token keys (NOT broadcast —
+    a web-scale bigram vocab exceeds broadcast limits). Per-bigram log
+    terms are quantized to scaled int64 BEFORE the per-doc sum (the
+    exact-sum discipline), so both engines' group aggregation order is
+    irrelevant.
+
+    Returns (doc_id, n_bigrams, avg_logp, lm_bits) for docs with >= 2
+    tokens.
+    """
+    from pyspark.sql.window import Window
+
+    staged = spread(docs).withColumn(
+        "__ws", words(normalized_text(F.col(text_col)))
+    )
+    tok = staged.select(
+        F.col(id_col), F.posexplode("__ws").alias("pos", "term")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = (
+        tok.withColumn("prev", F.lag("term").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy(id_col, "prev", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    c2 = bg.groupBy("prev", "term").agg(F.sum("tf").alias("c2"))
+    c1 = tok.groupBy(F.col("term").alias("prev")).agg(
+        F.count("*").alias("c1")
+    )
+    v = tok.agg(F.count_distinct("term").alias("v_vocab"))
+    logp = F.log(
+        (F.col("c2") + 1.0) / (F.col("c1") + F.col("v_vocab"))
+    )
+    term_q = F.round(F.lit(1e-9) + logp * F.lit(1e9), 0).cast("long")
+    return (
+        bg.join(c2, ["prev", "term"])
+        .join(c1, "prev")
+        .crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.lit(1e-9)
+                + (F.sum(term_q * F.col("tf")) / F.lit(1e9)) / F.sum("tf"),
+                6,
+            ).alias("avg_logp"),
+            F.round(
+                F.lit(1e-9)
+                - (F.sum(term_q * F.col("tf")) / F.lit(1e9))
+                / F.sum("tf")
+                / F.log(F.lit(2.0)),
+                6,
+            ).alias("lm_bits"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def bigram_lm_score_sql(norm_sql: str) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split({norm_sql}, ' ') AS ws FROM documents
+           WHERE {norm_sql} != ''),
+tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS term
+        FROM w),
+lagged AS (
+  SELECT doc_id, term,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tok
+),
+bg AS (SELECT doc_id, prev, term, count(*)::BIGINT AS tf FROM lagged
+       WHERE prev IS NOT NULL GROUP BY 1, 2, 3),
+c2 AS (SELECT prev, term, sum(tf)::BIGINT AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT term AS prev, count(*)::BIGINT AS c1 FROM tok GROUP BY 1),
+v AS (SELECT count(DISTINCT term)::BIGINT AS v_vocab FROM tok),
+terms AS (
+  SELECT bg.doc_id, bg.tf,
+         CAST(round(1e-9 + ln((c2 + 1.0) / (c1 + v_vocab)) * 1e9, 0)
+              AS BIGINT) AS term_q
+  FROM bg JOIN c2 USING (prev, term) JOIN c1 USING (prev) CROSS JOIN v
+)
+SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+       round(1e-9 + (sum(term_q * tf)::DOUBLE / 1e9) / sum(tf), 6)
+         AS avg_logp,
+       round(1e-9 - (sum(term_q * tf)::DOUBLE / 1e9) / sum(tf) / ln(2.0), 6)
+         AS lm_bits
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
+"""

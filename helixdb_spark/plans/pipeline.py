@@ -3423,3 +3423,16 @@ ORDER BY p.source
 
 QUERIES.update({"curate_contamination_report": curate_contamination_report})
 ORACLES.update({"curate_contamination_report": CONTAM_REPORT_SQL})
+
+
+# ------------------------------------- bigram LM scoring (round 6)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 LM quality score (operators.text_analysis.bigram_lm_score):
+    Laplace bigram conditionals trained on the corpus, per-doc mean log
+    prob + bits/bigram — separates fluent word order from token soup with
+    the same unigram mix, which text_lm_score cannot."""
+    return _ta.bigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"text_bigram_lm_score": text_bigram_lm_score})
+ORACLES.update({"text_bigram_lm_score": _ta.bigram_lm_score_sql(_NORM)})
