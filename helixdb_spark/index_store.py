@@ -464,3 +464,46 @@ class AnnIndexStore:
             vec_col=desc["vec_col"],
             query_id_col=query_id_col,
         )
+
+    def append_pq(
+        self,
+        corpus: DataFrame,
+        name: str = "pq",
+        vec_col: str = "embedding",
+    ) -> dict:
+        """Incremental PQ maintenance: encode ONLY the corpus rows whose
+        ids are missing from the committed code table (anti-join on the
+        id), union with the existing codes, and commit as a new
+        generation — codebooks stay frozen, so the result is bit-identical
+        to a full re-encode while touching just the delta. This is how a
+        100 TB index absorbs a 1% ingest without re-reading the other 99%
+        (the engine's hot/cold compaction discipline applied to index
+        artifacts)."""
+        desc = self._descriptor(name, "pq")
+        codebooks, sub_d, codes = self.read_pq(name)
+        m, id_col = int(desc["m"]), desc["id_col"]
+        fresh = spread(corpus).join(
+            codes.select(id_col), id_col, "left_anti"
+        )
+        if fresh.isEmpty():  # nothing new: no generation burned
+            return desc
+        encoded = fresh.select(
+            F.col(id_col),
+            *[
+                assign_struct(
+                    F.slice(F.col(vec_col), j * sub_d + 1, sub_d),
+                    codebooks[j],
+                )["cluster_id"].alias(f"code_{j}")
+                for j in range(m)
+            ],
+        )
+        gen = int(self._state["gen_seq"])
+        path = self._gen_path(name, gen)
+        codes.unionByName(encoded).write.mode("overwrite").parquet(
+            f"{path}/codes"
+        )
+        n_rows = self.spark.read.parquet(f"{path}/codes").count()
+        new_desc = dict(desc)
+        new_desc.update({"gen": gen, "n_rows": n_rows})
+        self._commit(name, new_desc)
+        return new_desc

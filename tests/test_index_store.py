@@ -185,3 +185,40 @@ def test_persisted_lsh_probe_uses_dynamic_partition_pruning(spark, emb, queries,
         .toString()
     )
     assert "dynamicpruning" in plan.lower()
+
+
+def test_append_pq_matches_full_rebuild(spark, emb, queries, tmp_path):
+    """Incremental encode of a delta under frozen codebooks must answer
+    exactly like a full re-encode over the grown corpus."""
+    old = emb.where(F.col("vec_id") % 3 != 0)
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    d0 = store.write_pq(old)
+    d1 = store.append_pq(emb)  # delta = the % 3 == 0 rows
+    assert d1["n_rows"] == emb.count() > d0["n_rows"]
+    got = sorted(
+        map(
+            tuple,
+            AnnIndexStore(spark, str(tmp_path / "idx"))
+            .pq_adc_topk(queries, k_nn=4)
+            .collect(),
+        )
+    )
+    # full rebuild over the SAME codebooks (prefit from the old corpus)
+    full = AnnIndexStore(spark, str(tmp_path / "full"))
+    full.write_pq(
+        emb,
+        prefit=(
+            [
+                [(cid, cv) for cid, cv in book]
+                for book in store.read_pq()[0]
+            ],
+            store.read_pq()[1],
+        ),
+    )
+    want = sorted(map(tuple, full.pq_adc_topk(queries, k_nn=4).collect()))
+    assert got == want
+    # idempotent: appending with no new rows burns no generation
+    gen_before = store._state["gen_seq"]
+    store.append_pq(emb)
+    assert store._state["gen_seq"] == gen_before
+    assert store.read_pq()[2].count() == emb.count()
