@@ -130,6 +130,7 @@ HEADLINE = [
     "sketch_cms_merge",
     "curate_contamination_report",
     "text_bigram_lm_score",
+    "dedup_sorted_neighborhood",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

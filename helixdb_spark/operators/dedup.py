@@ -1264,3 +1264,115 @@ def linkage_block_stats(
         kept.alias("pairs_kept"),
         (total - kept).alias("pairs_dropped"),
     ).orderBy(F.desc("pairs_dropped"), "blk", "brand")
+
+
+# ------------------------------------------------- sorted neighborhood
+SNM_WINDOW = 8  # rank-window width (pairs within W-1 ranks are candidates)
+
+
+def global_rank(
+    df: DataFrame, sort_cols: list, rank_name: str = "rk"
+) -> DataFrame:
+    """Distributed dense global rank (1-based) by ``sort_cols``: range
+    partition + per-partition row_number + broadcast partition offsets —
+    NOT ``Window.orderBy`` without a partition key, which funnels the
+    whole table through one task. The offsets are one P-row collect; the
+    rank values are independent of where the range boundaries land (ties
+    must be broken by the caller's sort_cols), so the result is
+    deterministic under any partitioning."""
+    from pyspark.sql.window import Window as _W
+
+    part = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
+    part = part.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["n"]
+        for r in part.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = _W.partitionBy("__pid").orderBy(*sort_cols)
+    return part.withColumn(
+        rank_name,
+        (off[F.col("__pid")] + F.row_number().over(w)).cast("long"),
+    ).drop("__pid")
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = SNM_WINDOW,
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup detection (Hernández & Stolfo, SIGMOD
+    1995): sort the corpus by its normalized text, slide a W-rank window,
+    verify candidate pairs with exact shingle Jaccard. Complements the
+    hash-bucket blockers: MinHash/SimHash candidates need SET overlap,
+    the sorted order catches prefix-similar records (truncations,
+    appended boilerplate) that land adjacent lexically.
+
+    Scale shape: one range-partitioned sort (global_rank — no single-task
+    window), then the W-window self-join runs as an EQUI-join on rank
+    bands (each row emits its band and the band below, so every pair
+    within W-1 ranks meets exactly once), then the shingle verification
+    touches candidates only. Total pairs ≤ n·(W-1): linear in the corpus
+    by construction — no cap needed.
+    """
+    base = _spread(docs).select(
+        F.col(id_col),
+        normalized_text(F.col(text_col)).alias("__sortkey"),
+    )
+    ranked = global_rank(base, ["__sortkey", F.col(id_col)]).select(
+        id_col, "__sortkey", "rk"
+    )
+    band = ((F.col("rk") - 1) / window).cast("long")
+    left = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("rk").alias("rk_a"),
+        band.alias("band"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("rk").alias("rk_b"),
+        F.explode(F.array(band, band - 1)).alias("band"),
+    )
+    cand = left.join(right, "band").where(
+        (F.col("rk_b") > F.col("rk_a"))
+        & (F.col("rk_b") < F.col("rk_a") + window)
+    )
+    sh = doc_shingles(docs, id_col, text_col, n).select(
+        F.col(id_col), F.col("shingles")
+    )
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .where((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.lit(1e-9)
+                + n_common / (F.size("sh_a") + F.size("sh_b") - n_common),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "jaccard",
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -3436,3 +3436,54 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"text_bigram_lm_score": text_bigram_lm_score})
 ORACLES.update({"text_bigram_lm_score": _ta.bigram_lm_score_sql(_NORM)})
+
+
+# --------------------------------- sorted-neighborhood dedup (round 6)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernández & Stolfo, SIGMOD'95;
+    operators.dedup.sorted_neighborhood_pairs): corpus sorted by
+    normalized text via a DISTRIBUTED global rank (range partition +
+    per-partition row_number + offset broadcast — no single-task window),
+    W-rank window joined as an equi-join on rank bands, candidates
+    verified by exact shingle Jaccard. The blocking strategy hash buckets
+    can't express: prefix-similar records land adjacent lexically."""
+    from helixdb_spark.operators import dedup as _dd
+
+    return _dd.sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+def _snm_sql() -> str:
+    from helixdb_spark.operators.dedup import SNM_WINDOW
+
+    return f"""
+WITH {_SHINGLES},
+base AS (SELECT doc_id, {_NORM} AS sortkey FROM documents),
+ranked AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY sortkey, doc_id) AS rk
+           FROM base),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ranked a JOIN ranked b
+    ON b.rk > a.rk AND b.rk < a.rk + {SNM_WINDOW}
+),
+scored AS (
+  SELECT least(c.id_a, c.id_b) AS id_a, greatest(c.id_a, c.id_b) AS id_b,
+         round(1e-9 + len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))), 6)
+           AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE len(sa.shingles) > 0 AND len(sb.shingles) > 0
+)
+SELECT id_a, id_b, jaccard FROM scored
+WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES.update({"dedup_sorted_neighborhood": dedup_sorted_neighborhood})
+ORACLES.update({"dedup_sorted_neighborhood": _snm_sql()})

@@ -511,3 +511,30 @@ def test_subword_count_greedy_longest_match(spark):
         for s in samples
     ]
     assert got == want
+
+
+def test_global_rank_matches_single_task_window(spark):
+    """Distributed global rank (range partition + offsets) must equal the
+    naive Window.orderBy ranking, under any input partitioning."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from helixdb_spark.operators.dedup import global_rank
+
+    df = spark.range(500).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("k")
+    )
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn(
+            "rk", F.row_number().over(W.orderBy("k", "id"))
+        ).collect()
+    }
+    for parts in (1, 4, 16):
+        got = {
+            r["id"]: r["rk"]
+            for r in global_rank(
+                df.repartition(parts), ["k", F.col("id")]
+            ).collect()
+        }
+        assert got == want
