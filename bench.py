@@ -131,6 +131,7 @@ HEADLINE = [
     "curate_contamination_report",
     "text_bigram_lm_score",
     "dedup_sorted_neighborhood",
+    "ev_holt_forecast",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

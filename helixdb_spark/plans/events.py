@@ -2482,3 +2482,108 @@ ORDER BY step
 
 QUERIES.update({"ev_funnel_conversion": ev_funnel_conversion})
 ORACLES.update({"ev_funnel_conversion": EV_FUNNEL_SQL})
+
+
+# --------------------------------- Holt double-exponential (round 6)
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per event type over the daily
+    value series: level + trend state folded through the ordered series
+    with per-step 6-dp rounding (the iterative-rounding discipline, so
+    the oracle replays the identical recurrence), emitting the final
+    state and the 1-step-ahead forecast — the trend-aware successor of
+    the EWMA smoother. Scale shape: one daily rollup shuffle, then the
+    fold runs as a JVM ``aggregate`` over each type's ~30-element array —
+    per-key state is 2 floats regardless of history length."""
+    from helixdb_spark.operators.util import spread
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    daily = (
+        ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(F.round(F.lit(1e-9) + F.sum("value"), 6).alias("v"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "v"))),
+            lambda s: s["v"],
+        ).alias("vs")
+    )
+    a, b = F.lit(HOLT_ALPHA), F.lit(HOLT_BETA)
+    init = F.struct(
+        F.element_at("vs", 1).alias("l"),
+        (F.element_at("vs", 2) - F.element_at("vs", 1)).alias("b"),
+    )
+
+    def step(acc, x):
+        lev = F.round(
+            F.lit(1e-9) + a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"]), 6
+        )
+        tr = F.round(
+            F.lit(1e-9) + b * (lev - acc["l"]) + (F.lit(1.0) - b) * acc["b"],
+            6,
+        )
+        return F.struct(lev.alias("l"), tr.alias("b"))
+
+    folded = F.aggregate(F.slice("vs", 2, F.size("vs")), init, step)
+    return (
+        series.where(F.size("vs") >= 2)
+        .select(
+            "event_type",
+            F.size("vs").alias("n_days"),
+            folded["l"].alias("level"),
+            folded["b"].alias("trend"),
+            F.round(
+                F.lit(1e-9) + folded["l"] + folded["b"], 6
+            ).alias("forecast_next"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_HOLT_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+         round(1e-9 + sum(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, array_agg(v ORDER BY day) AS vs
+  FROM daily GROUP BY 1
+),
+folded AS (
+  -- list_reduce takes no initial accumulator, so the init STATE rides as
+  -- the first element with observations wrapped in the same type. State
+  -- is a 2-LIST [level, trend], NOT a struct: DuckDB evaluates struct
+  -- literal fields sequentially against the accumulator, so a struct
+  -- state's second field would see the first field already overwritten
+  -- (verified); a fresh list literal has no such aliasing.
+  SELECT event_type, len(vs) AS n_days,
+         list_reduce(
+           list_prepend([vs[1]::DOUBLE, (vs[2] - vs[1])::DOUBLE],
+                        list_transform(vs[2:],
+                                       v -> [v::DOUBLE, 0.0::DOUBLE])),
+           (acc, x) -> [
+             round(1e-9 + {HOLT_ALPHA}::DOUBLE * x[1]
+                   + (1.0 - {HOLT_ALPHA}::DOUBLE) * (acc[1] + acc[2]), 6),
+             round(1e-9 + {HOLT_BETA}::DOUBLE
+                   * (round(1e-9 + {HOLT_ALPHA}::DOUBLE * x[1]
+                      + (1.0 - {HOLT_ALPHA}::DOUBLE) * (acc[1] + acc[2]), 6)
+                      - acc[1])
+                   + (1.0 - {HOLT_BETA}::DOUBLE) * acc[2], 6)
+           ]
+         ) AS st
+  FROM series WHERE len(vs) >= 2
+)
+SELECT event_type, n_days::BIGINT AS n_days, st[1] AS level, st[2] AS trend,
+       round(1e-9 + st[1] + st[2], 6) AS forecast_next
+FROM folded
+ORDER BY event_type
+"""
+
+QUERIES.update({"ev_holt_forecast": ev_holt_forecast})
+ORACLES.update({"ev_holt_forecast": EV_HOLT_SQL})
