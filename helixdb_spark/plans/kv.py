@@ -19,6 +19,29 @@ from pyspark.sql import functions as F
 
 from helixdb_spark.sources import load_table
 
+# Scratch engine dirs for the graded kv queries. The returned DataFrames
+# read their parquet LAZILY (the driver collects after the query function
+# returns), so the dir must outlive the call — but minting a fresh
+# mkdtemp per invocation leaked ~300 MB per call per round (80 GB of
+# /tmp/helix_kv* found in round 6: bench min-of-N re-runs each query).
+# Every scratch dir is registered for removal at interpreter exit.
+import atexit as _atexit
+import shutil as _shutil
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(tag: str) -> str:
+    base = tempfile.mkdtemp(prefix=f"helix_{tag}_")
+    _SCRATCH_DIRS.append(base)
+    return base
+
+
+@_atexit.register
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        _shutil.rmtree(d, ignore_errors=True)
+
 # first week of the events corpus (all sf share the 2024-01 time span)
 SCAN_TS_LO = 1704067200  # 2024-01-01 00:00:00 UTC
 SCAN_TS_HI = 1704672000  # 2024-01-08 00:00:00 UTC
@@ -43,7 +66,7 @@ def kv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
         F.encode(F.col("props"), "utf-8").alias("value"),
     )
-    base = tempfile.mkdtemp(prefix="helix_kvq_")
+    base = _scratch_dir("kvq")
     db = HelixSpark.open(
         spark,
         base,
@@ -90,7 +113,7 @@ def kv_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
         F.encode(F.col("props"), "utf-8").alias("value"),
     )
-    base = tempfile.mkdtemp(prefix="helix_kvc_")
+    base = _scratch_dir("kvc")
     db = HelixSpark.open(
         spark,
         base,
@@ -158,7 +181,7 @@ def kv_asof_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode("v", "utf-8").alias("value"),
         )
     )
-    base = tempfile.mkdtemp(prefix="helix_kva_")
+    base = _scratch_dir("kva")
     db = HelixSpark.open(
         spark,
         base,
@@ -238,7 +261,7 @@ def kv_retention_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
         F.encode(F.col("props"), "utf-8").alias("value"),
     )
-    base = tempfile.mkdtemp(prefix="helix_kvr_")
+    base = _scratch_dir("kvr")
     db = HelixSpark.open(
         spark,
         base,
@@ -297,7 +320,7 @@ def kv_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry.register_dispatch(
         lambda key: "delta_zlib" if int(key.decode()) % 2 == 0 else ARRAY_CODEC
     )
-    base = tempfile.mkdtemp(prefix="helix_kvcodec_")
+    base = _scratch_dir("kvcodec")
     db = HelixSpark.open(
         spark,
         base,
@@ -372,7 +395,7 @@ def kv_comparator_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode("v", "utf-8").alias("value"),
         )
     )
-    base = tempfile.mkdtemp(prefix="helix_kvcmp_")
+    base = _scratch_dir("kvcmp")
     db = HelixSpark.open(
         spark,
         base,
@@ -432,7 +455,7 @@ def kv_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
         F.encode(F.col("props"), "utf-8").alias("value"),
     )
-    base = tempfile.mkdtemp(prefix="helix_kvlate_")
+    base = _scratch_dir("kvlate")
     db = HelixSpark.open(
         spark,
         base,
@@ -500,7 +523,7 @@ def kv_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
         F.encode(F.col("props"), "utf-8").alias("value"),
     )
-    base = tempfile.mkdtemp(prefix="helix_kvrb_")
+    base = _scratch_dir("kvrb")
     db = HelixSpark.open(
         spark,
         base,
@@ -568,7 +591,7 @@ def kv_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
         F.encode(F.col("props"), "utf-8").alias("value"),
     )
-    base = tempfile.mkdtemp(prefix="helix_kvsnap_")
+    base = _scratch_dir("kvsnap")
     db = HelixSpark.open(
         spark,
         base,
@@ -636,7 +659,7 @@ def kv_commit_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
         F.encode(F.col("props"), "utf-8").alias("value"),
     )
-    base = tempfile.mkdtemp(prefix="helix_kvdiff_")
+    base = _scratch_dir("kvdiff")
     db = HelixSpark.open(
         spark,
         base,
@@ -733,7 +756,7 @@ def kv_optimize_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
         F.encode(F.col("props"), "utf-8").alias("value"),
     )
-    base = tempfile.mkdtemp(prefix="helix_kvopt_")
+    base = _scratch_dir("kvopt")
     db = HelixSpark.open(
         spark,
         base,

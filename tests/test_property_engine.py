@@ -59,6 +59,9 @@ def test_put_compact_scan_roundtrip_property(spark, entries, compact_split):
     scan(full range) returns exactly the input set, before and after
     compaction (compaction transparency, reference src/level.rs:823-875)."""
     base = tempfile.mkdtemp(prefix="helix_prop_")
+    import atexit, shutil
+
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     db = HelixSpark.open(
         spark,
         base,
@@ -113,6 +116,9 @@ def test_mutation_sequence_matches_model(spark, ops):
     the cutoff/manifest interplay — the state space the example tests
     can't enumerate."""
     base = tempfile.mkdtemp(prefix="helix_prop_seq_")
+    import atexit, shutil
+
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     db = HelixSpark.open(
         spark,
         base,
