@@ -132,6 +132,7 @@ HEADLINE = [
     "text_bigram_lm_score",
     "dedup_sorted_neighborhood",
     "ev_holt_forecast",
+    "stream_token_meter",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -118,6 +118,7 @@ QUERIES = {
     "stream_hll_registers": stream.stream_hll_registers,
     "stream_cms_cells": stream.stream_cms_cells,
     "stream_topk_users": stream.stream_topk_users,
+    "stream_token_meter": stream.stream_token_meter,
 }
 
 ORACLES = {
@@ -135,6 +136,7 @@ ORACLES = {
     "stream_hll_registers": stream.STREAM_HLL_SQL,
     "stream_cms_cells": stream.STREAM_CMS_SQL,
     "stream_topk_users": stream.STREAM_TOPK_SQL,
+    "stream_token_meter": stream._stream_token_meter_sql(),
 }
 
 

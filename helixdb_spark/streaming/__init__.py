@@ -483,3 +483,46 @@ r AS (
 SELECT win_start, rk, user_id, n_events FROM r WHERE rk <= {STREAM_TOPK}
 ORDER BY win_start, rk
 """
+
+
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a bounded stream (the _events_stream pattern
+    for the corpus table)."""
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+
+
+def stream_token_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token meter: running per-source SUBWORD totals over the
+    document ingest stream (complete mode) — the live "tokens ingested
+    per domain" dashboard a training pipeline watches against its data
+    mixture budgets. The tokenizer is the same greedy-vocab regex the
+    batch budget queries use, running inside the streaming aggregate;
+    state is one counter row per source."""
+    from helixdb_spark.functions.text import subword_count
+
+    docs = _docs_stream(spark, sf_dir)
+    agg = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(subword_count(F.col("text")).cast("long")).alias("n_subwords"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.orderBy("source")
+
+
+def _stream_token_meter_sql() -> str:
+    from helixdb_spark.functions.text import subword_pattern
+
+    pat = subword_pattern().replace("'", "''")
+    return f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(lower(text), '{pat}')))::BIGINT AS n_subwords
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
