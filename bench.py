@@ -133,6 +133,7 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "ev_holt_forecast",
     "stream_token_meter",
+    "text_rake_keywords",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -1131,3 +1131,106 @@ FROM terms
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+RAKE_N_STOPWORDS = 15
+RAKE_TOP_K = 20
+
+
+def rake_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_stopwords: int = RAKE_N_STOPWORDS,
+    top_k: int = RAKE_TOP_K,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al., "Automatic Keyword Extraction
+    from Individual Documents", 2010): candidate phrases are maximal token
+    runs between stopwords; each word scores degree/frequency over the
+    phrase graph; a phrase scores the sum of its member word scores.
+    Stopwords here are CORPUS-ADAPTIVE — the ``n_stopwords`` most frequent
+    tokens (deterministic count-desc/token-asc cut), the data-driven
+    stand-in for a language stopword list.
+
+    Scale shape: one posexplode, a broadcast stopword join, the per-doc
+    segment window (shuffles on doc_id once), then two token-key count
+    shuffles for freq/degree and a phrase-key rollup. Per-member scores
+    quantize to scaled int64 before the phrase sum (exact-sum
+    discipline). Returns the corpus top-``top_k`` phrases by
+    (rake_score desc, phrase asc) with occurrence counts.
+    """
+    from pyspark.sql.window import Window
+
+    staged = spread(docs).withColumn(
+        "__ws", words(normalized_text(F.col(text_col)))
+    )
+    tok = staged.select(
+        F.col(id_col), F.posexplode("__ws").alias("pos", "term")
+    )
+    stop = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(n_stopwords)
+        .select("term", F.lit(1).alias("__stop"))
+    )
+    marked = tok.join(F.broadcast(stop), "term", "left")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = marked.withColumn(
+        "seg", F.sum(F.coalesce("__stop", F.lit(0))).over(w)
+    ).where(F.col("__stop").isNull())
+    phrases = (
+        seg.groupBy(id_col, "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+    )
+    members = phrases.select(
+        "phrase", "plen", F.explode(F.split("phrase", " ")).alias("term")
+    )
+    wstat = members.groupBy("term").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("degree")
+    )
+    # per-term score quantized to 1e9-scaled int64: the phrase sum below
+    # is then order-independent exact in both engines
+    score_q = F.round(
+        F.lit(1e-9) + F.col("degree") / F.col("freq") * F.lit(1e9), 0
+    ).cast("long")
+    scored = (
+        members.join(wstat.withColumn("score_q", score_q), "term")
+        .groupBy("phrase")
+        .agg(
+            F.max("plen").alias("n_words"),
+            F.sum("score_q").alias("_sq"),
+        )
+    )
+    # every OCCURRENCE of a phrase contributed its full member set to the
+    # sum, so dividing by the occurrence count recovers the per-phrase
+    # member-score sum — RAKE's phrase score
+    occ = phrases.groupBy("phrase").agg(F.count("*").alias("n_occurrences"))
+    return (
+        scored.join(occ, "phrase")
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.round(
+                F.lit(1e-9)
+                + F.col("_sq") / F.col("n_occurrences") / F.lit(1e9),
+                6,
+            ).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(top_k)
+    )

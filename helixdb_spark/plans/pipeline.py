@@ -3495,3 +3495,63 @@ ORDER BY id_a, id_b
 
 QUERIES.update({"dedup_sorted_neighborhood": dedup_sorted_neighborhood})
 ORACLES.update({"dedup_sorted_neighborhood": _snm_sql()})
+
+
+# --------------------------------------- RAKE keywords (round 6)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (operators.text_analysis.rake_keywords):
+    corpus top-20 candidate phrases (maximal runs between corpus-adaptive
+    stopwords) by degree/frequency member-word scores — the classic
+    unsupervised keyword miner the tf-idf/BM25 family lacks (it ranks
+    multi-word PHRASES, not terms)."""
+    return _ta.rake_keywords(load_table(spark, sf_dir, "documents"))
+
+
+def _rake_sql() -> str:
+    ns, k = _ta.RAKE_N_STOPWORDS, _ta.RAKE_TOP_K
+    return f"""
+WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+           WHERE {_NORM} != ''),
+tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS term
+        FROM w),
+stop AS (SELECT term FROM (
+  SELECT term, count(*) AS cnt FROM tok GROUP BY 1
+  ORDER BY cnt DESC, term ASC LIMIT {ns})),
+marked AS (
+  SELECT t.doc_id, t.pos, t.term,
+         (s.term IS NOT NULL)::INT AS st
+  FROM tok t LEFT JOIN stop s USING (term)
+),
+segs AS (
+  SELECT doc_id, pos, term, st,
+         sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS seg
+  FROM marked
+),
+phr AS (
+  SELECT doc_id, seg, string_agg(term, ' ' ORDER BY pos) AS phrase,
+         count(*)::BIGINT AS plen
+  FROM segs WHERE st = 0 GROUP BY 1, 2
+),
+mem AS (SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS term
+        FROM phr),
+wstat AS (SELECT term, count(*)::BIGINT AS freq, sum(plen)::BIGINT AS degree
+          FROM mem GROUP BY 1),
+memq AS (
+  SELECT m.phrase, m.plen,
+         CAST(round(1e-9 + degree::DOUBLE / freq * 1e9, 0) AS BIGINT) AS sq
+  FROM mem m JOIN wstat USING (term)
+),
+scored AS (SELECT phrase, max(plen)::BIGINT AS n_words, sum(sq) AS sq
+           FROM memq GROUP BY 1),
+occ AS (SELECT phrase, count(*)::BIGINT AS n_occurrences FROM phr GROUP BY 1)
+SELECT s.phrase, n_words, n_occurrences,
+       round(1e-9 + sq::DOUBLE / n_occurrences / 1e9, 6) AS rake_score
+FROM scored s JOIN occ USING (phrase)
+ORDER BY rake_score DESC, s.phrase ASC
+LIMIT {k}
+"""
+
+
+QUERIES.update({"text_rake_keywords": text_rake_keywords})
+ORACLES.update({"text_rake_keywords": _rake_sql()})
