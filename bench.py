@@ -134,6 +134,7 @@ HEADLINE = [
     "ev_holt_forecast",
     "stream_token_meter",
     "text_rake_keywords",
+    "emb_knn_label_qc",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -3555,3 +3555,95 @@ LIMIT {k}
 
 QUERIES.update({"text_rake_keywords": text_rake_keywords})
 ORACLES.update({"text_rake_keywords": _rake_sql()})
+
+
+# ------------------------------ 1-NN label agreement QC (round 6)
+def emb_knn_label_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label agreement per label: each vector's nearest
+    same-LSH-bucket neighbor (cosine, self excluded) votes its label; the
+    per-label agreement rate is the standard embedding-quality probe (a
+    good embedding space puts same-label points together — low agreement
+    flags a broken encoder or noisy labels). Same bucket-join shape as
+    the ANN family: no all-pairs, candidates meet only inside a bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = _sim.spread(emb).withColumn(
+        "_bucket", _sim.lsh_bucket(F.col("embedding"))
+    )
+    a = c.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("va"),
+        "_bucket",
+    )
+    b = c.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("vb"),
+        "_bucket",
+    )
+    from helixdb_spark.functions.vector import cosine_similarity
+    from pyspark.sql.window import Window as _W
+
+    scored = (
+        a.join(b, "_bucket")
+        .where(F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.lit(1e-9) + cosine_similarity(F.col("va"), F.col("vb")), 6
+            ),
+        )
+    )
+    w = _W.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "id_a",
+            "label_a",
+            (F.col("label_a") == F.col("label_b")).cast("int").alias("agree"),
+        )
+    )
+    return (
+        nn.groupBy(F.col("label_a").alias("label"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("agree").cast("long").alias("n_agree"),
+            F.round(
+                F.lit(1e-9) + F.sum("agree") / F.count("*"), 6
+            ).alias("agreement"),
+        )
+        .orderBy("label")
+    )
+
+
+def _knn_label_sql() -> str:
+    return f"""
+WITH c AS (SELECT vec_id, label, embedding,
+                  {_bucket_expr_sql('embedding')} AS bucket
+           FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, a.label AS label_a, b.vec_id AS id_b,
+         b.label AS label_b,
+         round(1e-9 + list_cosine_similarity(a.embedding::DOUBLE[],
+               b.embedding::DOUBLE[]), 6) AS cosine
+  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+nn AS (
+  SELECT id_a, label_a,
+         (label_a = label_b)::INT AS agree,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY cosine DESC, id_b ASC) AS rn
+  FROM scored
+)
+SELECT label_a AS label, count(*)::BIGINT AS n_vecs,
+       sum(agree)::BIGINT AS n_agree,
+       round(1e-9 + sum(agree)::DOUBLE / count(*), 6) AS agreement
+FROM nn WHERE rn = 1
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES.update({"emb_knn_label_qc": emb_knn_label_qc})
+ORACLES.update({"emb_knn_label_qc": _knn_label_sql()})
