@@ -135,6 +135,7 @@ HEADLINE = [
     "stream_token_meter",
     "text_rake_keywords",
     "emb_knn_label_qc",
+    "text_length_profile",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -3647,3 +3647,55 @@ ORDER BY 1
 
 QUERIES.update({"emb_knn_label_qc": emb_knn_label_qc})
 ORACLES.update({"emb_knn_label_qc": _knn_label_sql()})
+
+
+# --------------------------- subword length profile by source (round 6)
+def text_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source SUBWORD-length distribution profile (p25/p50/p75/p95,
+    exact linear interpolation — the ev_percentiles parity pattern): the
+    curation dashboard that decides per-source chunking windows and
+    flags truncated / concatenated crawls. Tokenizer runs JVM-side in
+    the same single-shuffle aggregate."""
+    from helixdb_spark.functions.text import subword_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = _sim.spread(docs).select(
+        "source", subword_count(F.col("text")).cast("double").alias("n_sub")
+    )
+    pct = F.percentile("n_sub", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.95)]))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.lit(1e-9) + pct[0], 6).alias("p25"),
+            F.round(F.lit(1e-9) + pct[1], 6).alias("p50"),
+            F.round(F.lit(1e-9) + pct[2], 6).alias("p75"),
+            F.round(F.lit(1e-9) + pct[3], 6).alias("p95"),
+        )
+        .orderBy("source")
+    )
+
+
+def _length_profile_sql() -> str:
+    from helixdb_spark.functions.text import subword_pattern
+
+    pat = subword_pattern().replace("'", "''")
+    return f"""
+WITH d AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '{pat}'))::DOUBLE AS n_sub
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(1e-9 + quantile_cont(n_sub, 0.25), 6) AS p25,
+       round(1e-9 + quantile_cont(n_sub, 0.5), 6) AS p50,
+       round(1e-9 + quantile_cont(n_sub, 0.75), 6) AS p75,
+       round(1e-9 + quantile_cont(n_sub, 0.95), 6) AS p95
+FROM d
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES.update({"text_length_profile": text_length_profile})
+ORACLES.update({"text_length_profile": _length_profile_sql()})
