@@ -351,11 +351,16 @@ def main() -> None:
     timings.update(kv_timings)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Key order matters: the driver captures only the TAIL of stdout, so the
+    # large per-query map goes FIRST and the headline scalars LAST — a
+    # front-truncated capture then still keeps {value, unit, sf} and the
+    # trailing entries of the map (r6 lost the total + 86 entries the other
+    # way around).
     result = {
+        "queries": timings,
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
     }
     if errors:
@@ -371,6 +376,14 @@ def main() -> None:
         result["regressions"] = regressions
         print(f"# REGRESSIONS vs {_baseline_name()}: {regressions}", file=sys.stderr)
     print(json.dumps(result))
+    # Belt-and-braces against stdout truncation: always persist the full
+    # result next to the repo so a clipped capture can be reconstructed.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_local_latest.json"), "w") as f:
+            json.dump(result, f)
+    except OSError:
+        pass
     # Round-end baseline capture (verify SKILL.md): write the same result
     # to a committed BENCH_local_r{N}.json so the next round's regression
     # gate (and the judge) compares against THIS box at THIS head. Raise

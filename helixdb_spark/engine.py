@@ -192,6 +192,19 @@ class HelixSpark:
         if self._closed:
             raise RuntimeError("DB is closed")  # reference db.rs:143-147
 
+    def _reserve_cold_gen(self) -> int:
+        """CAS-reserve the next cold generation number BEFORE any staging
+        write: the bump publishes through ``_save_state`` (write_text_cas),
+        so a writer whose in-memory state is stale raises
+        ConcurrentWriterError here — with zero directories touched — and
+        two live writers can never stage into the same ``gen=N`` path.
+        A reservation whose writer then crashes leaves an unreferenced dir
+        ``vacuum()`` collects (manifest liveness is the source of truth)."""
+        gen = int(self._state.get("cold_gen_seq", 0))
+        self._state["cold_gen_seq"] = gen + 1
+        self._save_state()
+        return gen
+
     # ------------------------------------------------------------------ put
     def put(self, entries: DataFrame | Sequence[tuple[int, bytes, bytes]]) -> None:
         """Durable batch write (reference src/db.rs:45-47, sharding_put
@@ -933,9 +946,14 @@ class HelixSpark:
             )
 
         # 1. STAGE: write the replacement bucket partitions to a fresh
-        # generation dir. mode("overwrite") also clears any leftover of a
-        # previously crashed (uncommitted) staging attempt at this gen.
-        gen = int(self._state.get("cold_gen_seq", 0))
+        # generation dir. The generation number is CAS-RESERVED first (same
+        # discipline as put()'s seq): a writer holding stale state loses the
+        # reservation with ConcurrentWriterError BEFORE its mode("overwrite")
+        # can clobber a generation dir another writer already committed —
+        # reserved numbers are globally unique, so no two writers ever stage
+        # to the same path. A crash after the reservation burns a gen number
+        # and leaves an unreferenced dir that vacuum() collects.
+        gen = self._reserve_cold_gen()
         gen_dir = self.layout.cold_gen_path(gen)
         (
             cold_new.write.mode("overwrite")
@@ -980,7 +998,6 @@ class HelixSpark:
             expired, history = history[:-keep], history[-keep:]
             self._state["commit_history"] = history
         self._state["cold_manifest"] = manifest
-        self._state["cold_gen_seq"] = gen + 1
         self._save_state()
 
         # 3. GC (best-effort; see the commit-protocol docstring). With
@@ -1165,7 +1182,9 @@ class HelixSpark:
             .sortWithinPartitions("key")
             .select("key", "codec", "chunk", "blob", "time_bucket")
         )
-        gen = int(self._state.get("cold_gen_seq", 0))
+        # CAS-reserve the generation before staging (see compact()): a
+        # stale writer dies here instead of overwriting a committed dir.
+        gen = self._reserve_cold_gen()
         gen_dir = self.layout.cold_gen_path(gen)
         (
             staged.write.mode("overwrite")
@@ -1196,7 +1215,6 @@ class HelixSpark:
             expired, history = history[:-keep], history[-keep:]
             self._state["commit_history"] = history
         self._state["cold_manifest"] = manifest
-        self._state["cold_gen_seq"] = gen + 1
         self._save_state()
         self._invalidate_cache()
         if keep > 0:

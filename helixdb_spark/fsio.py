@@ -241,6 +241,14 @@ class EngineFS:
                 raise ConcurrentWriterError(
                     f"{p}: v{target} was published by another writer"
                 )
+            except FileNotFoundError:
+                # A concurrent winner's post-publication GC removed our
+                # in-flight tmp between write and link — that is the same
+                # "someone else committed first" outcome, reported under
+                # the documented exception type.
+                raise ConcurrentWriterError(
+                    f"{p}: in-flight tmp removed by a concurrent writer's GC"
+                )
             finally:
                 try:
                     os.remove(tmp)
@@ -276,7 +284,20 @@ class EngineFS:
             self.delete(p)
         for name in self.listdir(parent):
             if name.startswith(f"{base}.tmp-"):
-                self.delete(f"{parent}/{name}")
+                full = f"{parent}/{name}"
+                # Grace period: a fresh tmp may belong to a concurrent
+                # writer between its write and publish — deleting it would
+                # turn their documented ConcurrentWriterError into a raw
+                # FileNotFoundError (also caught upstream, belt-and-braces).
+                if not self.remote:
+                    try:
+                        import time
+
+                        if time.time() - os.path.getmtime(full) < 60:
+                            continue
+                    except OSError:
+                        continue
+                self.delete(full)
 
     def _adopt_tmp(self, p: str) -> str | None:
         """Recovery branch (round-3 verdict): a legacy delete-then-rename

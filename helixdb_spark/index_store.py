@@ -1,33 +1,60 @@
-"""Persisted ANN index store — PQ codes/codebooks and LSH bucket tables
-written next to the data under the engine's write-new-then-flip layout.
+"""Persisted ANN index store — PQ codes/codebooks, LSH bucket tables,
+MinHash band/shingle tables and IVF inverted lists written next to the data
+under the engine's write-new-then-flip layout.
 
 The reference persists its index structures beside the data and reopens
 them instead of rebuilding (SSTable build + load, src/file/sstable.rs:94-143);
 this module is the ANN counterpart for the Spark engine: a fitted index is
-a one-time corpus pass whose artifacts (a parquet code/bucket table plus a
-driver-sized JSON codebook) are committed with the same atomic JSON-pointer
-flip the cold generations use (fsio.write_text_atomic), so readers never see
+a one-time corpus pass whose artifacts (parquet code/bucket tables plus a
+driver-sized JSON codebook) are committed with the same CAS JSON-pointer
+flip the cold generations use (fsio.write_text_cas), so readers never see
 a half-written index and a crashed writer leaves the previous generation
 live.
+
+Segmented layout (round 7 — the incremental-maintenance upgrade): each
+index table lives under ONE parquet root with the generation as a partition
+column::
+
+    {base}/{name}/{table}/seg={g}/...
+
+and the committed descriptor carries ``segments`` — the list of generation
+numbers that make up the index. A read is a single scan of the table root
+with ``seg IN (committed)``, which Spark resolves as PARTITION PRUNING, so
+uncommitted/superseded segments cost nothing and the probe-side pruning
+(``_bucket`` / ``centroid_id``) composes with it in the same scan node.
+An ingest delta is then a pure encode-and-append: hash planes, MinHash
+coefficients, PQ codebooks and IVF centroids are all frozen state, so
+``append_*`` encodes ONLY the new rows into a fresh segment and commits
+``segments + [new]`` — exactly how the reference folds new data into
+per-level indexes at compaction (src/file/sstable.rs:94-143 driven by
+src/level.rs:430-447) instead of re-reading the corpus. ``compact_index``
+folds a long chain back to one segment (the small-file axis).
+
+Writer concurrency: the generation number is CAS-RESERVED before any
+staging write (the same reserve-then-write discipline engine.put uses for
+its seq) — a writer holding stale state raises ConcurrentWriterError with
+zero directories touched, so two writers can never stage into the same
+``seg=N`` path and a loser can never clobber a winner's committed data.
 
 Why this matters at 100 TB: the fit/encode pass IS the dominant cost of PQ
 (`pq_fit_cold` times it explicitly in bench.py) — a production pipeline pays
 it once per corpus version, then every query session reads the code table
 (m small ints per vector, ~1% of raw vector bytes) and never touches raw
-embeddings. The LSH table is persisted ``partitionBy(_bucket)`` so a probe's
-bucket filter becomes partition PRUNING at the scan — a 2^P-fold read
-reduction without any index lookup machinery.
+embeddings; a daily 1% ingest re-encodes 1% of the rows, not the corpus.
 
-Bit-identity contract: querying a reopened index returns exactly what the
-in-session fit returns, because (a) the Lloyd fit is deterministic, (b) the
-codebook floats round-trip exactly through JSON (repr-based), and (c) both
-paths share one scoring implementation (similarity.pq_adc_from_codes /
-similarity.bucketed_topk). Proven in tests/test_index_store.py.
+Bit-identity contract: querying a reopened (or appended) index returns
+exactly what the in-session fit returns over the same frozen state, because
+(a) the fits/hashes are deterministic, (b) codebook floats round-trip
+exactly through JSON (repr-based), and (c) both paths share one scoring
+implementation (similarity.pq_adc_from_codes / similarity.bucketed_topk /
+similarity.ivf_probe_topk / dedup.minhash_verify_pairs). Proven in
+tests/test_index_store.py.
 """
 
 from __future__ import annotations
 
 import json
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,21 +71,61 @@ from helixdb_spark.operators.similarity import (
 )
 from helixdb_spark.operators.util import spread
 
+# parquet tables each index kind owns (segment dirs live under each)
+KIND_TABLES = {
+    "pq": ("codes",),
+    "lsh": ("buckets",),
+    "minhash": ("bands", "shingles"),
+    "ivf": ("lists", "centroids"),
+}
+
+
+def source_fingerprint(*paths: str) -> str:
+    """Cheap content fingerprint of local source data files: (name, size,
+    mtime_ns) of every data file under each path, md5'd. Detects a
+    regenerated corpus that happens to keep the same row count (the round-6
+    advice: row-count-only validation silently serves a stale index over
+    re-rolled data). Remote URIs return "" — callers fall back to the
+    row-count check alone there."""
+    import hashlib
+
+    h = hashlib.md5()
+    for p in sorted(paths):
+        if "://" in p:
+            return ""
+        if os.path.isfile(p):
+            files = [p]
+        elif os.path.isdir(p):
+            files = sorted(
+                os.path.join(p, n)
+                for n in os.listdir(p)
+                if not n.startswith(("_", "."))
+            )
+        else:
+            return ""
+        for f in files:
+            st = os.stat(f)
+            h.update(
+                f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode()
+            )
+    return h.hexdigest()
+
 
 class AnnIndexStore:
     """A directory of named, versioned ANN indexes.
 
     Layout::
 
-        {base}/_meta/index_state.json   # atomic pointer: name -> descriptor
-        {base}/{name}/gen={g}/...       # immutable parquet artifacts
-        {base}/trash/...                # superseded generations (GC-deferred)
+        {base}/_meta/index_state.json       # CAS pointer: name -> descriptor
+        {base}/{name}/{table}/seg={g}/...   # immutable parquet segments
+        {base}/trash/...                    # superseded segments (GC-deferred)
 
     Descriptors carry the driver-sized fitted state (PQ codebooks are
     m*k*(dim/m) floats; LSH needs only its parameters — the Rademacher
-    planes are re-derived from md5, similarity.lsh_bucket) plus a corpus
-    fingerprint (row count) validated on read so a stale index over a
-    changed corpus is refused rather than silently served.
+    planes are re-derived from md5, similarity.lsh_bucket), the committed
+    ``segments`` list, and a corpus fingerprint (row count + optional
+    content hash) validated on read so a stale index over a changed corpus
+    is refused rather than silently served.
     """
 
     def __init__(self, spark: SparkSession, base_path: str) -> None:
@@ -87,22 +154,71 @@ class AnnIndexStore:
             self._meta_path, json.dumps(self._state), self._state_version
         )
 
+    def _reserve_gen(self) -> int:
+        """CAS-reserve the next generation number BEFORE any staging write:
+        a writer whose in-memory state is stale dies here
+        (ConcurrentWriterError) with zero directories touched, so reserved
+        numbers are globally unique and no staging write can ever land in a
+        path another writer committed. A crash after the reservation burns
+        a number and leaves an unreferenced seg dir vacuum() collects."""
+        gen = int(self._state["gen_seq"])
+        self._state["gen_seq"] = gen + 1
+        self._save_state()
+        return gen
+
+    # ---------------------------------------------------------------- layout
     def _gen_path(self, name: str, gen: int) -> str:
+        # legacy (pre-segment) layout — still readable, never written
         return f"{self.base}/{name}/gen={int(gen)}"
 
+    def _table_root(self, name: str, table: str) -> str:
+        return f"{self.base}/{name}/{table}"
+
+    def _seg_path(self, name: str, table: str, gen: int) -> str:
+        return f"{self._table_root(name, table)}/seg={int(gen)}"
+
+    @staticmethod
+    def _segments(desc: dict) -> list[int]:
+        return [int(s) for s in desc.get("segments", [desc["gen"]])]
+
+    def _read_table(self, name: str, desc: dict, table: str) -> DataFrame:
+        """One scan of the table root filtered to the COMMITTED segments —
+        ``seg IN (...)`` resolves to partition pruning, so superseded or
+        in-flight segments are never opened, and a probe-side partition
+        filter (``_bucket`` / ``centroid_id``) prunes within the same scan
+        node."""
+        if "segments" not in desc:  # legacy single-generation layout
+            return self.spark.read.parquet(
+                f"{self._gen_path(name, desc['gen'])}/{table}"
+            )
+        df = self.spark.read.parquet(self._table_root(name, table))
+        return df.where(
+            F.col("seg").isin(self._segments(desc))
+        ).drop("seg")
+
     def _commit(self, name: str, desc: dict) -> None:
-        """Flip the pointer to the freshly-written generation, then trash
-        the superseded one (write-new-then-flip; readers of the old state
-        keep a complete generation until GC)."""
+        """Flip the pointer to the freshly-staged segment set, then trash
+        segments the new descriptor no longer references (write-new-then-
+        flip; readers of the old state keep complete segments until GC)."""
         old = self._state["indexes"].get(name)
         self._state["indexes"][name] = desc
-        self._state["gen_seq"] = int(self._state["gen_seq"]) + 1
         self._save_state()
-        if old is not None:
+        if old is None:
+            return
+        if "segments" not in old:
+            # legacy whole-generation dir
             self._fs.move(
                 self._gen_path(name, old["gen"]),
                 f"{self.base}/trash/{name}/gen={old['gen']}",
             )
+            return
+        dropped = set(self._segments(old)) - set(self._segments(desc))
+        for table in KIND_TABLES[old["kind"]]:
+            for g in dropped:
+                self._fs.move(
+                    self._seg_path(name, table, g),
+                    f"{self.base}/trash/{name}/{table}/seg={g}",
+                )
 
     def _descriptor(self, name: str, kind: str) -> dict:
         desc = self._state["indexes"].get(name)
@@ -115,22 +231,68 @@ class AnnIndexStore:
         return desc
 
     def list_indexes(self) -> dict:
-        """name -> (kind, gen, n_rows) for every committed index."""
+        """name -> (kind, gen, segments, n_rows) for every committed index."""
         return {
-            n: {"kind": d["kind"], "gen": d["gen"], "n_rows": d["n_rows"]}
+            n: {
+                "kind": d["kind"],
+                "gen": d["gen"],
+                "segments": self._segments(d),
+                "n_rows": d["n_rows"],
+            }
             for n, d in self._state["indexes"].items()
         }
 
-    def validate(self, name: str, corpus: DataFrame) -> bool:
-        """Cheap staleness check: the fingerprint recorded at build time
-        (row count) still matches the corpus."""
+    def validate(
+        self, name: str, corpus: DataFrame, fingerprint: str | None = None
+    ) -> bool:
+        """Staleness check: the fingerprint recorded at build time still
+        matches the corpus — row count always, plus the content fingerprint
+        when both sides have one (a regenerated corpus with an identical
+        row count is refused, round-6 advice)."""
         desc = self._state["indexes"].get(name)
-        return desc is not None and int(desc["n_rows"]) == corpus.count()
+        if desc is None:
+            return False
+        if fingerprint and desc.get("fingerprint") != fingerprint:
+            # no recorded fingerprint counts as stale too: an index built
+            # before fingerprinting cannot prove it covers THIS corpus
+            return False
+        return int(desc["n_rows"]) == corpus.count()
 
     def vacuum(self) -> None:
-        """Drop trashed generations (safe once no reader holds the old
-        state — same contract as the engine's vacuum)."""
+        """Drop trashed segments plus any seg dir no committed descriptor
+        references (crashed reservations / staged-but-unflipped writes).
+        Safe once no writer is mid-stage — descriptor liveness is the
+        source of truth, same contract as the engine's vacuum."""
         self._fs.delete(f"{self.base}/trash")
+        for name, desc in self._state["indexes"].items():
+            live = set(self._segments(desc))
+            if "segments" not in desc:
+                continue  # legacy layout has no seg dirs to sweep
+            for table in KIND_TABLES[desc["kind"]]:
+                root = self._table_root(name, table)
+                for child in self._fs.listdir(root):
+                    if not child.startswith("seg="):
+                        continue
+                    if int(child.split("=", 1)[1]) not in live:
+                        self._fs.delete(f"{root}/{child}")
+
+    # ------------------------------------------------------------- staging
+    def _stage(
+        self,
+        df: DataFrame,
+        name: str,
+        table: str,
+        gen: int,
+        partition_by: str | None = None,
+    ) -> int:
+        """Write one segment and return its row count (counted off the
+        written files, so the descriptor records what actually landed)."""
+        path = self._seg_path(name, table, gen)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
+        return self.spark.read.parquet(path).count()
 
     # -------------------------------------------------------------------- PQ
     def write_pq(
@@ -144,38 +306,32 @@ class AnnIndexStore:
         vec_col: str = "embedding",
         prefit: "tuple[list, int] | None" = None,
         train_fraction: float = 1.0,
+        fingerprint: str | None = None,
     ) -> dict:
         """Fit (or accept prefit) PQ codebooks, encode the corpus, and
-        commit codes parquet + codebooks under a fresh generation. The
+        commit the codes segment + codebooks under a fresh generation. The
         encode is the one full-corpus pass; the codebooks (k*dim floats)
         ride the JSON descriptor."""
         codebooks, sub_d = prefit or pq_fit_codebooks(
             corpus, m, k, n_iter, id_col, vec_col,
             train_fraction=train_fraction,
         )
-        gen = int(self._state["gen_seq"])
-        path = self._gen_path(name, gen)
-        codes = spread(corpus).select(
-            F.col(id_col),
-            *[
-                assign_struct(
-                    F.slice(F.col(vec_col), j * sub_d + 1, sub_d),
-                    codebooks[j],
-                )["cluster_id"].alias(f"code_{j}")
-                for j in range(m)
-            ],
+        gen = self._reserve_gen()
+        n_rows = self._stage(
+            self._encode_pq(corpus, codebooks, sub_d, m, id_col, vec_col),
+            name, "codes", gen,
         )
-        codes.write.mode("overwrite").parquet(f"{path}/codes")
-        n_rows = self.spark.read.parquet(f"{path}/codes").count()
         desc = {
             "kind": "pq",
             "gen": gen,
+            "segments": [gen],
             "m": m,
             "k": k,
             "n_iter": n_iter,
             "sub_d": sub_d,
             "id_col": id_col,
             "n_rows": n_rows,
+            "fingerprint": fingerprint,
             # JSON round-trips doubles exactly (repr-based), so the
             # reopened codebook is bit-identical to the fitted one
             "codebooks": [
@@ -186,6 +342,19 @@ class AnnIndexStore:
         self._commit(name, desc)
         return desc
 
+    @staticmethod
+    def _encode_pq(corpus, codebooks, sub_d, m, id_col, vec_col) -> DataFrame:
+        return spread(corpus).select(
+            F.col(id_col),
+            *[
+                assign_struct(
+                    F.slice(F.col(vec_col), j * sub_d + 1, sub_d),
+                    codebooks[j],
+                )["cluster_id"].alias(f"code_{j}")
+                for j in range(m)
+            ],
+        )
+
     def read_pq(self, name: str = "pq") -> tuple[list, int, DataFrame]:
         """(codebooks, sub_d, codes DataFrame) for a committed PQ index."""
         desc = self._descriptor(name, "pq")
@@ -193,10 +362,9 @@ class AnnIndexStore:
             [(int(cid), [float(x) for x in cv]) for cid, cv in book]
             for book in desc["codebooks"]
         ]
-        codes = self.spark.read.parquet(
-            f"{self._gen_path(name, desc['gen'])}/codes"
+        return codebooks, int(desc["sub_d"]), self._read_table(
+            name, desc, "codes"
         )
-        return codebooks, int(desc["sub_d"]), codes
 
     def pq_adc_topk(
         self,
@@ -224,6 +392,54 @@ class AnnIndexStore:
             query_id_col=query_id_col,
         )
 
+    def append_pq(
+        self,
+        corpus: DataFrame,
+        name: str = "pq",
+        vec_col: str = "embedding",
+        fingerprint: str | None = None,
+    ) -> dict:
+        """Incremental PQ maintenance: encode ONLY the corpus rows whose
+        ids are missing from the committed code table (anti-join on the
+        id) into a fresh SEGMENT — codebooks stay frozen, existing code
+        segments are untouched, so the write is O(delta) and the result is
+        bit-identical to a full re-encode. This is how a 100 TB index
+        absorbs a 1% ingest without re-reading (or re-writing) the other
+        99% — the reference's per-level index rebuild at compaction
+        (src/file/sstable.rs:94-143) expressed as segment append."""
+        desc = self._descriptor(name, "pq")
+        codebooks, sub_d, codes = self.read_pq(name)
+        m, id_col = int(desc["m"]), desc["id_col"]
+        fresh = spread(corpus).join(
+            codes.select(id_col), id_col, "left_anti"
+        )
+        if fresh.isEmpty():  # nothing new: no generation burned
+            return desc
+        if "segments" not in desc:
+            # legacy layout can't take segment appends — migrate by
+            # rebuilding once under the frozen codebooks
+            return self.write_pq(
+                corpus, name=name, m=m, k=int(desc["k"]),
+                n_iter=int(desc["n_iter"]), id_col=id_col, vec_col=vec_col,
+                prefit=(codebooks, sub_d), fingerprint=fingerprint,
+            )
+        gen = self._reserve_gen()
+        n_new = self._stage(
+            self._encode_pq(fresh, codebooks, sub_d, m, id_col, vec_col),
+            name, "codes", gen,
+        )
+        new_desc = dict(desc)
+        new_desc.update(
+            {
+                "gen": gen,
+                "segments": self._segments(desc) + [gen],
+                "n_rows": int(desc["n_rows"]) + n_new,
+                "fingerprint": fingerprint or desc.get("fingerprint"),
+            }
+        )
+        self._commit(name, new_desc)
+        return new_desc
+
     # ------------------------------------------------------------------- LSH
     def write_lsh(
         self,
@@ -233,40 +449,34 @@ class AnnIndexStore:
         dim: int = sim.DIM,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        fingerprint: str | None = None,
     ) -> dict:
         """Bucket the corpus with the deterministic hyperplane hash and
         persist it ``partitionBy(_bucket)``: a probe filters on its own
         bucket value, which Spark resolves as PARTITION PRUNING — only
         1/2^P of the files are ever opened."""
-        gen = int(self._state["gen_seq"])
-        path = self._gen_path(name, gen)
+        gen = self._reserve_gen()
         bucketed = spread(corpus).withColumn(
             "_bucket", lsh_bucket(F.col(vec_col), num_planes, dim)
         )
-        (
-            bucketed.write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(f"{path}/buckets")
-        )
-        n_rows = self.spark.read.parquet(f"{path}/buckets").count()
+        n_rows = self._stage(bucketed, name, "buckets", gen, "_bucket")
         desc = {
             "kind": "lsh",
             "gen": gen,
+            "segments": [gen],
             "num_planes": num_planes,
             "dim": dim,
             "id_col": id_col,
             "vec_col": vec_col,
             "n_rows": n_rows,
+            "fingerprint": fingerprint,
         }
         self._commit(name, desc)
         return desc
 
     def read_lsh(self, name: str = "lsh") -> tuple[dict, DataFrame]:
         desc = self._descriptor(name, "lsh")
-        df = self.spark.read.parquet(
-            f"{self._gen_path(name, desc['gen'])}/buckets"
-        )
-        return desc, df
+        return desc, self._read_table(name, desc, "buckets")
 
     def lsh_topk(
         self,
@@ -291,27 +501,60 @@ class AnnIndexStore:
             dim=int(desc["dim"]),
         )
 
-    # --------------------------------------------------------------- MinHash
-    def write_minhash(
+    def append_lsh(
         self,
-        docs: DataFrame,
-        name: str = "minhash",
-        id_col: str = "doc_id",
-        text_col: str = "text",
-        n: int = 3,
-        num_hashes: int = None,
-        bands: int = None,
+        corpus: DataFrame,
+        name: str = "lsh",
+        fingerprint: str | None = None,
     ) -> dict:
-        """Persist the MinHash-LSH dedup index: the banded signature table
-        (id, band_key) and the shingle table (id, shingles) the
-        verification join reads. At 100 TB the shingle+signature build is
-        the dominant dedup cost — persisting both means a re-run of the
-        pair scan (new threshold, new downstream consumer) touches neither
-        raw text nor md5 again."""
+        """Incremental LSH maintenance: the hyperplanes are frozen
+        (md5-derived, parameter-only state), so an ingest delta is a pure
+        hash-and-append — new rows bucketed into a fresh segment, existing
+        bucket files untouched. Bit-identical to a full rebuild because the
+        bucket of a row depends only on the row and the frozen planes."""
+        desc, bucketed = self.read_lsh(name)
+        if "segments" not in desc:
+            return self.write_lsh(
+                corpus, name=name, num_planes=int(desc["num_planes"]),
+                dim=int(desc["dim"]), id_col=desc["id_col"],
+                vec_col=desc["vec_col"], fingerprint=fingerprint,
+            )
+        id_col = desc["id_col"]
+        fresh = spread(corpus).join(
+            bucketed.select(id_col), id_col, "left_anti"
+        )
+        if fresh.isEmpty():
+            return desc
+        gen = self._reserve_gen()
+        staged = fresh.withColumn(
+            "_bucket",
+            lsh_bucket(
+                F.col(desc["vec_col"]), int(desc["num_planes"]),
+                int(desc["dim"]),
+            ),
+        )
+        n_new = self._stage(staged, name, "buckets", gen, "_bucket")
+        new_desc = dict(desc)
+        new_desc.update(
+            {
+                "gen": gen,
+                "segments": self._segments(desc) + [gen],
+                "n_rows": int(desc["n_rows"]) + n_new,
+                "fingerprint": fingerprint or desc.get("fingerprint"),
+            }
+        )
+        self._commit(name, new_desc)
+        return new_desc
+
+    # --------------------------------------------------------------- MinHash
+    def _minhash_tables(
+        self, docs: DataFrame, id_col: str, text_col: str, n: int,
+        num_hashes: int, bands: int,
+    ) -> tuple[DataFrame, DataFrame]:
+        """(band table, shingle table) for a document set under the frozen
+        MinHash state (coefficients are deterministic in num_hashes)."""
         from helixdb_spark.operators import dedup as _dd
 
-        num_hashes = _dd.NUM_MINHASHES if num_hashes is None else num_hashes
-        bands = _dd.LSH_BANDS if bands is None else bands
         rows = num_hashes // bands
         shingled = _dd.doc_shingles(docs, id_col, text_col, n).withColumn(
             "bhs", F.transform("shingles", lambda s: _dd._hex_long(s, 8))
@@ -349,21 +592,46 @@ class AnnIndexStore:
         stacked = sig.select(
             F.col(id_col), F.explode(band_key_array).alias("band_key")
         )
-        gen = int(self._state["gen_seq"])
-        path = self._gen_path(name, gen)
-        stacked.write.mode("overwrite").parquet(f"{path}/bands")
-        shingled.select(id_col, "shingles").write.mode("overwrite").parquet(
-            f"{path}/shingles"
+        return stacked, shingled.select(id_col, "shingles")
+
+    def write_minhash(
+        self,
+        docs: DataFrame,
+        name: str = "minhash",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        num_hashes: int = None,
+        bands: int = None,
+        fingerprint: str | None = None,
+    ) -> dict:
+        """Persist the MinHash-LSH dedup index: the banded signature table
+        (id, band_key) and the shingle table (id, shingles) the
+        verification join reads. At 100 TB the shingle+signature build is
+        the dominant dedup cost — persisting both means a re-run of the
+        pair scan (new threshold, new downstream consumer) touches neither
+        raw text nor md5 again."""
+        from helixdb_spark.operators import dedup as _dd
+
+        num_hashes = _dd.NUM_MINHASHES if num_hashes is None else num_hashes
+        bands = _dd.LSH_BANDS if bands is None else bands
+        stacked, shingles = self._minhash_tables(
+            docs, id_col, text_col, n, num_hashes, bands
         )
-        n_rows = self.spark.read.parquet(f"{path}/shingles").count()
+        gen = self._reserve_gen()
+        self._stage(stacked, name, "bands", gen)
+        n_rows = self._stage(shingles, name, "shingles", gen)
         desc = {
             "kind": "minhash",
             "gen": gen,
+            "segments": [gen],
             "n": n,
             "num_hashes": num_hashes,
             "bands": bands,
             "id_col": id_col,
+            "text_col": text_col,
             "n_rows": n_rows,
+            "fingerprint": fingerprint,
         }
         self._commit(name, desc)
         return desc
@@ -371,11 +639,10 @@ class AnnIndexStore:
     def read_minhash(self, name: str = "minhash") -> tuple[dict, DataFrame, DataFrame]:
         """(descriptor, band table, shingle table) for a committed index."""
         desc = self._descriptor(name, "minhash")
-        path = self._gen_path(name, desc["gen"])
         return (
             desc,
-            self.spark.read.parquet(f"{path}/bands"),
-            self.spark.read.parquet(f"{path}/shingles"),
+            self._read_table(name, desc, "bands"),
+            self._read_table(name, desc, "shingles"),
         )
 
     def minhash_pairs(
@@ -391,6 +658,49 @@ class AnnIndexStore:
             stacked, shingled, desc["id_col"], threshold
         )
 
+    def append_minhash(
+        self,
+        docs: DataFrame,
+        name: str = "minhash",
+        fingerprint: str | None = None,
+    ) -> dict:
+        """Incremental MinHash maintenance: coefficients and banding are
+        frozen (deterministic in num_hashes), so new documents shingle and
+        sign into a fresh band/shingle segment without touching the
+        committed ones — a daily ingest re-shingles the delta, not the
+        corpus. Bit-identical to a full rebuild by construction (a doc's
+        signature depends only on its own text)."""
+        desc, stacked_old, shingled_old = self.read_minhash(name)
+        if "segments" not in desc:
+            return self.write_minhash(
+                docs, name=name, id_col=desc["id_col"],
+                text_col=desc.get("text_col", "text"), n=int(desc["n"]),
+                num_hashes=int(desc["num_hashes"]), bands=int(desc["bands"]),
+                fingerprint=fingerprint,
+            )
+        id_col = desc["id_col"]
+        fresh = docs.join(shingled_old.select(id_col), id_col, "left_anti")
+        if fresh.isEmpty():
+            return desc
+        stacked, shingles = self._minhash_tables(
+            fresh, id_col, desc.get("text_col", "text"), int(desc["n"]),
+            int(desc["num_hashes"]), int(desc["bands"]),
+        )
+        gen = self._reserve_gen()
+        self._stage(stacked, name, "bands", gen)
+        n_new = self._stage(shingles, name, "shingles", gen)
+        new_desc = dict(desc)
+        new_desc.update(
+            {
+                "gen": gen,
+                "segments": self._segments(desc) + [gen],
+                "n_rows": int(desc["n_rows"]) + n_new,
+                "fingerprint": fingerprint or desc.get("fingerprint"),
+            }
+        )
+        self._commit(name, new_desc)
+        return new_desc
+
     # ------------------------------------------------------------------- IVF
     def write_ivf(
         self,
@@ -399,46 +709,47 @@ class AnnIndexStore:
         stride: int = sim.IVF_CENTROID_STRIDE,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        centroids: Optional[DataFrame] = None,
+        fingerprint: str | None = None,
     ) -> dict:
         """Persist the IVF-flat index: the centroid table and the corpus
         with its list assignment, written ``partitionBy(centroid_id)`` so
         a probe reads exactly one inverted list's files (partition
-        pruning — the on-disk analog of an in-memory inverted list)."""
+        pruning — the on-disk analog of an in-memory inverted list).
+        ``centroids`` lets a rebuild reuse a frozen centroid set (the
+        prefit analog — required for append bit-identity checks)."""
         from helixdb_spark.operators.similarity import assign_nearest_centroid
 
-        centroids = corpus.where((F.col(id_col) % stride) == 0).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec")
-        )
+        if centroids is None:
+            centroids = corpus.where((F.col(id_col) % stride) == 0).select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("_cvec"),
+            )
         assigned = assign_nearest_centroid(
             spread(corpus), centroids, vec_col, id_col
         )
-        gen = int(self._state["gen_seq"])
-        path = self._gen_path(name, gen)
-        (
-            assigned.write.mode("overwrite")
-            .partitionBy("centroid_id")
-            .parquet(f"{path}/lists")
-        )
-        centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-        n_rows = self.spark.read.parquet(f"{path}/lists").count()
+        gen = self._reserve_gen()
+        n_rows = self._stage(assigned, name, "lists", gen, "centroid_id")
+        self._stage(centroids, name, "centroids", gen)
         desc = {
             "kind": "ivf",
             "gen": gen,
+            "segments": [gen],
             "stride": stride,
             "id_col": id_col,
             "vec_col": vec_col,
             "n_rows": n_rows,
+            "fingerprint": fingerprint,
         }
         self._commit(name, desc)
         return desc
 
     def read_ivf(self, name: str = "ivf") -> tuple[dict, DataFrame, DataFrame]:
         desc = self._descriptor(name, "ivf")
-        path = self._gen_path(name, desc["gen"])
         return (
             desc,
-            self.spark.read.parquet(f"{path}/lists"),
-            self.spark.read.parquet(f"{path}/centroids"),
+            self._read_table(name, desc, "lists"),
+            self._read_table(name, desc, "centroids"),
         )
 
     def ivf_topk(
@@ -465,45 +776,71 @@ class AnnIndexStore:
             query_id_col=query_id_col,
         )
 
-    def append_pq(
+    def append_ivf(
         self,
         corpus: DataFrame,
-        name: str = "pq",
-        vec_col: str = "embedding",
+        name: str = "ivf",
+        fingerprint: str | None = None,
     ) -> dict:
-        """Incremental PQ maintenance: encode ONLY the corpus rows whose
-        ids are missing from the committed code table (anti-join on the
-        id), union with the existing codes, and commit as a new
-        generation — codebooks stay frozen, so the result is bit-identical
-        to a full re-encode while touching just the delta. This is how a
-        100 TB index absorbs a 1% ingest without re-reading the other 99%
-        (the engine's hot/cold compaction discipline applied to index
-        artifacts)."""
-        desc = self._descriptor(name, "pq")
-        codebooks, sub_d, codes = self.read_pq(name)
-        m, id_col = int(desc["m"]), desc["id_col"]
+        """Incremental IVF maintenance: the centroid set is FROZEN (like PQ
+        codebooks — re-clustering would invalidate every committed list),
+        so new rows assign to their nearest existing centroid and land in a
+        fresh lists segment. Bit-identical to a full rebuild over the same
+        frozen centroids (write_ivf(centroids=...))."""
+        from helixdb_spark.operators.similarity import assign_nearest_centroid
+
+        desc, assigned_old, centroids = self.read_ivf(name)
+        if "segments" not in desc:
+            return self.write_ivf(
+                corpus, name=name, stride=int(desc["stride"]),
+                id_col=desc["id_col"], vec_col=desc["vec_col"],
+                centroids=centroids, fingerprint=fingerprint,
+            )
+        id_col = desc["id_col"]
         fresh = spread(corpus).join(
-            codes.select(id_col), id_col, "left_anti"
+            assigned_old.select(id_col), id_col, "left_anti"
         )
-        if fresh.isEmpty():  # nothing new: no generation burned
+        if fresh.isEmpty():
             return desc
-        encoded = fresh.select(
-            F.col(id_col),
-            *[
-                assign_struct(
-                    F.slice(F.col(vec_col), j * sub_d + 1, sub_d),
-                    codebooks[j],
-                )["cluster_id"].alias(f"code_{j}")
-                for j in range(m)
-            ],
+        staged = assign_nearest_centroid(
+            fresh, centroids, desc["vec_col"], id_col
         )
-        gen = int(self._state["gen_seq"])
-        path = self._gen_path(name, gen)
-        codes.unionByName(encoded).write.mode("overwrite").parquet(
-            f"{path}/codes"
-        )
-        n_rows = self.spark.read.parquet(f"{path}/codes").count()
+        gen = self._reserve_gen()
+        n_new = self._stage(staged, name, "lists", gen, "centroid_id")
         new_desc = dict(desc)
-        new_desc.update({"gen": gen, "n_rows": n_rows})
+        new_desc.update(
+            {
+                "gen": gen,
+                "segments": self._segments(desc) + [gen],
+                "n_rows": int(desc["n_rows"]) + n_new,
+                "fingerprint": fingerprint or desc.get("fingerprint"),
+            }
+        )
+        self._commit(name, new_desc)
+        return new_desc
+
+    # ------------------------------------------------------------ compaction
+    def compact_index(self, name: str) -> dict:
+        """Fold a segment chain back into ONE segment — the small-file /
+        long-chain axis of index maintenance (the engine's OPTIMIZE applied
+        to index artifacts). Row content is unchanged (pure rewrite of the
+        committed segments), so every query answers identically; what
+        changes is the file count a scan schedules over. A no-op on
+        single-segment indexes."""
+        desc = self._state["indexes"].get(name)
+        if desc is None:
+            raise KeyError(f"no index named {name!r} at {self.base}")
+        if len(self._segments(desc)) <= 1 and "segments" in desc:
+            return desc
+        kind = desc["kind"]
+        tables = {
+            t: self._read_table(name, desc, t) for t in KIND_TABLES[kind]
+        }
+        gen = self._reserve_gen()
+        part_by = {"buckets": "_bucket", "lists": "centroid_id"}
+        for t, df in tables.items():
+            self._stage(df, name, t, gen, part_by.get(t))
+        new_desc = dict(desc)
+        new_desc.update({"gen": gen, "segments": [gen]})
         self._commit(name, new_desc)
         return new_desc

@@ -107,7 +107,12 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         # power-of-two fraction like 1/128), which real measurement
         # columns do not produce.
         if isinstance(df.schema[c].dataType, (DoubleType, FloatType)):
-            return F.format_string("%.6f", col)
+            # format_string renders a NULL aggregate (all-NULL column) as
+            # the literal string 'null'; DuckDB's printf yields SQL NULL.
+            # Keep NULL as NULL so the report string matches either engine.
+            return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+                F.format_string("%.6f", col)
+            )
         return col.cast("string")
 
     aggs = []

@@ -2934,22 +2934,40 @@ ORACLES.update({"decontaminate_semantic": _sem_decon_sql()})
 _ANN_STORE_MEMO: dict[str, str] = {}
 
 
+def _store_base(sf_dir: str) -> str:
+    import hashlib as _h
+
+    return f"/tmp/helix_ann_store/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
+
+
+def _source_fp(sf_dir: str, table: str) -> str:
+    """Content fingerprint of a source table's parquet files — folded into
+    every persisted-index descriptor so a REGENERATED corpus at the same
+    path with the same row count (typical for fixed-sf test data) is
+    detected as stale instead of silently served (round-6 advice)."""
+    from helixdb_spark.index_store import source_fingerprint
+
+    return source_fingerprint(f"{sf_dir.rstrip('/')}/{table}.parquet")
+
+
 def _ann_store(spark: SparkSession, sf_dir: str):
     """Open (building if absent or stale) the persisted ANN store for
     ``sf_dir``. The build writes BOTH index kinds; the memo only skips the
     staleness re-validation inside one process."""
-    import hashlib as _h
-
     from helixdb_spark.index_store import AnnIndexStore
 
-    base = f"/tmp/helix_ann_store/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
+    base = _store_base(sf_dir)
     store = AnnIndexStore(spark, base)
     if _ANN_STORE_MEMO.get(sf_dir) == base:
         return store
     emb = load_table(spark, sf_dir, "embeddings")
-    if not (store.validate("pq", emb) and store.validate("lsh", emb)):
-        store.write_pq(emb, prefit=_pq_prefit(spark, sf_dir))
-        store.write_lsh(emb)
+    fp = _source_fp(sf_dir, "embeddings")
+    if not (
+        store.validate("pq", emb, fingerprint=fp)
+        and store.validate("lsh", emb, fingerprint=fp)
+    ):
+        store.write_pq(emb, prefit=_pq_prefit(spark, sf_dir), fingerprint=fp)
+        store.write_lsh(emb, fingerprint=fp)
     _ANN_STORE_MEMO[sf_dir] = base
     return store
 
@@ -3179,17 +3197,16 @@ def dedup_minhash_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus version here; a re-run of the pair scan touches neither raw
     text nor md5 again. Same oracle as dedup_minhash_lsh — the reopened
     index must answer bit-identically."""
-    import hashlib as _h
-
     from helixdb_spark.index_store import AnnIndexStore
 
-    base = f"/tmp/helix_ann_store/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
+    base = _store_base(sf_dir)
     store = AnnIndexStore(spark, base)
     docs = load_table(spark, sf_dir, "documents")
+    fp = _source_fp(sf_dir, "documents")
     if _MINHASH_MEMO.get(sf_dir) != base and not store.validate(
-        "minhash", docs
+        "minhash", docs, fingerprint=fp
     ):
-        store.write_minhash(docs)
+        store.write_minhash(docs, fingerprint=fp)
         store = AnnIndexStore(spark, base)  # reopen: answer off disk
     _MINHASH_MEMO[sf_dir] = base
     return store.minhash_pairs(threshold=JACCARD_THRESHOLD)
@@ -3333,15 +3350,16 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored partitionBy(centroid_id), so the probe reads exactly one
     list's files — completing the persisted-index family (PQ, LSH,
     MinHash, IVF). Same oracle as ann_ivf_topk."""
-    import hashlib as _h
-
     from helixdb_spark.index_store import AnnIndexStore
 
-    base = f"/tmp/helix_ann_store/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
+    base = _store_base(sf_dir)
     store = AnnIndexStore(spark, base)
     emb = load_table(spark, sf_dir, "embeddings")
-    if _IVF_MEMO.get(sf_dir) != base and not store.validate("ivf", emb):
-        store.write_ivf(emb)
+    fp = _source_fp(sf_dir, "embeddings")
+    if _IVF_MEMO.get(sf_dir) != base and not store.validate(
+        "ivf", emb, fingerprint=fp
+    ):
+        store.write_ivf(emb, fingerprint=fp)
         store = AnnIndexStore(spark, base)  # reopen: answer off disk
     _IVF_MEMO[sf_dir] = base
     return store.ivf_topk(_query_vecs(spark, sf_dir), k=ANN_K)

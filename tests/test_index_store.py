@@ -70,8 +70,8 @@ def test_write_flips_generation_and_trashes_old(spark, emb, tmp_path):
     d1 = store.write_pq(emb)
     d2 = store.write_pq(emb)
     assert d2["gen"] > d1["gen"]
-    assert not (base / "pq" / f"gen={d1['gen']}").exists()
-    assert (base / "trash" / "pq" / f"gen={d1['gen']}").exists()
+    assert not (base / "pq" / "codes" / f"seg={d1['gen']}").exists()
+    assert (base / "trash" / "pq" / "codes" / f"seg={d1['gen']}").exists()
     # the live generation still answers
     assert store.read_pq()[2].count() == d2["n_rows"]
     store.vacuum()

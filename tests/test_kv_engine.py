@@ -313,8 +313,16 @@ def test_compact_crash_before_commit(spark, db_path, monkeypatch):
     db.put([(t, b"k%d" % t, b"v%d" % t) for t in range(10)])
     expected = [(t, b"k%d" % t, b"v%d" % t) for t in range(10)]
 
+    # let the gen RESERVATION save succeed (it precedes staging), then
+    # crash the COMMIT save — the original staged-but-unflipped window
+    real_save = HelixSpark._save_state
+    calls = {"n": 0}
+
     def boom(self):
-        raise RuntimeError("injected crash before commit")
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("injected crash before commit")
+        real_save(self)
 
     monkeypatch.setattr(HelixSpark, "_save_state", boom)
     with pytest.raises(RuntimeError, match="injected"):
@@ -325,10 +333,19 @@ def test_compact_crash_before_commit(spark, db_path, monkeypatch):
     assert db2._state.get("cold_manifest") in (None, {})  # nothing committed
     got = [(r["ts"], bytes(r["key"]), bytes(r["value"])) for r in db2.scan((0, 9)).collect()]
     assert sorted(got) == expected
-    # retry: the staging gen number is reused (mode=overwrite clears debris)
+    # retry: a FRESH reserved gen is staged (reserved numbers are never
+    # reused); the crashed reservation's dir is unreferenced garbage
     db2.compact(0, 9)
     got = [(r["ts"], bytes(r["key"]), bytes(r["value"])) for r in db2.scan((0, 9)).collect()]
     assert sorted(got) == expected
+    assert db2.get(3, b"k3") == b"v3"
+    # vacuum collects the orphaned staged generation from the crashed run
+    import os as _os
+
+    gen0 = f"{db2.layout.cold_path}/gen=0"
+    assert _os.path.isdir(gen0)  # crashed staging leftover
+    db2.vacuum()
+    assert not _os.path.isdir(gen0)
     assert db2.get(3, b"k3") == b"v3"
 
 
@@ -343,8 +360,15 @@ def test_compact_crash_after_commit_before_gc(spark, db_path, monkeypatch):
     db.compact(0, 9)           # gen=0 committed and GC'd normally
     db.put([(3, b"k3", b"late")])  # late overwrite forces a re-compaction
 
+    real_delete = EngineFS.delete
+
     def boom(self, p):
-        raise RuntimeError("injected crash during GC")
+        # crash only the DATA-dir GC (the step under test); the state
+        # pointer's own version GC inside write_text_cas stays live —
+        # the gen reservation and the commit both publish through it
+        if "time_bucket=" in p:
+            raise RuntimeError("injected crash during GC")
+        real_delete(self, p)
 
     monkeypatch.setattr(EngineFS, "delete", boom)
     with pytest.raises(RuntimeError, match="injected"):
