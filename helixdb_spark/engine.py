@@ -64,6 +64,50 @@ from helixdb_spark.maintenance import (
     TimestampAction,
 )
 
+# Full state snapshot every N commits; in between, commits are O(changed)
+# delta records (see _save_state). 16 bounds the reopen fold at 15 deltas
+# while amortizing the O(buckets) snapshot serialize across commits.
+STATE_CHECKPOINT_EVERY = 16
+
+
+def _state_delta(old: dict, new: dict) -> dict:
+    """Commit record: top-level keys that changed plus cold_manifest entry
+    set/del ops — the only state component that grows with bucket count
+    gets entry-grain ops (O(changed buckets) per commit); everything else
+    (seq, reviewer watermarks, bounded commit_history) is O(1)-ish and
+    rides whole."""
+    d: dict = {"__delta__": 1}
+    om = old.get("cold_manifest") or {}
+    nm = new.get("cold_manifest") or {}
+    m_set = {b: g for b, g in nm.items() if om.get(b) != g}
+    m_del = [b for b in om if b not in nm]
+    if m_set:
+        d["m_set"] = m_set
+    if m_del:
+        d["m_del"] = m_del
+    changed = {
+        k: v
+        for k, v in new.items()
+        if k != "cold_manifest" and (k not in old or old[k] != v)
+    }
+    if changed:
+        d["set"] = changed
+    gone = [k for k in old if k != "cold_manifest" and k not in new]
+    if gone:
+        d["del"] = gone
+    return d
+
+
+def _apply_state_delta(state: dict, d: dict) -> None:
+    m = dict(state.get("cold_manifest") or {})
+    m.update(d.get("m_set") or {})
+    for b in d.get("m_del") or []:
+        m.pop(b, None)
+    state["cold_manifest"] = m
+    state.update(d.get("set") or {})
+    for k in d.get("del") or []:
+        state.pop(k, None)
+
 
 @dataclass
 class HelixOptions:
@@ -126,6 +170,13 @@ class HelixSpark:
         self._state = self._load_state()
         self.reviewer = SimpleTimestampReviewer.from_state(self._state["reviewer"])
         self._entries_cache: Optional[DataFrame] = None
+        # session-local index-maintenance registry (register_index): the
+        # reference rebuilds its index INSIDE compaction (src/file/
+        # sstable.rs:94-143 driven by src/level.rs:430-447); here every
+        # compact()/optimize() ends by appending registered AnnIndexStore
+        # indexes' ingest deltas so a persisted index can't silently go
+        # stale between corpus version and index version.
+        self._index_registry: list[tuple] = []
 
     # ------------------------------------------------------------------ open
     @classmethod
@@ -148,12 +199,41 @@ class HelixSpark:
 
     # ----------------------------------------------------------------- state
     def _load_state(self) -> dict:
-        text, self._state_version = self._fs.read_text_versioned(
-            self.layout.meta_path
-        )
-        self._last_saved_text = text
-        if text is not None:
-            return json.loads(text)
+        """Fold the commit log: newest FULL snapshot (checkpoint) + every
+        delta record after it. The reference's LEVEL_INFO is a single
+        superblock rewritten per advance (src/types/level_info.rs:44-52);
+        at 100x bucket counts that is an O(buckets) serialize per commit
+        and an unbounded pointer size — the Delta-log answer is O(changed)
+        delta records with periodic checkpoint compaction
+        (STATE_CHECKPOINT_EVERY), which the versioned CAS pointer already
+        gives us for free: each commit IS a log record."""
+        log = self._fs.read_pointer_log(self.layout.meta_path)
+        self._state_version = log[-1][0] if log else -1
+        self._ckpt_version = -1
+        if log:
+            base_i = None
+            for i in range(len(log) - 1, -1, -1):
+                if "__delta__" not in json.loads(log[i][1]):
+                    base_i = i
+                    break
+            if base_i is None:
+                raise RuntimeError(
+                    f"{self.layout.meta_path}: delta records survive but "
+                    "their base checkpoint is gone — refusing to guess"
+                )
+            state = json.loads(log[base_i][1])
+            self._ckpt_version = prev_v = log[base_i][0]
+            for v, text in log[base_i + 1:]:
+                if v != prev_v + 1:
+                    raise RuntimeError(
+                        f"{self.layout.meta_path}: state log gap "
+                        f"v{prev_v} -> v{v}"
+                    )
+                _apply_state_delta(state, json.loads(text))
+                prev_v = v
+            self._last_saved_text = json.dumps(state)
+            return state
+        self._last_saved_text = None
         return {
             "seq": 0,
             "reviewer": SimpleTimestampReviewer(
@@ -172,20 +252,49 @@ class HelixSpark:
         }
 
     def _save_state(self) -> None:
-        """Atomically publish the JSON state — the engine's ONE commit
+        """Atomically publish the state commit — the engine's ONE commit
         point. Compare-and-swap against the version this instance last
         read/wrote (fsio.write_text_cas): if another writer committed in
         between, this raises ConcurrentWriterError instead of silently
         clobbering their manifest/watermark flips — reopen and retry. The
         reference never faces this (single-process by construction,
-        src/db.rs:27-30); two Spark jobs sharing one table do."""
+        src/db.rs:27-30); two Spark jobs sharing one table do.
+
+        What lands is a DELTA record (changed top-level keys + manifest
+        entry set/del ops — O(changed buckets), not O(buckets)) unless a
+        checkpoint is due: every STATE_CHECKPOINT_EVERY commits, or when
+        the delta wouldn't be smaller, a full snapshot compacts the log
+        and lets the GC floor advance past the old chain."""
         self._state["reviewer"] = self.reviewer.to_state()
         text = json.dumps(self._state)
         if text == self._last_saved_text:
             return  # clean instance (e.g. read-only close): nothing to publish
-        self._state_version = self._fs.write_text_cas(
-            self.layout.meta_path, text, self._state_version
+        target = self._state_version + 1
+        checkpoint = (
+            self._last_saved_text is None
+            or self._ckpt_version < 0
+            or target - self._ckpt_version >= STATE_CHECKPOINT_EVERY
         )
+        payload = text
+        if not checkpoint:
+            dtext = json.dumps(
+                _state_delta(json.loads(self._last_saved_text), self._state)
+            )
+            if len(dtext) < len(text):
+                payload = dtext
+            else:
+                checkpoint = True  # delta no smaller: snapshot instead
+        self._state_version = self._fs.write_text_cas(
+            self.layout.meta_path,
+            payload,
+            self._state_version,
+            # deltas must keep their fold base readable; a checkpoint
+            # advances the GC floor (one predecessor stays, harmless —
+            # readers fold from the NEWEST full snapshot)
+            keep_from=(target - 1) if checkpoint else self._ckpt_version,
+        )
+        if checkpoint:
+            self._ckpt_version = self._state_version
         self._last_saved_text = text
 
     def _check_open(self) -> None:
@@ -1017,14 +1126,15 @@ class HelixSpark:
                         f"{self.layout.cold_gen_path(int(old_gen))}/time_bucket={int(b)}"
                     )
                 self._fs.delete(self.layout.trash_path(int(e["gen"])))
-            return
-        # Drop compacted hot partitions (the reference purges its memindex
-        # range + advances the rick GC offset — level.rs:430-459; for us the
-        # unit of GC is the partition directory).
-        for old_gen, b in superseded:
-            self._fs.delete(f"{self.layout.cold_gen_path(old_gen)}/time_bucket={b}")
-        for b in hot_dropped:
-            self._fs.delete(f"{self.layout.hot_path}/time_bucket={b}")
+        else:
+            # Drop compacted hot partitions (the reference purges its
+            # memindex range + advances the rick GC offset — level.rs:
+            # 430-459; for us the unit of GC is the partition directory).
+            for old_gen, b in superseded:
+                self._fs.delete(f"{self.layout.cold_gen_path(old_gen)}/time_bucket={b}")
+            for b in hot_dropped:
+                self._fs.delete(f"{self.layout.hot_path}/time_bucket={b}")
+        self._refresh_indexes()
 
     def rollback_compaction(self) -> bool:
         """Undo the most recent compaction commit — restore the previous
@@ -1229,6 +1339,7 @@ class HelixSpark:
                 self._fs.delete(
                     f"{self.layout.cold_gen_path(old_gen)}/time_bucket={b}"
                 )
+        self._refresh_indexes()
         return {b: plan[b] for b in produced}
 
     def outdate(self, cutoff_ts: int) -> None:
@@ -1281,6 +1392,38 @@ class HelixSpark:
         self._check_open()
         self.entries_view(view_name)
         return self.spark.sql(query)
+
+    # ------------------------------------------------------ index maintenance
+    def register_index(self, store, name: str, corpus_fn, **append_kw) -> None:
+        """Register a persisted ANN index for automatic maintenance: after
+        every ``compact()``/``optimize()`` commit, the engine appends the
+        index's ingest delta (``AnnIndexStore.append_*`` under the frozen
+        hash state) so the index version tracks the corpus version without
+        a manual rebuild — the reference folds exactly this into compaction
+        (index rebuilt per compacted level, src/file/sstable.rs:94-143
+        driven by src/level.rs:430-447).
+
+        ``corpus_fn(db) -> DataFrame`` supplies the current corpus (e.g. a
+        decode of the engine's own entries, or the external table the
+        index mirrors). Registration is session-local — it names the
+        refresh policy of THIS maintenance process, not persisted state.
+        Appends are no-ops when the corpus gained nothing (no generation
+        burned), and ``validate()`` still refuses stale indexes for
+        readers outside this process."""
+        self._index_registry.append((store, name, corpus_fn, append_kw))
+
+    def _refresh_indexes(self) -> None:
+        for store, name, corpus_fn, kw in self._index_registry:
+            desc = store._state["indexes"].get(name)
+            if desc is None:
+                continue  # never built — building is the owner's call
+            append = {
+                "pq": store.append_pq,
+                "lsh": store.append_lsh,
+                "minhash": store.append_minhash,
+                "ivf": store.append_ivf,
+            }[desc["kind"]]
+            append(corpus_fn(self), name=name, **kw)
 
     # ------------------------------------------------------------------ misc
     def user_keys(self) -> DataFrame:

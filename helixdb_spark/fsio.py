@@ -214,14 +214,38 @@ class EngineFS:
             return text, -1
         return self._adopt_tmp(p), -1
 
-    def write_text_cas(self, p: str, text: str, expected: int) -> int:
+    def read_pointer_log(self, p: str) -> list[tuple[int, str]]:
+        """ALL live parseable pointer versions, ascending — the read side
+        of a delta-logged state (engine commit records): the caller folds
+        checkpoint + deltas itself. Falls back to the legacy unversioned /
+        tmp-adopted single state as ``[(-1, text)]``."""
+        out = []
+        for v in self._pointer_versions(p):
+            text = self._read_raw(f"{p}.v{v}")
+            if self._parses(text):
+                out.append((v, text))
+        if out:
+            return out
+        text = self._read_raw(p)
+        if text is None:
+            text = self._adopt_tmp(p)
+        return [] if text is None else [(-1, text)]
+
+    def write_text_cas(
+        self, p: str, text: str, expected: int, keep_from: int | None = None
+    ) -> int:
         """Publish ``v{expected+1}`` if and only if no newer version exists
         — the engine's writer mutual exclusion. Returns the published
         version; raises ConcurrentWriterError when another writer got
         there first (the loser's tmp is cleaned up, the winner's commit is
         untouched). Crash-safety is unchanged from write_text_atomic: the
         commit point is a single create/rename of a complete file onto a
-        fresh name."""
+        fresh name.
+
+        ``keep_from`` overrides the post-publication GC floor: versions
+        >= keep_from survive. Default (None) keeps one predecessor; a
+        delta-logging caller passes its last CHECKPOINT version so the
+        fold base and every subsequent delta stay readable."""
         target = int(expected) + 1
         newest = (self._pointer_versions(p) or [-1])[-1]
         if newest > expected:
@@ -268,7 +292,9 @@ class EngineFS:
                 raise ConcurrentWriterError(
                     f"{p}: v{target} was published by another writer"
                 )
-        self._gc_pointer_versions(p, keep_from=target - 1)
+        self._gc_pointer_versions(
+            p, keep_from=target - 1 if keep_from is None else keep_from
+        )
         return target
 
     def _gc_pointer_versions(self, p: str, keep_from: int) -> None:

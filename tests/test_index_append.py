@@ -130,6 +130,36 @@ def test_stale_same_name_writer_cannot_clobber(spark, emb, tmp_path):
     assert [s for s in segs if s.startswith("seg=")] == [f"seg={da['gen']}"]
 
 
+def test_auto_index_refresh_on_compact(spark, emb, queries, tmp_path):
+    """Verdict #3: a registered index rides the maintenance loop — after a
+    compact the persisted probe answers as if freshly appended, with no
+    manual rebuild (the reference rebuilds its index INSIDE compaction)."""
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.write_lsh(emb.where(F.col("vec_id") % 3 != 0))
+
+    db = HelixSpark.open(
+        spark, str(tmp_path / "db"),
+        HelixOptions(rick_range=10, auto_maintain=False),
+    )
+    # corpus_fn returns the CURRENT corpus — here the table simply grew
+    db.register_index(store, "lsh", lambda _db: emb)
+    db.put([(t, b"k%d" % t, b"v%d" % t) for t in range(10)])
+    db.compact(0, 9)
+    db.close()
+
+    got = _rows(
+        AnnIndexStore(spark, str(tmp_path / "idx")).lsh_topk(queries, k=4)
+    )
+    full = AnnIndexStore(spark, str(tmp_path / "full"))
+    full.write_lsh(emb)
+    assert got == _rows(full.lsh_topk(queries, k=4))
+    # the refresh appended a segment rather than rebuilding
+    d = AnnIndexStore(spark, str(tmp_path / "idx"))._descriptor("lsh", "lsh")
+    assert len(d["segments"]) == 2 and d["n_rows"] == emb.count()
+
+
 def test_fingerprint_detects_regenerated_corpus(spark, emb, tmp_path):
     src = tmp_path / "corpus"
     emb.limit(50).write.parquet(str(src))

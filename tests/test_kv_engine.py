@@ -556,8 +556,8 @@ def _kv_state(db):
 def test_remote_pointer_versioned_roundtrip(spark, remote_db_path):
     """On a scheme:// store the state pointer is versioned: every commit
     publishes state.json.v{N} by rename-to-a-fresh-name (no delete window),
-    reads take the highest parseable version, old versions are GC'd down
-    to one predecessor (round-3 verdict 'What's wrong #1')."""
+    reads fold checkpoint + deltas, old versions are GC'd down to the fold
+    base (round-3 verdict 'What's wrong #1'; round-7 delta log)."""
     opts = HelixOptions(rick_range=10, auto_maintain=False)
     db = HelixSpark.open(spark, remote_db_path, opts)
     db.put([(t, b"k%d" % t, b"v%d" % t) for t in range(10)])
@@ -575,7 +575,16 @@ def test_remote_pointer_versioned_roundtrip(spark, remote_db_path):
     assert versioned, names
     assert "state.json" not in names or len(versioned) == 1  # legacy gone once v1 lands
     assert not [n for n in names if ".tmp-" in n]  # tmp debris collected
-    assert len(versioned) <= 2  # GC keeps at most one predecessor
+    # GC floor: everything from the fold-base checkpoint (v0 here) stays
+    # readable, bounded by the checkpoint interval
+    from helixdb_spark.engine import STATE_CHECKPOINT_EVERY
+
+    assert len(versioned) <= STATE_CHECKPOINT_EVERY + 1
+    import json as _json
+
+    oldest = min(versioned, key=lambda n: int(n.rsplit(".v", 1)[1]))
+    with open(f"{local_meta_dir}/{oldest}") as f:
+        assert "__delta__" not in _json.load(f)  # fold base is a snapshot
 
     db2 = HelixSpark.open(spark, remote_db_path, opts)
     assert set(db2._state["cold_manifest"]) == {"0"}
