@@ -1313,6 +1313,34 @@ def global_rank(
     )
 
 
+def _snm_band_candidates(ranked: DataFrame, id_col: str, window: int) -> DataFrame:
+    """W-rank window as an EQUI-join on rank bands: each row emits its band
+    and the band below, so every pair within W-1 ranks meets exactly once.
+    Pairs are emitted in canonical (lo, hi) id order."""
+    band = ((F.col("rk") - 1) / window).cast("long")
+    left = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("rk").alias("rk_a"),
+        band.alias("band"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("rk").alias("rk_b"),
+        F.explode(F.array(band, band - 1)).alias("band"),
+    )
+    return (
+        left.join(right, "band")
+        .where(
+            (F.col("rk_b") > F.col("rk_a"))
+            & (F.col("rk_b") < F.col("rk_a") + window)
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+
+
 def sorted_neighborhood_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1320,6 +1348,7 @@ def sorted_neighborhood_pairs(
     window: int = SNM_WINDOW,
     n: int = 3,
     threshold: float = 0.4,
+    multi_pass: bool = False,
 ) -> DataFrame:
     """Sorted-neighborhood near-dup detection (Hernández & Stolfo, SIGMOD
     1995): sort the corpus by its normalized text, slide a W-rank window,
@@ -1328,12 +1357,20 @@ def sorted_neighborhood_pairs(
     the sorted order catches prefix-similar records (truncations,
     appended boilerplate) that land adjacent lexically.
 
-    Scale shape: one range-partitioned sort (global_rank — no single-task
-    window), then the W-window self-join runs as an EQUI-join on rank
-    bands (each row emits its band and the band below, so every pair
-    within W-1 ranks meets exactly once), then the shingle verification
-    touches candidates only. Total pairs ≤ n·(W-1): linear in the corpus
-    by construction — no cap needed.
+    ``multi_pass=True`` adds the canonical second Hernández-Stolfo pass —
+    a second sort on the REVERSED normalized text, catching
+    prefix-divergent duplicates (same ending, different opening) the
+    forward order separates; candidate sets union (distinct) before one
+    shared verification.
+
+    Scale shape: one range-partitioned sort per pass (global_rank — no
+    single-task window) over ONE shared normalized projection (the text is
+    regex-normalized exactly once; the sort keys, the second-pass reversal
+    and the verification shingles all derive from the persisted ranked
+    stage), then the W-window self-join runs as an EQUI-join on rank
+    bands, then the shingle verification touches candidates only. Total
+    pairs ≤ passes·n·(W-1): linear in the corpus by construction — no cap
+    needed.
     """
     from helixdb_spark.operators.util import carry_caches as _carry
 
@@ -1348,30 +1385,39 @@ def sorted_neighborhood_pairs(
     ranked = _carry(
         ranked_raw.select(id_col, "__sortkey", "rk"), ranked_raw
     )
-    band = ((F.col("rk") - 1) / window).cast("long")
-    left = ranked.select(
-        F.col(id_col).alias("id_a"),
-        F.col("rk").alias("rk_a"),
-        band.alias("band"),
-    )
-    right = ranked.select(
-        F.col(id_col).alias("id_b"),
-        F.col("rk").alias("rk_b"),
-        F.explode(F.array(band, band - 1)).alias("band"),
-    )
-    cand = left.join(right, "band").where(
-        (F.col("rk_b") > F.col("rk_a"))
-        & (F.col("rk_b") < F.col("rk_a") + window)
-    )
+    cand = _snm_band_candidates(ranked, id_col, window)
+    caches = [ranked]
+    if multi_pass:
+        # second pass sorts by the reversal of the SAME persisted
+        # normalized column — no second text normalization
+        rev_raw = global_rank(
+            ranked.select(
+                id_col, F.reverse(F.col("__sortkey")).alias("__revkey")
+            ),
+            ["__revkey", F.col(id_col)],
+        )
+        rev = _carry(rev_raw.select(id_col, "rk"), rev_raw)
+        cand = cand.unionByName(
+            _snm_band_candidates(rev, id_col, window)
+        ).distinct()
+        caches.append(rev)
     # verification intersects 8-byte md5 hashes, not ~18-char shingle
     # strings (3-5x cheaper comparisons at identical semantics modulo
     # md5 collisions — and the oracle hashes identically, so even a
-    # collision is mirrored); array_distinct guards the hashed space
-    sh = doc_shingles(docs, id_col, text_col, n).select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform("shingles", lambda s: _hex_long(s, 8))
-        ).alias("shingles"),
+    # collision is mirrored); array_distinct guards the hashed space.
+    # Shingles derive from the persisted ranked stage's normalized text —
+    # the raw corpus text is scanned (and regex-normalized) exactly once.
+    sh = (
+        ranked.withColumn("__ws", words(F.col("__sortkey")))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col("__ws"), n),
+                    lambda s: _hex_long(s, 8),
+                )
+            ).alias("shingles"),
+        )
     )
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     from helixdb_spark.operators.util import carry_caches
@@ -1395,12 +1441,8 @@ def sorted_neighborhood_pairs(
             ),
         )
         .where(F.col("jaccard") >= threshold)
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            "jaccard",
-        )
+        .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
-    # the ranked stage's cache (global_rank) must outlive this plan
-    return carry_caches(out, ranked)
+    # the ranked stages' caches (global_rank) must outlive this plan
+    return carry_caches(out, *caches)

@@ -3717,3 +3717,178 @@ ORDER BY 1
 
 QUERIES.update({"text_length_profile": text_length_profile})
 ORACLES.update({"text_length_profile": _length_profile_sql()})
+
+
+# ================================================== round-7 additions
+# Incremental index maintenance, graded: each *_appended row builds the
+# persisted index over a SUBSET of the corpus, absorbs the remainder as an
+# ingest delta (AnnIndexStore.append_* — encode-and-append under frozen
+# hash state, O(delta) write), and answers the probe from the appended
+# chain. The oracle is the SAME full-corpus SQL as the non-appended row:
+# append-then-query must be bit-identical to a full rebuild. Reference
+# analog: new data folded into per-level indexes at compaction
+# (src/file/sstable.rs:94-143 driven by src/level.rs:430-447).
+
+_APP_STORE_MEMO: dict[str, str] = {}
+
+
+def _appended_store(spark: SparkSession, sf_dir: str):
+    """Open (building if absent or stale) the appended-index store: every
+    index committed as base-subset + appended delta segments."""
+    from helixdb_spark.index_store import AnnIndexStore
+
+    base = _store_base(sf_dir) + "_app"
+    store = AnnIndexStore(spark, base)
+    if _APP_STORE_MEMO.get(sf_dir) == base:
+        return store
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    fpe = _source_fp(sf_dir, "embeddings")
+    fpd = _source_fp(sf_dir, "documents")
+    old_emb = emb.where(F.col("vec_id") % 3 != 0)
+    if not store.validate("pq", emb, fingerprint=fpe):
+        # codebooks prefit on the FULL corpus (the session memo the
+        # non-appended rows share), so frozen-state append == full rebuild
+        store.write_pq(
+            old_emb, prefit=_pq_prefit(spark, sf_dir), fingerprint=fpe
+        )
+        store.append_pq(emb, fingerprint=fpe)
+    if not store.validate("lsh", emb, fingerprint=fpe):
+        store.write_lsh(old_emb, fingerprint=fpe)  # planes corpus-independent
+        store.append_lsh(emb, fingerprint=fpe)
+    if not store.validate("ivf", emb, fingerprint=fpe):
+        # the base subset keeps every stride-row, so the frozen centroid
+        # set equals the full-corpus centroid set and the appended chain
+        # answers exactly like ann_ivf_topk (same oracle)
+        base_ivf = emb.where(
+            (F.col("vec_id") % 3 != 0)
+            | (F.col("vec_id") % _sim.IVF_CENTROID_STRIDE == 0)
+        )
+        store.write_ivf(base_ivf, fingerprint=fpe)
+        store.append_ivf(emb, fingerprint=fpe)
+    if not store.validate("minhash", docs, fingerprint=fpd):
+        store.write_minhash(
+            docs.where(F.col("doc_id") % 4 != 0), fingerprint=fpd
+        )
+        store.append_minhash(docs, fingerprint=fpd)
+    _APP_STORE_MEMO[sf_dir] = base
+    return store
+
+
+def ann_pq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k from a base+delta code chain: the delta rows were
+    encoded under the committed (frozen) codebooks without re-reading or
+    re-writing the base segment. Same oracle as ann_pq_adc_topk."""
+    return _appended_store(spark, sf_dir).pq_adc_topk(
+        _query_vecs(spark, sf_dir), k_nn=ANN_K
+    )
+
+
+def ann_lsh_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k over an appended bucket chain: one scan root,
+    committed segments + probed buckets both resolving to partition
+    pruning. Same oracle as ann_lsh_topk."""
+    return _appended_store(spark, sf_dir).lsh_topk(
+        _query_vecs(spark, sf_dir), k=ANN_K
+    )
+
+
+def ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over appended inverted-list segments under the frozen
+    centroid set. Same oracle as ann_ivf_topk."""
+    return _appended_store(spark, sf_dir).ivf_topk(
+        _query_vecs(spark, sf_dir), k=ANN_K
+    )
+
+
+def dedup_minhash_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH verified pairs from appended band/shingle segments: the
+    ingest delta re-shingled ONLY the new docs (frozen coefficients), yet
+    the pair scan answers identically to a full rebuild. Same oracle as
+    dedup_minhash_lsh."""
+    return _appended_store(spark, sf_dir).minhash_pairs(
+        threshold=JACCARD_THRESHOLD
+    )
+
+
+QUERIES.update(
+    {
+        "ann_pq_appended": ann_pq_appended,
+        "ann_lsh_appended": ann_lsh_appended,
+        "ann_ivf_appended": ann_ivf_appended,
+        "dedup_minhash_appended": dedup_minhash_appended,
+    }
+)
+ORACLES.update(
+    {
+        "ann_pq_appended": _pq_adc_sql(),
+        "ann_lsh_appended": _lsh_sql(),
+        "ann_ivf_appended": ANN_IVF_SQL,
+        "dedup_minhash_appended": _minhash_sql(),
+    }
+)
+
+
+# ----------------------------- multi-pass sorted neighborhood (round 7)
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass sorted-neighborhood (the canonical Hernández-Stolfo
+    multi-pass): pass 1 sorts by normalized text, pass 2 by its REVERSAL —
+    catching prefix-divergent duplicates (same tail, different opening)
+    the forward order separates. Candidate sets union before ONE shared
+    shingle verification; both passes and the verification derive from a
+    single persisted normalized projection (the round-6 double-text-pass
+    nit, fixed)."""
+    from helixdb_spark.operators import dedup as _dd
+
+    return _dd.sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=JACCARD_THRESHOLD,
+        multi_pass=True,
+    )
+
+
+def _snm_multipass_sql() -> str:
+    from helixdb_spark.operators.dedup import SNM_WINDOW
+
+    return f"""
+WITH {_SHINGLES},
+base AS (SELECT doc_id, {_NORM} AS sortkey FROM documents),
+r1 AS (SELECT doc_id,
+              row_number() OVER (ORDER BY sortkey, doc_id) AS rk
+       FROM base),
+r2 AS (SELECT doc_id,
+              row_number() OVER (ORDER BY reverse(sortkey), doc_id) AS rk
+       FROM base),
+cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS id_a,
+         greatest(a.doc_id, b.doc_id) AS id_b
+  FROM r1 a JOIN r1 b ON b.rk > a.rk AND b.rk < a.rk + {SNM_WINDOW}
+  UNION
+  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+  FROM r2 a JOIN r2 b ON b.rk > a.rk AND b.rk < a.rk + {SNM_WINDOW}
+),
+shh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+             s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS shingles
+  FROM sh
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(1e-9 + len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))), 6)
+           AS jaccard
+  FROM cand c
+  JOIN shh sa ON sa.doc_id = c.id_a
+  JOIN shh sb ON sb.doc_id = c.id_b
+  WHERE len(sa.shingles) > 0 AND len(sb.shingles) > 0
+)
+SELECT id_a, id_b, jaccard FROM scored
+WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES.update({"dedup_snm_multipass": dedup_snm_multipass})
+ORACLES.update({"dedup_snm_multipass": _snm_multipass_sql()})
