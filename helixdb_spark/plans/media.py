@@ -268,3 +268,106 @@ FROM agg ORDER BY doc_id
 
 QUERIES.update({"mm_scene_change": mm_scene_change})
 ORACLES.update({"mm_scene_change": MM_SCENE_SQL})
+
+
+# ----------------------------------- real BMP decode round trip (round 7)
+def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode, graded: per document a deterministic pixel
+    pattern is ENCODED as a genuine 24-bit BMP (bottom-up rows, BGR, 4-byte
+    padding — multimodal.encode_bmp), shipped through a Spark binary
+    column, then DECODED by the pure-Python ``decode_image`` fast path
+    (multimodal.decode_bmp — no PIL in this container) and reduced to
+    integer channel sums + a 4x4 nearest-neighbor resize sum. Any decode
+    bug (offset, padding, row flip, BGR order) breaks the sums; the oracle
+    recomputes them straight from the pixel formula, so the BMP container
+    round trip itself is what's being graded. Reference analog: the decode
+    stage the multimodal docstring previously stubbed (round-6 verdict #7).
+
+    Scale shape: two Arrow mapInPandas passes (encode, decode+reduce), no
+    shuffle until the final orderBy; payload bytes never reach the driver.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 8 + d % 3
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                ch = np.arange(3, dtype=np.int64)[None, None, :]
+                arr = ((d * 7 + r * 31 + c * 13 + ch * 5) % 256).astype("uint8")
+                payloads.append(mm.encode_bmp(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, "doc_id long, payload binary")
+
+    def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+                "resized_sum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = mm.decode_image(bytes(payload)).astype(np.int64)
+                h, w = arr.shape[0], arr.shape[1]
+                ri = (np.arange(4) * h) // 4
+                ci = (np.arange(4) * w) // 4
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["r_sum"].append(int(arr[:, :, 0].sum()))
+                out["g_sum"].append(int(arr[:, :, 1].sum()))
+                out["b_sum"].append(int(arr[:, :, 2].sum()))
+                out["resized_sum"].append(int(arr[ri][:, ci].sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, r_sum long, g_sum long, "
+        "b_sum long, resized_sum long",
+    ).orderBy("doc_id")
+
+
+MM_DECODE_BMP_SQL = """
+WITH dims AS (
+  SELECT doc_id, (8 + doc_id % 5)::BIGINT AS w, (8 + doc_id % 3)::BIGINT AS h
+  FROM documents
+),
+rows_ AS (SELECT doc_id, w, h, unnest(range(h)) AS r FROM dims),
+px AS (SELECT doc_id, w, h, r, unnest(range(w)) AS c FROM rows_),
+sums AS (
+  SELECT doc_id,
+         sum((doc_id*7 + r*31 + c*13) % 256) AS r_sum,
+         sum((doc_id*7 + r*31 + c*13 + 5) % 256) AS g_sum,
+         sum((doc_id*7 + r*31 + c*13 + 10) % 256) AS b_sum
+  FROM px GROUP BY 1
+),
+ri AS (SELECT doc_id, w, h, unnest(range(4)) AS i FROM dims),
+rc AS (SELECT doc_id, w, h, i, unnest(range(4)) AS j FROM ri),
+rs AS (
+  SELECT doc_id,
+         sum((doc_id*7 + ((i*h)//4)*31 + ((j*w)//4)*13) % 256
+             + (doc_id*7 + ((i*h)//4)*31 + ((j*w)//4)*13 + 5) % 256
+             + (doc_id*7 + ((i*h)//4)*31 + ((j*w)//4)*13 + 10) % 256)
+           AS resized_sum
+  FROM rc GROUP BY 1
+)
+SELECT d.doc_id, d.w::INT AS width, d.h::INT AS height,
+       s.r_sum::BIGINT AS r_sum, s.g_sum::BIGINT AS g_sum,
+       s.b_sum::BIGINT AS b_sum, rs.resized_sum::BIGINT AS resized_sum
+FROM dims d JOIN sums s USING (doc_id) JOIN rs USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+QUERIES.update({"mm_decode_bmp": mm_decode_bmp})
+ORACLES.update({"mm_decode_bmp": MM_DECODE_BMP_SQL})
