@@ -136,6 +136,15 @@ HEADLINE = [
     "text_rake_keywords",
     "emb_knn_label_qc",
     "text_length_profile",
+    # round-7 additions
+    "ann_pq_appended",
+    "ann_lsh_appended",
+    "ann_ivf_appended",
+    "dedup_minhash_appended",
+    "ann_pq_compacted",
+    "dedup_snm_multipass",
+    "mm_decode_bmp",
+    "kv_statelog_scan",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

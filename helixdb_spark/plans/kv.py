@@ -783,3 +783,61 @@ def kv_optimize_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["kv_optimize_scan"] = kv_optimize_scan
 ORACLES["kv_optimize_scan"] = KV_ROUNDTRIP_SQL
+
+
+def kv_statelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 delta-log lifecycle under the oracle gate: 7 per-day puts +
+    5 per-day compactions drive the commit count past
+    STATE_CHECKPOINT_EVERY, so the reopened engine must fold a full
+    checkpoint PLUS a delta chain (engine._load_state) — and the scan over
+    the mixed cold(5 days)/hot(2 days) layout must still equal the plain
+    SQL range select. The reference rewrites its whole LEVEL_INFO
+    superblock per advance (src/types/level_info.rs:44-52); this row
+    proves the O(changed)-per-commit replacement loses nothing across a
+    put/compact/reopen lifecycle. Log mechanics (record sizes, checkpoint
+    compaction, gap refusal) are pinned in tests/test_state_log.py; this
+    row pins the DATA across the log at grading scale."""
+    from helixdb_spark.engine import (
+        STATE_CHECKPOINT_EVERY,
+        HelixOptions,
+        HelixSpark,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.col("props"), "utf-8").alias("value"),
+    ).where((F.col("ts") >= SCAN_TS_LO) & (F.col("ts") <= SCAN_TS_HI))
+    base = _scratch_dir("kvlog")
+    opts = HelixOptions(
+        rick_range=86400, outdate_range=1 << 40, auto_maintain=False
+    )
+    db = HelixSpark.open(spark, base, opts)
+    day = 86400
+    for d in range(7):  # one commit per ingest day
+        lo = SCAN_TS_LO + d * day
+        # the last day is HI-inclusive: the scan (and oracle) bound is
+        # both-inclusive, and SCAN_TS_HI == SCAN_TS_LO + 7 days exactly
+        hi = (F.col("ts") <= SCAN_TS_HI) if d == 6 else (F.col("ts") < lo + day)
+        db.put(entries.where((F.col("ts") >= lo) & hi))
+    for d in range(5):  # five separate maintenance commits
+        lo = SCAN_TS_LO + d * day
+        db.compact(lo, lo + day - 1)
+    db.close()
+    db2 = HelixSpark.open(spark, base, opts)  # folds checkpoint + deltas
+    assert db2._state["seq"] >= 7
+    assert db2._state_version + 1 > STATE_CHECKPOINT_EVERY  # chain crossed
+    scanned = db2.scan(
+        (SCAN_TS_LO, SCAN_TS_HI),
+        (KEY_LO.encode(), KEY_HI.encode()),
+    )
+    return scanned.select(
+        "ts",
+        F.decode("key", "utf-8").alias("key"),
+        F.decode("value", "utf-8").alias("value"),
+    )
+
+
+QUERIES["kv_statelog_scan"] = kv_statelog_scan
+ORACLES["kv_statelog_scan"] = KV_ROUNDTRIP_SQL

@@ -3892,3 +3892,40 @@ ORDER BY id_a, id_b
 
 QUERIES.update({"dedup_snm_multipass": dedup_snm_multipass})
 ORACLES.update({"dedup_snm_multipass": _snm_multipass_sql()})
+
+
+# ------------------------------ index chain compaction (round 7)
+_CMP_STORE_MEMO: dict[str, str] = {}
+
+
+def ann_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-chain compaction under the oracle gate: base segment + delta
+    append folded back to ONE segment (AnnIndexStore.compact_index — the
+    engine-OPTIMIZE discipline applied to index artifacts; bounds the
+    small-file axis of a long append chain). A pure rewrite: the probe
+    must answer exactly like ann_pq_adc_topk (same oracle), now off a
+    single packed segment."""
+    from helixdb_spark.index_store import AnnIndexStore
+
+    base = _store_base(sf_dir) + "_cmp"
+    store = AnnIndexStore(spark, base)
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = _source_fp(sf_dir, "embeddings")
+    if _CMP_STORE_MEMO.get(sf_dir) != base and not store.validate(
+        "pq", emb, fingerprint=fp
+    ):
+        store.write_pq(
+            emb.where(F.col("vec_id") % 3 != 0),
+            prefit=_pq_prefit(spark, sf_dir),
+            fingerprint=fp,
+        )
+        store.append_pq(emb, fingerprint=fp)
+        d = store.compact_index("pq")
+        assert len(d["segments"]) == 1
+        store = AnnIndexStore(spark, base)  # reopen: answer off disk
+    _CMP_STORE_MEMO[sf_dir] = base
+    return store.pq_adc_topk(_query_vecs(spark, sf_dir), k_nn=ANN_K)
+
+
+QUERIES.update({"ann_pq_compacted": ann_pq_compacted})
+ORACLES.update({"ann_pq_compacted": _pq_adc_sql()})

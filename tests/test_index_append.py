@@ -182,3 +182,23 @@ def test_fingerprint_detects_regenerated_corpus(spark, emb, tmp_path):
     # row-count-only validation (no fingerprint passed) still passes —
     # the fingerprint is what closes the round-6 advice hole
     assert store.validate("lsh", corpus2)
+
+
+def test_appended_chain_keeps_partition_pruning(spark, emb, queries, tmp_path):
+    """The segmented read must stay ONE scan with BOTH prunings: committed
+    segments as a static partition filter, probed buckets as dynamic
+    partition pruning — the plan shape the 100 TB posture rests on."""
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.write_lsh(emb.where(F.col("vec_id") % 3 != 0))
+    store.append_lsh(emb)
+    plan = (
+        AnnIndexStore(spark, str(tmp_path / "idx"))
+        .lsh_topk(queries, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    low = plan.lower()
+    assert "dynamicpruning" in low
+    pf = low.split("partitionfilters", 1)[1][:300]
+    assert "seg" in pf and "_bucket" in pf
