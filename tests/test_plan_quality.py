@@ -273,6 +273,7 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "ann_bruteforce_topk",
         "ann_ivf_topk",
         "ann_ivf_persisted",  # same k-row coarse-centroid broadcast as ivf_topk
+        "ann_ivf_appended",  # same k-row coarse-centroid broadcast as ivf_topk
         "text_bigram_lm_score",  # 1-row vocab-size aggregate broadcast
         "ann_recall_audit",  # brute-force truth tier + 1-row possible broadcast
         "dedup_embedding_cosine",
