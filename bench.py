@@ -145,6 +145,8 @@ HEADLINE = [
     "dedup_snm_multipass",
     "mm_decode_bmp",
     "kv_statelog_scan",
+    "ann_ivf_multiprobe",
+    "stream_watermark_close",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

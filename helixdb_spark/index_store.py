@@ -776,6 +776,35 @@ class AnnIndexStore:
             query_id_col=query_id_col,
         )
 
+    def ivf_multiprobe_topk(
+        self,
+        queries: DataFrame,
+        name: str = "ivf",
+        k: int = 5,
+        n_probe: int = None,
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        """Multi-probe form of ``ivf_topk``: each query reads its n_probe
+        nearest lists' partitions (still partition pruning — just a
+        probes-per-query-row IN-set) — the recall/cost knob production IVF
+        deployments tune. Shares similarity.ivf_multiprobe_topk."""
+        from helixdb_spark.operators.similarity import (
+            IVF_N_PROBE,
+            ivf_multiprobe_topk,
+        )
+
+        desc, assigned, centroids = self.read_ivf(name)
+        return ivf_multiprobe_topk(
+            assigned,
+            centroids,
+            queries,
+            k,
+            n_probe=IVF_N_PROBE if n_probe is None else n_probe,
+            id_col=desc["id_col"],
+            vec_col=desc["vec_col"],
+            query_id_col=query_id_col,
+        )
+
     def append_ivf(
         self,
         corpus: DataFrame,

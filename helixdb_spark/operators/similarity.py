@@ -241,21 +241,34 @@ def ivf_topk(
     )
 
 
-def assign_nearest_centroid(
-    df: DataFrame, centroids: DataFrame, vcol: str, part_col: str
+def assign_nearest_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    vcol: str,
+    part_col: str,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Attach ``centroid_id`` of the nearest (cosine) coarse centroid —
-    the IVF list-assignment step, shared by the in-session build and the
-    persisted-index build."""
+    """Attach the ``n_probe`` nearest (cosine) coarse centroids — the IVF
+    list-assignment/probe-routing step. ``n_probe=1`` is list assignment;
+    ``n_probe>1`` is multi-probe query routing (one output row per probed
+    list)."""
     scored = df.join(F.broadcast(centroids)).withColumn(
         "_csim", cosine_similarity(F.col(vcol), F.col("_cvec"))
     )
     w = W.partitionBy(part_col).orderBy(F.desc("_csim"), F.asc("centroid_id"))
     return (
         scored.withColumn("_crk", F.row_number().over(w))
-        .where(F.col("_crk") == 1)
+        .where(F.col("_crk") <= n_probe)
         .drop("_csim", "_crk", "_cvec")
     )
+
+
+def assign_nearest_centroid(
+    df: DataFrame, centroids: DataFrame, vcol: str, part_col: str
+) -> DataFrame:
+    """Single-list assignment (the n_probe=1 case), shared by the
+    in-session build and the persisted-index build."""
+    return assign_nearest_centroids(df, centroids, vcol, part_col, 1)
 
 
 def ivf_probe_topk(
@@ -281,6 +294,49 @@ def ivf_probe_topk(
     )
     scored = assigned.join(F.broadcast(q), "centroid_id").withColumn(
         "cosine", F.round(F.lit(1e-9) + cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6)
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "rk", F.col(id_col).alias("neighbor_id"), "cosine")
+        .orderBy(query_id_col, "rk")
+    )
+
+
+IVF_N_PROBE = 2
+
+
+def ivf_multiprobe_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = IVF_N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-probe IVF: each query scores the union of its ``n_probe``
+    nearest centroids' lists — the standard recall knob of IVF at scale
+    (recall grows with probed lists while cost stays n_probe/n_lists of
+    the corpus; the single-probe form is the n_probe=1 special case).
+    Lists are disjoint (each vector belongs to exactly one), so the union
+    needs no dedup; routing stays a broadcast of queries x n_probe rows
+    and the probe filter still prunes partitions on a persisted
+    ``partitionBy(centroid_id)`` table."""
+    q = assign_nearest_centroids(
+        queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
+        centroids,
+        "_qvec",
+        query_id_col,
+        n_probe,
+    )
+    scored = assigned.join(F.broadcast(q), "centroid_id").withColumn(
+        "cosine",
+        F.round(
+            F.lit(1e-9) + cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6
+        ),
     )
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -119,6 +119,7 @@ QUERIES = {
     "stream_cms_cells": stream.stream_cms_cells,
     "stream_topk_users": stream.stream_topk_users,
     "stream_token_meter": stream.stream_token_meter,
+    "stream_watermark_close": stream.stream_watermark_close,
 }
 
 ORACLES = {
@@ -137,6 +138,7 @@ ORACLES = {
     "stream_cms_cells": stream.STREAM_CMS_SQL,
     "stream_topk_users": stream.STREAM_TOPK_SQL,
     "stream_token_meter": stream._stream_token_meter_sql(),
+    "stream_watermark_close": stream.STREAM_WATERMARK_CLOSE_SQL,
 }
 
 

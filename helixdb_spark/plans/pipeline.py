@@ -3929,3 +3929,64 @@ def ann_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"ann_pq_compacted": ann_pq_compacted})
 ORACLES.update({"ann_pq_compacted": _pq_adc_sql()})
+
+
+# ----------------------------------- multi-probe IVF (round 7)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-k (n_probe=2): each query scores the union of
+    its two nearest coarse lists — the standard recall knob of IVF at
+    scale (cost stays n_probe/n_lists of the corpus; lists are disjoint
+    so the union needs no dedup). Centroid set and list assignment are
+    identical to ann_ivf_topk; only query routing widens."""
+    from helixdb_spark.operators.similarity import (
+        assign_nearest_centroid,
+        ivf_multiprobe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(
+        (F.col("vec_id") % _sim.IVF_CENTROID_STRIDE) == 0
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("_cvec"))
+    assigned = assign_nearest_centroid(
+        _sim.spread(emb), centroids, "embedding", "vec_id"
+    )
+    return ivf_multiprobe_topk(
+        assigned, centroids, _query_vecs(spark, sf_dir), k=ANN_K, n_probe=2
+    )
+
+
+ANN_IVF_MULTIPROBE_SQL = f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+              WHERE vec_id % {_sim.IVF_CENTROID_STRIDE} = 0),
+c_assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_cosine_similarity(e.embedding::DOUBLE[], cent.cvec::DOUBLE[]) DESC,
+             cent.centroid_id ASC) AS crk
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE crk = 1
+),
+q_assign AS (
+  SELECT query_id, qvec, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qvec, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_cosine_similarity(e.embedding::DOUBLE[], cent.cvec::DOUBLE[]) DESC,
+             cent.centroid_id ASC) AS crk
+    FROM embeddings e CROSS JOIN cent
+    WHERE e.vec_id < {N_QUERY_VECS}
+  ) WHERE crk <= 2
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(1e-9 + list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM c_assign c JOIN q_assign q USING (centroid_id)
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
+SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= {ANN_K}
+ORDER BY query_id, rk
+"""
+
+QUERIES.update({"ann_ivf_multiprobe": ann_ivf_multiprobe})
+ORACLES.update({"ann_ivf_multiprobe": ANN_IVF_MULTIPROBE_SQL})

@@ -526,3 +526,107 @@ FROM documents
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# --------------------------- watermark window finalization (round 7)
+# Two-micro-batch replay: batch 0 carries the middle of the week (days
+# 3-5), batch 1 carries days 1-2 (arriving late) plus the tail (days 6-7).
+# The graded contract is APPEND-mode finalization: a window row is emitted
+# exactly when the event-time watermark (max event time seen - delay, ms
+# precision) passes the window end — the oracle replicates that boundary
+# arithmetic exactly, so the emitted window set itself is under the gate.
+# Note Spark's watermark guarantee is one-directional: rows within the
+# delay are NEVER dropped; rows beyond it MAY still be aggregated — and
+# this Spark build accepts them (verified empirically), so the late days
+# 1-2 rows COUNT toward their windows, which the final watermark then
+# closes. State stays O(open windows) either way — the bounded-state
+# shape a 100 TB stream needs.
+LATE_LO = 1704067200  # 2024-01-01 00:00:00 UTC (events corpus start)
+LATE_DAY = 86400
+LATE_DELAY_MS = 90_000_000  # 25 hours
+
+_LATE_DIRS: dict[str, str] = {}
+
+
+def _late_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf) the two-file replay directory;
+    file mtimes order the micro-batches oldest-first."""
+    if sf_dir in _LATE_DIRS:
+        return _LATE_DIRS[sf_dir]
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from helixdb_spark.sources import load_table
+
+    root = tempfile.mkdtemp(prefix="helix_latestream_")
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    d2, d5, d7 = (LATE_LO + k * LATE_DAY for k in (2, 5, 7))
+    ontime = ev.where((es >= d2) & (es < d5))
+    late_plus_tail = ev.where(
+        ((es >= LATE_LO) & (es < d2)) | ((es >= d5) & (es < d7))
+    )
+    stream_dir = f"{root}/stream"
+    os.makedirs(stream_dir)
+    for name, df, mtime in (
+        ("a_ontime", ontime, 1_000_000_000),
+        ("b_late_and_tail", late_plus_tail, 1_000_000_500),
+    ):
+        tmp = f"{root}/{name}_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{stream_dir}/{name}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+    _LATE_DIRS[sf_dir] = stream_dir
+    return stream_dir
+
+
+def stream_watermark_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts in APPEND mode under a 25-hour watermark over
+    the two-batch replay: the memory sink receives a window exactly when
+    the watermark closes it, so the graded result is the set of windows
+    with end <= (max event time - 25h), at Spark's millisecond watermark
+    precision — the append-mode finalization contract every downstream
+    consumer of a streaming rollup depends on. Days 1-2 arrive a batch
+    late and still count (the watermark guarantee is one-directional:
+    within-delay data is never dropped, beyond-delay data may be
+    processed — this build processes it); the open tail past the final
+    watermark is withheld, exactly as a live query would withhold it."""
+    path = _late_stream_dir(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    agg = (
+        stream.withWatermark("ts", "25 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("win.start").alias("hour"), "event_type", "n_events"
+    ).orderBy("hour", "event_type")
+
+
+STREAM_WATERMARK_CLOSE_SQL = f"""
+WITH wk AS (
+  SELECT ts, event_type, epoch_us(ts) AS us FROM events
+  WHERE epoch(ts) >= {LATE_LO} AND epoch(ts) < {LATE_LO + 7 * LATE_DAY}
+),
+wm AS (SELECT max(us) // 1000 - {LATE_DELAY_MS} AS wm_ms FROM wk)
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events
+FROM wk, wm
+WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 <= wm.wm_ms
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -623,3 +623,40 @@ def test_mm_operators_run_on_decoded_bmp_pixels(spark):
     want = np.ascontiguousarray(arr[ri][:, ri]).tobytes()
     assert rrow["out_len"] == len(want)
     assert rrow["resized_md5"] == hashlib.md5(want).hexdigest()
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """n_probe=2 scores a SUPERSET of the single-probe candidates, so its
+    recall@k against brute-force truth can never be lower."""
+    from helixdb_spark.operators import similarity as sim
+    from helixdb_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = emb.where(
+        (F.col("vec_id") % sim.IVF_CENTROID_STRIDE) == 0
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    assigned = sim.assign_nearest_centroid(
+        sim.spread(emb), centroids, "embedding", "vec_id"
+    ).persist()
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(emb, q, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r1 = recall(sim.ivf_probe_topk(assigned, centroids, q, k=5))
+    r2 = recall(
+        sim.ivf_multiprobe_topk(assigned, centroids, q, k=5, n_probe=2)
+    )
+    assigned.unpersist()
+    assert r2 >= r1 > 0
