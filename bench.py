@@ -147,6 +147,7 @@ HEADLINE = [
     "kv_statelog_scan",
     "ann_ivf_multiprobe",
     "stream_watermark_close",
+    "text_bpe_merges",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

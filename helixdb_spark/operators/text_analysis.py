@@ -1234,3 +1234,99 @@ def rake_keywords(
         .orderBy(F.desc("rake_score"), F.asc("phrase"))
         .limit(top_k)
     )
+
+
+# ------------------------------------------------ BPE merge training (r7)
+BPE_MERGES = 8
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_MERGES,
+):
+    """Train byte-pair-encoding merges over the corpus (Sennrich et al.
+    2016) — tokenizer TRAINING, completing the subword family whose
+    APPLICATION side is functions.text.subword_count's fixed vocab.
+
+    Returns the learned merge table as a list of Rows
+    ``(merge_rank, left_sym, right_sym, merged, pair_count)`` — driver
+    data by design: the merge table IS the trained artifact (like
+    PQ codebooks), k rows of frozen state.
+
+    Scale shape — the textbook distributed BPE trainer: ONE corpus pass
+    builds the (word, count) vocabulary (a single shuffle with map-side
+    combine; the corpus is never touched again), then every merge round
+    runs over the compressed vocab table: adjacent-pair counts weighted by
+    word frequency (map-side-combined aggregate over ~|vocab| rows), a
+    1-row argmax collected to the driver (count DESC, pair ASC — integer
+    counts, so partition order cannot move the winner), and the greedy
+    left-to-right merge fold applied per word as a JVM higher-order
+    ``aggregate`` — no Python in any per-row path. Each round's vocab is
+    re-materialized (persist) so fold lineage never nests.
+    """
+    from pyspark.sql import functions as F
+
+    from helixdb_spark.functions.text import normalized_text, words
+    from helixdb_spark.operators.util import spread
+
+    vocab = (
+        spread(docs)
+        .select(F.explode(words(normalized_text(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(F.split("w", "").alias("syms"), "n")
+        .persist()
+    )
+    vocab.count()
+    merges = []
+    cur = vocab
+    try:
+        for r in range(n_merges):
+            pair_idx = F.when(
+                F.size("syms") >= 2, F.sequence(F.lit(1), F.size("syms") - 1)
+            ).otherwise(F.array().cast("array<int>"))
+            pairs = cur.select(
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at(F.col("syms"), i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            best = (
+                pairs.groupBy("p.l", "p.r")
+                .agg(F.sum("n").alias("c"))
+                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                .first()
+            )
+            if best is None:
+                break
+            a, b, m = best["l"], best["r"], best["l"] + best["r"]
+            merges.append((r + 1, a, b, m, int(best["c"])))
+            folded = F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (s == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            )
+            nxt = cur.select(folded.alias("syms"), "n").persist()
+            nxt.count()  # materialize so fold lineage never nests
+            if cur is not vocab:
+                cur.unpersist()
+            cur = nxt
+    finally:
+        if cur is not vocab:
+            cur.unpersist()
+        vocab.unpersist()
+    return merges

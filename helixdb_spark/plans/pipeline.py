@@ -3990,3 +3990,67 @@ ORDER BY query_id, rk
 
 QUERIES.update({"ann_ivf_multiprobe": ann_ivf_multiprobe})
 ORACLES.update({"ann_ivf_multiprobe": ANN_IVF_MULTIPROBE_SQL})
+
+
+# ------------------------------------- BPE merge training (round 7)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table over the corpus (Sennrich et al. 2016,
+    operators.text_analysis.bpe_train_merges): one corpus pass to the
+    (word, count) vocabulary, then every merge round runs over that
+    compressed table — pair counts weighted by word frequency, argmax by
+    (count DESC, pair ASC), greedy left-to-right fold as a JVM
+    higher-order aggregate. The oracle replays all rounds as chained CTEs
+    with the identical fold (list_reduce), so the learned merges
+    themselves are under the value-hash gate."""
+    from helixdb_spark.operators.text_analysis import bpe_train_merges
+
+    rows = bpe_train_merges(load_table(spark, sf_dir, "documents"))
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("merge_rank")
+
+
+def _bpe_merges_sql() -> str:
+    from helixdb_spark.operators.text_analysis import BPE_MERGES
+
+    parts = [
+        f"""
+WITH v0 AS (
+  SELECT string_split(word, '') AS syms, count(*)::BIGINT AS n
+  FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+  ) WHERE word != ''
+  GROUP BY 1
+)"""
+    ]
+    for r in range(BPE_MERGES):
+        parts.append(f"""
+p{r} AS (
+  SELECT pr[1] AS l, pr[2] AS r2, sum(n)::BIGINT AS c FROM (
+    SELECT unnest(list_transform(range(1, len(syms)),
+                                 i -> [syms[i], syms[i+1]])) AS pr, n
+    FROM v{r} WHERE len(syms) >= 2
+  ) GROUP BY 1, 2
+),
+b{r} AS (SELECT l, r2, c FROM p{r} ORDER BY c DESC, l ASC, r2 ASC LIMIT 1),
+v{r + 1} AS (
+  SELECT list_reduce(list_transform(v.syms, s -> [s]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l
+                                 AND x[1] = b.r2
+                        THEN acc[1:len(acc)-1] || [b.l || b.r2]
+                        ELSE acc || x END) AS syms, v.n
+  FROM v{r} v CROSS JOIN b{r} b
+)""")
+        # v{r+1} is referenced by the next round's p; the last one is unused
+    selects = [
+        f"SELECT {r + 1} AS merge_rank, l AS left_sym, r2 AS right_sym, "
+        f"l || r2 AS merged, c AS pair_count FROM b{r}"
+        for r in range(BPE_MERGES)
+    ]
+    return ",".join(parts) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY merge_rank"
+
+
+QUERIES.update({"text_bpe_merges": text_bpe_merges})
+ORACLES.update({"text_bpe_merges": _bpe_merges_sql()})
