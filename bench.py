@@ -148,6 +148,7 @@ HEADLINE = [
     "ann_ivf_multiprobe",
     "stream_watermark_close",
     "text_bpe_merges",
+    "text_bpe_encode",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

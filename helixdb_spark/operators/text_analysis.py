@@ -1330,3 +1330,64 @@ def bpe_train_merges(
             cur.unpersist()
         vocab.unpersist()
     return merges
+
+
+def bpe_segment_words(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+):
+    """Apply learned BPE merges (rank order) to the corpus vocabulary:
+    returns the (word, n, n_subwords) segmentation table — the APPLY side
+    of bpe_train_merges, sharing its greedy fold semantics exactly.
+
+    Scale shape: merges apply to the DISTINCT-word table (one corpus
+    shuffle, then ~|vocab| rows per round), never to raw documents; the
+    caller broadcasts the result back onto the corpus. Each fold round is
+    re-materialized so lineage never nests (the same discipline as
+    training)."""
+    from pyspark.sql import functions as F
+
+    from helixdb_spark.functions.text import normalized_text, words
+    from helixdb_spark.operators.util import spread
+
+    cur = (
+        spread(docs)
+        .select(F.explode(words(normalized_text(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select("w", F.split("w", "").alias("syms"), "n")
+        .persist()
+    )
+    cur.count()
+    try:
+        for rec in merges:
+            a, b, m = rec[1], rec[2], rec[3]
+            folded = F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (s == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            )
+            nxt = cur.select("w", folded.alias("syms"), "n").persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    except BaseException:
+        cur.unpersist()
+        raise
+    out = cur.select(
+        "w", "n", F.size("syms").cast("long").alias("n_subwords")
+    )
+    # the final fold stage stays cached until the caller drops the result
+    # (cache-lifecycle contract) — never collected: at 100 TB the vocab is
+    # millions of rows, broadcast-sized but not driver-list-sized
+    from helixdb_spark.operators.util import unpersist_on_gc
+
+    return unpersist_on_gc(out, cur)

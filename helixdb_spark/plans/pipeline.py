@@ -4012,13 +4012,17 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_rank")
 
 
-def _bpe_merges_sql() -> str:
+def _bpe_rounds_cte() -> str:
+    """Shared WITH-body: v0 = per-word symbol lists + counts, then one
+    (pair-count, argmax, fold) CTE triple per merge round — the oracle
+    replay of bpe_train_merges, carrying the word key so the apply-side
+    oracle can join the final segmentation back to the corpus."""
     from helixdb_spark.operators.text_analysis import BPE_MERGES
 
     parts = [
         f"""
 WITH v0 AS (
-  SELECT string_split(word, '') AS syms, count(*)::BIGINT AS n
+  SELECT word, string_split(word, '') AS syms, count(*)::BIGINT AS n
   FROM (
     SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
   ) WHERE word != ''
@@ -4036,21 +4040,116 @@ p{r} AS (
 ),
 b{r} AS (SELECT l, r2, c FROM p{r} ORDER BY c DESC, l ASC, r2 ASC LIMIT 1),
 v{r + 1} AS (
-  SELECT list_reduce(list_transform(v.syms, s -> [s]),
+  SELECT v.word, list_reduce(list_transform(v.syms, s -> [s]),
            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l
                                  AND x[1] = b.r2
                         THEN acc[1:len(acc)-1] || [b.l || b.r2]
                         ELSE acc || x END) AS syms, v.n
   FROM v{r} v CROSS JOIN b{r} b
 )""")
-        # v{r+1} is referenced by the next round's p; the last one is unused
+    return ",".join(parts)
+
+
+def _bpe_merges_sql() -> str:
+    from helixdb_spark.operators.text_analysis import BPE_MERGES
+
     selects = [
         f"SELECT {r + 1} AS merge_rank, l AS left_sym, r2 AS right_sym, "
         f"l || r2 AS merged, c AS pair_count FROM b{r}"
         for r in range(BPE_MERGES)
     ]
-    return ",".join(parts) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY merge_rank"
+    return (
+        _bpe_rounds_cte()
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY merge_rank"
+    )
 
 
 QUERIES.update({"text_bpe_merges": text_bpe_merges})
 ORACLES.update({"text_bpe_merges": _bpe_merges_sql()})
+
+
+# -------------------------------- BPE train -> apply loop (round 7)
+_BPE_MEMO: dict[str, list] = {}
+
+
+def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list:
+    if sf_dir not in _BPE_MEMO:
+        from helixdb_spark.operators.text_analysis import bpe_train_merges
+
+        _BPE_MEMO[sf_dir] = bpe_train_merges(
+            load_table(spark, sf_dir, "documents")
+        )
+    return _BPE_MEMO[sf_dir]
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed tokenizer loop: TRAIN BPE merges on the corpus, APPLY
+    them back, report per-source token economics — word count, subword
+    token count under the learned merges, and the chars-per-token
+    compression ratio a tokenizer team tracks per domain. Merges apply to
+    the DISTINCT-word table only (operators.text_analysis.
+    bpe_segment_words); the corpus pass is one word explode joined
+    broadcast against that segmentation — raw text is never refolded.
+    The oracle replays training AND application as chained CTEs (the
+    shared _bpe_rounds_cte), so the whole train->apply loop sits under
+    the value-hash gate."""
+    from helixdb_spark.functions.text import normalized_text, words
+    from helixdb_spark.operators.text_analysis import bpe_segment_words
+    from helixdb_spark.operators.util import carry_caches, spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg = bpe_segment_words(docs, _bpe_merges_for(spark, sf_dir))
+    tok = spread(docs).select(
+        "source",
+        F.explode(words(normalized_text(F.col("text")))).alias("w"),
+    )
+    out = (
+        tok.join(F.broadcast(seg.select("w", "n_subwords")), "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_subwords").alias("n_subword_tokens"),
+            F.sum(F.length("w")).alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_subword_tokens",
+            F.round(
+                F.lit(1e-9)
+                + F.col("n_chars") / F.col("n_subword_tokens"),
+                6,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+    return carry_caches(out, seg)
+
+
+def _bpe_encode_sql() -> str:
+    from helixdb_spark.operators.text_analysis import BPE_MERGES
+
+    return f"""{_bpe_rounds_cte()},
+tok AS (
+  SELECT source, word FROM (
+    SELECT source, unnest(string_split({_NORM}, ' ')) AS word FROM documents
+  ) WHERE word != ''
+),
+joined AS (
+  SELECT t.source, t.word, len(v.syms) AS n_sub
+  FROM tok t JOIN v{BPE_MERGES} v ON v.word = t.word
+)
+SELECT source, count(*)::BIGINT AS n_words,
+       sum(n_sub)::BIGINT AS n_subword_tokens,
+       round(1e-9 + sum(len(word))::DOUBLE / sum(n_sub), 6)
+         AS chars_per_token
+FROM joined
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES.update({"text_bpe_encode": text_bpe_encode})
+ORACLES.update({"text_bpe_encode": _bpe_encode_sql()})
