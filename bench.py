@@ -149,6 +149,7 @@ HEADLINE = [
     "stream_watermark_close",
     "text_bpe_merges",
     "text_bpe_encode",
+    "sketch_hll_intersection",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

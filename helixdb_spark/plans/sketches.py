@@ -520,3 +520,111 @@ ORDER BY exact_cnt DESC, em.key
 
 QUERIES.update({"sketch_cms_merge": sketch_cms_merge})
 ORACLES.update({"sketch_cms_merge": SKETCH_CMS_MERGE_SQL})
+
+
+# ------------------------- HLL set-intersection estimate (round 7)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set INTERSECTION estimated from sketches alone via
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    union sketch is the register-wise max merge — at 100 TB this answers
+    "how many users both clicked and purchased" from three m-row register
+    states without ever shuffling a user set; the exact intersection rides
+    along as the audit column. All three estimates come off the same
+    integer-exact register states the merge row already grades, so both
+    engines agree bit-for-bit after the shared rounding."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    ab = ev.where(F.col("event_type").isin("click", "purchase"))
+    regs = sketches.hll_registers_by(ab, "event_type", "user_id")
+    est = sketches.hll_estimate_by(
+        regs.unionByName(sketches.hll_merge(regs, "__union__"))
+    )
+
+    def pick(key):
+        return F.max(F.when(F.col("key_name") == key, F.col("estimate")))
+
+    one = est.agg(
+        pick("click").alias("est_click"),
+        pick("purchase").alias("est_purchase"),
+        pick("__union__").alias("est_union"),
+    ).select(
+        "est_click",
+        "est_purchase",
+        "est_union",
+        F.round(
+            F.lit(1e-9)
+            + F.col("est_click") + F.col("est_purchase") - F.col("est_union"),
+            4,
+        ).alias("est_intersection"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    exact = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .join(clicks, "user_id", "left_semi")
+        .agg(F.count_distinct("user_id").alias("exact_intersection"))
+    )
+    return one.crossJoin(F.broadcast(exact))
+
+
+SKETCH_HLL_INTERSECTION_SQL = f"""
+WITH keys AS (
+  SELECT event_type AS key_name, user_id::VARCHAR AS k FROM events
+  WHERE event_type IN ('click', 'purchase')
+  UNION ALL
+  SELECT '__union__', user_id::VARCHAR FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+h AS (
+  SELECT key_name,
+         ('0x' || substr(md5(k), 1, 2))::BIGINT AS register,
+         ('0x' || substr(md5(k), 3, 12))::BIGINT AS w
+  FROM keys
+),
+regs AS (
+  SELECT key_name, register,
+         max(CASE WHEN w > 0 THEN {_RB1} - length(bin(w)) ELSE {_RB1} END) AS max_rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT key_name,
+         count(*)::BIGINT AS nonzero,
+         ({HLL_M} - count(*))::BIGINT AS v_zero,
+         (sum((1::BIGINT << ({_RB1} - max_rho)))
+            + ({HLL_M} - count(*)) * (1::BIGINT << {_RB1}))::BIGINT AS sum_scaled
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT key_name,
+         round(CASE WHEN (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                           * {float(_SCALE)} / sum_scaled <= 2.5 * {HLL_M}.0
+                         AND v_zero > 0
+                    THEN {HLL_M}.0 * ln({HLL_M}.0 / v_zero)
+                    ELSE (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                           * {float(_SCALE)} / sum_scaled
+               END + 1e-9, 4) AS estimate
+  FROM agg
+),
+one AS (
+  SELECT max(CASE WHEN key_name = 'click' THEN estimate END) AS est_click,
+         max(CASE WHEN key_name = 'purchase' THEN estimate END) AS est_purchase,
+         max(CASE WHEN key_name = '__union__' THEN estimate END) AS est_union
+  FROM est
+),
+ex AS (
+  SELECT count(*)::BIGINT AS exact_intersection FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  )
+)
+SELECT est_click, est_purchase, est_union,
+       round(1e-9 + est_click + est_purchase - est_union, 4)
+         AS est_intersection,
+       exact_intersection
+FROM one, ex
+"""
+
+QUERIES.update({"sketch_hll_intersection": sketch_hll_intersection})
+ORACLES.update({"sketch_hll_intersection": SKETCH_HLL_INTERSECTION_SQL})
