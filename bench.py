@@ -150,6 +150,7 @@ HEADLINE = [
     "text_bpe_merges",
     "text_bpe_encode",
     "sketch_hll_intersection",
+    "ev_ols_trend",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -2587,3 +2587,111 @@ ORDER BY event_type
 
 QUERIES.update({"ev_holt_forecast": ev_holt_forecast})
 ORACLES.update({"ev_holt_forecast": EV_HOLT_SQL})
+
+
+# ------------------------------- daily OLS trend per type (round 7)
+def ev_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of DAILY volumes: OLS slope/intercept
+    of count-per-day over the dense day grid (absent days count 0 — a
+    trend over observed days only would bias toward busy periods). Every
+    OLS sum is an INTEGER (x = day index, y = integer counts), so the
+    slope is one exact integer division — partition order cannot move it
+    (the exact-sum discipline without even needing quantization). Scale
+    shape: one map-side-combined (type, day) count, a broadcast day grid,
+    and a per-type fold over <=31 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    counts = (
+        ev.select(F.col("event_type"), day.alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").alias("y"))
+    )
+    span = ev.agg(
+        F.min(day.cast("date")).alias("d0"),
+        F.datediff(F.max(day.cast("date")), F.min(day.cast("date"))).alias(
+            "n_days_minus1"
+        ),
+    )
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            "d0",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_days_minus1"))
+            ).alias("x"),
+        )
+        .select(
+            "event_type", "x", F.date_add(F.col("d0"), F.col("x")).alias("d")
+        )
+    )
+    dense = grid.join(counts, ["event_type", "d"], "left").select(
+        "event_type", "x", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    n = F.count("*").cast("long")
+    sx = F.sum("x").cast("long")
+    sy = F.sum("y").cast("long")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("long")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("long")
+    agg = dense.groupBy("event_type").agg(
+        n.alias("n"), sx.alias("sx"), sy.alias("sy"),
+        sxy.alias("sxy"), sxx.alias("sxx"),
+    )
+    slope = (agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]) / (
+        agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    )
+    return (
+        agg.select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("sy").alias("total_events"),
+            F.round(F.lit(1e-9) + slope, 6).alias("slope_per_day"),
+            F.round(
+                F.lit(1e-9)
+                + (agg["sy"] - slope * agg["sx"]) / agg["n"],
+                6,
+            ).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_OLS_SQL = """
+WITH counts AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS d, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT min(date_trunc('day', ts)::DATE) AS d0,
+         date_diff('day', min(date_trunc('day', ts)::DATE),
+                   max(date_trunc('day', ts)::DATE)) AS n_days_minus1
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, x.x::BIGINT AS x, s.d0 + x.x::INT AS d
+  FROM (SELECT DISTINCT event_type FROM events) t, span s,
+       unnest(range(0, (SELECT n_days_minus1 + 1 FROM span))) x(x)
+),
+dense AS (
+  SELECT g.event_type, g.x, coalesce(c.y, 0)::BIGINT AS y
+  FROM grid g LEFT JOIN counts c ON c.event_type = g.event_type AND c.d = g.d
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy,
+         sum(x*x)::BIGINT AS sxx
+  FROM dense GROUP BY 1
+)
+SELECT event_type, n AS n_days, sy AS total_events,
+       round(1e-9 + (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx), 6)
+         AS slope_per_day,
+       round(1e-9 + (sy - (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx) * sx)
+             / n, 6) AS intercept
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES.update({"ev_ols_trend": ev_ols_trend})
+ORACLES.update({"ev_ols_trend": EV_OLS_SQL})
