@@ -151,6 +151,8 @@ HEADLINE = [
     "text_bpe_encode",
     "sketch_hll_intersection",
     "ev_ols_trend",
+    "curate_epoch_schedule",
+    "text_ngram_novelty",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

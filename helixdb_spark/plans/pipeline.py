@@ -4153,3 +4153,150 @@ ORDER BY 1
 
 QUERIES.update({"text_bpe_encode": text_bpe_encode})
 ORACLES.update({"text_bpe_encode": _bpe_encode_sql()})
+
+
+# --------------------------- epoch/repetition schedule (round 7)
+EPOCH_BUDGET_FACTOR = 1.2  # train-token budget = 1.2x the corpus
+
+
+def curate_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch repetition plan per source: given a train-token budget
+    (1.2x the corpus here) split by temperature-flattened weights
+    (sqrt-share, the Pile/CCNet alpha=0.5 discipline), how many FULL
+    epochs each source repeats and what fraction of its final epoch is
+    consumed — the up-sampling schedule a data-mixture team publishes
+    next to the mixing weights (small sources repeat; big sources train
+    a partial epoch). Everything derives from one integer token sum per
+    source (BPE-ish regex count, map-side combined) + per-source scalar
+    arithmetic — no corpus re-reads, no float accumulation across rows
+    beyond the <=|sources|-row sqrt sum."""
+    from helixdb_spark.functions.text import token_count
+    from helixdb_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text")).cast("long")).alias("available_tokens")
+    )
+    tot = toks.agg(
+        F.sum("available_tokens").alias("n_total"),
+        F.sum(F.sqrt(F.col("available_tokens").cast("double"))).alias("pow_sum"),
+    )
+    w = F.sqrt(F.col("available_tokens").cast("double")) / F.col("pow_sum")
+    target = F.round(
+        F.lit(1e-9) + F.lit(EPOCH_BUDGET_FACTOR) * F.col("n_total") * w, 0
+    ).cast("long")
+    out = toks.join(F.broadcast(tot)).select(
+        "source",
+        "available_tokens",
+        F.round(F.lit(1e-9) + w, 6).alias("weight"),
+        target.alias("target_tokens"),
+    )
+    n_epochs = F.ceil(
+        F.col("target_tokens") / F.col("available_tokens")
+    ).cast("long")
+    return out.select(
+        "source",
+        "available_tokens",
+        "weight",
+        "target_tokens",
+        n_epochs.alias("n_epochs"),
+        F.round(
+            F.lit(1e-9)
+            + (
+                F.col("target_tokens")
+                - (n_epochs - 1) * F.col("available_tokens")
+            )
+            / F.col("available_tokens"),
+            6,
+        ).alias("last_epoch_fraction"),
+    ).orderBy("source")
+
+
+CURATE_EPOCH_SQL = rf"""
+WITH toks AS (
+  SELECT source,
+         sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT
+           AS available_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(available_tokens)::BIGINT AS n_total,
+               sum(sqrt(available_tokens::DOUBLE)) AS pow_sum FROM toks),
+t AS (
+  SELECT source, available_tokens,
+         sqrt(available_tokens::DOUBLE) / pow_sum AS w,
+         CAST(round(1e-9 + {EPOCH_BUDGET_FACTOR} * n_total
+                    * sqrt(available_tokens::DOUBLE) / pow_sum, 0) AS BIGINT)
+           AS target_tokens
+  FROM toks, tot
+)
+SELECT source, available_tokens,
+       round(1e-9 + w, 6) AS weight,
+       target_tokens,
+       CAST(ceil(target_tokens::DOUBLE / available_tokens) AS BIGINT)
+         AS n_epochs,
+       round(1e-9 + (target_tokens
+                     - (ceil(target_tokens::DOUBLE / available_tokens) - 1)
+                       * available_tokens)::DOUBLE / available_tokens, 6)
+         AS last_epoch_fraction
+FROM t
+ORDER BY source
+"""
+
+QUERIES.update({"curate_epoch_schedule": curate_epoch_schedule})
+ORACLES.update({"curate_epoch_schedule": CURATE_EPOCH_SQL})
+
+
+# ------------------------------- n-gram novelty score (round 7)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's trigram shingles that
+    occur in NO other document — the inverse of the boilerplate screen
+    (a low-novelty doc is template/duplicated text; a high-novelty doc
+    carries unique content worth keeping at dedup time). One shingle
+    explode feeding a map-side-combined df count, then one equi-join back
+    on the shingle key — the exhaustive-ngram cost class the Jaccard
+    operator already pays, reused as a per-doc quality signal."""
+    from helixdb_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "doc_id", "text", 3).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    df_counts = sh.groupBy("s").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_unique",
+        F.round(
+            F.lit(1e-9) + F.col("n_unique") / F.col("n_shingles"), 6
+        ).alias("novelty"),
+    ).orderBy("doc_id")
+
+
+def _ngram_novelty_sql() -> str:
+    return f"""
+WITH {_SHINGLES},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+dfc AS (SELECT s, count(*)::BIGINT AS df FROM ex GROUP BY 1),
+per_doc AS (
+  SELECT ex.doc_id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+  FROM ex JOIN dfc USING (s)
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_unique,
+       round(1e-9 + n_unique::DOUBLE / n_shingles, 6) AS novelty
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+QUERIES.update({"text_ngram_novelty": text_ngram_novelty})
+ORACLES.update({"text_ngram_novelty": _ngram_novelty_sql()})
