@@ -277,6 +277,7 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "ann_ivf_multiprobe",  # same k-row coarse-centroid broadcast as ivf_topk
         "ev_ols_trend",  # 1-row day-span broadcast into the dense grid
         "sketch_hll_intersection",  # 1-row exact-audit broadcast cross join
+        "curate_epoch_schedule",  # 1-row corpus-total broadcast cross join
         "text_bigram_lm_score",  # 1-row vocab-size aggregate broadcast
         "ann_recall_audit",  # brute-force truth tier + 1-row possible broadcast
         "dedup_embedding_cosine",
