@@ -153,6 +153,7 @@ HEADLINE = [
     "ev_ols_trend",
     "curate_epoch_schedule",
     "text_ngram_novelty",
+    "mm_decode_ppm",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -373,3 +373,88 @@ ORDER BY d.doc_id
 
 QUERIES.update({"mm_decode_bmp": mm_decode_bmp})
 ORACLES.update({"mm_decode_bmp": MM_DECODE_BMP_SQL})
+
+
+# ----------------------------------- PPM decode round trip (round 7)
+def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The P6-PPM twin of mm_decode_bmp: deterministic pixels encoded as a
+    genuine binary PPM (header with a comment line, raw RGB samples),
+    shipped through a binary column, decoded by the pure-Python
+    ``decode_image`` fast path (multimodal.decode_ppm) and reduced to
+    integer channel sums — header parsing (whitespace/comments) and sample
+    layout are what break if the decoder drifts."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 6 + d % 7, 6 + d % 4
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                ch = np.arange(3, dtype=np.int64)[None, None, :]
+                arr = ((d * 11 + r * 17 + c * 23 + ch * 29) % 256).astype(
+                    "uint8"
+                )
+                payloads.append(
+                    b"P6\n# synthetic\n"
+                    + f"{w} {h}\n255\n".encode()
+                    + arr.tobytes()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, "doc_id long, payload binary")
+
+    def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "r_sum",
+                                   "g_sum", "b_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = mm.decode_image(bytes(payload)).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(arr.shape[0])
+                out["width"].append(arr.shape[1])
+                out["r_sum"].append(int(arr[:, :, 0].sum()))
+                out["g_sum"].append(int(arr[:, :, 1].sum()))
+                out["b_sum"].append(int(arr[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, r_sum long, g_sum long, "
+        "b_sum long",
+    ).orderBy("doc_id")
+
+
+MM_DECODE_PPM_SQL = """
+WITH dims AS (
+  SELECT doc_id, (6 + doc_id % 7)::BIGINT AS w, (6 + doc_id % 4)::BIGINT AS h
+  FROM documents
+),
+rows_ AS (SELECT doc_id, w, h, unnest(range(h)) AS r FROM dims),
+px AS (SELECT doc_id, w, h, r, unnest(range(w)) AS c FROM rows_),
+sums AS (
+  SELECT doc_id,
+         sum((doc_id*11 + r*17 + c*23) % 256) AS r_sum,
+         sum((doc_id*11 + r*17 + c*23 + 29) % 256) AS g_sum,
+         sum((doc_id*11 + r*17 + c*23 + 58) % 256) AS b_sum
+  FROM px GROUP BY 1
+)
+SELECT d.doc_id, d.w::INT AS width, d.h::INT AS height,
+       s.r_sum::BIGINT AS r_sum, s.g_sum::BIGINT AS g_sum,
+       s.b_sum::BIGINT AS b_sum
+FROM dims d JOIN sums s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+QUERIES.update({"mm_decode_ppm": mm_decode_ppm})
+ORACLES.update({"mm_decode_ppm": MM_DECODE_PPM_SQL})
