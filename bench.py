@@ -154,6 +154,11 @@ HEADLINE = [
     "curate_epoch_schedule",
     "text_ngram_novelty",
     "mm_decode_ppm",
+    # round-8 additions
+    "ann_pq_chain_autofold",
+    "ann_appended_drift_audit",
+    "text_bpe_merges_batched",
+    "stream_ingest_scan",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

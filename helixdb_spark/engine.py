@@ -207,7 +207,22 @@ class HelixSpark:
         delta records with periodic checkpoint compaction
         (STATE_CHECKPOINT_EVERY), which the versioned CAS pointer already
         gives us for free: each commit IS a log record."""
-        log = self._fs.read_pointer_log(self.layout.meta_path)
+        # One retry on a torn read: a reader listing log versions
+        # concurrently with a writer's checkpoint commit can see old
+        # deltas whose base the writer's GC (keep_from advance) deletes
+        # before this reader opens them — a TRANSIENT gap/missing-base.
+        # Re-list once (the new checkpoint is complete by then); a second
+        # failure is real corruption and raises (round-8 advice).
+        try:
+            return self._fold_state_log(
+                self._fs.read_pointer_log(self.layout.meta_path)
+            )
+        except RuntimeError:
+            return self._fold_state_log(
+                self._fs.read_pointer_log(self.layout.meta_path)
+            )
+
+    def _fold_state_log(self, log) -> dict:
         self._state_version = log[-1][0] if log else -1
         self._ckpt_version = -1
         if log:
@@ -633,6 +648,120 @@ class HelixSpark:
             .first()
         )
         return (row[0], bytes(row[1])) if row is not None else None
+
+    def get_raw(self, ts: int, key: bytes) -> Optional[tuple[str, bytes]]:
+        """Point lookup WITHOUT running the decompress UDCF — the
+        reference's ``ReadOption::no_decompress`` (src/option.rs:131-148):
+        a caller shipping stored bytes elsewhere (backup, replication,
+        cross-engine transfer) gets the blob exactly as compaction wrote
+        it instead of paying a decompress + recompress round trip.
+
+        Returns ``(codec, payload)``:
+
+        * ``("raw", value)`` — the entry lives hot (uncompacted, wins LWW
+          over any cold twin) or in a cold ARRAY chunk (native
+          array<struct> storage, nothing to decompress): the exact value
+          bytes :meth:`get` would return.
+        * ``(codec_name, blob)`` — the key's series for ts's time bucket
+          went through a blob UDCF at compaction: the stored compressed
+          chunk, byte-identical to what is on disk. The chunk covers the
+          key's WHOLE series in that bucket (chunks are per-(key, bucket)
+          — the reference's compressed rick chunks likewise);
+          ``CodecRegistry.get(codec).decompress(key, blob)`` yields its
+          (ts, value) pairs, which need not include ``ts`` if the key has
+          no entry there — the raw path hands back the container without
+          probing inside it, exactly the no_decompress contract.
+        * ``None`` — retired by retention, or no hot row and no cold
+          chunk row exist for (key, bucket).
+        """
+        self._check_open()
+        cutoff = self._state.get("outdate_cutoff")
+        if cutoff is not None and ts <= cutoff:
+            return None
+        key_b, ts = bytes(key), int(ts)
+        bucket = self.layout.bucket_of(ts)
+        hot = self._hot_df()
+        if hot is not None:
+            row = (
+                hot.where(
+                    (F.col("time_bucket") == bucket)
+                    & (F.col("ts") == ts)
+                    & (F.col("key") == F.lit(key_b))
+                )
+                # same LWW winner as _entries_df_raw's struct-max
+                .agg(F.max(F.struct("seq", "value")).alias("_w"))
+                .select("_w")
+                .first()
+            )
+            if row is not None and row["_w"] is not None:
+                return ("raw", bytes(row["_w"]["value"]))
+        cold = self._cold_df()
+        if cold is None:
+            return None
+        crow = (
+            cold.where(
+                (F.col("time_bucket") == bucket)
+                & (F.col("key") == F.lit(key_b))
+            )
+            .select("codec", "chunk", "blob")
+            .first()
+        )
+        if crow is None:
+            return None
+        if crow["codec"] == ARRAY_CODEC:
+            for e in crow["chunk"]:
+                if e["ts"] == ts:
+                    return ("raw", bytes(e["value"]))
+            return None
+        return (crow["codec"], bytes(crow["blob"]))
+
+    def scan_raw(
+        self,
+        time_range: Optional[tuple[int, int]] = None,
+        key_range: Optional[tuple[bytes, bytes]] = None,
+    ) -> DataFrame:
+        """Stored-chunk scan without decode — the scan analog of
+        :meth:`get_raw`: one row per live cold chunk
+        ``(time_bucket, key, codec, chunk, blob)`` as compaction wrote it
+        (blob codecs: ``chunk`` null + compressed ``blob``; array codec:
+        native ``chunk`` + null ``blob``). No decompress UDCF runs and no
+        explode happens — the plan is a manifest-pruned parquet scan, so
+        exporting a bucket's compressed series moves the stored bytes and
+        nothing else. Hot (uncompacted) entries are not chunks yet; read
+        them with :meth:`scan`. Time bounds prune whole buckets (a chunk
+        is kept if its bucket intersects the range); the key range is
+        bytewise-lexical on the stored key."""
+        self._check_open()
+        cold = self._cold_df()
+        if cold is None:
+            return self.spark.createDataFrame(
+                [], COLD_GEN_SCHEMA
+            ).drop("gen").select("time_bucket", "key", "codec", "chunk", "blob")
+        df = cold
+        if time_range is not None:
+            ts_lo, ts_hi = time_range
+            df = df.where(
+                (F.col("time_bucket") >= self.layout.bucket_of(int(ts_lo)))
+                & (F.col("time_bucket") <= self.layout.bucket_of(int(ts_hi)))
+            )
+        cutoff = self._state.get("outdate_cutoff")
+        if cutoff is not None:
+            # buckets wholly at/below the cutoff are dropped by outdate's
+            # manifest flip already; a bucket straddling it stays visible
+            # here because its chunk is the stored unit (document: raw
+            # export is chunk-grain, not row-grain)
+            df = df.where(
+                F.col("time_bucket") > self.layout.bucket_of(int(cutoff)) - 1
+            )
+        if key_range is not None:
+            lo, hi = key_range
+            df = df.where(
+                (F.col("key") >= F.lit(bytes(lo)))
+                & (F.col("key") <= F.lit(bytes(hi)))
+            )
+        return df.select(
+            "time_bucket", "key", "codec", "chunk", "blob"
+        ).orderBy("key", "time_bucket")
 
     def direct_get(self, shard_id: int, ts: int, key: bytes) -> Optional[bytes]:
         """Point lookup naming the shard (reference src/db.rs:57-65
@@ -1375,6 +1504,7 @@ class HelixSpark:
                 continue
             if int(name.split("=", 1)[1]) <= last_full_bucket:
                 self._fs.delete(f"{self.layout.hot_path}/{name}")
+        self._invalidate_purged_indexes()
 
     # ------------------------------------------------------------------ SQL
     def entries_view(self, name: str = "entries") -> DataFrame:
@@ -1394,7 +1524,9 @@ class HelixSpark:
         return self.spark.sql(query)
 
     # ------------------------------------------------------ index maintenance
-    def register_index(self, store, name: str, corpus_fn, **append_kw) -> None:
+    def register_index(
+        self, store, name: str, corpus_fn, max_segments: int = 8, **append_kw
+    ) -> None:
         """Register a persisted ANN index for automatic maintenance: after
         every ``compact()``/``optimize()`` commit, the engine appends the
         index's ingest delta (``AnnIndexStore.append_*`` under the frozen
@@ -1409,21 +1541,62 @@ class HelixSpark:
         refresh policy of THIS maintenance process, not persisted state.
         Appends are no-ops when the corpus gained nothing (no generation
         burned), and ``validate()`` still refuses stale indexes for
-        readers outside this process."""
-        self._index_registry.append((store, name, corpus_fn, append_kw))
+        readers outside this process.
+
+        ``max_segments`` bounds the segment-chain debt each refresh cycle
+        adds: once the committed chain exceeds it, the same maintenance
+        pass folds the chain back to ONE segment
+        (``AnnIndexStore.compact_index`` — answers unchanged, file count
+        bounded). The reference's compaction scheduler exists precisely to
+        bound this class of debt (src/compact_sched.rs:16-143: queued
+        compactions with a delay threshold); ``None`` opts out (manual
+        ``compact_index`` only).
+
+        Maintenance is APPEND-ONLY: retention (``outdate``) cannot remove
+        rows from committed index segments, so ``outdate()`` instead
+        INVALIDATES every registered index whose recorded row count now
+        exceeds its corpus (``AnnIndexStore.invalidate``) — probes raise
+        ``StaleIndexError`` rather than silently serving ids for purged
+        rows; rebuilding is the owner's call."""
+        self._index_registry.append(
+            (store, name, corpus_fn, max_segments, append_kw)
+        )
 
     def _refresh_indexes(self) -> None:
-        for store, name, corpus_fn, kw in self._index_registry:
+        for store, name, corpus_fn, max_segments, kw in self._index_registry:
             desc = store._state["indexes"].get(name)
-            if desc is None:
-                continue  # never built — building is the owner's call
+            if desc is None or desc.get("stale"):
+                continue  # never built / invalidated — rebuilding is the
+                # owner's call, not the maintenance loop's
             append = {
                 "pq": store.append_pq,
                 "lsh": store.append_lsh,
                 "minhash": store.append_minhash,
                 "ivf": store.append_ivf,
             }[desc["kind"]]
-            append(corpus_fn(self), name=name, **kw)
+            new_desc = append(corpus_fn(self), name=name, **kw)
+            if (
+                max_segments is not None
+                and len(store._segments(new_desc)) > max_segments
+            ):
+                store.compact_index(name)
+
+    def _invalidate_purged_indexes(self) -> None:
+        """Post-retention hook: an appended index whose recorded n_rows
+        exceeds its (now smaller) corpus is serving purged ids — flip it
+        stale (see register_index docstring). Costs one count per
+        registered index and only runs when a registry exists."""
+        for store, name, corpus_fn, _max_segments, _kw in self._index_registry:
+            desc = store._state["indexes"].get(name)
+            if desc is None or desc.get("stale"):
+                continue
+            n_corpus = corpus_fn(self).count()
+            if int(desc["n_rows"]) > n_corpus:
+                store.invalidate(
+                    name,
+                    f"retention purged corpus rows (index n_rows="
+                    f"{desc['n_rows']} > corpus {n_corpus})",
+                )
 
     # ------------------------------------------------------------------ misc
     def user_keys(self) -> DataFrame:

@@ -238,7 +238,7 @@ class EngineFS:
         — the engine's writer mutual exclusion. Returns the published
         version; raises ConcurrentWriterError when another writer got
         there first (the loser's tmp is cleaned up, the winner's commit is
-        untouched). Crash-safety is unchanged from write_text_atomic: the
+        untouched). Crash-safe because the
         commit point is a single create/rename of a complete file onto a
         fresh name.
 
@@ -356,37 +356,9 @@ class EngineFS:
         commit point). Split out so fault-injection tests can crash here."""
         return bool(self._fs.rename(self._path(tmp), self._path(target)))
 
-    def write_text_atomic(self, p: str, text: str) -> None:
-        """Publish a new state pointer: ``os.replace`` locally, versioned
-        rename-to-fresh-name remotely (see module docstring)."""
-        if not self.remote:
-            os.makedirs(os.path.dirname(p), exist_ok=True)
-            tmp = f"{p}.tmp"
-            with open(tmp, "w") as f:
-                f.write(text)
-            os.replace(tmp, p)
-            return
-        parent = p.rsplit("/", 1)[0]
-        self._fs.mkdirs(self._path(parent))
-        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
-        out = self._fs.create(self._path(tmp), True)
-        try:
-            out.write(bytearray(text.encode("utf-8")))
-        finally:
-            out.close()
-        versions = self._pointer_versions(p)
-        n = (versions[-1] + 1) if versions else 0
-        while not self._publish_pointer(tmp, f"{p}.v{n}"):
-            n += 1  # name collision (concurrent writer) — take the next slot
-        # best-effort GC AFTER publication: old versions beyond one
-        # predecessor, the legacy unversioned pointer, and our tmp debris.
-        # A crash anywhere in here is harmless — readers take the highest
-        # parseable version.
-        for v in versions[:-1] if versions else []:
-            self._fs.delete(self._path(f"{p}.v{v}"), False)
-        if versions and self._fs.exists(self._path(p)):
-            self._fs.delete(self._path(p), False)
-        base = p.rsplit("/", 1)[1]
-        for name in self.listdir(parent):
-            if name.startswith(f"{base}.tmp-"):
-                self._fs.delete(self._path(f"{parent}/{name}"), False)
+    # NOTE: there is deliberately no non-CAS text publish here. Every
+    # state-pointer write in the engine and index store goes through
+    # ``write_text_cas`` — a plain overwrite-publish (the pre-round-6
+    # ``write_text_atomic``) would let a stale writer silently clobber a
+    # winner's manifest flip, which is exactly the invariant the CAS
+    # migration made structural.

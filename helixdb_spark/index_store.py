@@ -71,6 +71,12 @@ from helixdb_spark.operators.similarity import (
 )
 from helixdb_spark.operators.util import spread
 
+class StaleIndexError(RuntimeError):
+    """Probe/append against an index that ``invalidate()`` marked stale
+    (e.g. retention purged corpus rows the append-only segments still
+    index). Rebuild with the matching ``write_*`` before using it."""
+
+
 # parquet tables each index kind owns (segment dirs live under each)
 KIND_TABLES = {
     "pq": ("codes",),
@@ -81,11 +87,14 @@ KIND_TABLES = {
 
 
 def source_fingerprint(*paths: str) -> str:
-    """Cheap content fingerprint of local source data files: (name, size,
-    mtime_ns) of every data file under each path, md5'd. Detects a
-    regenerated corpus that happens to keep the same row count (the round-6
-    advice: row-count-only validation silently serves a stale index over
-    re-rolled data). Remote URIs return "" — callers fall back to the
+    """Cheap content fingerprint of local source data files: (relpath,
+    size, mtime_ns) of every data file under each path — RECURSIVELY —
+    md5'd. Detects a regenerated corpus that happens to keep the same row
+    count (the round-6 advice: row-count-only validation silently serves a
+    stale index over re-rolled data). The walk must recurse (round-8
+    advice): a partitioned dataset rewritten in place changes only files
+    nested in partition subdirs, whose stat triples a top-level listing
+    never sees. Remote URIs return "" — callers fall back to the
     row-count check alone there."""
     import hashlib
 
@@ -94,20 +103,24 @@ def source_fingerprint(*paths: str) -> str:
         if "://" in p:
             return ""
         if os.path.isfile(p):
-            files = [p]
+            files = [(os.path.basename(p), p)]
         elif os.path.isdir(p):
-            files = sorted(
-                os.path.join(p, n)
-                for n in os.listdir(p)
-                if not n.startswith(("_", "."))
-            )
+            files = []
+            for root, dirs, names in os.walk(p):
+                dirs[:] = sorted(
+                    d for d in dirs if not d.startswith(("_", "."))
+                )
+                for n in names:
+                    if n.startswith(("_", ".")):
+                        continue
+                    full = os.path.join(root, n)
+                    files.append((os.path.relpath(full, p), full))
+            files.sort()
         else:
             return ""
-        for f in files:
+        for rel, f in files:
             st = os.stat(f)
-            h.update(
-                f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode()
-            )
+            h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()
 
 
@@ -228,7 +241,27 @@ class AnnIndexStore:
             raise TypeError(
                 f"index {name!r} is kind={desc['kind']!r}, wanted {kind!r}"
             )
+        if desc.get("stale"):
+            raise StaleIndexError(
+                f"index {name!r} at {self.base} was invalidated "
+                f"({desc['stale']}) — rebuild (write_*) before probing"
+            )
         return desc
+
+    def invalidate(self, name: str, reason: str) -> None:
+        """Mark a committed index STALE: every probe/append raises
+        ``StaleIndexError`` until the owner rebuilds it. This is the
+        deletion story of the append-only maintenance family — retention
+        (``HelixSpark.outdate``) cannot *remove* entries from appended
+        segments, so it flips this flag instead of silently serving ids
+        for purged rows (round-8 advice)."""
+        desc = self._state["indexes"].get(name)
+        if desc is None or desc.get("stale"):
+            return
+        new_desc = dict(desc)
+        new_desc["stale"] = reason
+        self._state["indexes"][name] = new_desc
+        self._save_state()
 
     def list_indexes(self) -> dict:
         """name -> (kind, gen, segments, n_rows) for every committed index."""
@@ -238,6 +271,7 @@ class AnnIndexStore:
                 "gen": d["gen"],
                 "segments": self._segments(d),
                 "n_rows": d["n_rows"],
+                "stale": d.get("stale"),
             }
             for n, d in self._state["indexes"].items()
         }
@@ -250,7 +284,7 @@ class AnnIndexStore:
         when both sides have one (a regenerated corpus with an identical
         row count is refused, round-6 advice)."""
         desc = self._state["indexes"].get(name)
-        if desc is None:
+        if desc is None or desc.get("stale"):
             return False
         if fingerprint and desc.get("fingerprint") != fingerprint:
             # no recorded fingerprint counts as stale too: an index built

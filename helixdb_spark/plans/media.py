@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from helixdb_spark.operators import multimodal as mm
 from helixdb_spark.sources import load_table
 from helixdb_spark import streaming as stream
+from helixdb_spark.plans import kv as _kv
 
 
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,6 +121,7 @@ QUERIES = {
     "stream_topk_users": stream.stream_topk_users,
     "stream_token_meter": stream.stream_token_meter,
     "stream_watermark_close": stream.stream_watermark_close,
+    "stream_ingest_scan": stream.stream_ingest_scan,
 }
 
 ORACLES = {
@@ -139,6 +141,9 @@ ORACLES = {
     "stream_topk_users": stream.STREAM_TOPK_SQL,
     "stream_token_meter": stream._stream_token_meter_sql(),
     "stream_watermark_close": stream.STREAM_WATERMARK_CLOSE_SQL,
+    # streamed ingest must scan back exactly like batch put (the engine's
+    # compaction-transparency contract under streaming arrival)
+    "stream_ingest_scan": _kv.KV_ROUNDTRIP_SQL,
 }
 
 

@@ -305,6 +305,109 @@ def stream_ingest_to_engine(spark: SparkSession, sf_dir: str, db) -> None:
     q.stop()
 
 
+_INGEST_DIRS: dict[str, str] = {}
+
+
+def _ingest_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Four-file time-ordered replay of the events table as engine entry
+    rows (ts/key/value pre-shaped) — file mtimes order the micro-batches
+    oldest-first, so the reviewer's watermark advances monotonically the
+    way a live ingest's would."""
+    if sf_dir in _INGEST_DIRS:
+        return _INGEST_DIRS[sf_dir]
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from helixdb_spark.sources import load_table
+
+    root = tempfile.mkdtemp(prefix="helix_ingeststream_")
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("props").alias("value"),
+    )
+    d2, d4, d7 = (LATE_LO + k * LATE_DAY for k in (2, 4, 7))
+    chunks = [
+        ("a", entries.where(F.col("ts") < d2)),
+        ("b", entries.where((F.col("ts") >= d2) & (F.col("ts") < d4))),
+        ("c", entries.where((F.col("ts") >= d4) & (F.col("ts") < d7))),
+        ("d", entries.where(F.col("ts") >= d7)),
+    ]
+    stream_dir = f"{root}/stream"
+    os.makedirs(stream_dir)
+    for i, (name, df) in enumerate(chunks):
+        tmp = f"{root}/{name}_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{stream_dir}/{name}.parquet"
+        shutil.move(part, dst)
+        mtime = 1_000_000_000 + i * 500
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+    _INGEST_DIRS[sf_dir] = stream_dir
+    return stream_dir
+
+
+def stream_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's streaming-ingest lifecycle end-to-end, graded: the
+    events table replays as four time-ordered micro-batches, foreachBatch
+    feeds each into ``HelixSpark.put`` with ``auto_maintain=True`` — so
+    the reviewer's watermark advances batch-by-batch and compactions fire
+    MID-STREAM (hot day buckets flip cold while later batches are still
+    arriving; the reference's WriteBatch + reviewer loop,
+    src/level.rs:593-721 driven by 550-591, as one continuous job) — and
+    the final engine scan of the first week must equal the plain SQL
+    range select over the source table (the compaction-transparency
+    contract, src/level.rs:823-875, now under streaming arrival)."""
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+    from helixdb_spark.plans.kv import (
+        KEY_HI,
+        KEY_LO,
+        SCAN_TS_HI,
+        SCAN_TS_LO,
+        _scratch_dir,
+    )
+
+    path = _ingest_stream_dir(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    entries = stream.select(
+        "ts",
+        F.encode("key", "utf-8").alias("key"),
+        F.encode("value", "utf-8").alias("value"),
+    )
+    db = HelixSpark.open(
+        spark,
+        _scratch_dir("kvstream"),
+        HelixOptions(
+            rick_range=86400, outdate_range=1 << 40, auto_maintain=True
+        ),
+    )
+    q = entries.writeStream.foreachBatch(
+        lambda batch_df, _epoch: db.put(batch_df)
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    scanned = db.scan(
+        (SCAN_TS_LO, SCAN_TS_HI), (KEY_LO.encode(), KEY_HI.encode())
+    )
+    return scanned.select(
+        "ts",
+        F.decode("key", "utf-8").alias("key"),
+        F.decode("value", "utf-8").alias("value"),
+    )
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` on the
     (user_id, event_type, ts) identity — the state-bounded form (state for a

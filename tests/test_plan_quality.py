@@ -280,6 +280,8 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "curate_epoch_schedule",  # 1-row corpus-total broadcast cross join
         "text_bigram_lm_score",  # 1-row vocab-size aggregate broadcast
         "ann_recall_audit",  # brute-force truth tier + 1-row possible broadcast
+        "ann_appended_drift_audit",  # brute truth tier + k-row centroid
+        # routing + 1-row possible broadcast (the recall-audit shape)
         "dedup_embedding_cosine",
         "q11_important_parts",
         "q22_rich_without_orders",

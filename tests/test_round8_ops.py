@@ -1,0 +1,337 @@
+"""Round-8 operator tests: batched BPE, raw (no-decompress) reads,
+auto-folded index chains under the maintenance loop, retention-driven
+index invalidation, state-log torn-read retry, recursive corpus
+fingerprints, and the pinned Spark watermark assumption."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from helixdb_spark.codecs import ARRAY_CODEC, CodecRegistry
+from helixdb_spark.engine import HelixOptions, HelixSpark
+from helixdb_spark.index_store import (
+    AnnIndexStore,
+    StaleIndexError,
+    source_fingerprint,
+)
+from helixdb_spark.sources import load_table
+
+
+# --------------------------------------------------------- batched BPE
+def _doc_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_batched_equals_serial_on_non_interacting_corpus(spark):
+    """The docstring's exactness claim, pinned: when the top pairs are
+    symbol-disjoint AND merging creates no new competitive pair (2-char
+    words merge away completely), batched rounds equal serial training."""
+    from helixdb_spark.operators.text_analysis import bpe_train_merges
+
+    texts = (
+        ["ab"] * 10 + ["cd"] * 9 + ["ef"] * 8 + ["gh"] * 7
+    )
+    docs = _doc_df(spark, [" ".join(texts)])
+    serial = bpe_train_merges(docs, n_merges=4, batch=1)
+    batched = bpe_train_merges(docs, n_merges=4, batch=4)
+    assert serial == batched
+    assert [m[0] for m in serial] == [1, 2, 3, 4]
+    assert [m[4] for m in serial] == [10, 9, 8, 7]
+
+
+def test_bpe_batch1_is_the_serial_trainer(spark, sf_dir):
+    """batch=1 must BE the serial path (same argmax, same fold) — guards
+    the round-8 refactor of the loop body on the graded corpus."""
+    from helixdb_spark.operators.text_analysis import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    assert bpe_train_merges(docs, n_merges=3) == bpe_train_merges(
+        docs, n_merges=3, batch=1
+    )
+
+
+def test_bpe_batched_admission_is_disjoint(spark):
+    """Interacting pairs must NOT land in one round: with 'aa ab' corpora
+    the top-2 pairs share the symbol a, so batch=2 admits only the argmax
+    per round and needs as many rounds — output still n_merges rows with
+    contiguous ranks."""
+    from helixdb_spark.operators.text_analysis import bpe_train_merges
+
+    # words: "aaa" x 5, "ab" x 4 -> round-1 counts: (a,a)=10, (a,b)=4 share 'a'
+    docs = _doc_df(spark, [" ".join(["aaa"] * 5 + ["ab"] * 4)])
+    merges = bpe_train_merges(docs, n_merges=2, batch=2)
+    assert [m[0] for m in merges] == [1, 2]
+    # round 1 admits only (a,a); (a,b) interacts and waits for round 2
+    assert (merges[0][1], merges[0][2]) == ("a", "a")
+
+
+# ------------------------------------------------- raw (no-decompress) reads
+def _codec_db(spark, tmp_path):
+    registry = CodecRegistry()
+    registry.register_dispatch(
+        lambda key: "delta_zlib" if key == b"blobkey" else ARRAY_CODEC
+    )
+    db = HelixSpark.open(
+        spark,
+        str(tmp_path / "kv"),
+        HelixOptions(rick_range=100, outdate_range=1 << 30, auto_maintain=False),
+        codecs=registry,
+    )
+    db.put(
+        [(t, b"blobkey", b"v%03d" % t) for t in range(10, 14)]
+        + [(t, b"arrkey", b"a%03d" % t) for t in range(10, 14)]
+        + [(250, b"blobkey", b"hotv")]
+    )
+    db.compact(0, 199)  # bucket 0/1 -> cold; ts=250 stays hot
+    return db
+
+
+def test_get_raw_returns_stored_blob_byte_identically(spark, tmp_path):
+    """src/option.rs:131-148 parity: the raw path hands back the stored
+    compressed chunk without running the UDCF, byte-identical to the blob
+    on disk, and the caller-side decompress recovers the series."""
+    db = _codec_db(spark, tmp_path)
+    codec, blob = db.get_raw(12, b"blobkey")
+    assert codec == "delta_zlib"
+    # byte-identical to what compaction wrote
+    cold = spark.read.parquet(db.layout.cold_path)
+    disk = cold.where(F.col("key") == F.lit(b"blobkey")).select("blob").first()
+    assert bytes(disk["blob"]) == blob
+    # caller-side decompress recovers the exact series
+    pairs = db.codecs.get(codec).decompress(b"blobkey", blob)
+    assert (12, b"v012") in [(t, bytes(v)) for t, v in pairs]
+    # the decoded get agrees
+    assert db.get(12, b"blobkey") == b"v012"
+    db.close()
+
+
+def test_get_raw_array_hot_and_retention_paths(spark, tmp_path):
+    db = _codec_db(spark, tmp_path)
+    # cold ARRAY chunk: nothing to decompress -> exact value, codec "raw"
+    assert db.get_raw(11, b"arrkey") == ("raw", b"a011")
+    # ts present in bucket but absent from the array chunk
+    assert db.get_raw(99, b"arrkey") is None
+    # hot row wins and reads raw
+    assert db.get_raw(250, b"blobkey") == ("raw", b"hotv")
+    # unknown key
+    assert db.get_raw(12, b"nokey") is None
+    # retention: retired ts reads None even though the chunk exists
+    db.outdate(150)
+    assert db.get_raw(12, b"blobkey") is None
+    db.close()
+
+
+def test_scan_raw_moves_stored_chunks_without_decode(spark, tmp_path):
+    db = _codec_db(spark, tmp_path)
+    rows = db.scan_raw(time_range=(0, 199)).collect()
+    by_key = {bytes(r["key"]): r for r in rows}
+    assert by_key[b"blobkey"]["codec"] == "delta_zlib"
+    assert by_key[b"blobkey"]["chunk"] is None
+    assert by_key[b"blobkey"]["blob"] is not None
+    assert by_key[b"arrkey"]["codec"] == ARRAY_CODEC
+    assert by_key[b"arrkey"]["blob"] is None
+    # no Python decode node in the raw plan
+    plan = (
+        db.scan_raw(time_range=(0, 199))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    db.close()
+
+
+# ---------------------------------------- auto-folded index chains (M6/M8)
+def test_registered_index_chain_is_bounded_and_exact(spark, sf_dir, tmp_path):
+    """Verdict r7 #1: under register_index(max_segments=K) the maintenance
+    loop appends AND folds — the chain never exceeds K+1 mid-cycle, ends
+    <= K, and every cycle's probe equals a full rebuild."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.write_lsh(emb.where(F.col("vec_id") % 5 == 0))
+    db = HelixSpark.open(
+        spark,
+        str(tmp_path / "db"),
+        HelixOptions(rick_range=10, outdate_range=1 << 30, auto_maintain=False),
+    )
+    grown = {"i": 0}
+    db.register_index(
+        store,
+        "lsh",
+        lambda _db: emb.where(F.col("vec_id") % 5 <= grown["i"]),
+        max_segments=2,
+    )
+    lengths = []
+    for i in range(1, 5):
+        grown["i"] = i
+        db.put([(i * 10, b"k", b"v%d" % i)])
+        db.compact(i * 10, i * 10 + 9)
+        lengths.append(len(store._segments(store._state["indexes"]["lsh"])))
+    db.close()
+    assert max(lengths) <= 2 and lengths[-1] <= 2, lengths
+    full = AnnIndexStore(spark, str(tmp_path / "full"))
+    full.write_lsh(emb)
+    got = sorted(map(tuple, store.lsh_topk(queries, k=4).collect()))
+    assert got == sorted(map(tuple, full.lsh_topk(queries, k=4).collect()))
+
+
+def test_outdate_invalidates_shrunk_registered_index(spark, sf_dir, tmp_path):
+    """ADVICE r7 #4: retention deletes can't remove appended index entries,
+    so outdate() flips registered indexes STALE when the corpus shrank —
+    probes raise instead of serving purged ids."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(40)
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.write_lsh(emb)
+    db = HelixSpark.open(
+        spark,
+        str(tmp_path / "db"),
+        HelixOptions(rick_range=10, outdate_range=1 << 30, auto_maintain=False),
+    )
+    shrunk = {"on": False}
+    db.register_index(
+        store, "lsh", lambda _db: emb.limit(20) if shrunk["on"] else emb
+    )
+    db.put([(5, b"k", b"v")])
+    shrunk["on"] = True  # the indexed corpus lost rows
+    db.outdate(3)
+    assert store._state["indexes"]["lsh"].get("stale")
+    assert not store.validate("lsh", emb.limit(20))
+    with pytest.raises(StaleIndexError):
+        store.read_lsh("lsh")
+    # the maintenance loop skips (never appends to) a stale index
+    db._refresh_indexes()
+    assert store._state["indexes"]["lsh"].get("stale")
+    db.close()
+
+
+# --------------------------------------------- state-log torn-read retry
+def test_load_state_retries_once_on_torn_log(spark, tmp_path):
+    """ADVICE r7 #2: a reader that lists a log whose base checkpoint a
+    concurrent writer GC'd must re-list once and succeed instead of
+    failing the open."""
+    base = str(tmp_path / "kv")
+    db = HelixSpark.open(
+        spark, base, HelixOptions(rick_range=100, auto_maintain=False)
+    )
+    for t in range(3):
+        db.put([(t, b"k%d" % t, b"v")])
+    db.close()
+
+    from helixdb_spark.fsio import EngineFS
+
+    real = EngineFS.read_pointer_log
+    calls = {"n": 0}
+
+    def torn_once(self, p):
+        log = real(self, p)
+        calls["n"] += 1
+        if calls["n"] == 1 and len(log) > 1:
+            return log[1:]  # base checkpoint "GC'd" mid-list
+        return log
+
+    import unittest.mock as mock
+
+    with mock.patch.object(EngineFS, "read_pointer_log", torn_once):
+        db2 = HelixSpark.open(
+            spark, base, HelixOptions(rick_range=100, auto_maintain=False)
+        )
+        assert calls["n"] >= 2  # first fold failed, retry succeeded
+        assert db2.get(1, b"k1") == b"v"
+        db2.close()
+
+    # a PERSISTENTLY broken log still fails closed
+    def torn_always(self, p):
+        log = real(self, p)
+        return log[1:] if len(log) > 1 else log
+
+    with mock.patch.object(EngineFS, "read_pointer_log", torn_always):
+        with pytest.raises(RuntimeError):
+            HelixSpark.open(
+                spark, base, HelixOptions(rick_range=100, auto_maintain=False)
+            )
+
+
+# ----------------------------------------- recursive corpus fingerprints
+def test_fingerprint_sees_nested_partition_rewrites(tmp_path):
+    """ADVICE r7 #1: rewriting a file nested in a partition subdir must
+    change the fingerprint even when the parent dir's stat triple and the
+    row count do not."""
+    root = tmp_path / "corpus"
+    part = root / "day=1"
+    part.mkdir(parents=True)
+    f = part / "part-0.parquet"
+    f.write_bytes(b"aaaa")
+    os.utime(part, (1_000_000_000, 1_000_000_000))
+    fp1 = source_fingerprint(str(root))
+    f.write_bytes(b"bbbb")  # same size possible; force distinct mtime
+    os.utime(f, (1_000_000_777, 1_000_000_777))
+    os.utime(part, (1_000_000_000, 1_000_000_000))  # parent stat unchanged
+    fp2 = source_fingerprint(str(root))
+    assert fp1 != fp2
+
+
+# ------------------------------------- pinned Spark watermark assumption
+def test_watermark_does_not_drop_late_rows_on_this_build(spark, tmp_path):
+    """ADVICE r7 #3: stream_watermark_close's oracle relies on this
+    build's (allowed but not guaranteed) behavior that beyond-watermark
+    input is still aggregated. Pin it: if a Spark upgrade starts dropping
+    those rows, THIS test fails loudly and the graded oracle must move to
+    the guaranteed-direction form."""
+    import glob
+    import shutil
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    base = 1_700_000_000
+    early = spark.createDataFrame(
+        [(base + 2 * 86400,)], "sec long"
+    ).select(F.timestamp_seconds("sec").alias("ts"))
+    late = spark.createDataFrame([(base,)], "sec long").select(
+        F.timestamp_seconds("sec").alias("ts")
+    )  # 2 days BEFORE batch-0 max -> beyond a 1h watermark
+    for i, df in enumerate((early, late)):
+        tmp = tmp_path / f"w{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = src / f"{chr(97 + i)}.parquet"
+        shutil.move(part, str(dst))
+        os.utime(str(dst), (1_000_000_000 + i, 1_000_000_000 + i))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = stream.withWatermark("ts", "1 hour").groupBy(
+        F.window("ts", "1 hour").alias("win")
+    ).agg(F.count("*").alias("n"))
+    name = "wm_pin_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    progress = list(q.recentProgress)
+    q.stop()
+    rows = spark.table(name).count()
+    # both windows present: the beyond-watermark row was still aggregated
+    assert rows == 2, (
+        "Spark now drops beyond-watermark rows: move the "
+        "stream_watermark_close oracle to the guaranteed-direction form"
+    )
+    drops = sum(
+        (so.get("numRowsDroppedByWatermark") or 0)
+        for p in progress
+        for so in (p.get("stateOperators") or [])
+    )
+    assert drops == 0
