@@ -63,7 +63,6 @@ from pyspark.sql import functions as F
 from helixdb_spark.fsio import EngineFS
 from helixdb_spark.operators import similarity as sim
 from helixdb_spark.operators.similarity import (
-    assign_struct,
     bucketed_topk,
     lsh_bucket,
     pq_adc_from_codes,
@@ -378,11 +377,13 @@ class AnnIndexStore:
 
     @staticmethod
     def _encode_pq(corpus, codebooks, sub_d, m, id_col, vec_col) -> DataFrame:
+        from helixdb_spark.operators.similarity import assign_struct_sql
+
         return spread(corpus).select(
             F.col(id_col),
             *[
-                assign_struct(
-                    F.slice(F.col(vec_col), j * sub_d + 1, sub_d),
+                assign_struct_sql(
+                    f"slice({vec_col}, {j * sub_d + 1}, {sub_d})",
                     codebooks[j],
                 )["cluster_id"].alias(f"code_{j}")
                 for j in range(m)

@@ -435,6 +435,35 @@ def assign_struct(
     return F.array_min(candidates)
 
 
+def assign_struct_sql(
+    vec_sql: str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """``assign_struct`` rendered as ONE parsed SQL expression — the
+    identical expression tree (same casts, same literal-first addition,
+    same round placement; equivalence pinned in tests/test_round8_ops),
+    but a single py4j round trip instead of O(k·dim) Column-algebra
+    calls. Plan CONSTRUCTION for a PQ encode (m subspaces × k codewords
+    × dim/m floats) drops from ~2 s of driver py4j chatter to ~10 ms,
+    which is the dominant cost of an O(delta) index append whose data is
+    small — exactly the maintenance-loop shape."""
+    cands = []
+    for c, v in centroids:
+        arr = "array(" + ", ".join(
+            f"CAST('{repr(float(x))}' AS DOUBLE)" for x in v
+        ) + ")"
+        sq = (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        cands.append(
+            f"named_struct('sqdist', round(1e-9 + {sq}, 6), "
+            f"'cluster_id', {int(c)})"
+        )
+    return F.expr("array_min(array(" + ", ".join(cands) + "))")
+
+
 def kmeans_assign(
     points: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -1141,10 +1170,12 @@ def pq_encode(
     # encode in ONE projection: per subspace, the nearest-codeword struct
     # over the vector SLICE against the fitted literal codebook — zero
     # joins, zero shuffles, whole-stage codegen (contrast stitching m
-    # per-subspace assignment tables back together on the id)
+    # per-subspace assignment tables back together on the id); built via
+    # the SQL-text twin so plan construction is one parse, not O(m·k·d)
+    # py4j calls
     bests = [
-        assign_struct(
-            F.slice(F.col(vec_col), j * sub_d + 1, sub_d), codebooks[j]
+        assign_struct_sql(
+            f"slice({vec_col}, {j * sub_d + 1}, {sub_d})", codebooks[j]
         )
         for j in range(m)
     ]

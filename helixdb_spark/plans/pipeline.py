@@ -4322,13 +4322,6 @@ def ann_pq_chain_autofold(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     fp = _source_fp(sf_dir, "embeddings")
     store = AnnIndexStore(spark, _scratch_dir("annfold"))
-    # base index over 1/5 of the corpus, codebooks prefit on the FULL
-    # corpus (frozen-state append == full rebuild, the r7 contract)
-    store.write_pq(
-        emb.where(F.col("vec_id") % 5 == 0),
-        prefit=_pq_prefit(spark, sf_dir),
-        fingerprint=fp,
-    )
     grown = {"i": 0}
     db = HelixSpark.open(
         spark,
@@ -4338,21 +4331,39 @@ def ann_pq_chain_autofold(spark: SparkSession, sf_dir: str) -> DataFrame:
     db.register_index(
         store,
         "pq",
-        lambda _db: emb.where(F.col("vec_id") % 5 <= grown["i"]),
+        lambda _db: emb.where(F.col("vec_id") % 4 <= grown["i"]),
         max_segments=2,
         fingerprint=fp,
     )
+    # The lifecycle is ~30 tiny maintenance jobs over delta-sized inputs;
+    # size the state shuffles to the deltas, not the analytic default
+    # (the streaming _run_to_memory discipline — results are partition-
+    # count independent, pinned by scripts/check_exact at 3/7/32).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     chain_lengths = []
-    for i in range(1, 5):  # four ingest cycles; corpus grows each one
-        grown["i"] = i
-        db.put([(i * 10, b"k%d" % i, b"v%d" % i)])
-        db.compact(i * 10, i * 10 + 9)  # ends with _refresh_indexes
-        chain_lengths.append(
-            len(store._segments(store._state["indexes"]["pq"]))
+    try:
+        # base index over 1/4 of the corpus, codebooks prefit on the FULL
+        # corpus (frozen-state append == full rebuild, the r7 contract)
+        store.write_pq(
+            emb.where(F.col("vec_id") % 4 == 0),
+            prefit=_pq_prefit(spark, sf_dir),
+            fingerprint=fp,
         )
-    db.close()
-    # the bound held during the run and the final chain is folded
-    assert max(chain_lengths) <= 3 and chain_lengths[-1] <= 2, chain_lengths
+        for i in range(1, 4):  # three ingest cycles; corpus grows each one
+            grown["i"] = i
+            db.put([(i * 10, b"k%d" % i, b"v%d" % i)])
+            db.compact(i * 10, i * 10 + 9)  # ends with _refresh_indexes
+            chain_lengths.append(
+                len(store._segments(store._state["indexes"]["pq"]))
+            )
+        db.close()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # the bound held across the run: append -> fold -> re-grow, never > K
+    # post-refresh (the mid-refresh K+1 peak is what triggers the fold);
+    # cycle 2 exceeded the bound and was folded back to one segment
+    assert chain_lengths == [2, 1, 2], chain_lengths
     reopened = AnnIndexStore(spark, store.base)  # answer off disk
     assert reopened.validate("pq", emb, fingerprint=fp)
     return reopened.pq_adc_topk(_query_vecs(spark, sf_dir), k_nn=ANN_K)
@@ -4599,20 +4610,20 @@ WITH v0 AS (
     ]
     for r in range(BPE_MERGES):
         parts.append(f"""
-p{r} AS (
+p{r} AS MATERIALIZED (
   SELECT pr[1] AS l, pr[2] AS r2, sum(n)::BIGINT AS c FROM (
     SELECT unnest(list_transform(range(1, len(syms)),
                                  i -> [syms[i], syms[i+1]])) AS pr, n
     FROM v{r} WHERE len(syms) >= 2
   ) GROUP BY 1, 2
 ),
-rk{r} AS (
+rk{r} AS MATERIALIZED (
   SELECT l, r2, c,
          row_number() OVER (ORDER BY c DESC, l ASC, r2 ASC) AS rk
   FROM p{r}
 ),
-b{r}a AS (SELECT l, r2, c FROM rk{r} WHERE rk = 1),
-b{r}b AS (
+b{r}a AS MATERIALIZED (SELECT l, r2, c FROM rk{r} WHERE rk = 1),
+b{r}b AS MATERIALIZED (
   SELECT cand.l, cand.r2, cand.c FROM rk{r} cand, b{r}a b
   WHERE cand.rk BETWEEN 2 AND {head}
     AND cand.l NOT IN (b.l, b.r2, b.l || b.r2)
@@ -4620,7 +4631,7 @@ b{r}b AS (
     AND (cand.l || cand.r2) NOT IN (b.l, b.r2, b.l || b.r2)
   ORDER BY cand.rk LIMIT 1
 ),
-v{r + 1} AS (
+v{r + 1} AS MATERIALIZED (
   SELECT v.word, list_reduce(list_transform(v.syms, s -> [s]),
            (acc, x) -> CASE
              WHEN len(acc) > 0 AND acc[-1] = a.l AND x[1] = a.r2

@@ -70,6 +70,32 @@ def test_bpe_batched_admission_is_disjoint(spark):
     assert (merges[0][1], merges[0][2]) == ("a", "a")
 
 
+def test_assign_struct_sql_is_bit_identical_to_column_form(spark, sf_dir):
+    """The SQL-text twin must produce the exact rows the Column-algebra
+    form does — same casts, same literal-first addition, same rounding —
+    or every persisted-PQ answer would silently shift."""
+    from helixdb_spark.operators.similarity import (
+        assign_struct,
+        assign_struct_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    centroids = [
+        (3, [0.1] * 16),
+        (7, [-0.25, 1e-05] * 8),
+        (1, [0.0] * 16),
+    ]
+    a = emb.select(
+        "vec_id",
+        assign_struct(F.slice("embedding", 1, 16), centroids).alias("s"),
+    )
+    b = emb.select(
+        "vec_id",
+        assign_struct_sql("slice(embedding, 1, 16)", centroids).alias("s"),
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 # ------------------------------------------------- raw (no-decompress) reads
 def _codec_db(spark, tmp_path):
     registry = CodecRegistry()
