@@ -159,6 +159,7 @@ HEADLINE = [
     "ann_appended_drift_audit",
     "text_bpe_merges_batched",
     "stream_ingest_scan",
+    "ann_lsh_multiprobe",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -177,6 +177,62 @@ def bucketed_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_planes: int = NUM_PLANES,
+    dim: int = DIM,
+) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB 2007 — the bit-flip neighborhood
+    form): each query scores its own hyperplane bucket PLUS every bucket
+    at Hamming distance 1 (one flipped plane sign — the buckets a
+    near-boundary neighbor most likely fell into). Recall dominates the
+    single-bucket probe by construction (the probe set is a superset;
+    pinned in tests) at (num_planes+1)/2^P of the corpus instead of
+    1/2^P — the same recall/cost dial as IVF n_probe, without
+    re-bucketing anything: the corpus index is byte-identical to
+    lsh_topk's, only query routing widens. Probed buckets are distinct
+    and a corpus row lives in exactly one bucket, so no dedup pass is
+    needed; against a ``partitionBy(_bucket)`` persisted table the probe
+    list still resolves to partition pruning (an IN-set of buckets)."""
+    c = spread(corpus).withColumn(
+        "_bucket", lsh_bucket(F.col(vec_col), num_planes, dim)
+    )
+    q = queries.select(query_id_col, F.col(vec_col).alias("_qvec")).withColumn(
+        "_qbucket", lsh_bucket(F.col("_qvec"), num_planes, dim)
+    )
+    probes = q.select(
+        query_id_col,
+        "_qvec",
+        F.explode(
+            F.array(
+                F.col("_qbucket"),
+                *[
+                    F.col("_qbucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(num_planes)
+                ],
+            )
+        ).alias("_bucket"),
+    )
+    scored = c.join(F.broadcast(probes), "_bucket").withColumn(
+        "cosine",
+        F.round(
+            F.lit(1e-9) + cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6
+        ),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "rk", F.col(id_col).alias("neighbor_id"), "cosine")
+        .orderBy(query_id_col, "rk")
+    )
+
+
 def lsh_range_search(
     corpus: DataFrame,
     queries: DataFrame,

@@ -4663,3 +4663,47 @@ LIMIT {BPE_MERGES}
 
 QUERIES.update({"text_bpe_merges_batched": text_bpe_merges_batched})
 ORACLES.update({"text_bpe_merges_batched": _bpe_batched_sql()})
+
+
+# ----------------------------- multi-probe LSH (round 8)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: each query scores its bucket plus the
+    num_planes Hamming-1 bit-flip buckets (Lv et al. 2007) — the LSH
+    counterpart of ann_ivf_multiprobe, completing the recall/cost-dial
+    family. The corpus bucket index is byte-identical to ann_lsh_topk's;
+    only query routing widens, so recall >= the single-probe row by
+    construction (pinned in tests/test_round8_ops.py)."""
+    return _sim.lsh_multiprobe_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _query_vecs(spark, sf_dir),
+        k=ANN_K,
+    )
+
+
+def _lsh_multiprobe_sql() -> str:
+    flips = ", ".join(
+        f"xor(qb, {1 << p})" for p in range(_sim.NUM_PLANES)
+    )
+    return f"""
+WITH c AS (SELECT vec_id, embedding, {_bucket_expr_sql('embedding')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec,
+             {_bucket_expr_sql('embedding')} AS qb
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+probes AS (
+  SELECT query_id, qvec, unnest([qb, {flips}]) AS bucket FROM q
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(1e-9 + list_cosine_similarity(p.qvec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM c JOIN probes p USING (bucket)
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
+SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= {ANN_K}
+ORDER BY query_id, rk
+"""
+
+
+QUERIES.update({"ann_lsh_multiprobe": ann_lsh_multiprobe})
+ORACLES.update({"ann_lsh_multiprobe": _lsh_multiprobe_sql()})

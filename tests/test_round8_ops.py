@@ -96,6 +96,34 @@ def test_assign_struct_sql_is_bit_identical_to_column_form(spark, sf_dir):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_lsh_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """The probe set is a superset of the single-bucket probe, so recall
+    against the brute-force truth must never be lower."""
+    from helixdb_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = set(
+        map(tuple, brute_force_topk(emb, q, k=5).select(
+            "query_id", "neighbor_id").collect())
+    )
+    single = set(
+        map(tuple, lsh_topk(emb, q, k=5).select(
+            "query_id", "neighbor_id").collect())
+    )
+    multi = set(
+        map(tuple, lsh_multiprobe_topk(emb, q, k=5).select(
+            "query_id", "neighbor_id").collect())
+    )
+    assert len(multi & truth) >= len(single & truth)
+
+
 # ------------------------------------------------- raw (no-decompress) reads
 def _codec_db(spark, tmp_path):
     registry = CodecRegistry()
