@@ -160,6 +160,7 @@ HEADLINE = [
     "text_bpe_merges_batched",
     "stream_ingest_scan",
     "ann_lsh_multiprobe",
+    "kv_codec_gorilla",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

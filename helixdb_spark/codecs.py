@@ -85,6 +85,75 @@ def _delta_zlib_decompress(key: bytes, blob: bytes) -> Pairs:
     return pairs
 
 
+def _ts_delta_xor_compress(key: bytes, pairs: Pairs) -> bytes:
+    """Gorilla-style series codec (Pelkonen et al., VLDB'15 — the
+    byte-aligned variant): timestamps as zigzag-varint deltas, values as
+    XOR against the previous value with leading/trailing zero BYTES
+    elided (one control byte: 4-bit lead count, 4-bit significant
+    length). Requires fixed 8-byte values — the natural payload of a
+    metrics store (f64 bits or a scaled int64); slowly-varying series
+    XOR to mostly-zero bytes and collapse. The reference exposes exactly
+    this extension point as its UDCF pair (fn_registry.rs:8-16); format
+    here is original."""
+    out = bytearray(struct.pack("<I", len(pairs)))
+    prev_ts = 0
+    prev_v = b"\x00" * 8
+    for ts, value in pairs:
+        value = bytes(value)
+        if len(value) != 8:
+            raise ValueError(
+                f"ts_delta_xor needs 8-byte values, got {len(value)} "
+                f"(route this key to another codec in dispatch)"
+            )
+        # zigzag varint of the ts delta
+        d = ts - prev_ts
+        prev_ts = ts
+        z = (d << 1) ^ (d >> 63) if d >= 0 else ((-d) << 1) - 1
+        while z >= 0x80:
+            out.append((z & 0x7F) | 0x80)
+            z >>= 7
+        out.append(z)
+        x = bytes(a ^ b for a, b in zip(value, prev_v))
+        prev_v = value
+        lead = 0
+        while lead < 8 and x[lead] == 0:
+            lead += 1
+        tail = 8
+        while tail > lead and x[tail - 1] == 0:
+            tail -= 1
+        out.append((lead << 4) | (tail - lead))
+        out.extend(x[lead:tail])
+    return bytes(out)
+
+
+def _ts_delta_xor_decompress(key: bytes, blob: bytes) -> Pairs:
+    (count,) = struct.unpack_from("<I", blob, 0)
+    off = 4
+    pairs: Pairs = []
+    ts = 0
+    prev_v = b"\x00" * 8
+    for _ in range(count):
+        z, shift = 0, 0
+        while True:
+            b = blob[off]
+            off += 1
+            z |= (b & 0x7F) << shift
+            if b < 0x80:
+                break
+            shift += 7
+        d = (z >> 1) if (z & 1) == 0 else -((z + 1) >> 1)
+        ts += d
+        ctrl = blob[off]
+        off += 1
+        lead, sig = ctrl >> 4, ctrl & 0x0F
+        x = b"\x00" * lead + blob[off : off + sig] + b"\x00" * (8 - lead - sig)
+        off += sig
+        v = bytes(a ^ b for a, b in zip(x, prev_v))
+        prev_v = v
+        pairs.append((ts, v))
+    return pairs
+
+
 class CodecRegistry:
     """Engine-level registry mirroring ``FnRegistry`` (fn_registry.rs:57-113).
 
@@ -101,6 +170,9 @@ class CodecRegistry:
         self.custom_dispatch = False
         self.register(Codec("noop", _noop_compress, _noop_decompress))
         self.register(Codec("delta_zlib", _delta_zlib_compress, _delta_zlib_decompress))
+        self.register(
+            Codec("ts_delta_xor", _ts_delta_xor_compress, _ts_delta_xor_decompress)
+        )
 
     def register(self, codec: Codec) -> None:
         if codec.name == ARRAY_CODEC:

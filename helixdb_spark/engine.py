@@ -797,6 +797,65 @@ class HelixSpark:
         )
         return {(r["ts"], bytes(r["key"])): bytes(r["value"]) for r in hits}
 
+    def get_many_asof(
+        self, probes: Sequence[tuple[int, bytes]]
+    ) -> dict[tuple[int, bytes], tuple[int, bytes]]:
+        """Batched as-of lookups — one job for N probes (the batched form
+        of :meth:`get_asof`, same shape argument as :meth:`get_many`: per-
+        probe job launch is Spark's latency floor). Returns
+        ``{(probe_ts, key): (found_ts, value)}``; probes with no entry at
+        or before their ts are absent from the result. The N-at-a-time
+        as-of is the read pattern a feature-store / point-in-time-join
+        client actually issues; the reference cannot express even the
+        scalar form (its chunk probe is exact-match only,
+        src/level.rs:503-505 — SURVEY.md §2.3). The heavy-N form of this
+        is the asof_join operator (operators/asof.py, graded as
+        kv_asof_probes); this wrapper keeps the dict-returning engine API
+        shape for bounded probe sets."""
+        self._check_open()
+        if not probes:
+            return {}
+        probe_df = self.spark.createDataFrame(
+            [(int(t), bytes(k)) for t, k in probes],
+            T.StructType(
+                [
+                    T.StructField("p_ts", T.LongType(), False),
+                    T.StructField("p_key", T.BinaryType(), False),
+                ]
+            ),
+        )
+        hi = max(t for t, _ in probes)
+        cutoff = self._state.get("outdate_cutoff")
+        ts_lo = (cutoff + 1) if cutoff is not None else None
+        # keys first (semi-join prunes the shuffle), then every surviving
+        # entry joins the broadcast probes on key with ts <= p_ts and the
+        # max-(ts, value) struct per probe wins — no window, map-side
+        # combinable, exactly get_asof's answer per probe
+        ent = self._entries_df(
+            ts_lo=ts_lo,
+            ts_hi=hi,
+            probe_df=None,
+            pre_filter=None,
+        ).join(
+            F.broadcast(probe_df.select("p_key").distinct()),
+            F.col("key") == F.col("p_key"),
+            "left_semi",
+        )
+        hits = (
+            ent.join(
+                F.broadcast(probe_df),
+                (F.col("key") == F.col("p_key")) & (F.col("ts") <= F.col("p_ts")),
+            )
+            .groupBy("p_ts", "p_key")
+            .agg(F.max(F.struct("ts", "value")).alias("_w"))
+            .select("p_ts", "p_key", "_w.ts", "_w.value")
+            .collect()
+        )
+        return {
+            (r["p_ts"], bytes(r["p_key"])): (r["ts"], bytes(r["value"]))
+            for r in hits
+        }
+
     def scan(
         self,
         time_range: tuple[int, int],

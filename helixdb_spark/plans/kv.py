@@ -841,3 +841,66 @@ def kv_statelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["kv_statelog_scan"] = kv_statelog_scan
 ORACLES["kv_statelog_scan"] = KV_ROUNDTRIP_SQL
+
+
+def kv_codec_gorilla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """put -> compact through the Gorilla-style UDCF (ts_delta_xor:
+    zigzag-varint timestamp deltas + XOR'd 8-byte values with zero-byte
+    elision — Pelkonen et al. VLDB'15, byte-aligned) -> scan. The metrics
+    payload is the event value scaled to int64 and packed big-endian, the
+    fixed-width shape the codec compresses; even user keys route through
+    the codec, odd ones stay native array (the per-key dispatch surface,
+    reference fn_registry.rs:46-49). Compression must be storage-
+    transparent: the scan equals a plain SQL range select."""
+    from helixdb_spark.codecs import ARRAY_CODEC, CodecRegistry
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+
+    ev = load_table(spark, sf_dir, "events")
+    val = F.round(F.lit(1e-9) + F.col("value") * 1000, 0).cast("long")
+    entries = (
+        ev.groupBy(
+            F.unix_timestamp("ts").alias("ts"),
+            F.col("user_id").cast("string").alias("k"),
+        )
+        .agg(F.max(val).alias("v"))
+        .select(
+            "ts",
+            F.encode("k", "utf-8").alias("key"),
+            # 8-byte big-endian payload — the codec's fixed-width contract
+            F.unhex(F.lpad(F.hex("v"), 16, "0")).alias("value"),
+        )
+    )
+    registry = CodecRegistry()
+    registry.register_dispatch(
+        lambda key: "ts_delta_xor" if int(key.decode()) % 2 == 0 else ARRAY_CODEC
+    )
+    base = _scratch_dir("kvgor")
+    db = HelixSpark.open(
+        spark,
+        base,
+        HelixOptions(rick_range=86400, outdate_range=1 << 40, auto_maintain=False),
+        codecs=registry,
+    )
+    db.put(entries)
+    db.compact(SCAN_TS_LO, COMPACT_TS_HI)
+    scanned = db.scan((SCAN_TS_LO, COMPACT_TS_HI))
+    return scanned.select(
+        "ts",
+        F.decode("key", "utf-8").alias("key"),
+        F.conv(F.hex("value"), 16, 10).cast("long").alias("value"),
+    )
+
+
+KV_GORILLA_SQL = f"""
+SELECT ts, key, value FROM (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts, user_id::VARCHAR AS key,
+         max(CAST(round(1e-9 + value * 1000, 0) AS BIGINT)) AS value
+  FROM events
+  GROUP BY 1, 2
+)
+WHERE ts >= {SCAN_TS_LO} AND ts <= {COMPACT_TS_HI}
+ORDER BY key, ts
+"""
+
+QUERIES["kv_codec_gorilla"] = kv_codec_gorilla
+ORACLES["kv_codec_gorilla"] = KV_GORILLA_SQL

@@ -200,6 +200,92 @@ def test_scan_raw_moves_stored_chunks_without_decode(spark, tmp_path):
     db.close()
 
 
+# --------------------------------------------- Gorilla-style UDCF codec
+def test_ts_delta_xor_roundtrip_and_compression():
+    """Byte-exact roundtrip on metric-shaped series + the codec actually
+    compresses a slowly-varying series (the Gorilla claim)."""
+    import struct as st
+
+    from helixdb_spark.codecs import (
+        _ts_delta_xor_compress,
+        _ts_delta_xor_decompress,
+    )
+
+    def pack(v: int) -> bytes:
+        return st.pack(">q", v)
+
+    series = [(1000 + 15 * i, pack(500_000 + (i % 7))) for i in range(200)]
+    blob = _ts_delta_xor_compress(b"k", series)
+    assert _ts_delta_xor_decompress(b"k", blob) == series
+    raw = sum(8 + 8 for _ in series)
+    assert len(blob) < raw / 3  # regular deltas + tiny XORs collapse
+    # edge cases: empty, single, identical consecutive values, ts going
+    # backwards (negative delta), high-entropy values
+    for s in (
+        [],
+        [(5, pack(42))],
+        [(1, pack(7)), (2, pack(7)), (3, pack(7))],
+        [(100, pack(1)), (50, pack(2)), (200, pack(3))],
+        [(i, st.pack(">Q", (i * 0x9E3779B97F4A7C15) % (1 << 64)))
+         for i in range(50)],
+    ):
+        assert _ts_delta_xor_decompress(b"k", _ts_delta_xor_compress(b"k", s)) == s
+
+
+def test_ts_delta_xor_rejects_non_8_byte_values():
+    from helixdb_spark.codecs import _ts_delta_xor_compress
+
+    with pytest.raises(ValueError):
+        _ts_delta_xor_compress(b"k", [(1, b"short")])
+
+
+def test_kv_codec_gorilla_scan_matches_plain_select(spark, sf_dir):
+    """The graded row's transparency contract, locally: compacting through
+    ts_delta_xor must not change what a scan returns."""
+    from helixdb_spark.plans.kv import KV_GORILLA_SQL, kv_codec_gorilla
+
+    import duckdb
+
+    got = sorted(map(tuple, kv_codec_gorilla(spark, sf_dir).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{sf_dir}/events.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(KV_GORILLA_SQL).fetchall()))
+    assert got == want
+
+
+# --------------------------------------------------- batched as-of reads
+def test_get_many_asof_matches_scalar_get_asof(spark, tmp_path):
+    db = HelixSpark.open(
+        spark,
+        str(tmp_path / "kv"),
+        HelixOptions(rick_range=100, outdate_range=1 << 30, auto_maintain=False),
+    )
+    db.put(
+        [(t, b"a", b"av%03d" % t) for t in (10, 50, 150)]
+        + [(t, b"b", b"bv%03d" % t) for t in (20, 120)]
+    )
+    db.compact(0, 99)  # span the hot/cold boundary
+    probes = [(60, b"a"), (150, b"a"), (500, b"b"), (5, b"b"), (70, b"c")]
+    got = db.get_many_asof(probes)
+    for p_ts, key in probes:
+        scalar = db.get_asof(p_ts, key)
+        if scalar is None:
+            assert (p_ts, key) not in got
+        else:
+            assert got[(p_ts, key)] == scalar
+    assert got[(60, b"a")] == (50, b"av050")
+    assert got[(500, b"b")] == (120, b"bv120")
+    assert (70, b"c") not in got and (5, b"b") not in got
+    # retention: outdated probes disappear, later ones clamp to live data
+    db.outdate(15)
+    got2 = db.get_many_asof([(12, b"a"), (60, b"a")])
+    assert (12, b"a") not in got2 and got2[(60, b"a")] == (50, b"av050")
+    db.close()
+
+
 # ---------------------------------------- auto-folded index chains (M6/M8)
 def test_registered_index_chain_is_bounded_and_exact(spark, sf_dir, tmp_path):
     """Verdict r7 #1: under register_index(max_segments=K) the maintenance
