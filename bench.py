@@ -161,6 +161,7 @@ HEADLINE = [
     "stream_ingest_scan",
     "ann_lsh_multiprobe",
     "kv_codec_gorilla",
+    "ann_ivf_drift_stats",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -884,6 +884,64 @@ class AnnIndexStore:
         return new_desc
 
     # ------------------------------------------------------------ compaction
+    def ivf_assignment_stats(self, name: str = "ivf") -> DataFrame:
+        """Per-SEGMENT assignment-quality stats for an IVF chain:
+        ``(segment_idx, n_rows, mean_assign_cosine)`` — the cheap in-loop
+        drift PROXY. A frozen-centroid append is bit-exact but decays
+        silently as the ingested distribution drifts from the fit corpus;
+        the full recall audit (`ann_appended_drift_audit`) needs a brute-
+        force truth tier, which a maintenance loop cannot afford per
+        cycle. This statistic needs only the data the index already
+        stores: one scan of the lists table (segments kept), a broadcast
+        join to the centroids, and a per-segment mean of each row's
+        cosine to its ASSIGNED centroid. A fresh segment whose mean sits
+        well below the fit segment's is the re-fit signal.
+
+        ``segment_idx`` is the position in the committed ``segments``
+        list (0 = the original fit), not the raw generation number —
+        stable across rebuilds. Means use the scaled-int64 exact-sum
+        discipline so the number is partition-order independent."""
+        from helixdb_spark.functions.vector import cosine_similarity
+
+        desc = self._descriptor(name, "ivf")
+        segs = self._segments(desc)
+        if "segments" not in desc:
+            lists = self.spark.read.parquet(
+                f"{self._gen_path(name, desc['gen'])}/lists"
+            ).withColumn("seg", F.lit(int(desc["gen"])))
+        else:
+            lists = self.spark.read.parquet(
+                self._table_root(name, "lists")
+            ).where(F.col("seg").isin(segs))
+        centroids = self._read_table(name, desc, "centroids")
+        idx = F.array(*[F.lit(int(s)) for s in segs])
+        cs = F.round(
+            F.lit(1e-9)
+            + cosine_similarity(F.col(desc["vec_col"]), F.col("_cvec")) * 1e6,
+            0,
+        ).cast("long")
+        per_seg = (
+            lists.join(F.broadcast(centroids), "centroid_id")
+            .select(
+                (F.array_position(idx, F.col("seg")) - 1).cast("int").alias(
+                    "segment_idx"
+                ),
+                cs.alias("_cs"),
+            )
+            .groupBy("segment_idx")
+            .agg(F.count("*").alias("n_rows"), F.sum("_cs").alias("_s"))
+        )
+        return per_seg.select(
+            "segment_idx",
+            "n_rows",
+            (
+                F.round(
+                    F.lit(1e-9) + F.col("_s") / (F.col("n_rows") * 1e6), 6
+                )
+                + F.lit(0.0)
+            ).alias("mean_assign_cosine"),
+        ).orderBy("segment_idx")
+
     def compact_index(self, name: str) -> dict:
         """Fold a segment chain back into ONE segment — the small-file /
         long-chain axis of index maintenance (the engine's OPTIMIZE applied

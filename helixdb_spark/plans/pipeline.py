@@ -4402,6 +4402,28 @@ def _drift_corpus(spark: SparkSession, sf_dir: str):
     return base, base.unionByName(delta)
 
 
+def _drift_store(spark: SparkSession, sf_dir: str):
+    """Open (building if absent or stale) the drift-scenario store:
+    ``ivf`` = centroids fit on BASE + the rotated delta appended under
+    them (the frozen chain); ``ivf_refit`` = centroids fit on the GROWN
+    corpus. Returns (store, base, grown)."""
+    from helixdb_spark.index_store import AnnIndexStore
+
+    base_dir = _store_base(sf_dir) + "_drift"
+    store = AnnIndexStore(spark, base_dir)
+    base, grown = _drift_corpus(spark, sf_dir)
+    fp = _source_fp(sf_dir, "embeddings")
+    if _DRIFT_STORE_MEMO.get(sf_dir) != base_dir and not (
+        store.validate("ivf", grown, fingerprint=fp)
+        and store.validate("ivf_refit", grown, fingerprint=fp)
+    ):
+        store.write_ivf(base, name="ivf", fingerprint=fp)
+        store.append_ivf(grown, name="ivf", fingerprint=fp)
+        store.write_ivf(grown, name="ivf_refit", fingerprint=fp)
+    _DRIFT_STORE_MEMO[sf_dir] = base_dir
+    return store, base, grown
+
+
 def ann_appended_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The missing half of the append family's contract, measured: appends
     under FROZEN centroids are bit-identical to a rebuild over those same
@@ -4420,23 +4442,9 @@ def ann_appended_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     does."""
     from pyspark import StorageLevel
 
-    from helixdb_spark.index_store import AnnIndexStore
     from helixdb_spark.operators.util import unpersist_on_gc
 
-    base_dir = _store_base(sf_dir) + "_drift"
-    store = AnnIndexStore(spark, base_dir)
-    base, grown = _drift_corpus(spark, sf_dir)
-    fp = _source_fp(sf_dir, "embeddings")
-    if _DRIFT_STORE_MEMO.get(sf_dir) != base_dir and not (
-        store.validate("ivf", grown, fingerprint=fp)
-        and store.validate("ivf_refit", grown, fingerprint=fp)
-    ):
-        # frozen chain: centroids fit on BASE (its stride rows), delta
-        # appended under them; refit: centroids fit on the GROWN corpus
-        store.write_ivf(base, name="ivf", fingerprint=fp)
-        store.append_ivf(grown, name="ivf", fingerprint=fp)
-        store.write_ivf(grown, name="ivf_refit", fingerprint=fp)
-    _DRIFT_STORE_MEMO[sf_dir] = base_dir
+    store, base, grown = _drift_store(spark, sf_dir)
 
     q = grown.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -4707,3 +4715,60 @@ ORDER BY query_id, rk
 
 QUERIES.update({"ann_lsh_multiprobe": ann_lsh_multiprobe})
 ORACLES.update({"ann_lsh_multiprobe": _lsh_multiprobe_sql()})
+
+
+# ------------------- in-loop drift proxy: segment assignment stats (r8)
+def ann_ivf_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift signal a maintenance loop can actually AFFORD, graded:
+    per-segment mean cosine of each indexed row to its assigned (frozen)
+    centroid over the drift-scenario chain — segment 0 is the original
+    fit, segment 1 the distribution-shifted append. No truth tier, no
+    probe set: one scan of the lists table the index already stores plus
+    a broadcast centroid join (AnnIndexStore.ivf_assignment_stats). A
+    fresh segment whose mean sits well below the fit segment's is the
+    cue to run the full recall audit (ann_appended_drift_audit) and
+    re-fit — the two rows together are the production monitoring pair.
+    Means use the scaled-int64 exact-sum discipline (partition-order
+    independent); segment ids are positions in the committed chain, not
+    generation numbers, so the output is stable across rebuilds."""
+    store, _base, _grown = _drift_store(spark, sf_dir)
+    return store.ivf_assignment_stats("ivf")
+
+
+def _drift_stats_sql() -> str:
+    rot = (
+        f"[embedding[1 + ((i + {DRIFT_ROT}) % {_sim.DIM})] "
+        f"for i in range(0, {_sim.DIM})]"
+    )
+    return f"""
+WITH g AS (
+  SELECT vec_id, embedding, 0 AS segment_idx FROM embeddings
+  WHERE vec_id % 3 != 0
+  UNION ALL
+  SELECT vec_id, {rot} AS embedding, 1 AS segment_idx FROM embeddings
+  WHERE vec_id % 3 = 0
+),
+cent_f AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+           WHERE vec_id % {_sim.IVF_CENTROID_STRIDE} = 0 AND vec_id % 3 != 0),
+assigned AS (
+  SELECT segment_idx, cs FROM (
+    SELECT e.segment_idx,
+           CAST(round(1e-9 + list_cosine_similarity(e.embedding::DOUBLE[],
+                c.cvec::DOUBLE[]) * 1e6, 0) AS BIGINT) AS cs,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+             c.centroid_id ASC) AS crk
+    FROM g e CROSS JOIN cent_f c
+  ) WHERE crk = 1
+)
+SELECT segment_idx::INT AS segment_idx, count(*)::BIGINT AS n_rows,
+       round(1e-9 + sum(cs)::DOUBLE / (count(*) * 1e6), 6) + 0.0
+         AS mean_assign_cosine
+FROM assigned
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES.update({"ann_ivf_drift_stats": ann_ivf_drift_stats})
+ORACLES.update({"ann_ivf_drift_stats": _drift_stats_sql()})
