@@ -162,6 +162,7 @@ HEADLINE = [
     "ann_lsh_multiprobe",
     "kv_codec_gorilla",
     "ann_ivf_drift_stats",
+    "curate_dsir_importance",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

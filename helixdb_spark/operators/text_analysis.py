@@ -1439,3 +1439,84 @@ def bpe_segment_words(
     from helixdb_spark.operators.util import unpersist_on_gc
 
     return unpersist_on_gc(out, cur)
+
+
+# --------------------------- DSIR importance resampling (round 8)
+DSIR_BUCKETS = 1024
+DSIR_LOG_SCALE = 1_000_000_000  # per-bucket log-ratio quantum (the KL recipe)
+
+
+def dsir_importance(
+    docs,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+):
+    """DSIR-style data selection (Xie et al., NeurIPS 2023 — "Data
+    Selection for Language Models via Importance Resampling"): score every
+    document by how target-domain-like its hashed-unigram profile is,
+    ``log p_target(doc) - log p_raw(doc)`` under bag-of-hashed-buckets
+    multinomials with add-one smoothing. ``target_pred`` is a Column
+    predicate naming the target slice (e.g. ``lang == 'en'``); the raw
+    distribution is the whole corpus. Returns one row per doc:
+    ``(id, n_tokens, log_importance, selected)`` with ``selected`` =
+    more target-like than raw (log importance > 0) — the keep set an
+    importance-resampling pass feeds the sampler.
+
+    Scale shape: one token explode feeds BOTH distributions (a single
+    map-side-combined aggregate to the B-bucket count table: raw count +
+    conditional target count per bucket); the per-bucket log-ratio is
+    quantized ONCE to int64 (B rows, broadcast), and the per-doc score is
+    an INTEGER sum over a second explode joined against that broadcast —
+    partition-order independent by construction (the text_source_kl
+    exact-sum discipline). Nothing driver-side, no UDFs; at 100 TB the
+    corpus is touched twice and shuffles only token-bucket and doc keys.
+    """
+    from pyspark.sql import functions as F
+
+    from helixdb_spark.functions.text import normalized_text, words
+    from helixdb_spark.operators.util import spread
+
+    toks = spread(docs).select(
+        F.col(id_col),
+        target_pred.cast("long").alias("_t"),
+        F.explode(words(normalized_text(F.col(text_col)))).alias("w"),
+    )
+    b = toks.withColumn(
+        "b",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+        % n_buckets,
+    )
+    counts = b.groupBy("b").agg(
+        F.count("*").alias("n_raw"), F.sum("_t").alias("n_tgt")
+    )
+    tot = counts.agg(
+        F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
+    )
+    lw = F.round(
+        F.lit(1e-9)
+        + (
+            F.log((F.col("n_tgt") + 1) / (F.col("t_tgt") + n_buckets))
+            - F.log((F.col("n_raw") + 1) / (F.col("t_raw") + n_buckets))
+        )
+        * DSIR_LOG_SCALE,
+        0,
+    ).cast("long")
+    ratio = counts.crossJoin(F.broadcast(tot)).select("b", lw.alias("lw"))
+    per_doc = (
+        b.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("lw").alias("_s"))
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        (
+            F.round(
+                F.lit(1e-9) + F.col("_s") / DSIR_LOG_SCALE, 6
+            )
+            + F.lit(0.0)
+        ).alias("log_importance"),
+        (F.col("_s") > 0).cast("int").alias("selected"),
+    ).orderBy(id_col)

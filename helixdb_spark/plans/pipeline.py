@@ -4772,3 +4772,69 @@ ORDER BY 1
 
 QUERIES.update({"ann_ivf_drift_stats": ann_ivf_drift_stats})
 ORACLES.update({"ann_ivf_drift_stats": _drift_stats_sql()})
+
+
+# ---------------------- DSIR importance resampling (round 8)
+def curate_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampling data selection (DSIR, Xie et al. 2023) over
+    the documents table: target distribution = the English slice, raw =
+    the whole corpus, features = 1024 hashed unigram buckets, per-doc
+    score = exact integer sum of quantized per-bucket log-ratios
+    (operators.text_analysis.dsir_importance). The positive-score set is
+    what an importance sampler keeps when retargeting a web crawl toward
+    a domain — the selection operator between quality filtering and
+    mixing in a pretraining pipeline."""
+    from helixdb_spark.operators.text_analysis import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(docs, F.col("lang") == "en")
+
+
+def _dsir_sql() -> str:
+    from helixdb_spark.operators.text_analysis import (
+        DSIR_BUCKETS,
+        DSIR_LOG_SCALE,
+    )
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en')::BIGINT AS t,
+         unnest(string_split({_NORM}, ' ')) AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id, t,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b
+  FROM toks WHERE w != ''
+),
+counts AS (
+  SELECT b, count(*)::BIGINT AS n_raw, sum(t)::BIGINT AS n_tgt
+  FROM b GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_raw)::BIGINT AS t_raw, sum(n_tgt)::BIGINT AS t_tgt
+  FROM counts
+),
+ratio AS (
+  SELECT b,
+         CAST(round(1e-9 + (
+             ln((n_tgt + 1)::DOUBLE / (t_tgt + {DSIR_BUCKETS}))
+           - ln((n_raw + 1)::DOUBLE / (t_raw + {DSIR_BUCKETS}))
+         ) * {DSIR_LOG_SCALE}, 0) AS BIGINT) AS lw
+  FROM counts, tot
+),
+per_doc AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n_tokens, sum(r.lw)::BIGINT AS s
+  FROM b JOIN ratio r USING (b)
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       round(1e-9 + s::DOUBLE / {DSIR_LOG_SCALE}, 6) + 0.0 AS log_importance,
+       (s > 0)::INT AS selected
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+QUERIES.update({"curate_dsir_importance": curate_dsir_importance})
+ORACLES.update({"curate_dsir_importance": _dsir_sql()})

@@ -292,6 +292,8 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "ev_value_histogram",  # 1-row min/max span broadcast
         "ev_rfm_scores",  # 1-row ref-instant + 1-row quintile-boundary broadcasts
         "sample_temperature_mix",  # 1-row corpus-total broadcast
+        "curate_dsir_importance",  # 1-row token-total broadcast into the
+        # per-bucket log-ratio table
         "text_bm25_search",  # 1-row N/avgdl corpus-stats broadcast
         "text_lm_score",  # 1-row corpus-total/vocab-size broadcast
         "emb_covariance",  # 1-row n broadcast into the cov finisher
