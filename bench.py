@@ -163,6 +163,7 @@ HEADLINE = [
     "kv_codec_gorilla",
     "ann_ivf_drift_stats",
     "curate_dsir_importance",
+    "kv_replicate_scan",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

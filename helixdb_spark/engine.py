@@ -763,6 +763,53 @@ class HelixSpark:
             "time_bucket", "key", "codec", "chunk", "blob"
         ).orderBy("key", "time_bucket")
 
+    def restore_chunks(self, chunks: DataFrame) -> None:
+        """Import stored chunks (the :meth:`scan_raw` export shape:
+        ``time_bucket, key, codec, chunk, blob``) into THIS engine WITHOUT
+        decoding — the restore half of the raw replication path: source
+        engine ``scan_raw`` → ship the stored bytes → destination
+        ``restore_chunks``; compressed blobs move untouched, no
+        decompress + recompress round trip anywhere (the operational use
+        the reference's ``no_decompress`` exists for, src/option.rs:
+        131-148, completed into a backup/replicate pair).
+
+        Chunks land in a fresh CAS-reserved cold generation partitioned by
+        ``time_bucket``; the manifest flips the imported buckets to that
+        generation in one atomic commit (write-new-then-flip — a crash
+        before the flip leaves an unreferenced dir ``vacuum()`` collects).
+        A bucket already present is REPLACED (restore-wins); the
+        destination must be opened with a codec registry that knows the
+        imported codec names or later reads of those keys will fail."""
+        self._check_open()
+        gen = self._reserve_cold_gen()
+        path = self.layout.cold_gen_path(gen)
+        (
+            chunks.select("key", "codec", "chunk", "blob", "time_bucket")
+            .write.mode("overwrite")
+            .partitionBy("time_bucket")
+            .parquet(path)
+        )
+        buckets = [
+            int(r["time_bucket"])
+            for r in self.spark.read.parquet(path)
+            .select("time_bucket")
+            .distinct()
+            .collect()
+        ]
+        manifest = dict(self._state.get("cold_manifest") or {})
+        for b in buckets:
+            manifest[str(b)] = gen
+        self._state["cold_manifest"] = manifest
+        if not self._state.get("has_blobs") and not (
+            self.spark.read.parquet(path)
+            .where(F.col("codec") != ARRAY_CODEC)
+            .isEmpty()
+        ):
+            # must land in the SAME commit that makes blob rows visible
+            self._state["has_blobs"] = True
+        self._save_state()
+        self._invalidate_cache()
+
     def direct_get(self, shard_id: int, ts: int, key: bytes) -> Optional[bytes]:
         """Point lookup naming the shard (reference src/db.rs:57-65
         ``direct_get`` / ``get_unchecked``). Spark owns data placement, so

@@ -904,3 +904,61 @@ ORDER BY key, ts
 
 QUERIES["kv_codec_gorilla"] = kv_codec_gorilla
 ORACLES["kv_codec_gorilla"] = KV_GORILLA_SQL
+
+
+def kv_replicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw replication end-to-end, graded: the source engine compacts
+    through the per-key UDCF dispatch (even user keys -> delta_zlib blobs,
+    odd -> native array), ``scan_raw`` exports the stored chunks — no
+    decompress UDF runs, compressed bytes move as-is — and a FRESH engine
+    at a different root ingests them with ``restore_chunks`` (CAS-reserved
+    generation, manifest flip). The replica's decoded scan must equal the
+    plain SQL range select over the original source table: replication of
+    stored bytes is end-to-end transparent, decompress happens exactly
+    once, at the replica's read. This is the backup/replicate pair the
+    reference's ReadOption::no_decompress exists for (src/option.rs:
+    131-148), completed with the import half the reference lacks."""
+    from helixdb_spark.codecs import ARRAY_CODEC, CodecRegistry
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+
+    ev = load_table(spark, sf_dir, "events")
+    entries = (
+        ev.groupBy(
+            F.unix_timestamp("ts").alias("ts"),
+            F.col("user_id").cast("string").alias("k"),
+        )
+        .agg(F.max("props").alias("v"))
+        .select(
+            "ts",
+            F.encode("k", "utf-8").alias("key"),
+            F.encode("v", "utf-8").alias("value"),
+        )
+    )
+
+    def registry() -> CodecRegistry:
+        r = CodecRegistry()
+        r.register_dispatch(
+            lambda key: "delta_zlib" if int(key.decode()) % 2 == 0 else ARRAY_CODEC
+        )
+        return r
+
+    opts = HelixOptions(
+        rick_range=86400, outdate_range=1 << 40, auto_maintain=False
+    )
+    src = HelixSpark.open(spark, _scratch_dir("kvrepA"), opts, codecs=registry())
+    src.put(entries)
+    src.compact(SCAN_TS_LO, COMPACT_TS_HI)
+    exported = src.scan_raw(time_range=(SCAN_TS_LO, COMPACT_TS_HI))
+
+    dst = HelixSpark.open(spark, _scratch_dir("kvrepB"), opts, codecs=registry())
+    dst.restore_chunks(exported)
+    scanned = dst.scan((SCAN_TS_LO, COMPACT_TS_HI))
+    return scanned.select(
+        "ts",
+        F.decode("key", "utf-8").alias("key"),
+        F.decode("value", "utf-8").alias("value"),
+    )
+
+
+QUERIES["kv_replicate_scan"] = kv_replicate_scan
+ORACLES["kv_replicate_scan"] = KV_CODEC_SQL
