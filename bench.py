@@ -164,6 +164,7 @@ HEADLINE = [
     "ann_ivf_drift_stats",
     "curate_dsir_importance",
     "kv_replicate_scan",
+    "stream_restart_dedup",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

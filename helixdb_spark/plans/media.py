@@ -122,6 +122,7 @@ QUERIES = {
     "stream_token_meter": stream.stream_token_meter,
     "stream_watermark_close": stream.stream_watermark_close,
     "stream_ingest_scan": stream.stream_ingest_scan,
+    "stream_restart_dedup": stream.stream_restart_dedup,
 }
 
 ORACLES = {
@@ -144,6 +145,7 @@ ORACLES = {
     # streamed ingest must scan back exactly like batch put (the engine's
     # compaction-transparency contract under streaming arrival)
     "stream_ingest_scan": _kv.KV_ROUNDTRIP_SQL,
+    "stream_restart_dedup": stream.STREAM_RESTART_DEDUP_SQL,
 }
 
 

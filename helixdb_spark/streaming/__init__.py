@@ -305,6 +305,10 @@ def stream_ingest_to_engine(spark: SparkSession, sf_dir: str, db) -> None:
     q.stop()
 
 
+LATE_LO = 1704067200  # 2024-01-01 00:00:00 UTC (events corpus start)
+LATE_DAY = 86400
+LATE_DELAY_MS = 90_000_000  # 25 hours
+
 _INGEST_DIRS: dict[str, str] = {}
 
 
@@ -439,6 +443,100 @@ ORDER BY event_type
 
 # inline dimension for the stream-static enrichment join: event_type ->
 # (category, weight). Tiny by construction — the broadcast side.
+def stream_restart_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint recovery graded: the dedup STATE must survive a full
+    stop/restart. Phase 1 streams days 1-3 through
+    ``dropDuplicatesWithinWatermark`` into a parquet sink (foreachBatch)
+    and STOPS — state lands in the checkpoint. Phase 2 re-sends days 2-3
+    VERBATIM (exact duplicate identities) plus fresh day-4 rows and
+    restarts from the same checkpoint: the restored state must swallow
+    every re-sent row (they are within the 3-day delay, the direction the
+    watermark contract guarantees) while day 4 passes. The final per-type
+    count over everything the sink received equals the batch DISTINCT
+    count — which it cannot if restart lost state (the re-sent rows would
+    pass twice) or if the sink double-wrote a batch. This is the
+    exactly-once restart story a production rollup depends on; the
+    reference has no streaming surface at all (engine addition)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from helixdb_spark.sources import load_table
+
+    root = tempfile.mkdtemp(prefix="helix_restart_")
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    stream_dir, ckpt, out = (f"{root}/{d}" for d in ("stream", "ckpt", "out"))
+    os.makedirs(stream_dir)
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    es = F.unix_timestamp("ts")
+    d2, d3, d4 = (LATE_LO + k * LATE_DAY for k in (2, 3, 4))
+    phase_a = ev.where(es < d3)
+    resent = ev.where((es >= d2) & (es < d3))  # exact dup identities
+    fresh = ev.where((es >= d3) & (es < d4))
+    phase_b = resent.unionByName(fresh)
+
+    def ship(name: str, df: DataFrame, mtime: int) -> None:
+        tmp = f"{root}/{name}_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{stream_dir}/{name}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    schema = ev.schema
+
+    def run_phase() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        deduped = stream.withWatermark(
+            "ts", "3 days"
+        ).dropDuplicatesWithinWatermark(["user_id", "event_type", "ts"])
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                deduped.writeStream.foreachBatch(
+                    lambda batch_df, _eid: batch_df.write.mode("append").parquet(out)
+                )
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    ship("a", phase_a, 1_000_000_000)
+    run_phase()  # phase 1: state -> checkpoint, query fully stopped
+    ship("b", phase_b, 1_000_000_500)
+    run_phase()  # phase 2: fresh query object restored from the checkpoint
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+STREAM_RESTART_DEDUP_SQL = f"""
+SELECT event_type, count(*) AS n_unique FROM (
+  SELECT DISTINCT user_id, event_type, ts FROM events
+  WHERE epoch(ts) < {LATE_LO + 4 * LATE_DAY}
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 EVENT_DIM = [
     ("click", "engagement", 1.0),
     ("view", "engagement", 0.5),
@@ -644,9 +742,6 @@ ORDER BY 1
 # 1-2 rows COUNT toward their windows, which the final watermark then
 # closes. State stays O(open windows) either way — the bounded-state
 # shape a 100 TB stream needs.
-LATE_LO = 1704067200  # 2024-01-01 00:00:00 UTC (events corpus start)
-LATE_DAY = 86400
-LATE_DELAY_MS = 90_000_000  # 25 hours
 
 _LATE_DIRS: dict[str, str] = {}
 
