@@ -165,6 +165,7 @@ HEADLINE = [
     "curate_dsir_importance",
     "kv_replicate_scan",
     "stream_restart_dedup",
+    "kv_sql_rollup",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

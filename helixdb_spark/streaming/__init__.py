@@ -397,11 +397,19 @@ def stream_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             rick_range=86400, outdate_range=1 << 40, auto_maintain=True
         ),
     )
-    q = entries.writeStream.foreachBatch(
-        lambda batch_df, _epoch: db.put(batch_df)
-    ).start()
-    q.processAllAvailable()
-    q.stop()
+    # the ingest phase is many small maintenance jobs over micro-batch-
+    # sized inputs; size its shuffles to the batches (the _run_to_memory
+    # discipline), restore before the analytic scan
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = entries.writeStream.foreachBatch(
+            lambda batch_df, _epoch: db.put(batch_df)
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     scanned = db.scan(
         (SCAN_TS_LO, SCAN_TS_HI), (KEY_LO.encode(), KEY_HI.encode())
     )

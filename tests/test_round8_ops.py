@@ -286,6 +286,60 @@ def test_kv_codec_gorilla_scan_matches_plain_select(spark, sf_dir):
     assert got == want
 
 
+def test_restore_chunks_crash_before_flip_leaves_replica_unchanged(
+    spark, tmp_path
+):
+    """restore_chunks commits write-new-then-flip: a crash AFTER the data
+    lands but BEFORE the manifest flip must leave the replica exactly as
+    it was (staged dir invisible to readers), and vacuum() collects the
+    debris."""
+    import unittest.mock as mock
+
+    src = _codec_db(spark, tmp_path / "src")
+    exported = src.scan_raw(time_range=(0, 199))
+    dst = HelixSpark.open(
+        spark,
+        str(tmp_path / "dst"),
+        HelixOptions(rick_range=100, outdate_range=1 << 30, auto_maintain=False),
+        codecs=src.codecs,
+    )
+    dst.put([(250, b"live", b"val")])
+    before = sorted(map(tuple, dst.scan((0, 300)).collect()))
+
+    calls = {"n": 0}
+    real = HelixSpark._save_state
+
+    def boom_on_flip(self):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # call 1 = the gen reservation; 2 = the flip
+            raise RuntimeError("crash before manifest flip")
+        return real(self)
+
+    with mock.patch.object(HelixSpark, "_save_state", boom_on_flip):
+        with pytest.raises(RuntimeError, match="crash before"):
+            dst.restore_chunks(exported)
+
+    dst2 = HelixSpark.open(
+        spark,
+        str(tmp_path / "dst"),
+        HelixOptions(rick_range=100, outdate_range=1 << 30, auto_maintain=False),
+        codecs=src.codecs,
+    )
+    assert sorted(map(tuple, dst2.scan((0, 300)).collect())) == before
+    assert not dst2._state.get("cold_manifest")  # nothing flipped
+    dst2.vacuum()  # collects the staged-but-unreferenced generation
+    import os
+
+    cold = dst2.layout.cold_path
+    leftovers = os.listdir(cold) if os.path.isdir(cold) else []
+    assert not [d for d in leftovers if d.startswith("gen=")]
+    # a retried restore on the reopened engine succeeds and reads back
+    dst2.restore_chunks(exported)
+    assert dst2.get(12, b"blobkey") == b"v012"
+    src.close()
+    dst2.close()
+
+
 # --------------------------------------------------- batched as-of reads
 def test_get_many_asof_matches_scalar_get_asof(spark, tmp_path):
     db = HelixSpark.open(
