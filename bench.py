@@ -166,6 +166,7 @@ HEADLINE = [
     "kv_replicate_scan",
     "stream_restart_dedup",
     "kv_sql_rollup",
+    "curate_balanced_shards",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -4838,3 +4838,80 @@ ORDER BY doc_id
 
 QUERIES.update({"curate_dsir_importance": curate_dsir_importance})
 ORACLES.update({"curate_dsir_importance": _dsir_sql()})
+
+
+# ---------------------- balanced training shards (round 8)
+N_BALANCED_SHARDS = 8
+
+
+def curate_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BALANCED shard assignment — the load-balance twin of the
+    hash-random `curate_shard_assignment`: docs are globally ranked by
+    token count descending (distributed rank: range partition + offset
+    broadcast, dedup.global_rank — no single-task window) and striped
+    longest-first across shards (shard = (rank-1) mod N, the classic LPT
+    striping heuristic). A training job reading one shard per worker then
+    sees near-identical token totals instead of the long-tail skew a
+    random split leaves. Output: per-shard doc/token totals plus each
+    shard's share of the corpus — the balance report a data team
+    publishes with the shard manifest."""
+    from helixdb_spark.functions.text import token_count
+    from helixdb_spark.operators.dedup import global_rank
+    from helixdb_spark.operators.util import carry_caches, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    ranked = global_rank(docs, [F.desc("n_tokens"), F.asc("doc_id")])
+    sharded = ranked.withColumn(
+        "shard", ((F.col("rk") - 1) % N_BALANCED_SHARDS).cast("int")
+    )
+    tot = sharded.agg(F.sum("n_tokens").alias("t_all"))
+    out = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            (
+                F.round(
+                    F.lit(1e-9) + F.col("total_tokens") / F.col("t_all"), 6
+                )
+                + F.lit(0.0)
+            ).alias("token_share"),
+        )
+        .orderBy("shard")
+    )
+    return carry_caches(out, ranked)
+
+
+def _balanced_shards_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rk
+  FROM d
+),
+s AS (SELECT ((rk - 1) % {N_BALANCED_SHARDS})::INT AS shard, n_tokens FROM r),
+tot AS (SELECT sum(n_tokens)::BIGINT AS t_all FROM s)
+SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+       round(1e-9 + sum(n_tokens)::DOUBLE / t_all, 6) + 0.0 AS token_share
+FROM s, tot
+GROUP BY shard, t_all
+ORDER BY shard
+"""
+
+
+QUERIES.update({"curate_balanced_shards": curate_balanced_shards})
+ORACLES.update({"curate_balanced_shards": _balanced_shards_sql()})
