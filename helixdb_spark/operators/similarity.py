@@ -1390,3 +1390,152 @@ def pq_adc_from_codes(
         .select(query_id_col, "rk", F.col(id_col).alias("neighbor_id"), "adc_dist")
         .orderBy(query_id_col, "rk")
     )
+
+
+# --------------------------------------------------------------- IVF-PQ ----
+def ivfpq_residuals(
+    corpus: DataFrame,
+    stride: int = IVF_CENTROID_STRIDE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(residual table, centroid table) for the IVFADC build: every vector
+    is assigned to its nearest coarse centroid (the deterministic
+    ``id % stride`` quantizer shared with ivf_topk) and re-expressed as the
+    DOUBLE residual ``v - centroid``. Residual subtraction is exact float64
+    arithmetic, so both engines derive bit-identical PQ training inputs."""
+    centroids = corpus.where((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec")
+    )
+    assigned = assign_nearest_centroid(spread(corpus), centroids, vec_col, id_col)
+    resid = assigned.join(F.broadcast(centroids), "centroid_id").select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_cvec"),
+            lambda a, b: a.cast("double") - b.cast("double"),
+        ).alias("_rv"),
+    )
+    return resid, centroids
+
+
+def ivfpq_fit(
+    corpus: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITERS,
+    stride: int = IVF_CENTROID_STRIDE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list, int]:
+    """Train the per-subspace RESIDUAL codebooks of an IVFADC index
+    (Jégou et al., TPAMI 2011 §IV: coarse quantizer + product quantizer on
+    the residual). Driver state is the same k·dim floats as a plain PQ fit."""
+    resid, _ = ivfpq_residuals(corpus, stride, id_col, vec_col)
+    return pq_fit_codebooks(resid, m, k, n_iter, id_col, "_rv")
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_nn: int = 5,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITERS,
+    stride: int = IVF_CENTROID_STRIDE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    prefit: "tuple[list, int] | None" = None,
+) -> DataFrame:
+    """IVFADC search (Jégou et al., TPAMI 2011 §IV) — the composition the
+    two existing families exist to reach: a coarse inverted file restricts
+    each query to ONE centroid's list, and asymmetric PQ distance over
+    RESIDUAL codes scores that list without touching raw vectors.
+
+    This is the canonical 100 TB ANN shape (FAISS ``IVFx,PQy``): at query
+    time the corpus is touched only through (a) the probed list — partition
+    pruning when the code table is persisted ``partitionBy(centroid_id)`` —
+    and (b) m byte codes per vector inside that list. Scale anatomy:
+    routing is a broadcast of |Q| rows; the LUTs are m·k·|Q| driver-side
+    floats broadcast-joined against the code table; the only corpus-wide
+    work is the one-time build (coarse assign + m subspace Lloyd fits on
+    residual slices + one encode projection). Distances round to 6 dp with
+    the repo's nudge so the DuckDB oracle reproduces ranks exactly.
+    """
+    resid, centroids = ivfpq_residuals(corpus, stride, id_col, vec_col)
+    codebooks, sub_d = prefit or pq_fit_codebooks(
+        resid, m, k, n_iter, id_col, "_rv"
+    )
+    # one zero-join encode projection over the residual slices (pq_encode
+    # shape), keeping the list id alongside the codes
+    codes = resid.select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        *[
+            assign_struct_sql(
+                f"slice(_rv, {j * sub_d + 1}, {sub_d})", codebooks[j]
+            )["cluster_id"].alias(f"code_{j}")
+            for j in range(m)
+        ],
+    )
+    # queries: route to their nearest list, residual-ize, and build the
+    # per-query subspace LUTs driver-side (m·k·|Q| floats)
+    q = assign_nearest_centroid(
+        queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
+        centroids,
+        "_qvec",
+        query_id_col,
+    )
+    qrows = (
+        q.join(F.broadcast(centroids), "centroid_id")
+        .select(
+            query_id_col,
+            "centroid_id",
+            F.zip_with(
+                F.col("_qvec"),
+                F.col("_cvec"),
+                lambda a, b: a.cast("double") - b.cast("double"),
+            ).alias("_qrv"),
+        )
+        .collect()
+    )
+    spark = corpus.sparkSession
+    routing = spark.createDataFrame(
+        [(int(r[query_id_col]), int(r["centroid_id"])) for r in qrows],
+        f"{query_id_col} long, centroid_id long",
+    )
+    luts = []
+    for j in range(m):
+        rows = []
+        for r in qrows:
+            qslice = list(r["_qrv"])[j * sub_d : (j + 1) * sub_d]
+            for cid, cv in codebooks[j]:
+                s = 0.0
+                for a, b in zip(qslice, cv):
+                    s += (a - b) * (a - b)
+                rows.append((int(r[query_id_col]), int(cid), s))
+        luts.append(
+            spark.createDataFrame(
+                rows, f"{query_id_col} long, code_{j} int, _d2raw{j} double"
+            ).select(
+                query_id_col,
+                f"code_{j}",
+                F.round(F.col(f"_d2raw{j}") + F.lit(1e-9), 6).alias(f"_d2_{j}"),
+            )
+        )
+    scored = codes.join(F.broadcast(routing), "centroid_id")
+    for j in range(m):
+        scored = scored.join(F.broadcast(luts[j]), [query_id_col, f"code_{j}"])
+    adc = F.round(
+        sum(F.col(f"_d2_{j}") for j in range(m)) + F.lit(1e-9), 6
+    ).alias("adc_dist")
+    w = W.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return (
+        scored.select(query_id_col, F.col(id_col), adc)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k_nn)
+        .select(query_id_col, "rk", F.col(id_col).alias("neighbor_id"), "adc_dist")
+        .orderBy(query_id_col, "rk")
+    )

@@ -2093,16 +2093,25 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_cte_body(j: int, lo: int, hi: int, k: int, n_iter: int) -> str:
+def _pq_cte_body(
+    j: int,
+    lo: int,
+    hi: int,
+    k: int,
+    n_iter: int,
+    src: str = "embeddings",
+    vec_expr: str = "embedding::DOUBLE[]",
+) -> str:
     """The emb_kmeans CTE chain, suffixed per subspace and running on
-    list_slice of the vector (1-based inclusive bounds)."""
+    list_slice of the vector (1-based inclusive bounds). ``src``/``vec_expr``
+    let the IVFADC oracle train the same chain on a residual CTE."""
     dist = (
         "round(1e-9 + list_sum(list_transform(range(1, len(p.v)+1), "
         "i -> (p.v[i]-c.cv[i])*(p.v[i]-c.cv[i]))), 6)"
     )
     ctes = [
         f"pts_{j} AS (SELECT vec_id, "
-        f"list_slice(embedding::DOUBLE[], {lo}, {hi}) AS v FROM embeddings)",
+        f"list_slice({vec_expr}, {lo}, {hi}) AS v FROM {src})",
         f"""c0_{j} AS (
   SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1 AS cluster_id, v AS cv
   FROM (SELECT vec_id, v FROM pts_{j} ORDER BY vec_id LIMIT {k})
@@ -4915,3 +4924,168 @@ ORDER BY shard
 
 QUERIES.update({"curate_balanced_shards": curate_balanced_shards})
 ORACLES.update({"curate_balanced_shards": _balanced_shards_sql()})
+
+
+# ------------------------------------------------------ IVF-PQ (IVFADC) ----
+_IVFPQ_FIT_MEMO: dict[tuple, tuple] = {}
+
+
+def _ivfpq_prefit(spark: SparkSession, sf_dir: str) -> tuple:
+    key = (sf_dir, _sim.PQ_M, _sim.PQ_K, _sim.PQ_ITERS, _sim.IVF_CENTROID_STRIDE)
+    if key not in _IVFPQ_FIT_MEMO:
+        _IVFPQ_FIT_MEMO[key] = _sim.ivfpq_fit(
+            load_table(spark, sf_dir, "embeddings")
+        )
+    return _IVFPQ_FIT_MEMO[key]
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: coarse inverted file + PQ over residuals
+    (operators.similarity.ivfpq_adc_topk) — the FAISS ``IVFx,PQy``
+    composition of the two graded families, and the canonical 100 TB ANN
+    shape: a query reads ONE centroid's list (partition pruning on a
+    persisted layout) and scores it through m byte codes via driver-sized
+    LUTs, never touching raw vectors. The oracle replays the coarse
+    assignment (ann_ivf_topk's CTE), the residual derivation, the m
+    residual Lloyd chains (emb_pq_encode's CTEs re-rooted at the residual
+    table), the per-query residual LUTs, and the in-list ADC ranking."""
+    return _sim.ivfpq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _query_vecs(spark, sf_dir),
+        k_nn=ANN_K,
+        prefit=_ivfpq_prefit(spark, sf_dir),
+    )
+
+
+def _ivfpq_adc_sql() -> str:
+    m, k, n_iter = _sim.PQ_M, _sim.PQ_K, _sim.PQ_ITERS
+    dim = _sim.DIM
+    sub = dim // m
+    cb = n_iter - 1  # codebook generation the final assignment used
+    stride = _sim.IVF_CENTROID_STRIDE
+    bodies = ",\n".join(
+        _pq_cte_body(
+            j, j * sub + 1, (j + 1) * sub, k, n_iter, src="resid", vec_expr="rv"
+        )
+        for j in range(m)
+    )
+    luts = ",\n".join(
+        f"""lut{j} AS (
+  SELECT q.query_id, c.cluster_id AS code,
+         round(1e-9 + list_sum(list_transform(range(1, {sub + 1}),
+           i -> (q.qv[{j * sub} + i] - c.cv[i])
+              * (q.qv[{j * sub} + i] - c.cv[i]))), 6) AS d2
+  FROM qresid q CROSS JOIN c{cb}_{j} c
+)"""
+        for j in range(m)
+    )
+    code_joins = " ".join(
+        f"JOIN a{n_iter}_{j} a{j} USING (vec_id)" for j in range(1, m)
+    )
+    lut_joins = (
+        "JOIN lut0 l0 ON l0.code = a0.cluster_id AND l0.query_id = qr.query_id "
+        + " ".join(
+            f"JOIN lut{j} l{j} ON l{j}.code = a{j}.cluster_id "
+            f"AND l{j}.query_id = qr.query_id"
+            for j in range(1, m)
+        )
+    )
+    d2_sum = " + ".join(f"l{j}.d2" for j in range(m))
+    return f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+              FROM embeddings WHERE vec_id % {stride} = 0),
+c_assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_cosine_similarity(e.embedding::DOUBLE[], cent.cvec) DESC,
+             cent.centroid_id ASC) AS crk
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE crk = 1
+),
+resid AS (
+  SELECT e.vec_id, a.centroid_id,
+         list_transform(range(1, {dim} + 1),
+           i -> (e.embedding::DOUBLE[])[i] - c.cvec[i]) AS rv
+  FROM embeddings e JOIN c_assign a USING (vec_id)
+       JOIN cent c USING (centroid_id)
+),
+{bodies},
+q_assign AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT e.vec_id AS query_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_cosine_similarity(e.embedding::DOUBLE[], cent.cvec) DESC,
+             cent.centroid_id ASC) AS crk
+    FROM embeddings e CROSS JOIN cent
+    WHERE e.vec_id < {N_QUERY_VECS}
+  ) WHERE crk = 1
+),
+qresid AS (
+  SELECT q.query_id, q.centroid_id,
+         list_transform(range(1, {dim} + 1),
+           i -> (e.embedding::DOUBLE[])[i] - c.cvec[i]) AS qv
+  FROM q_assign q JOIN embeddings e ON e.vec_id = q.query_id
+       JOIN cent c USING (centroid_id)
+),
+{luts},
+scored AS (
+  SELECT qr.query_id, a0.vec_id,
+         round({d2_sum} + 1e-9, 6) AS adc_dist
+  FROM a{n_iter}_0 a0 {code_joins}
+  JOIN resid r ON r.vec_id = a0.vec_id
+  JOIN qresid qr ON qr.centroid_id = r.centroid_id
+  {lut_joins}
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc_dist ASC, vec_id ASC) AS rk FROM scored)
+SELECT query_id, rk, vec_id AS neighbor_id, adc_dist
+FROM r WHERE rk <= {ANN_K}
+ORDER BY query_id, rk
+"""
+
+
+QUERIES.update({"ann_ivfpq_topk": ann_ivfpq_topk})
+ORACLES.update({"ann_ivfpq_topk": _ivfpq_adc_sql()})
+
+
+# --------------------------------------- exact substring (span) dedup ----
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact substring-duplication profile
+    (operators.dedup.duplicate_spans — the Lee et al. ACL 2022 signal):
+    fraction of 30-char normalized windows that occur >= 2 times in the
+    corpus. The oracle replays the window explode, the >=2 gram set, and
+    the per-doc left-join counts."""
+    from helixdb_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(load_table(spark, sf_dir, "documents"))
+
+
+def _dup_spans_sql() -> str:
+    from helixdb_spark.operators.dedup import DUP_SPAN_K as k
+
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+s AS (SELECT doc_id,
+        unnest(list_transform(range(1, greatest(len(norm) - {k - 1}, 0) + 1),
+               i -> norm[i:i+{k - 1}])) AS gram
+      FROM d),
+g AS (SELECT gram FROM s GROUP BY gram HAVING count(*) >= 2),
+per AS (
+  SELECT s.doc_id, count(*) AS n_spans, count(g.gram) AS n_dup_spans
+  FROM s LEFT JOIN g USING (gram)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(per.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       CASE WHEN coalesce(per.n_spans, 0) = 0 THEN NULL
+            ELSE round(1e-9 + per.n_dup_spans::DOUBLE / per.n_spans, 6) + 0.0
+       END AS dup_ratio
+FROM d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+QUERIES.update({"dedup_duplicate_spans": dedup_duplicate_spans})
+ORACLES.update({"dedup_duplicate_spans": _dup_spans_sql()})
