@@ -5089,3 +5089,22 @@ ORDER BY d.doc_id
 
 QUERIES.update({"dedup_duplicate_spans": dedup_duplicate_spans})
 ORACLES.update({"dedup_duplicate_spans": _dup_spans_sql()})
+
+
+# ------------------------------- streaming ingest -> index maintenance ----
+def stream_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest driving AUTOMATIC persisted-index maintenance
+    (streaming.stream_index_refresh): micro-batched puts with
+    auto_maintain fire a compaction per batch, each compaction appends
+    the LSH delta under frozen hyperplanes and folds the segment chain at
+    max_segments=2, and the final probe over the chain must equal the
+    plain full-corpus LSH oracle (same SQL as ann_lsh_topk)."""
+    from helixdb_spark import streaming as _stream
+
+    return _stream.stream_index_refresh(
+        spark, sf_dir, _query_vecs(spark, sf_dir), k=ANN_K
+    )
+
+
+QUERIES.update({"stream_index_refresh": stream_index_refresh})
+ORACLES.update({"stream_index_refresh": _lsh_sql()})
