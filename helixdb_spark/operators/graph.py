@@ -438,3 +438,92 @@ def kcore_peel(
             keep.withColumnRenamed("node", "a"), "a", "left_semi"
         ).join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
     return degrees(cur).select("node", F.col("deg").alias("core_deg"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round SYNCHRONOUS label propagation (Raghavan, Albert &
+    Kumara, Phys. Rev. E 2007): every node starts labeled with its own id;
+    each round every node adopts the most frequent label among its
+    NEIGHBORS, ties broken toward the smallest label. Synchronous updates
+    with a FIXED round count keep the result oracle-unrollable — the same
+    determinism discipline as connected_components/pagerank (the classic
+    algorithm's random visit order and run-to-convergence are the
+    non-deterministic parts this variant deliberately drops; synchronous
+    LPA can oscillate on bipartite structure, which a fixed round count
+    renders harmless and reproducible).
+
+    Returns (node, community). Node domain = edge endpoints (the
+    connected_components contract; isolated nodes are the caller's union).
+
+    Scale shape: each round is one shuffle (edge ⋈ label on the neighbor
+    key) + one (node, label) count + one per-node top-1 — O(m) per round.
+    The count combines map-side; the top-1 is a window over the count
+    table, whose size is bounded by the number of (node, distinct
+    neighbor-label) pairs <= m.
+    """
+    from helixdb_spark.operators.util import (
+        tracked_local_checkpoint,
+        unpersist_on_gc,
+    )
+    from pyspark.sql.window import Window as W
+
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbr = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    nodes = nbr.select(F.col("a").alias("node")).distinct()
+    if nbr.count() <= 2 * SMALL_GRAPH_DRIVER_EDGES:
+        erows = [(r["a"], r["b"]) for r in nbr.collect()]
+        if len({v for e_ in erows for v in e_}) <= SMALL_GRAPH_DRIVER_NODES:
+            # integer-exact driver rounds, bit-equal by construction
+            lab = {v: v for e_ in erows for v in e_}
+            for _ in range(rounds):
+                counts: dict = {}
+                for a_, b_ in erows:  # label of a flows to b
+                    key = (b_, lab[a_])
+                    counts[key] = counts.get(key, 0) + 1
+                new = {}
+                for (v, l_), n in counts.items():
+                    cur = new.get(v)
+                    # max count, then min label
+                    if cur is None or (-n, l_) < (-cur[0], cur[1]):
+                        new[v] = (n, l_)
+                lab = {v: nl[1] for v, nl in new.items()}
+            out = nbr.sparkSession.createDataFrame(
+                sorted(lab.items()),
+                _rank_schema(nodes, "community", nodes.schema.fields[0].dataType),
+            )
+            nbr.unpersist()
+            return out
+    labels = nodes.select("node", F.col("node").alias("community"))
+    cp_handles: list = []
+    for it in range(rounds):
+        if it and it % 2 == 0:
+            labels = tracked_local_checkpoint(labels, cp_handles)
+        cnt = (
+            nbr.join(
+                labels.select(F.col("node").alias("a"), "community"), "a"
+            )
+            .groupBy(F.col("b").alias("node"), "community")
+            .agg(F.count("*").alias("_n"))
+        )
+        w = W.partitionBy("node").orderBy(
+            F.desc("_n"), F.asc("community")
+        )
+        labels = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "community")
+        )
+    return unpersist_on_gc(labels, nbr, *cp_handles)

@@ -2267,3 +2267,116 @@ ORDER BY node
 
 QUERIES.update({"supplier_customer_pagerank": supplier_customer_pagerank})
 ORACLES.update({"supplier_customer_pagerank": _entity_pagerank_sql()})
+
+
+# ------------------------------------------------ trade communities (LPA)
+LPA_TOP_PARTNERS = 2
+LPA_ROUNDS = 4
+
+
+def nation_trade_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade communities by fixed-round synchronous label propagation
+    (operators.graph.label_propagation — Raghavan et al. 2007 with the
+    deterministic synchronous/min-tie variant): sparsify the nation trade
+    graph to each supplier nation's top-2 customer nations by rounded
+    revenue, then 4 synchronized rounds of most-frequent-neighbor-label
+    (ties to the smallest label). The oracle unrolls the same rounds as
+    count + top-1 CTE pairs. Completes the graph family's community
+    tier (components = reachability, LPA = density)."""
+    from pyspark.sql.window import Window as W
+
+    from helixdb_spark.operators.graph import label_propagation
+    from helixdb_spark.operators.util import carry_caches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair_rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + F.lit(1e-9),
+                2,
+            ).alias("rev")
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("rev"), F.asc("dst"))
+    backbone = (
+        pair_rev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= LPA_TOP_PARTNERS)
+        .select("src", "dst")
+    )
+    comm = label_propagation(backbone, rounds=LPA_ROUNDS)
+    return carry_caches(
+        comm.join(F.broadcast(nation), comm["node"] == nation["n_nationkey"])
+        .select("node", "n_name", "community")
+        .orderBy("node"),
+        comm,
+    )
+
+
+def _lpa_sql(rounds: int = LPA_ROUNDS, top: int = LPA_TOP_PARTNERS) -> str:
+    head = f"""
+WITH pair_rev AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+  HAVING s.s_nationkey != c.c_nationkey
+),
+backbone AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY rev DESC, dst) AS rk
+    FROM pair_rev
+  ) WHERE rk <= {top}
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM backbone WHERE src != dst
+),
+nbr AS MATERIALIZED (
+  SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS community FROM nbr
+)"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        prev = f"l{r-1}"
+        parts.append(f""",
+c{r} AS MATERIALIZED (
+  SELECT nbr.b AS node, p.community, count(*) AS n
+  FROM nbr JOIN {prev} p ON nbr.a = p.node
+  GROUP BY 1, 2
+),
+l{r} AS MATERIALIZED (
+  SELECT node, community FROM (
+    SELECT node, community,
+           row_number() OVER (PARTITION BY node
+               ORDER BY n DESC, community ASC) AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT node, n_name, community
+FROM l{rounds} JOIN nation ON node = n_nationkey
+ORDER BY node
+""")
+    return "".join(parts)
+
+
+QUERIES.update({"nation_trade_lpa": nation_trade_lpa})
+ORACLES.update({"nation_trade_lpa": _lpa_sql()})

@@ -559,3 +559,21 @@ def test_watermark_does_not_drop_late_rows_on_this_build(spark, tmp_path):
         for so in (p.get("stateOperators") or [])
     )
     assert drops == 0
+
+
+def test_lpa_driver_and_distributed_paths_identical(spark, monkeypatch):
+    import helixdb_spark.operators.graph as G
+
+    # two triangles bridged by one edge: LPA should keep two communities
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)],
+        "src int, dst int",
+    )
+    fast = sorted(map(tuple, G.label_propagation(edges, rounds=4).collect()))
+    monkeypatch.setattr(G, "SMALL_GRAPH_DRIVER_NODES", 0)
+    slow = sorted(map(tuple, G.label_propagation(edges, rounds=4).collect()))
+    assert fast == slow
+    # label domain sanity: every endpoint labeled, labels are node ids
+    nodes = {t[0] for t in fast}
+    assert nodes == {0, 1, 2, 10, 11, 12}
+    assert {t[1] for t in fast} <= nodes
