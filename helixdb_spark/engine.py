@@ -391,6 +391,141 @@ class HelixSpark:
         job now, so this is put() (documented no-op distinction)."""
         self.put(entries)
 
+    def bulk_load(
+        self, entries: DataFrame | Sequence[tuple[int, bytes, bytes]]
+    ) -> None:
+        """Bulk COLD ingest: land a batch directly as a committed cold
+        generation — ONE shuffle (the compaction group-by) + ONE partitioned
+        write. ``put() -> compact()`` writes every byte twice (hot, then
+        cold) and pays two commit cycles; a 100 TB backfill through this
+        path pays one of each. This is the RocksDB ``IngestExternalFile`` /
+        ClickHouse attach-part shape; the reference's closest analog is the
+        rick append fast path it only uses internally (src/file/rick.rs:
+        60-96) — exposing it for bulk ingest is an engine addition.
+
+        Deliberately strict contract so correctness stays provable:
+
+        - The batch's TIME BUCKETS must be disjoint from all existing data
+          (hot partitions and cold manifest entries) — ``ValueError``
+          otherwise, with nothing published (the staged generation dir is
+          removed; a crash mid-raise leaves it for ``vacuum()``).
+          Backfills own whole buckets; live ranges go through ``put()``.
+          The overlap check runs on the STAGED output's partition values,
+          so it costs a directory listing, not an extra pass over the
+          input.
+        - Duplicate (ts, key) rows within one batch resolve exactly like a
+          compaction of equal-seq rows: the max value by byte order wins.
+          Pre-dedup the batch for any other semantics.
+        - Custom codec dispatch is NOT applied (rows store natively, like
+          any fresh compaction's ARRAY_CODEC rows under the default
+          registry); re-``compact()`` of the bucket applies the registry.
+          Refused up front when a custom dispatch is registered.
+
+        Later ``put()``s into a bulk-loaded bucket behave exactly like
+        late data into any compacted bucket: hot rows carry a real seq,
+        cold rows read back as seq=-1, so the overwrite wins the LWW dedup
+        and the next re-compaction folds it in.
+        """
+        self._check_open()
+        if self.codecs.custom_dispatch:
+            raise ValueError(
+                "bulk_load stores rows natively; a custom codec dispatch is "
+                "registered — use put() + compact() so the registry applies"
+            )
+        if not isinstance(entries, DataFrame):
+            entries = self.spark.createDataFrame(
+                [(int(t), bytes(k), bytes(v)) for t, k, v in entries],
+                ENTRY_SCHEMA,
+            )
+        df = entries.select("ts", "key", "value").withColumn(
+            "time_bucket", self.layout.bucket_expr()
+        )
+        # the compact() group shape: one shuffle to (key, bucket) chunks,
+        # LWW inside the sorted array (equal ts -> max value, the same
+        # winner a compaction picks for equal seq)
+        raw = F.col("_raw")
+        cold_new = (
+            df.groupBy("key", "time_bucket")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "value"))
+                ).alias("_raw")
+            )
+            .select(
+                "key",
+                F.lit(ARRAY_CODEC).alias("codec"),
+                F.transform(
+                    F.filter(
+                        raw,
+                        lambda x, i: (i == F.size(raw) - 1)
+                        | (F.get(raw, i + 1)["ts"] != x["ts"]),
+                    ),
+                    lambda x: F.struct(
+                        x["ts"].alias("ts"), x["value"].alias("value")
+                    ),
+                ).alias("chunk"),
+                F.lit(None).cast("binary").alias("blob"),
+                "time_bucket",
+            )
+        )
+        # STAGE under a CAS-reserved generation (compact()'s protocol)
+        gen = self._reserve_cold_gen()
+        gen_dir = self.layout.cold_gen_path(gen)
+        (
+            cold_new.write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#key", "true")
+            .partitionBy("time_bucket")
+            .parquet(gen_dir)
+        )
+        produced = self._fs.list_buckets(gen_dir)
+        if not produced:
+            return
+        manifest_before = dict(self._state.get("cold_manifest") or {})
+        hot_buckets = set(self._fs.list_buckets(self.layout.hot_path))
+        clash = sorted(
+            b
+            for b in produced
+            if str(b) in manifest_before or b in hot_buckets
+        )
+        if clash:
+            self._fs.delete(gen_dir)
+            raise ValueError(
+                f"bulk_load: time buckets {clash} already hold data — bulk "
+                "ingest owns whole buckets; route live ranges through put()"
+            )
+        # COMMIT: one atomic manifest flip, riding the same history /
+        # time-travel machinery as a compaction commit (empty superseded /
+        # hot_dropped: nothing was replaced)
+        manifest = dict(manifest_before)
+        for b in produced:
+            manifest[str(b)] = gen
+        keep = int(getattr(self.options, "keep_generations", 0))
+        expired: list = []
+        if keep > 0:
+            history = list(self._state.get("commit_history") or [])
+            history.append(
+                {
+                    "gen": gen,
+                    "manifest_before": manifest_before,
+                    "superseded": [],
+                    "hot_dropped": [],
+                    "seq_at_commit": int(self._state.get("seq", 0)),
+                }
+            )
+            expired, history = history[:-keep], history[-keep:]
+            self._state["commit_history"] = history
+        self._state["cold_manifest"] = manifest
+        self._invalidate_cache()
+        self._save_state()
+        if keep > 0:
+            for e in expired:
+                for old_gen, b in e["superseded"]:
+                    self._fs.delete(
+                        f"{self.layout.cold_gen_path(int(old_gen))}/time_bucket={int(b)}"
+                    )
+                self._fs.delete(self.layout.trash_path(int(e["gen"])))
+        self._refresh_indexes()
+
     # ------------------------------------------------------------- get/scan
     @staticmethod
     def _has_data(path: str) -> bool:

@@ -1023,3 +1023,41 @@ ORDER BY 1
 
 QUERIES["kv_sql_rollup"] = kv_sql_rollup
 ORACLES["kv_sql_rollup"] = KV_SQL_ROLLUP_SQL
+
+
+def kv_bulk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk cold ingest -> scan: the whole events batch lands as ONE
+    committed cold generation via ``HelixSpark.bulk_load`` (one shuffle +
+    one partitioned write — no hot churn, no second compaction pass; the
+    backfill path at 100 TB) and the same pruned range scan must read it
+    back exactly like the put+compact roundtrip (same oracle as
+    kv_roundtrip_scan). event_id keys are unique, so the result is
+    insensitive to the batch-internal LWW tie rule."""
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        F.unix_timestamp("ts").alias("ts"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.col("props"), "utf-8").alias("value"),
+    )
+    base = _scratch_dir("kvbulk")
+    db = HelixSpark.open(
+        spark,
+        base,
+        HelixOptions(rick_range=86400, outdate_range=1 << 40, auto_maintain=False),
+    )
+    db.bulk_load(entries)
+    scanned = db.scan(
+        (SCAN_TS_LO, SCAN_TS_HI),
+        (KEY_LO.encode(), KEY_HI.encode()),
+    )
+    return scanned.select(
+        "ts",
+        F.decode("key", "utf-8").alias("key"),
+        F.decode("value", "utf-8").alias("value"),
+    )
+
+
+QUERIES["kv_bulk_scan"] = kv_bulk_scan
+ORACLES["kv_bulk_scan"] = KV_ROUNDTRIP_SQL
