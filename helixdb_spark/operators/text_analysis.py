@@ -1520,3 +1520,93 @@ def dsir_importance(
         ).alias("log_importance"),
         (F.col("_s") > 0).cast("int").alias("selected"),
     ).orderBy(id_col)
+
+
+# ------------------------------------------------------------- TextRank ----
+TEXTRANK_MIN_LEN = 3
+TEXTRANK_ITERS = 5
+TEXTRANK_DAMPING = 0.85
+TEXTRANK_ROUND_DP = 9
+TEXTRANK_TOP_K = 20
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    top_k: int = TEXTRANK_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): build
+    the corpus-wide word co-occurrence graph (adjacent CONTENT words —
+    stopwords and words under TEXTRANK_MIN_LEN chars dropped before
+    windowing, the paper's syntactic filter reduced to a deterministic
+    rule both engines replay), weight each undirected edge by its
+    co-occurrence count, and rank words with the module-shared weighted
+    PageRank (operators.graph.pagerank — fixed rounds, per-round 9 dp
+    rounding, so the oracle unrolls bit-equal CTEs). Returns the top_k
+    keywords by rounded rank, ties to the lexicographically smaller word.
+
+    The graph-family composition for text: RAKE (text_rake_keywords)
+    scores phrases from degree/frequency in one pass; TextRank is its
+    global-recursive counterpart. Scale shape: the pair explode is
+    O(total words) with a map-side-combined count; the graph that reaches
+    the iteration is vocabulary-sized (<< corpus), and the PageRank
+    rounds ride the operator's broadcast-rank path.
+    """
+    from helixdb_spark.operators.graph import pagerank
+    from helixdb_spark.operators.util import carry_caches
+
+    stop = list(EN_STOPWORDS)
+    d = spread(docs).select(
+        F.col(id_col),
+        F.filter(
+            words(normalized_text(F.col(text_col))),
+            lambda w: (F.length(w) >= TEXTRANK_MIN_LEN) & ~w.isin(stop),
+        ).alias("_cw"),
+    )
+    pairs = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(_cw) - 1, 0)), "
+                    "i -> struct(element_at(_cw, i) AS a, "
+                    "element_at(_cw, i + 1) AS b))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    und = (
+        pairs.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    ranks = pagerank(
+        edges,
+        weight_col="w",
+        damping=TEXTRANK_DAMPING,
+        iterations=TEXTRANK_ITERS,
+        round_dp=TEXTRANK_ROUND_DP,
+    )
+    from pyspark.sql.window import Window as W
+
+    scored = ranks.select(
+        F.col("node").alias("keyword"),
+        F.round(F.col("rank") + F.lit(1e-9), 6).alias("rank"),
+    )
+    w = W.orderBy(F.desc("rank"), F.asc("keyword"))
+    return carry_caches(
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select("rk", "keyword", "rank")
+        .orderBy("rk"),
+        ranks,
+    )

@@ -5108,3 +5108,91 @@ def stream_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"stream_index_refresh": stream_index_refresh})
 ORACLES.update({"stream_index_refresh": _lsh_sql()})
+
+
+# ----------------------------------------------------- TextRank keywords ----
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TextRank keywords (operators.text_analysis.textrank_keywords
+    — Mihalcea & Tarau 2004): weighted PageRank over the adjacent
+    content-word co-occurrence graph, top-20 by rounded rank. The oracle
+    rebuilds the same graph and unrolls the same PageRank rounds
+    (per-round 9 dp rounding) as CTEs."""
+    return _ta.textrank_keywords(load_table(spark, sf_dir, "documents"))
+
+
+def _textrank_sql() -> str:
+    min_len = _ta.TEXTRANK_MIN_LEN
+    damping = _ta.TEXTRANK_DAMPING
+    iters = _ta.TEXTRANK_ITERS
+    dp = _ta.TEXTRANK_ROUND_DP
+    top_k = _ta.TEXTRANK_TOP_K
+    stop = ", ".join(f"'{w}'" for w in _ta.EN_STOPWORDS)
+    head = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split({_NORM}, ' '),
+                     w -> len(w) >= {min_len} AND w NOT IN ({stop})) AS cw
+  FROM documents
+),
+pr AS (
+  SELECT unnest(list_transform(range(1, greatest(len(cw) - 1, 0) + 1),
+                i -> struct_pack(a := cw[i], b := cw[i+1]))) AS p
+  FROM d
+),
+pp AS (SELECT p.a AS a, p.b AS b FROM pr WHERE p.a != p.b),
+und AS MATERIALIZED (
+  SELECT least(a, b) AS a, greatest(a, b) AS b, count(*)::DOUBLE AS w
+  FROM pp GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM und
+  UNION ALL SELECT b AS src, a AS dst, w FROM und
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+  )
+),
+nsz AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+outw AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM edges GROUP BY 1),
+norm AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w / o.out_w AS p
+  FROM edges e JOIN outw o ON e.src = o.src
+),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nsz) AS rank FROM nodes)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        prev = f"r{i-1}"
+        parts.append(f""",
+flow{i} AS MATERIALIZED (
+  SELECT norm.dst AS node, sum(r.rank * norm.p) AS flow
+  FROM norm JOIN {prev} r ON norm.src = r.node GROUP BY 1
+),
+dang{i} AS MATERIALIZED (
+  SELECT coalesce(sum(rank), 0.0) AS dm FROM {prev}
+  WHERE node NOT IN (SELECT src FROM outw)
+),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         round((1.0 - {damping}) / (SELECT n FROM nsz)
+           + {damping} * (coalesce(f.flow, 0.0)
+                          + (SELECT dm FROM dang{i}) / (SELECT n FROM nsz))
+           + 1e-9, {dp}) AS rank
+  FROM nodes n LEFT JOIN flow{i} f ON n.node = f.node
+)""")
+    parts.append(f""",
+scored AS (
+  SELECT node AS keyword, round(rank + 1e-9, 6) AS rank FROM r{iters}
+),
+ranked AS (
+  SELECT keyword, rank,
+         row_number() OVER (ORDER BY rank DESC, keyword ASC) AS rk
+  FROM scored
+)
+SELECT rk, keyword, rank FROM ranked WHERE rk <= {top_k} ORDER BY rk
+""")
+    return "".join(parts)
+
+
+QUERIES.update({"text_textrank_keywords": text_textrank_keywords})
+ORACLES.update({"text_textrank_keywords": _textrank_sql()})
