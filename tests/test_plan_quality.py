@@ -275,6 +275,8 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "ann_ivf_persisted",  # same k-row coarse-centroid broadcast as ivf_topk
         "ann_ivf_appended",  # same k-row coarse-centroid broadcast as ivf_topk
         "ann_ivf_multiprobe",  # same k-row coarse-centroid broadcast as ivf_topk
+        "ann_ivfpq_topk",  # same k-row coarse-centroid broadcast as ivf_topk
+        # (corpus + query routing), feeding the residual PQ encode
         "ev_ols_trend",  # 1-row day-span broadcast into the dense grid
         "sketch_hll_intersection",  # 1-row exact-audit broadcast cross join
         "curate_epoch_schedule",  # 1-row corpus-total broadcast cross join
