@@ -1814,6 +1814,7 @@ class HelixSpark:
                 "lsh": store.append_lsh,
                 "minhash": store.append_minhash,
                 "ivf": store.append_ivf,
+                "ivfpq": store.append_ivfpq,
             }[desc["kind"]]
             new_desc = append(corpus_fn(self), name=name, **kw)
             if (

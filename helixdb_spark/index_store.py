@@ -82,6 +82,9 @@ KIND_TABLES = {
     "lsh": ("buckets",),
     "minhash": ("bands", "shingles"),
     "ivf": ("lists", "centroids"),
+    # IVFADC: "lists" carries (id, centroid_id, code_*) — the inverted
+    # lists store PQ codes instead of raw vectors, partitioned by list
+    "ivfpq": ("lists", "centroids"),
 }
 
 
@@ -871,6 +874,158 @@ class AnnIndexStore:
         )
         gen = self._reserve_gen()
         n_new = self._stage(staged, name, "lists", gen, "centroid_id")
+        new_desc = dict(desc)
+        new_desc.update(
+            {
+                "gen": gen,
+                "segments": self._segments(desc) + [gen],
+                "n_rows": int(desc["n_rows"]) + n_new,
+                "fingerprint": fingerprint or desc.get("fingerprint"),
+            }
+        )
+        self._commit(name, new_desc)
+        return new_desc
+
+    # --------------------------------------------------------------- IVFPQ
+    def write_ivfpq(
+        self,
+        corpus: DataFrame,
+        name: str = "ivfpq",
+        stride: int = sim.IVF_CENTROID_STRIDE,
+        m: int = sim.PQ_M,
+        k: int = sim.PQ_K,
+        n_iter: int = sim.PQ_ITERS,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        centroids: Optional[DataFrame] = None,
+        prefit: "tuple[list, int] | None" = None,
+        fingerprint: str | None = None,
+    ) -> dict:
+        """Persist an IVFADC index (Jégou et al. 2011 §IV — the FAISS
+        ``IVFx,PQy`` layout): the coarse centroid table plus the inverted
+        lists carrying RESIDUAL PQ codes, written
+        ``partitionBy(centroid_id)`` so a probe reads exactly one list's
+        files and scans only m small-int code columns inside it — the
+        double pruning (list partition + no raw vectors) that makes this
+        the 100 TB ANN layout. ``centroids``/``prefit`` freeze the
+        quantizers for rebuild/append bit-identity checks."""
+        from helixdb_spark.operators.similarity import (
+            ivfpq_encode_codes,
+            ivfpq_residuals_from,
+            pq_fit_codebooks,
+        )
+
+        if centroids is None:
+            centroids = corpus.where((F.col(id_col) % stride) == 0).select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("_cvec"),
+            )
+        resid = ivfpq_residuals_from(corpus, centroids, id_col, vec_col)
+        codebooks, sub_d = prefit or pq_fit_codebooks(
+            resid, m, k, n_iter, id_col, "_rv"
+        )
+        gen = self._reserve_gen()
+        n_rows = self._stage(
+            ivfpq_encode_codes(resid, codebooks, sub_d, m, id_col),
+            name, "lists", gen, "centroid_id",
+        )
+        self._stage(centroids, name, "centroids", gen)
+        desc = {
+            "kind": "ivfpq",
+            "gen": gen,
+            "segments": [gen],
+            "stride": stride,
+            "m": m,
+            "k": k,
+            "n_iter": n_iter,
+            "sub_d": sub_d,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "n_rows": n_rows,
+            "fingerprint": fingerprint,
+            # JSON round-trips doubles exactly (repr-based)
+            "codebooks": [
+                [[int(cid), [float(x) for x in cv]] for cid, cv in book]
+                for book in codebooks
+            ],
+        }
+        self._commit(name, desc)
+        return desc
+
+    def read_ivfpq(
+        self, name: str = "ivfpq"
+    ) -> tuple[dict, list, int, DataFrame, DataFrame]:
+        desc = self._descriptor(name, "ivfpq")
+        codebooks = [
+            [(int(cid), [float(x) for x in cv]) for cid, cv in book]
+            for book in desc["codebooks"]
+        ]
+        return (
+            desc,
+            codebooks,
+            int(desc["sub_d"]),
+            self._read_table(name, desc, "lists"),
+            self._read_table(name, desc, "centroids"),
+        )
+
+    def ivfpq_adc_topk(
+        self,
+        queries: DataFrame,
+        name: str = "ivfpq",
+        k_nn: int = 5,
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        """IVFADC probe over the persisted layout — shares
+        similarity.ivfpq_adc_from_codes with the in-session path, so
+        results are bit-identical to a fresh build; the routing join's
+        centroid_id filter prunes all other lists' partitions."""
+        from helixdb_spark.operators.similarity import ivfpq_adc_from_codes
+
+        desc, codebooks, sub_d, codes, centroids = self.read_ivfpq(name)
+        return ivfpq_adc_from_codes(
+            codes,
+            centroids,
+            queries,
+            codebooks,
+            sub_d,
+            k_nn=k_nn,
+            m=int(desc["m"]),
+            id_col=desc["id_col"],
+            vec_col=desc["vec_col"],
+            query_id_col=query_id_col,
+        )
+
+    def append_ivfpq(
+        self,
+        corpus: DataFrame,
+        name: str = "ivfpq",
+        fingerprint: str | None = None,
+    ) -> dict:
+        """Incremental IVFADC maintenance: BOTH quantizer levels are frozen
+        (centroids like append_ivf, residual codebooks like append_pq), so
+        an ingest delta is assign → residual-ize → encode into a fresh
+        lists segment — O(delta), existing segments untouched, and
+        bit-identical to a full rebuild under the same frozen state."""
+        from helixdb_spark.operators.similarity import (
+            ivfpq_encode_codes,
+            ivfpq_residuals_from,
+        )
+
+        desc, codebooks, sub_d, codes, centroids = self.read_ivfpq(name)
+        id_col, m = desc["id_col"], int(desc["m"])
+        fresh = spread(corpus).join(
+            codes.select(id_col), id_col, "left_anti"
+        )
+        if fresh.isEmpty():  # nothing new: no generation burned
+            return desc
+        resid = ivfpq_residuals_from(
+            fresh, centroids, id_col, desc["vec_col"]
+        )
+        gen = self._reserve_gen()
+        n_new = self._stage(
+            ivfpq_encode_codes(resid, codebooks, sub_d, m, id_col),
+            name, "lists", gen, "centroid_id",
+        )
         new_desc = dict(desc)
         new_desc.update(
             {

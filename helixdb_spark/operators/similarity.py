@@ -1407,8 +1407,20 @@ def ivfpq_residuals(
     centroids = corpus.where((F.col(id_col) % stride) == 0).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec")
     )
+    return ivfpq_residuals_from(corpus, centroids, id_col, vec_col), centroids
+
+
+def ivfpq_residuals_from(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual table against an EXPLICIT (frozen) centroid set — shared
+    by the in-session build and the persisted store's write/append (where
+    freezing the centroids is what makes appends bit-identical)."""
     assigned = assign_nearest_centroid(spread(corpus), centroids, vec_col, id_col)
-    resid = assigned.join(F.broadcast(centroids), "centroid_id").select(
+    return assigned.join(F.broadcast(centroids), "centroid_id").select(
         F.col(id_col),
         F.col("centroid_id"),
         F.zip_with(
@@ -1417,7 +1429,6 @@ def ivfpq_residuals(
             lambda a, b: a.cast("double") - b.cast("double"),
         ).alias("_rv"),
     )
-    return resid, centroids
 
 
 def ivfpq_fit(
@@ -1468,9 +1479,24 @@ def ivfpq_adc_topk(
     codebooks, sub_d = prefit or pq_fit_codebooks(
         resid, m, k, n_iter, id_col, "_rv"
     )
-    # one zero-join encode projection over the residual slices (pq_encode
-    # shape), keeping the list id alongside the codes
-    codes = resid.select(
+    codes = ivfpq_encode_codes(resid, codebooks, sub_d, m, id_col)
+    return ivfpq_adc_from_codes(
+        codes, centroids, queries, codebooks, sub_d, k_nn=k_nn, m=m,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+def ivfpq_encode_codes(
+    resid: DataFrame,
+    codebooks: list,
+    sub_d: int,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One zero-join encode projection over the residual slices (the
+    pq_encode shape), keeping the list id alongside the codes — shared by
+    the in-session search and the persisted-index build."""
+    return resid.select(
         F.col(id_col),
         F.col("centroid_id"),
         *[
@@ -1480,8 +1506,28 @@ def ivfpq_adc_topk(
             for j in range(m)
         ],
     )
-    # queries: route to their nearest list, residual-ize, and build the
-    # per-query subspace LUTs driver-side (m·k·|Q| floats)
+
+
+def ivfpq_adc_from_codes(
+    codes: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    sub_d: int,
+    k_nn: int = 5,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC scoring over an ALREADY-ENCODED (centroid_id, code_*) table —
+    the shared core of ``ivfpq_adc_topk`` (in-session encode) and
+    ``AnnIndexStore.ivfpq_adc_topk`` (codes read back from a
+    partitionBy(centroid_id) layout, where the routing join prunes to the
+    probed list's partition). One scoring path keeps the persisted index
+    provably bit-identical to the in-session build. Queries route to
+    their nearest list, residual-ize against its centroid, and score the
+    list through per-query driver-side LUTs (m·k·|Q| floats)."""
     q = assign_nearest_centroid(
         queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
         centroids,
@@ -1501,11 +1547,17 @@ def ivfpq_adc_topk(
         )
         .collect()
     )
-    spark = corpus.sparkSession
+    spark = codes.sparkSession
     routing = spark.createDataFrame(
         [(int(r[query_id_col]), int(r["centroid_id"])) for r in qrows],
         f"{query_id_col} long, centroid_id long",
     )
+    # the probed list ids are driver-side already (they rode the LUT
+    # collect), so prune the code scan with a STATIC partition filter —
+    # on a partitionBy(centroid_id) layout only the probed lists' files
+    # are planned, no dynamic-pruning machinery needed
+    probe_ids = sorted({int(r["centroid_id"]) for r in qrows})
+    codes = codes.where(F.col("centroid_id").isin(probe_ids))
     luts = []
     for j in range(m):
         rows = []

@@ -2977,6 +2977,10 @@ def _ann_store(spark: SparkSession, sf_dir: str):
     ):
         store.write_pq(emb, prefit=_pq_prefit(spark, sf_dir), fingerprint=fp)
         store.write_lsh(emb, fingerprint=fp)
+    if not store.validate("ivfpq", emb, fingerprint=fp):
+        store.write_ivfpq(
+            emb, prefit=_ivfpq_prefit(spark, sf_dir), fingerprint=fp
+        )
     _ANN_STORE_MEMO[sf_dir] = base
     return store
 
@@ -3780,6 +3784,20 @@ def _appended_store(spark: SparkSession, sf_dir: str):
             docs.where(F.col("doc_id") % 4 != 0), fingerprint=fpd
         )
         store.append_minhash(docs, fingerprint=fpd)
+    if not store.validate("ivfpq", emb, fingerprint=fpe):
+        # both quantizer levels frozen at full-corpus state: the base
+        # subset keeps every stride row (so the derived centroid set
+        # equals the full-corpus set) and the residual codebooks are the
+        # full-corpus prefit — the appended chain must answer exactly
+        # like ann_ivfpq_topk (same oracle)
+        base_ivfpq = emb.where(
+            (F.col("vec_id") % 3 != 0)
+            | (F.col("vec_id") % _sim.IVF_CENTROID_STRIDE == 0)
+        )
+        store.write_ivfpq(
+            base_ivfpq, prefit=_ivfpq_prefit(spark, sf_dir), fingerprint=fpe
+        )
+        store.append_ivfpq(emb, fingerprint=fpe)
     _APP_STORE_MEMO[sf_dir] = base
     return store
 
@@ -5196,3 +5214,40 @@ SELECT rk, keyword, rank FROM ranked WHERE rk <= {top_k} ORDER BY rk
 
 QUERIES.update({"text_textrank_keywords": text_textrank_keywords})
 ORACLES.update({"text_textrank_keywords": _textrank_sql()})
+
+
+# ------------------------------------- persisted / appended IVFADC rows ----
+def ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC answered from the PERSISTED layout: inverted lists carrying
+    residual PQ codes, partitionBy(centroid_id) — a probe prunes to one
+    list's partition AND reads only the m code columns inside it (raw
+    vectors never touched at query time). Must match ann_ivfpq_topk
+    bit-for-bit — same oracle."""
+    return _ann_store(spark, sf_dir).ivfpq_adc_topk(
+        _query_vecs(spark, sf_dir), k_nn=ANN_K
+    )
+
+
+def ann_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC probe over a base+delta segment chain with BOTH quantizer
+    levels frozen (centroids + residual codebooks): the delta rows were
+    assigned, residual-ized and encoded without re-reading the base
+    segment, yet the chain answers exactly like the full build. Same
+    oracle as ann_ivfpq_topk."""
+    return _appended_store(spark, sf_dir).ivfpq_adc_topk(
+        _query_vecs(spark, sf_dir), k_nn=ANN_K
+    )
+
+
+QUERIES.update(
+    {
+        "ann_ivfpq_persisted": ann_ivfpq_persisted,
+        "ann_ivfpq_appended": ann_ivfpq_appended,
+    }
+)
+ORACLES.update(
+    {
+        "ann_ivfpq_persisted": _ivfpq_adc_sql(),
+        "ann_ivfpq_appended": _ivfpq_adc_sql(),
+    }
+)

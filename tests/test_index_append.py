@@ -202,3 +202,40 @@ def test_appended_chain_keeps_partition_pruning(spark, emb, queries, tmp_path):
     assert "dynamicpruning" in low
     pf = low.split("partitionfilters", 1)[1][:300]
     assert "seg" in pf and "_bucket" in pf
+
+
+def test_ivfpq_chain_keeps_partition_pruning_and_matches_full(
+    spark, emb, queries, tmp_path
+):
+    """IVFADC chain: (a) the probe plan keeps both prunings (committed
+    segments static, probed list dynamic) on ONE scan of the code lists;
+    (b) a frozen-state append answers bit-identically to a full rebuild
+    under the same frozen centroids + codebooks."""
+    from helixdb_spark.operators.similarity import (
+        IVF_CENTROID_STRIDE,
+        ivfpq_fit,
+    )
+
+    prefit = ivfpq_fit(emb)
+    base = emb.where(
+        (F.col("vec_id") % 3 != 0)
+        | (F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
+    )
+    store = AnnIndexStore(spark, str(tmp_path / "idxpq"))
+    store.write_ivfpq(base, prefit=prefit)
+    store.append_ivfpq(emb)
+    full = AnnIndexStore(spark, str(tmp_path / "idxpq_full"))
+    full.write_ivfpq(emb, prefit=prefit)
+    chain_df = store.ivfpq_adc_topk(queries, k_nn=4)
+    assert sorted(map(tuple, chain_df.collect())) == sorted(
+        map(tuple, full.ivfpq_adc_topk(queries, k_nn=4).collect())
+    )
+    plan = (
+        chain_df._jdf.queryExecution().executedPlan().toString()
+    )
+    low = plan.lower()
+    # the probed list ids ride the LUT collect, so the code scan carries a
+    # STATIC centroid_id partition filter alongside the committed-segment
+    # filter — both prunings in one scan's PartitionFilters
+    pf = low.split("partitionfilters", 1)[1][:300]
+    assert "seg" in pf and "centroid_id" in pf
