@@ -1521,3 +1521,93 @@ def duplicate_spans(
         )
         .orderBy(id_col)
     )
+
+
+def duplicate_span_coverage(
+    docs: DataFrame,
+    k: int = DUP_SPAN_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL-side measurement of Lee et al. 2022: merge every
+    duplicated k-gram anchor's interval [pos, pos+k-1] into maximal
+    covered islands per document (classic gaps-and-islands: a new island
+    starts where an anchor begins past the running max end + 1) and
+    report how many contiguous duplicated regions each document has and
+    how much of it they cover — exactly the spans their pipeline cuts.
+    Returns (doc_id, n_dup_islands, covered_chars, coverage_ratio).
+
+    Scale shape: anchors shuffle twice on the gram key (count, then the
+    dup-set join — duplicate_spans' shape) and once on the doc id for the
+    island windows; window state is one running max per doc. The
+    interval-merge is exact: overlapping AND adjacent anchor intervals
+    coalesce, so covered_chars counts each character once.
+    """
+    from pyspark.sql.window import Window as W
+
+    d = _spread(docs).select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_norm")
+    )
+    anchors = d.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 0)),"
+                f" i -> substring(_norm, i, {k}))"
+            )
+        ).alias("_p0", "gram"),
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "gram")
+    dup = (
+        anchors.groupBy("gram")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("gram")
+    )
+    hits = anchors.join(dup, "gram").select(
+        id_col, "pos", (F.col("pos") + F.lit(k - 1)).alias("end")
+    )
+    w_prev = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new_island",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("end").over(w_prev), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_run = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = (
+        flagged.withColumn("_isl", F.sum("_new_island").over(w_run))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+    )
+    per = islands.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_islands"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("covered_chars"),
+    )
+    return (
+        d.join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_dup_islands", F.lit(0)).alias("n_dup_islands"),
+            F.coalesce("covered_chars", F.lit(0)).alias("covered_chars"),
+            F.when(F.length("_norm") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.lit(1e-9)
+                    + F.coalesce("covered_chars", F.lit(0)).cast("double")
+                    / F.length("_norm"),
+                    6,
+                )
+            )
+            .alias("coverage_ratio"),
+        )
+        .orderBy(id_col)
+    )

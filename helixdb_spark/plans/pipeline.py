@@ -5251,3 +5251,67 @@ ORACLES.update(
         "ann_ivfpq_appended": _ivfpq_adc_sql(),
     }
 )
+
+
+# ----------------------------------------- duplicated-span coverage ----
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous duplicated-region coverage per document
+    (operators.dedup.duplicate_span_coverage): duplicated 30-char anchors
+    merged into maximal islands (gaps-and-islands window), the exact
+    regions the Lee et al. 2022 pipeline removes. The oracle replays the
+    anchor explode, dup set, island windows and the per-doc rollup."""
+    from helixdb_spark.operators.dedup import duplicate_span_coverage
+
+    return duplicate_span_coverage(load_table(spark, sf_dir, "documents"))
+
+
+def _span_coverage_sql() -> str:
+    from helixdb_spark.operators.dedup import DUP_SPAN_K as k
+
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+a AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(norm) - {k - 1}, 0) + 1),
+                i -> struct_pack(pos := i, gram := norm[i:i+{k - 1}]))) AS s
+  FROM d
+),
+an AS (SELECT doc_id, s.pos::INT AS pos, s.gram AS gram FROM a),
+g AS (SELECT gram FROM an GROUP BY gram HAVING count(*) >= 2),
+h AS (SELECT an.doc_id, an.pos, an.pos + {k - 1} AS e
+      FROM an JOIN g USING (gram)),
+f AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+                  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM h
+),
+isl2 AS (
+  SELECT doc_id, pos, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM f
+),
+m AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS ee
+      FROM isl2 GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_islands,
+         sum(ee - s + 1)::BIGINT AS covered_chars
+  FROM m GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(per.n_dup_islands, 0)::BIGINT AS n_dup_islands,
+       coalesce(per.covered_chars, 0)::BIGINT AS covered_chars,
+       CASE WHEN len(d.norm) = 0 THEN NULL
+            ELSE round(1e-9 + coalesce(per.covered_chars, 0)::DOUBLE
+                       / len(d.norm), 6) + 0.0
+       END AS coverage_ratio
+FROM d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+QUERIES.update({"dedup_span_coverage": dedup_span_coverage})
+ORACLES.update({"dedup_span_coverage": _span_coverage_sql()})
