@@ -1610,3 +1610,152 @@ def textrank_keywords(
         .orderBy("rk"),
         ranks,
     )
+
+
+# --------------------------------------------------- linear quality probe ----
+PROBE_SCALE = 10_000  # 4-dp feature quantization -> exact int64 moments
+
+# Closed-form 3x3 normal-equation solve (adjugate / Cramer), written ONCE
+# as SQL text and parsed by BOTH engines, so the double arithmetic runs in
+# the identical expression order. Inputs are the exact int64 moment sums
+# (n plus scaled sums); every division below is deterministic IEEE double
+# math on identical operands.
+PROBE_SOLVE_EXPRS: dict[str, str] = {}
+
+
+def _probe_solve_exprs() -> dict[str, str]:
+    if PROBE_SOLVE_EXPRS:
+        return PROBE_SOLVE_EXPRS
+    s1 = float(PROBE_SCALE)
+    s2 = float(PROBE_SCALE) * float(PROBE_SCALE)
+    # moments as doubles (same int -> double conversion both sides)
+    m = {
+        "N": "CAST(n AS DOUBLE)",
+        "X1": f"CAST(sx1 AS DOUBLE) / {s1}",
+        "X2": f"CAST(sx2 AS DOUBLE) / {s1}",
+        "X11": f"CAST(s11 AS DOUBLE) / {s2}",
+        "X12": f"CAST(s12 AS DOUBLE) / {s2}",
+        "X22": f"CAST(s22 AS DOUBLE) / {s2}",
+        "Y": f"CAST(sy AS DOUBLE) / {s1}",
+        "X1Y": f"CAST(s1y AS DOUBLE) / {s2}",
+        "X2Y": f"CAST(s2y AS DOUBLE) / {s2}",
+        "YY": f"CAST(syy AS DOUBLE) / {s2}",
+    }
+    n, x1, x2 = m["N"], m["X1"], m["X2"]
+    x11, x12, x22 = m["X11"], m["X12"], m["X22"]
+    y, x1y, x2y, yy = m["Y"], m["X1Y"], m["X2Y"], m["YY"]
+    # A = [[n,x1,x2],[x1,x11,x12],[x2,x12,x22]], b = [y, x1y, x2y]
+    det = (
+        f"(({n}) * (({x11}) * ({x22}) - ({x12}) * ({x12}))"
+        f" - ({x1}) * (({x1}) * ({x22}) - ({x12}) * ({x2}))"
+        f" + ({x2}) * (({x1}) * ({x12}) - ({x11}) * ({x2})))"
+    )
+    # Cramer: replace column i of A with b
+    b0 = (
+        f"((({y}) * (({x11}) * ({x22}) - ({x12}) * ({x12}))"
+        f" - ({x1}) * (({x1y}) * ({x22}) - ({x12}) * ({x2y}))"
+        f" + ({x2}) * (({x1y}) * ({x12}) - ({x11}) * ({x2y}))) / {det})"
+    )
+    b1 = (
+        f"((({n}) * (({x1y}) * ({x22}) - ({x2y}) * ({x12}))"
+        f" - ({y}) * (({x1}) * ({x22}) - ({x12}) * ({x2}))"
+        f" + ({x2}) * (({x1}) * ({x2y}) - ({x1y}) * ({x2}))) / {det})"
+    )
+    b2 = (
+        f"((({n}) * (({x11}) * ({x2y}) - ({x12}) * ({x1y}))"
+        f" - ({x1}) * (({x1}) * ({x2y}) - ({x1y}) * ({x2}))"
+        f" + ({y}) * (({x1}) * ({x12}) - ({x11}) * ({x2}))) / {det})"
+    )
+    # R^2 = 1 - SSE/SST with SSE = YY - b0*Y - b1*X1Y - b2*X2Y (normal-eq
+    # identity) and SST = YY - Y*Y/N — all from the same moment set
+    sse = f"(({yy}) - {b0} * ({y}) - {b1} * ({x1y}) - {b2} * ({x2y}))"
+    sst = f"(({yy}) - ({y}) * ({y}) / ({n}))"
+    PROBE_SOLVE_EXPRS.update(
+        {
+            "intercept": b0,
+            "b_mean_word_len": b1,
+            "b_stopword_ratio": b2,
+            "r2": f"(1.0 - {sse} / {sst})",
+        }
+    )
+    return PROBE_SOLVE_EXPRS
+
+
+def quality_probe_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train a linear quality probe in ONE corpus pass: regress token
+    density (words per normalized char — a crude fluency signal) on mean
+    word length and stopword ratio via the closed-form normal equations.
+    This is the distributed-training shape every feature-based quality
+    classifier reduces to (fastText-style linear probes, the logistic
+    scorers of CCNet/Gopher-class pipelines — here the least-squares
+    special case, which has an exact closed form both engines can replay):
+
+    - features quantize to 4 dp and accumulate as EXACT int64 moment sums
+      (the scaled-int discipline of embedding_covariance) — one map-side-
+      combined aggregate, O(1) driver state, partition-order independent;
+    - the 3x3 solve + R^2 run as ONE shared SQL expression text parsed by
+      both engines, so every double op has identical operands and order.
+
+    Returns (term, value): intercept, the two coefficients, and r2,
+    each rounded to 6 dp. Documents with no words are excluded from the
+    fit on both sides.
+    """
+    exprs = _probe_solve_exprs()
+    d = spread(docs).select(normalized_text(F.col(text_col)).alias("_norm"))
+    ws = words(F.col("_norm"))
+    n_words = F.size(ws)
+    n_chars = F.length("_norm")
+    sum_len = F.aggregate(
+        ws, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(list(EN_STOPWORDS))))
+    feats = (
+        d.select(
+            n_words.alias("_nw"),
+            n_chars.alias("_nc"),
+            sum_len.alias("_sl"),
+            n_stop.alias("_ns"),
+        )
+        .where((F.col("_nw") > 0) & (F.col("_nc") > 0))
+        .select(
+            F.round(
+                F.round(
+                    F.lit(1e-9) + F.col("_sl") / F.col("_nw"), 4
+                ) * PROBE_SCALE
+            ).cast("long").alias("x1"),
+            F.round(
+                F.round(
+                    F.lit(1e-9) + F.col("_ns") / F.col("_nw"), 4
+                ) * PROBE_SCALE
+            ).cast("long").alias("x2"),
+            F.round(
+                F.round(
+                    F.lit(1e-9) + F.col("_nw") / F.col("_nc"), 4
+                ) * PROBE_SCALE
+            ).cast("long").alias("y"),
+        )
+    )
+    moments = feats.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cols = [
+        F.struct(
+            F.lit(term).alias("term"),
+            F.round(F.expr(expr) + F.lit(1e-9), 6).alias("value"),
+        )
+        for term, expr in exprs.items()
+    ]
+    return (
+        moments.select(F.explode(F.array(*cols)).alias("s"))
+        .select("s.term", "s.value")
+        .orderBy("term")
+    )

@@ -5315,3 +5315,59 @@ ORDER BY d.doc_id
 
 QUERIES.update({"dedup_span_coverage": dedup_span_coverage})
 ORACLES.update({"dedup_span_coverage": _span_coverage_sql()})
+
+
+# ------------------------------------------------- linear quality probe ----
+def curate_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form linear quality-probe training
+    (operators.text_analysis.quality_probe_fit): token density regressed
+    on mean word length + stopword ratio via exact int64 normal-equation
+    moments and a shared Cramer-solve SQL expression — the one-pass
+    distributed-training shape of feature-based quality classifiers."""
+    return _ta.quality_probe_fit(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_probe_sql() -> str:
+    exprs = _ta._probe_solve_exprs()
+    s = _ta.PROBE_SCALE
+    stop = ", ".join(f"'{w}'" for w in _ta.EN_STOPWORDS)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{term}' AS term, round({expr} + 1e-9, 6) AS value FROM moments"
+        for term, expr in exprs.items()
+    )
+    return f"""
+WITH d AS (SELECT {_NORM} AS norm FROM documents),
+t AS (
+  SELECT list_filter(string_split(norm, ' '), w -> w != '') AS ws,
+         len(norm) AS nc
+  FROM d
+),
+f0 AS (
+  SELECT len(ws) AS nw, nc,
+         list_sum(list_transform(ws, w -> len(w))) AS sl,
+         len(list_filter(ws, w -> w IN ({stop}))) AS ns
+  FROM t
+  WHERE len(ws) > 0 AND nc > 0
+),
+f AS (
+  SELECT round(round(1e-9 + sl::DOUBLE / nw, 4) * {s})::BIGINT AS x1,
+         round(round(1e-9 + ns::DOUBLE / nw, 4) * {s})::BIGINT AS x2,
+         round(round(1e-9 + nw::DOUBLE / nc, 4) * {s})::BIGINT AS y
+  FROM f0
+),
+moments AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x1)::BIGINT AS sx1, sum(x2)::BIGINT AS sx2,
+         sum(x1 * x1)::BIGINT AS s11, sum(x1 * x2)::BIGINT AS s12,
+         sum(x2 * x2)::BIGINT AS s22,
+         sum(y)::BIGINT AS sy, sum(x1 * y)::BIGINT AS s1y,
+         sum(x2 * y)::BIGINT AS s2y, sum(y * y)::BIGINT AS syy
+  FROM f
+)
+{selects}
+ORDER BY term
+"""
+
+
+QUERIES.update({"curate_quality_probe": curate_quality_probe})
+ORACLES.update({"curate_quality_probe": _quality_probe_sql()})
