@@ -1701,7 +1701,34 @@ def quality_probe_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
     fit on both sides.
     """
     exprs = _probe_solve_exprs()
-    d = spread(docs).select(normalized_text(F.col(text_col)).alias("_norm"))
+    feats = _probe_features(docs, text_col=text_col)
+    moments = _probe_moments(feats)
+    cols = [
+        F.struct(
+            F.lit(term).alias("term"),
+            F.round(F.expr(expr) + F.lit(1e-9), 6).alias("value"),
+        )
+        for term, expr in exprs.items()
+    ]
+    return (
+        moments.select(F.explode(F.array(*cols)).alias("s"))
+        .select("s.term", "s.value")
+        .orderBy("term")
+    )
+
+
+def _probe_features(
+    docs: DataFrame,
+    id_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """The probe's quantized feature rows (x1, x2, y as scaled int64),
+    optionally keeping the document id — shared by fit and scoring so
+    both see bit-identical inputs."""
+    keep = [F.col(id_col)] if id_col else []
+    d = spread(docs).select(
+        *keep, normalized_text(F.col(text_col)).alias("_norm")
+    )
     ws = words(F.col("_norm"))
     n_words = F.size(ws)
     n_chars = F.length("_norm")
@@ -1709,8 +1736,9 @@ def quality_probe_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ws, F.lit(0), lambda acc, w: acc + F.length(w)
     )
     n_stop = F.size(F.filter(ws, lambda w: w.isin(list(EN_STOPWORDS))))
-    feats = (
+    return (
         d.select(
+            *keep,
             n_words.alias("_nw"),
             n_chars.alias("_nc"),
             sum_len.alias("_sl"),
@@ -1718,6 +1746,7 @@ def quality_probe_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .where((F.col("_nw") > 0) & (F.col("_nc") > 0))
         .select(
+            *keep,
             F.round(
                 F.round(
                     F.lit(1e-9) + F.col("_sl") / F.col("_nw"), 4
@@ -1735,7 +1764,10 @@ def quality_probe_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).cast("long").alias("y"),
         )
     )
-    moments = feats.agg(
+
+
+def _probe_moments(feats: DataFrame) -> DataFrame:
+    return feats.agg(
         F.count("*").alias("n"),
         F.sum("x1").alias("sx1"),
         F.sum("x2").alias("sx2"),
@@ -1747,15 +1779,51 @@ def quality_probe_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(F.col("x2") * F.col("y")).alias("s2y"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    cols = [
-        F.struct(
-            F.lit(term).alias("term"),
-            F.round(F.expr(expr) + F.lit(1e-9), 6).alias("value"),
-        )
-        for term, expr in exprs.items()
-    ]
+
+
+# prediction/residual in ONE shared text so both engines evaluate the
+# identical expression tree over (b0, b1, b2, x1, x2, y)
+PROBE_PRED_EXPR = (
+    "(b0 + b1 * (CAST(x1 AS DOUBLE) / 10000.0)"
+    " + b2 * (CAST(x2 AS DOUBLE) / 10000.0))"
+)
+PROBE_RESID_EXPR = f"(CAST(y AS DOUBLE) / 10000.0 - {PROBE_PRED_EXPR})"
+
+
+def quality_probe_scores(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the trained probe corpus-wide and surface the k documents
+    whose token density falls FURTHEST BELOW the model's prediction — the
+    residual-outlier cut a probe-based curation pass makes (CCNet-style:
+    score with a cheap model, drop the tail). The unrounded coefficients
+    broadcast as one row (the 1-row scalar-broadcast pattern); scoring is
+    a pure projection over the feature rows. Returns
+    (rk, doc_id, density, predicted, residual), residual ascending."""
+    from pyspark.sql.window import Window as W
+
+    exprs = _probe_solve_exprs()
+    feats = _probe_features(docs, id_col=id_col, text_col=text_col)
+    sol = _probe_moments(feats).select(
+        F.expr(exprs["intercept"]).alias("b0"),
+        F.expr(exprs["b_mean_word_len"]).alias("b1"),
+        F.expr(exprs["b_stopword_ratio"]).alias("b2"),
+    )
+    scored = feats.crossJoin(F.broadcast(sol)).select(
+        F.col(id_col),
+        F.round(F.col("y") / F.lit(float(PROBE_SCALE)) + F.lit(1e-9), 6).alias(
+            "density"
+        ),
+        F.round(F.expr(PROBE_PRED_EXPR) + F.lit(1e-9), 6).alias("predicted"),
+        F.round(F.expr(PROBE_RESID_EXPR) + F.lit(1e-9), 6).alias("residual"),
+    )
+    w = W.orderBy(F.asc("residual"), F.asc(id_col))
     return (
-        moments.select(F.explode(F.array(*cols)).alias("s"))
-        .select("s.term", "s.value")
-        .orderBy("term")
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("rk", id_col, "density", "predicted", "residual")
+        .orderBy("rk")
     )

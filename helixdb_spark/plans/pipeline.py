@@ -5371,3 +5371,71 @@ ORDER BY term
 
 QUERIES.update({"curate_quality_probe": curate_quality_probe})
 ORACLES.update({"curate_quality_probe": _quality_probe_sql()})
+
+
+def curate_probe_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe applied corpus-wide (text_analysis.quality_probe_scores):
+    bottom-20 residual outliers under the trained model — the cut a
+    probe-based curation pass makes. Oracle replays the fit CTEs, the
+    1-row coefficient cross join and the shared prediction expression."""
+    return _ta.quality_probe_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _probe_outliers_sql(k: int = 20) -> str:
+    exprs = _ta._probe_solve_exprs()
+    s = _ta.PROBE_SCALE
+    stop = ", ".join(f"'{w}'" for w in _ta.EN_STOPWORDS)
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+t AS (
+  SELECT doc_id, list_filter(string_split(norm, ' '), w -> w != '') AS ws,
+         len(norm) AS nc
+  FROM d
+),
+f0 AS (
+  SELECT doc_id, len(ws) AS nw, nc,
+         list_sum(list_transform(ws, w -> len(w))) AS sl,
+         len(list_filter(ws, w -> w IN ({stop}))) AS ns
+  FROM t
+  WHERE len(ws) > 0 AND nc > 0
+),
+f AS (
+  SELECT doc_id,
+         round(round(1e-9 + sl::DOUBLE / nw, 4) * {s})::BIGINT AS x1,
+         round(round(1e-9 + ns::DOUBLE / nw, 4) * {s})::BIGINT AS x2,
+         round(round(1e-9 + nw::DOUBLE / nc, 4) * {s})::BIGINT AS y
+  FROM f0
+),
+moments AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x1)::BIGINT AS sx1, sum(x2)::BIGINT AS sx2,
+         sum(x1 * x1)::BIGINT AS s11, sum(x1 * x2)::BIGINT AS s12,
+         sum(x2 * x2)::BIGINT AS s22,
+         sum(y)::BIGINT AS sy, sum(x1 * y)::BIGINT AS s1y,
+         sum(x2 * y)::BIGINT AS s2y, sum(y * y)::BIGINT AS syy
+  FROM f
+),
+sol AS (
+  SELECT {exprs['intercept']} AS b0,
+         {exprs['b_mean_word_len']} AS b1,
+         {exprs['b_stopword_ratio']} AS b2
+  FROM moments
+),
+scored AS (
+  SELECT f.doc_id,
+         round(y / {float(s)} + 1e-9, 6) AS density,
+         round({_ta.PROBE_PRED_EXPR} + 1e-9, 6) AS predicted,
+         round({_ta.PROBE_RESID_EXPR} + 1e-9, 6) AS residual
+  FROM f CROSS JOIN sol
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY residual ASC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT rk, doc_id, density, predicted, residual FROM r
+WHERE rk <= {k} ORDER BY rk
+"""
+
+
+QUERIES.update({"curate_probe_outliers": curate_probe_outliers})
+ORACLES.update({"curate_probe_outliers": _probe_outliers_sql()})

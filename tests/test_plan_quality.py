@@ -297,6 +297,7 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "curate_dsir_importance",  # 1-row token-total broadcast into the
         # per-bucket log-ratio table
         "curate_balanced_shards",  # 1-row corpus-token-total broadcast
+        "curate_probe_outliers",  # 1-row probe-coefficient broadcast
         "text_bm25_search",  # 1-row N/avgdl corpus-stats broadcast
         "text_lm_score",  # 1-row corpus-total/vocab-size broadcast
         "emb_covariance",  # 1-row n broadcast into the cov finisher
