@@ -1591,3 +1591,101 @@ def ivfpq_adc_from_codes(
         .select(query_id_col, "rk", F.col(id_col).alias("neighbor_id"), "adc_dist")
         .orderBy(query_id_col, "rk")
     )
+
+
+# ------------------------------------------------------------------ SQ8 ----
+def sq8_fit(
+    corpus: DataFrame,
+    dim: int = DIM,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, step) for 8-bit scalar quantization: one
+    posexplode pass to exact per-dim min/max (comparisons only — no
+    float arithmetic, so both engines land on identical values), step =
+    (max - min) / 255. Driver state is 2·dim floats."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    mins = [0.0] * dim
+    steps = [0.0] * dim
+    for r in rows:
+        mins[r["pos"]] = float(r["mn"])
+        steps[r["pos"]] = (float(r["mx"]) - float(r["mn"])) / 255.0
+    return mins, steps
+
+
+def _dbl_array_sql(vals: list[float]) -> str:
+    return "array(" + ", ".join(
+        f"CAST('{repr(float(x))}' AS DOUBLE)" for x in vals
+    ) + ")"
+
+
+def sq8_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_nn: int = 5,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    prefit: "tuple[list, list] | None" = None,
+) -> DataFrame:
+    """8-bit scalar-quantization search with asymmetric distance — the
+    third quantization tier next to PQ and IVFADC (FAISS ``SQ8``): each
+    dimension quantizes independently to one byte against per-dim
+    (min, step), queries stay full-precision and score against the
+    DEQUANTIZED corpus codes. 4x memory cut at far higher fidelity than
+    PQ's m bytes; the right tier when vectors must stay individually
+    reconstructable.
+
+    Everything is closed-form double arithmetic in ONE expression shape
+    shared with the oracle (encode: round((x-min)/step); score:
+    sum((q - (min + code*step))^2) rounded to 6 dp) — no training
+    iterations at all, so determinism needs no rounding discipline
+    beyond the final rank key. Scale shape: the fit is one
+    map-side-combined pass to 2·dim driver floats; encode is a pure
+    projection; scoring reads codes only (the PQ memory story with a
+    per-dim LUT-free formula).
+    """
+    mins, steps = prefit or sq8_fit(corpus, dim, vec_col)
+    mins_sql = _dbl_array_sql(mins)
+    steps_sql = _dbl_array_sql(steps)
+    # encode: per-dim byte codes (step 0 -> code 0: degenerate flat dim)
+    encode = (
+        f"transform(sequence(1, {dim}), i -> CASE WHEN "
+        f"element_at({steps_sql}, i) = 0.0 THEN 0 ELSE "
+        f"CAST(round((CAST(element_at({vec_col}, i) AS DOUBLE) - "
+        f"element_at({mins_sql}, i)) / element_at({steps_sql}, i)) AS INT) "
+        f"END)"
+    )
+    codes = spread(corpus).select(
+        F.col(id_col), F.expr(encode).alias("_codes")
+    )
+    q = queries.select(
+        query_id_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    d2 = (
+        f"round(1e-9 + aggregate(transform(sequence(1, {dim}), i -> "
+        f"(element_at(_qv, i) - (element_at({mins_sql}, i) + "
+        f"CAST(element_at(_codes, i) AS DOUBLE) * element_at({steps_sql}, i)))"
+        f" * (element_at(_qv, i) - (element_at({mins_sql}, i) + "
+        f"CAST(element_at(_codes, i) AS DOUBLE) * element_at({steps_sql}, i)))"
+        f"), CAST(0.0 AS DOUBLE), (a, x) -> a + x), 6)"
+    )
+    scored = codes.join(F.broadcast(q)).select(
+        query_id_col, F.col(id_col), F.expr(d2).alias("sq8_dist")
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.asc("sq8_dist"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k_nn)
+        .select(query_id_col, "rk", F.col(id_col).alias("neighbor_id"), "sq8_dist")
+        .orderBy(query_id_col, "rk")
+    )

@@ -5439,3 +5439,67 @@ WHERE rk <= {k} ORDER BY rk
 
 QUERIES.update({"curate_probe_outliers": curate_probe_outliers})
 ORACLES.update({"curate_probe_outliers": _probe_outliers_sql()})
+
+
+# --------------------------------------------------- SQ8 scalar quantizer ----
+_SQ8_FIT_MEMO: dict[str, tuple] = {}
+
+
+def _sq8_prefit(spark: SparkSession, sf_dir: str) -> tuple:
+    if sf_dir not in _SQ8_FIT_MEMO:
+        _SQ8_FIT_MEMO[sf_dir] = _sim.sq8_fit(
+            load_table(spark, sf_dir, "embeddings")
+        )
+    return _SQ8_FIT_MEMO[sf_dir]
+
+
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar-quantization search (operators.similarity.sq8_adc_topk
+    — the FAISS SQ8 tier): per-dim byte codes against exact min/step, full-
+    precision queries scored asymmetrically on the dequantized codes. The
+    oracle recomputes the identical per-dim stats, codes and distances."""
+    return _sim.sq8_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _query_vecs(spark, sf_dir),
+        k_nn=ANN_K,
+        prefit=_sq8_prefit(spark, sf_dir),
+    )
+
+
+def _sq8_sql() -> str:
+    dim = _sim.DIM
+    recon = "(mn_l.mn[i] + c.c[i]::DOUBLE * st_l.st[i])"
+    return f"""
+WITH stats AS (
+  SELECT i, min(v) AS mn, (max(v) - min(v)) / 255.0 AS st
+  FROM (SELECT t.i, (e.embedding::DOUBLE[])[t.i] AS v
+        FROM embeddings e CROSS JOIN range(1, {dim} + 1) t(i))
+  GROUP BY i
+),
+mn_l AS (SELECT list(mn ORDER BY i) AS mn FROM stats),
+st_l AS (SELECT list(st ORDER BY i) AS st FROM stats),
+codes AS (
+  SELECT e.vec_id,
+         list_transform(range(1, {dim} + 1),
+           i -> CASE WHEN st_l.st[i] = 0.0 THEN 0
+                ELSE round(((e.embedding::DOUBLE[])[i] - mn_l.mn[i])
+                           / st_l.st[i])::INT END) AS c
+  FROM embeddings e, mn_l, st_l
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(1e-9 + list_sum(list_transform(range(1, {dim} + 1),
+           i -> (q.qv[i] - {recon}) * (q.qv[i] - {recon}))), 6) AS sq8_dist
+  FROM codes c CROSS JOIN q, mn_l, st_l
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY sq8_dist ASC, neighbor_id ASC) AS rk FROM scored)
+SELECT query_id, rk, neighbor_id, sq8_dist FROM r WHERE rk <= {ANN_K}
+ORDER BY query_id, rk
+"""
+
+
+QUERIES.update({"ann_sq8_topk": ann_sq8_topk})
+ORACLES.update({"ann_sq8_topk": _sq8_sql()})

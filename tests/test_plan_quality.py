@@ -271,6 +271,8 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
 
     ALLOWED_BNLJ = {
         "ann_bruteforce_topk",
+        "ann_sq8_topk",  # full-scan-over-codes is the SQ8 design point:
+        # |Q|-row query broadcast against the byte-code table
         "ann_ivf_topk",
         "ann_ivf_persisted",  # same k-row coarse-centroid broadcast as ivf_topk
         "ann_ivf_appended",  # same k-row coarse-centroid broadcast as ivf_topk
