@@ -167,6 +167,18 @@ HEADLINE = [
     "stream_restart_dedup",
     "kv_sql_rollup",
     "curate_balanced_shards",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_persisted",
+    "ann_ivfpq_appended",
+    "ann_sq8_topk",
+    "dedup_duplicate_spans",
+    "dedup_span_coverage",
+    "stream_index_refresh",
+    "kv_bulk_scan",
+    "nation_trade_lpa",
+    "text_textrank_keywords",
+    "curate_quality_probe",
+    "curate_probe_outliers",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench
