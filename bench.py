@@ -288,6 +288,25 @@ def kv_bench(spark) -> dict[str, float]:
         assert db.scan((0, 4), comparator=comparators.NO_ORDER).count() == n
 
         db.close()
+
+        # bulk_load vs put+compact on the same entry set: the single-write
+        # cold-ingest path (one shuffle + one partitioned write + one
+        # manifest flip) — compare against kv_fill + kv_compact, which
+        # together write every byte twice
+        db_bulk = HelixSpark.open(
+            spark,
+            f"{base}/db_bulk",
+            HelixOptions(rick_range=KV_NUM_TS, outdate_range=KV_NUM_TS * 128,
+                         num_shard=int(CPUS) if CPUS.isdigit() else 8,
+                         auto_maintain=False),
+        )
+        t0 = time.monotonic()
+        db_bulk.bulk_load(entries)
+        out["kv_bulk_fill"] = time.monotonic() - t0
+        assert (
+            db_bulk.scan((0, 4), comparator=comparators.NO_ORDER).count() == n
+        )
+        db_bulk.close()
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out

@@ -920,15 +920,20 @@ class AnnIndexStore:
                 F.col(id_col).alias("centroid_id"),
                 F.col(vec_col).alias("_cvec"),
             )
-        resid = ivfpq_residuals_from(corpus, centroids, id_col, vec_col)
-        codebooks, sub_d = prefit or pq_fit_codebooks(
-            resid, m, k, n_iter, id_col, "_rv"
-        )
-        gen = self._reserve_gen()
-        n_rows = self._stage(
-            ivfpq_encode_codes(resid, codebooks, sub_d, m, id_col),
-            name, "lists", gen, "centroid_id",
-        )
+        resid = ivfpq_residuals_from(
+            corpus, centroids, id_col, vec_col
+        ).persist()  # fit rounds + the encode stage all re-read it
+        try:
+            codebooks, sub_d = prefit or pq_fit_codebooks(
+                resid, m, k, n_iter, id_col, "_rv"
+            )
+            gen = self._reserve_gen()
+            n_rows = self._stage(
+                ivfpq_encode_codes(resid, codebooks, sub_d, m, id_col),
+                name, "lists", gen, "centroid_id",
+            )
+        finally:  # staging is eager — safe to release
+            resid.unpersist()
         self._stage(centroids, name, "centroids", gen)
         desc = {
             "kind": "ivfpq",

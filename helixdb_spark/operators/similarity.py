@@ -1444,7 +1444,11 @@ def ivfpq_fit(
     (Jégou et al., TPAMI 2011 §IV: coarse quantizer + product quantizer on
     the residual). Driver state is the same k·dim floats as a plain PQ fit."""
     resid, _ = ivfpq_residuals(corpus, stride, id_col, vec_col)
-    return pq_fit_codebooks(resid, m, k, n_iter, id_col, "_rv")
+    resid = resid.persist()  # m concurrent fits x n_iter rounds re-read it
+    try:
+        return pq_fit_codebooks(resid, m, k, n_iter, id_col, "_rv")
+    finally:  # the fit is eager (codebooks collected) — safe to release
+        resid.unpersist()
 
 
 def ivfpq_adc_topk(
@@ -1475,14 +1479,23 @@ def ivfpq_adc_topk(
     residual slices + one encode projection). Distances round to 6 dp with
     the repo's nudge so the DuckDB oracle reproduces ranks exactly.
     """
+    from helixdb_spark.operators.util import unpersist_on_gc
+
     resid, centroids = ivfpq_residuals(corpus, stride, id_col, vec_col)
+    # the residual table is re-read by every subspace fit round AND the
+    # encode; persisting it pays the coarse-assignment window once
+    # (lifetime tied to the returned plan — the cache-lifecycle contract)
+    resid = resid.persist()
     codebooks, sub_d = prefit or pq_fit_codebooks(
         resid, m, k, n_iter, id_col, "_rv"
     )
     codes = ivfpq_encode_codes(resid, codebooks, sub_d, m, id_col)
-    return ivfpq_adc_from_codes(
-        codes, centroids, queries, codebooks, sub_d, k_nn=k_nn, m=m,
-        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    return unpersist_on_gc(
+        ivfpq_adc_from_codes(
+            codes, centroids, queries, codebooks, sub_d, k_nn=k_nn, m=m,
+            id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        ),
+        resid,
     )
 
 
