@@ -5503,3 +5503,82 @@ ORDER BY query_id, rk
 
 QUERIES.update({"ann_sq8_topk": ann_sq8_topk})
 ORACLES.update({"ann_sq8_topk": _sq8_sql()})
+
+
+# -------------------------------------- quantizer recall audit (r8 cont.)
+def ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the two round-8 quantizer tiers — IVFADC (one probed
+    list, residual byte codes) and SQ8 (per-dim byte codes, full scan) —
+    measured against the exact brute-force tier, the ann_recall_audit
+    pattern: this is the fidelity/cost dial an operator reads before
+    picking the index family for a corpus."""
+    from pyspark import StorageLevel
+
+    from helixdb_spark.operators.util import unpersist_on_gc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vecs(spark, sf_dir)
+    truth = (
+        _sim.brute_force_topk(emb, q, k=ANN_K)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def hits(method: str, approx: DataFrame) -> DataFrame:
+        return (
+            truth.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .agg(F.count("*").alias("hits"))
+            .select(F.lit(method).alias("method"), "hits")
+        )
+
+    poss = truth.agg(F.count("*").alias("possible"))
+    return unpersist_on_gc(
+        hits(
+            "ivfpq",
+            _sim.ivfpq_adc_topk(
+                emb, q, k_nn=ANN_K, prefit=_ivfpq_prefit(spark, sf_dir)
+            ),
+        )
+        .unionByName(
+            hits(
+                "sq8",
+                _sim.sq8_adc_topk(
+                    emb, q, k_nn=ANN_K, prefit=_sq8_prefit(spark, sf_dir)
+                ),
+            )
+        )
+        .crossJoin(poss)
+        .withColumn(
+            "recall_at_k",
+            F.round(F.col("hits") / F.col("possible") + F.lit(1e-9), 4),
+        )
+        .orderBy("method"),
+        truth,
+    )
+
+
+def _ivfpq_recall_sql() -> str:
+    return f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({ANN_BRUTE_SQL})),
+fq AS (SELECT query_id, neighbor_id FROM ({_ivfpq_adc_sql()})),
+sq AS (SELECT query_id, neighbor_id FROM ({_sq8_sql()})),
+poss AS (SELECT count(*)::BIGINT AS possible FROM truth),
+h AS (
+  SELECT 'ivfpq' AS method, count(*)::BIGINT AS hits
+  FROM truth SEMI JOIN fq USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'sq8', count(*)::BIGINT
+  FROM truth SEMI JOIN sq USING (query_id, neighbor_id)
+)
+SELECT method, hits, possible,
+       round(hits / possible::DOUBLE + 1e-9, 4) AS recall_at_k
+FROM h, poss ORDER BY method
+"""
+
+
+QUERIES.update({"ann_ivfpq_recall_audit": ann_ivfpq_recall_audit})
+ORACLES.update({"ann_ivfpq_recall_audit": _ivfpq_recall_sql()})
