@@ -179,6 +179,14 @@ HEADLINE = [
     "text_textrank_keywords",
     "curate_quality_probe",
     "curate_probe_outliers",
+    "ann_ivfpq_recall_audit",
+    "ann_filtered_topk",
+    "knn_graph_purity",
+    "curate_ppl_buckets",
+    "nation_trade_linkpred",
+    "ev_autocorr",
+    "ev_periodogram",
+    "mm_audio_vad",
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -518,3 +518,55 @@ def audio_window_energy(
             )
 
     return media.select(id_col).mapInPandas(op, AUDIO_SCHEMA)
+
+
+VAD_WINDOW = 10
+VAD_RMS_THRESHOLD = 74.0
+
+
+def audio_vad_segments(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = AUDIO_N_SAMPLES,
+    window: int = VAD_WINDOW,
+    threshold: float = VAD_RMS_THRESHOLD,
+) -> DataFrame:
+    """Energy-threshold voice-activity detection: windows whose RMS clears
+    ``threshold`` are "active"; consecutive active windows merge into
+    segments via gaps-and-islands (win − row_number is constant within a
+    run) — the silence-trim pass an audio curation pipeline runs before
+    transcription, here over the same deterministic synthetic PCM as
+    ``audio_window_energy`` (swap the decode stub for a real decoder and
+    nothing else changes).
+
+    Scale shape: the per-window energies come out of the Arrow decode pass
+    shuffle-free; the island window and the two rollups all key on
+    ``doc_id`` (one exchange, reused); every doc is retained (a fully
+    silent clip reports 0 segments) via a left join back to the id list.
+
+    Returns (doc_id, n_segments, active_windows, longest_run).
+    """
+    from pyspark.sql.window import Window
+
+    en = audio_window_energy(media, id_col, n_samples, window)
+    w = Window.partitionBy(id_col).orderBy("win")
+    islands = (
+        en.where(F.col("rms") > threshold)
+        .withColumn("_grp", F.col("win") - F.row_number().over(w))
+    )
+    segs = islands.groupBy(id_col, "_grp").agg(F.count("*").alias("_len"))
+    per_doc = segs.groupBy(id_col).agg(
+        F.count("*").alias("n_segments"),
+        F.sum("_len").cast("long").alias("active_windows"),
+        F.max("_len").cast("long").alias("longest_run"),
+    )
+    return (
+        media.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            F.coalesce("active_windows", F.lit(0)).cast("long").alias("active_windows"),
+            F.coalesce("longest_run", F.lit(0)).cast("long").alias("longest_run"),
+        )
+    )

@@ -1702,3 +1702,57 @@ def sq8_adc_topk(
         .select(query_id_col, "rk", F.col(id_col).alias("neighbor_id"), "sq8_dist")
         .orderBy(query_id_col, "rk")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+    dim: int = DIM,
+) -> DataFrame:
+    """Approximate k-NN graph over the WHOLE corpus — every vector's top-k
+    neighbors among the vectors sharing its LSH bucket (self excluded).
+    This is the backbone structure of SemDeDup-style semantic clustering
+    and graph-based label QC: unlike the query-probe family above (a few
+    broadcast queries vs the corpus), both sides here are the corpus, so
+    the candidate stage must be an equi self-join on the bucket key —
+    never an all-pairs product. Candidate volume is sum over buckets of
+    |bucket|^2; at web scale the planes count is sized so buckets stay
+    bounded (and a df-cap drops degenerate mega-buckets, the MinHash-LSH
+    lever). Deterministic (hash planes), so an exact oracle reproduces
+    the same approximation.
+
+    Returns (src, rk, neighbor_id, cosine): up to k rows per corpus
+    vector that shares a bucket with at least one other vector.
+    """
+    c = spread(corpus).withColumn(
+        "_bucket", lsh_bucket(F.col(vec_col), num_planes, dim)
+    )
+    left = c.select(
+        F.col(id_col).alias("src"), F.col(vec_col).alias("_svec"), "_bucket"
+    )
+    right = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nvec"),
+        "_bucket",
+    )
+    scored = (
+        left.join(right, "_bucket")
+        .where(F.col("src") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.lit(1e-9)
+                + cosine_similarity(F.col("_svec"), F.col("_nvec")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("src", "rk", "neighbor_id", "cosine")
+    )

@@ -10,6 +10,8 @@ parquet, and nothing collects to the driver.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -2695,3 +2697,245 @@ ORDER BY event_type
 
 QUERIES.update({"ev_ols_trend": ev_ols_trend})
 ORACLES.update({"ev_ols_trend": EV_OLS_SQL})
+
+
+# ------------------------------------ autocorrelation diagnostics (r8 cont.)
+ACF_MAX_LAG = 7
+
+
+def ev_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the DAILY event-count series at lags 1..7 — the
+    seasonality/persistence diagnostic read before picking a forecast
+    model (a weekly cycle shows as a lag-7 peak). Counts over the dense
+    day grid (absent days are 0, the ev_ols_trend discipline), so every
+    ACF sum is an INTEGER: with S1=sum(y_t*y_{t-l}), A=sum(y_t),
+    B=sum(y_{t-l}) over the n-l pairs and (n, sy, syy) the global
+    moments, r_l = (n^2*S1 - n*sy*(A+B) + (n-l)*sy^2) /
+    (n^2*syy - n*sy^2) — exact int64 numerator/denominator, one float
+    division at the end, so partition order cannot move the result.
+
+    Scale shape: one map-side-combined day count, a broadcast 1-row span
+    + 7-row lag fan-out, and an equi self-join on the shifted day index
+    (the grid is bounded by the calendar, never by event volume)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    counts = ev.select(day.alias("d")).groupBy("d").agg(
+        F.count("*").alias("y")
+    )
+    span = ev.agg(
+        F.min(day).alias("d0"),
+        F.datediff(F.max(day), F.min(day)).alias("n_days_minus1"),
+    )
+    grid = span.select(
+        "d0", F.explode(F.sequence(F.lit(0), F.col("n_days_minus1"))).alias("x")
+    ).select("x", F.date_add(F.col("d0"), F.col("x")).alias("d"))
+    dense = grid.join(F.broadcast(counts), "d", "left").select(
+        "x", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    mom = dense.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    lead = dense.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("x") - F.col("lag")).alias("xm"), F.col("y")
+    )
+    base = dense.select(F.col("x").alias("xm"), F.col("y").alias("y0"))
+    per_lag = (
+        lead.join(base, "xm")
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("m"),
+            F.sum(F.col("y") * F.col("y0")).cast("long").alias("s1"),
+            F.sum("y").cast("long").alias("a"),
+            F.sum("y0").cast("long").alias("b"),
+        )
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("s1")
+        - F.col("n") * F.col("sy") * (F.col("a") + F.col("b"))
+        + F.col("m") * F.col("sy") * F.col("sy")
+    )
+    den = F.col("n") * F.col("n") * F.col("syy") - F.col("n") * F.col(
+        "sy"
+    ) * F.col("sy")
+    return (
+        per_lag.crossJoin(F.broadcast(mom))
+        .select(
+            "lag",
+            F.col("m").alias("n_pairs"),
+            F.round(F.lit(1e-9) + num / den, 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+EV_ACF_SQL = f"""
+WITH counts AS (
+  SELECT date_trunc('day', ts)::DATE AS d, count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+),
+span AS (
+  SELECT min(date_trunc('day', ts)::DATE) AS d0,
+         date_diff('day', min(date_trunc('day', ts)::DATE),
+                   max(date_trunc('day', ts)::DATE)) AS n_days_minus1
+  FROM events
+),
+grid AS (
+  SELECT x.x::BIGINT AS x, s.d0 + x.x::INT AS d
+  FROM span s, unnest(range(0, (SELECT n_days_minus1 + 1 FROM span))) x(x)
+),
+dense AS (
+  SELECT g.x, coalesce(c.y, 0)::BIGINT AS y
+  FROM grid g LEFT JOIN counts c ON c.d = g.d
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+         sum(y*y)::BIGINT AS syy
+  FROM dense
+),
+lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1}))::INT AS lag),
+per_lag AS (
+  SELECT l.lag, count(*)::BIGINT AS m,
+         sum(t.y * b.y)::BIGINT AS s1,
+         sum(t.y)::BIGINT AS a, sum(b.y)::BIGINT AS b
+  FROM lags l
+  JOIN dense t ON t.x >= l.lag
+  JOIN dense b ON b.x = t.x - l.lag
+  GROUP BY 1
+)
+SELECT lag, m AS n_pairs,
+       round(1e-9 + (n*n*s1 - n*sy*(a+b) + m*sy*sy)::DOUBLE
+                    / (n*n*syy - n*sy*sy), 6) AS acf
+FROM per_lag, mom
+ORDER BY lag
+"""
+
+QUERIES.update({"ev_autocorr": ev_autocorr})
+ORACLES.update({"ev_autocorr": EV_ACF_SQL})
+
+
+# --------------------------------------- periodogram / dominant cycle
+PERIODOGRAM_PERIODS = list(range(2, 11))
+
+
+def ev_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral power of the daily event-count series at candidate periods
+    of 2..10 days — dominant-cycle detection (the explicit-frequency probe
+    a seasonality detector runs; Lomb-style since n need not divide p).
+    For period p with t the day index: C = sum(y_t*c_t) - ybar*sum(c_t)
+    with c_t = cos(2*pi*t/p) (S likewise with sin); power = 2*(C^2+S^2)/n
+    and frac_var = power / (syy - sy^2/n).
+
+    Determinism: coefficients quantize to 6dp (with the 1e-9 nudge) BEFORE
+    multiplying, y is integer, so every product is an exact multiple of
+    1e-6 well under 2^53 — the sums are exactly representable and
+    associative, and the remaining float ops are a fixed expression both
+    engines evaluate identically. Scale shape mirrors ev_autocorr: the
+    grid is calendar-bounded; the fan-out is 9 broadcast rows."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    counts = ev.select(day.alias("d")).groupBy("d").agg(
+        F.count("*").alias("y")
+    )
+    span = ev.agg(
+        F.min(day).alias("d0"),
+        F.datediff(F.max(day), F.min(day)).alias("n_days_minus1"),
+    )
+    grid = span.select(
+        "d0", F.explode(F.sequence(F.lit(0), F.col("n_days_minus1"))).alias("x")
+    ).select("x", F.date_add(F.col("d0"), F.col("x")).alias("d"))
+    dense = grid.join(F.broadcast(counts), "d", "left").select(
+        "x", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    mom = dense.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    periods = spark.range(
+        PERIODOGRAM_PERIODS[0], PERIODOGRAM_PERIODS[-1] + 1
+    ).select(F.col("id").cast("int").alias("period"))
+    ang = 2.0 * math.pi * F.col("x") / F.col("period")
+    cq = F.round(F.lit(1e-9) + F.cos(ang), 6)
+    sq = F.round(F.lit(1e-9) + F.sin(ang), 6)
+    per_p = (
+        dense.crossJoin(F.broadcast(periods))
+        .select("period", "y", cq.alias("cq"), sq.alias("sq"))
+        .groupBy("period")
+        .agg(
+            F.sum(F.col("y") * F.col("cq")).alias("sxc"),
+            F.sum(F.col("y") * F.col("sq")).alias("sxs"),
+            F.sum("cq").alias("sc"),
+            F.sum("sq").alias("ss"),
+        )
+    )
+    ybar = F.col("sy") / F.col("n")
+    c = F.col("sxc") - ybar * F.col("sc")
+    s = F.col("sxs") - ybar * F.col("ss")
+    power = 2.0 * (c * c + s * s) / F.col("n")
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return (
+        per_p.crossJoin(F.broadcast(mom))
+        .select(
+            "period",
+            F.round(F.lit(1e-9) + power, 4).alias("power"),
+            F.round(F.lit(1e-9) + power / sst, 6).alias("frac_var"),
+        )
+        .orderBy("period")
+    )
+
+
+EV_PERIODOGRAM_SQL = f"""
+WITH counts AS (
+  SELECT date_trunc('day', ts)::DATE AS d, count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+),
+span AS (
+  SELECT min(date_trunc('day', ts)::DATE) AS d0,
+         date_diff('day', min(date_trunc('day', ts)::DATE),
+                   max(date_trunc('day', ts)::DATE)) AS n_days_minus1
+  FROM events
+),
+grid AS (
+  SELECT x.x::BIGINT AS x, s.d0 + x.x::INT AS d
+  FROM span s, unnest(range(0, (SELECT n_days_minus1 + 1 FROM span))) x(x)
+),
+dense AS (
+  SELECT g.x, coalesce(c.y, 0)::BIGINT AS y
+  FROM grid g LEFT JOIN counts c ON c.d = g.d
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+         sum(y*y)::BIGINT AS syy
+  FROM dense
+),
+periods AS (SELECT unnest(range({PERIODOGRAM_PERIODS[0]},
+                               {PERIODOGRAM_PERIODS[-1] + 1}))::INT AS period),
+coef AS (
+  SELECT p.period, d.y,
+         round(1e-9 + cos(2 * pi() * d.x / p.period), 6) AS cq,
+         round(1e-9 + sin(2 * pi() * d.x / p.period), 6) AS sq
+  FROM dense d CROSS JOIN periods p
+),
+per_p AS (
+  SELECT period, sum(y * cq) AS sxc, sum(y * sq) AS sxs,
+         sum(cq) AS sc, sum(sq) AS ss
+  FROM coef GROUP BY 1
+)
+SELECT period,
+       round(1e-9 + 2.0 * ((sxc - sy::DOUBLE/n*sc)*(sxc - sy::DOUBLE/n*sc)
+                         + (sxs - sy::DOUBLE/n*ss)*(sxs - sy::DOUBLE/n*ss)) / n,
+             4) AS power,
+       round(1e-9 + (2.0 * ((sxc - sy::DOUBLE/n*sc)*(sxc - sy::DOUBLE/n*sc)
+                          + (sxs - sy::DOUBLE/n*ss)*(sxs - sy::DOUBLE/n*ss)) / n)
+                    / (syy - sy::DOUBLE*sy/n), 6) AS frac_var
+FROM per_p, mom
+ORDER BY period
+"""
+
+QUERIES.update({"ev_periodogram": ev_periodogram})
+ORACLES.update({"ev_periodogram": EV_PERIODOGRAM_SQL})

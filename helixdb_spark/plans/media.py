@@ -465,3 +465,52 @@ ORDER BY d.doc_id
 
 QUERIES.update({"mm_decode_ppm": mm_decode_ppm})
 ORACLES.update({"mm_decode_ppm": MM_DECODE_PPM_SQL})
+
+
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segments per audio doc (operators.multimodal.
+    audio_vad_segments): 10-sample window RMS thresholded at 74 (the
+    expected RMS of the synthetic centered-byte PCM, so roughly half the
+    windows are active), consecutive active windows merged gaps-and-
+    islands — the silence-trim statistic an audio curation pipeline
+    computes before paying for transcription. Fully silent clips report
+    zero segments. The oracle regenerates the identical PCM."""
+    media = mm.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return mm.audio_vad_segments(media).orderBy("doc_id")
+
+
+MM_VAD_SQL = f"""
+WITH s AS (
+  SELECT doc_id, (i // {mm.VAD_WINDOW})::INT AS win,
+         (('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 2))::BIGINT
+           - 128)::DOUBLE AS v
+  FROM documents, range({mm.AUDIO_N_SAMPLES}) t(i)
+),
+en AS (
+  SELECT doc_id, win, round(sqrt(avg(v * v)) + 1e-9, 6) AS rms
+  FROM s GROUP BY 1, 2
+),
+act AS (
+  SELECT doc_id, win,
+         win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS grp
+  FROM en WHERE rms > {mm.VAD_RMS_THRESHOLD}
+),
+segs AS (
+  SELECT doc_id, grp, count(*)::BIGINT AS len
+  FROM act GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_segments,
+         sum(len)::BIGINT AS active_windows, max(len)::BIGINT AS longest_run
+  FROM segs GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_segments, 0)::BIGINT AS n_segments,
+       coalesce(p.active_windows, 0)::BIGINT AS active_windows,
+       coalesce(p.longest_run, 0)::BIGINT AS longest_run
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+QUERIES.update({"mm_audio_vad": mm_audio_vad})
+ORACLES.update({"mm_audio_vad": MM_VAD_SQL})

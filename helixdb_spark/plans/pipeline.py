@@ -5582,3 +5582,186 @@ FROM h, poss ORDER BY method
 
 QUERIES.update({"ann_ivfpq_recall_audit": ann_ivfpq_recall_audit})
 ORACLES.update({"ann_ivfpq_recall_audit": _ivfpq_recall_sql()})
+
+
+# -------------------------------- filtered vector search (r8 cont.)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search — top-k among only the vectors whose
+    document passes a metadata predicate (lang = 'en'), the shape every
+    production vector store exposes as a filter clause. Strategy here is
+    PRE-filter: the allowed-id set semi-joins the corpus BEFORE any
+    distance math, so selective predicates shrink the scored set
+    proportionally (post-filtering a top-k would under-fill k); at scale
+    the predicate side is a pruned metadata scan and the semi join is a
+    broadcast for selective filters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    allowed = docs.where(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = emb.join(allowed, "vec_id", "left_semi")
+    return _sim.brute_force_topk(corpus, _query_vecs(spark, sf_dir), k=ANN_K)
+
+
+ANN_FILTERED_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id < {N_QUERY_VECS}),
+corpus AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en'
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(1e-9 + list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM corpus c CROSS JOIN q
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
+SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= {ANN_K}
+ORDER BY query_id, rk
+"""
+
+QUERIES.update({"ann_filtered_topk": ann_filtered_topk})
+ORACLES.update({"ann_filtered_topk": ANN_FILTERED_SQL})
+
+
+# -------------------------------- corpus kNN-graph label purity (r8 cont.)
+KNN_GRAPH_K = 3
+
+
+def knn_graph_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of the corpus-wide approximate kNN graph
+    (operators.similarity.knn_graph — every vector's top-3 within its LSH
+    bucket, self excluded): per label, the micro-averaged fraction of
+    graph edges that stay inside the label. This is the neighborhood-
+    consistency QC a labeled embedding corpus runs before trusting the
+    labels for SemDeDup-style pruning — emb_knn_label_qc's exact 1-NN
+    check, upgraded to the bucketed k>1 graph that actually scales (the
+    candidate stage is an equi self-join on the bucket key)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = _sim.knn_graph(emb, k=KNN_GRAPH_K)
+    lab = emb.select("vec_id", "label")
+    src_lab = lab.select(
+        F.col("vec_id").alias("src"), F.col("label").alias("src_label")
+    )
+    nbr_lab = lab.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nbr_label")
+    )
+    return (
+        g.join(src_lab, "src")
+        .join(nbr_lab, "neighbor_id")
+        .groupBy(F.col("src_label").alias("label"))
+        .agg(
+            F.count_distinct("src").alias("n_vecs"),
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum(
+                (F.col("src_label") == F.col("nbr_label")).cast("long")
+            ).alias("n_same_label"),
+        )
+        .withColumn(
+            "purity",
+            F.round(
+                F.lit(1e-9) + F.col("n_same_label") / F.col("n_edges"), 6
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+def _knn_purity_sql() -> str:
+    bucket_expr = _bucket_expr_sql
+    return f"""
+WITH c AS (SELECT vec_id, label, embedding, {bucket_expr('embedding')} AS bucket
+           FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS src, a.label AS src_label,
+         b.vec_id AS neighbor_id, b.label AS nbr_label,
+         round(1e-9 + list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+  FROM c a JOIN c b USING (bucket)
+  WHERE a.vec_id != b.vec_id
+),
+g AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+        ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {KNN_GRAPH_K}
+)
+SELECT src_label AS label, count(DISTINCT src)::BIGINT AS n_vecs,
+       count(*)::BIGINT AS n_edges,
+       sum(CASE WHEN src_label = nbr_label THEN 1 ELSE 0 END)::BIGINT
+         AS n_same_label,
+       round(1e-9 + sum(CASE WHEN src_label = nbr_label THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS purity
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES.update({"knn_graph_purity": knn_graph_purity})
+ORACLES.update({"knn_graph_purity": _knn_purity_sql()})
+
+
+# ----------------------------- CCNet-style perplexity buckets (r8 cont.)
+def curate_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): every doc
+    scored by the corpus-trained bigram LM (bits/bigram), then split into
+    head/middle/tail TERCILES WITHIN ITS LANGUAGE — cross-language
+    perplexities are not comparable, which is exactly why CCNet buckets
+    per language. Bucket assignment is rank arithmetic over the 6dp-
+    rounded score with doc_id tie-break ((3*(rn-1)) div n), so both
+    engines cut identically; docs under 2 tokens have no bigram score and
+    are out of scope (the LM scorer's contract). Per-(lang, bucket)
+    volumes and mean bits are what a mixing policy reads to oversample
+    the head."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _ta.bigram_lm_score(docs)
+    j = scored.select("doc_id", "lm_bits").join(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id"
+    )
+    w = W.partitionBy("lang").orderBy("lm_bits", "doc_id")
+    ranked = (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(W.partitionBy("lang")))
+    )
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        (F.expr("(3 * (rn - 1)) div n") + 1).cast("int"),
+    )
+    return (
+        ranked.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.round(
+                F.lit(1e-9) + F.sum("lm_bits") / F.count("*"), 6
+            ).alias("avg_bits"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def _ppl_buckets_sql() -> str:
+    return f"""
+WITH s AS ({_ta.bigram_lm_score_sql(_NORM)}),
+j AS (
+  SELECT s.doc_id, s.lm_bits, d.lang, d.n_chars
+  FROM s JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+               ORDER BY lm_bits, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM j
+)
+SELECT lang,
+       (['head', 'middle', 'tail'])[(3 * (rn - 1)) // n + 1] AS bucket,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       round(1e-9 + sum(lm_bits) / count(*), 6) AS avg_bits
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES.update({"curate_ppl_buckets": curate_ppl_buckets})
+ORACLES.update({"curate_ppl_buckets": _ppl_buckets_sql()})

@@ -2380,3 +2380,110 @@ ORDER BY node
 
 QUERIES.update({"nation_trade_lpa": nation_trade_lpa})
 ORACLES.update({"nation_trade_lpa": _lpa_sql()})
+
+
+# ------------------------------------- trade link prediction (r8 cont.)
+def nation_trade_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the STRONG-trade graph: undirected
+    nation edges whose shipped revenue exceeds the global per-edge mean
+    (the raw q7 trade graph is complete, so prediction needs the
+    thresholded backbone); for each non-adjacent pair sharing strong
+    partners, operators.graph.link_prediction_scores ranks the pairs most
+    likely to become strong partners — hub-discounted common-neighbor
+    evidence (Adamic & Adar 2003). Per-line revenue quantizes to int64
+    cents BEFORE the edge sum and the mean test is cross-multiplied
+    integer arithmetic (wq*m > t), so the backbone is partition-order
+    exact. Top 10 by (adamic_adar desc, names) — candidates are bounded
+    by the nation-pair grid, never by lineitem volume."""
+    from helixdb_spark.operators.graph import link_prediction_scores
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rq = F.round(
+        F.lit(1e-9) + F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+        0,
+    ).cast("long")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+            rq.alias("rq"),
+        )
+    )
+    und = e0.groupBy("a", "b").agg(F.sum("rq").cast("long").alias("wq"))
+    tot = und.agg(
+        F.sum("wq").cast("long").alias("t"), F.count("*").cast("long").alias("m")
+    )
+    strong = (
+        und.crossJoin(F.broadcast(tot))
+        .where(F.col("wq") * F.col("m") > F.col("t"))
+        .select("a", "b")
+    )
+    pred = link_prediction_scores(strong)
+    na = nation.select(
+        F.col("n_nationkey").alias("a"), F.col("n_name").alias("a_name")
+    )
+    nb = nation.select(
+        F.col("n_nationkey").alias("b"), F.col("n_name").alias("b_name")
+    )
+    return (
+        pred.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select("a_name", "b_name", "common_neighbors", "adamic_adar")
+        .orderBy(F.desc("adamic_adar"), "a_name", "b_name")
+        .limit(10)
+    )
+
+
+NATION_LINKPRED_SQL = """
+WITH e0 AS (
+  SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+         greatest(s.s_nationkey, c.c_nationkey) AS b,
+         CAST(round(1e-9 + l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS rq
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey != c.c_nationkey
+),
+und AS (SELECT a, b, sum(rq)::BIGINT AS wq FROM e0 GROUP BY 1, 2),
+tot AS (SELECT sum(wq)::BIGINT AS t, count(*)::BIGINT AS m FROM und),
+strong AS (SELECT a, b FROM und, tot WHERE wq * m > t),
+adj AS (
+  SELECT a AS node, b AS nbr FROM strong
+  UNION ALL SELECT b, a FROM strong
+),
+deg AS (SELECT node AS w, count(*)::BIGINT AS deg_w FROM adj GROUP BY 1),
+wedges AS (
+  SELECT p.node AS x, q.node AS y,
+         CAST(round(1e-9 + 1e9 / ln(d.deg_w)) AS BIGINT) AS tq
+  FROM adj p JOIN adj q ON p.nbr = q.nbr AND p.node < q.node
+  JOIN deg d ON d.w = p.nbr
+),
+scored AS (
+  SELECT x AS a, y AS b, count(*)::BIGINT AS common_neighbors,
+         round(1e-9 + sum(tq)::DOUBLE / 1e9, 6) AS adamic_adar
+  FROM wedges GROUP BY 1, 2
+),
+pred AS (
+  SELECT s.* FROM scored s ANTI JOIN strong e ON s.a = e.a AND s.b = e.b
+)
+SELECT na.n_name AS a_name, nb.n_name AS b_name, common_neighbors,
+       adamic_adar
+FROM pred
+JOIN nation na ON pred.a = na.n_nationkey
+JOIN nation nb ON pred.b = nb.n_nationkey
+ORDER BY adamic_adar DESC, a_name, b_name
+LIMIT 10
+"""
+
+QUERIES.update({"nation_trade_linkpred": nation_trade_linkpred})
+ORACLES.update({"nation_trade_linkpred": NATION_LINKPRED_SQL})

@@ -317,6 +317,17 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "ann_pq_recall_audit",  # exact-L2 brute truth tier vs the PQ codes
         "sketch_hll_sliding",  # 256-row register grid broadcast + the
         # trailing-window exact-audit range join over the tiny day list
+        "ann_filtered_topk",  # the brute-force tier over the metadata-
+        # filtered corpus: |Q|-row query broadcast, the design point
+        "ann_ivfpq_recall_audit",  # brute truth tier + the two quantizer
+        # tiers' k-row/1-row broadcasts + 1-row possible broadcast
+        "curate_ppl_buckets",  # rides text_bigram_lm_score's 1-row
+        # vocab-size aggregate broadcast
+        "nation_trade_linkpred",  # 1-row edge-mean (t, m) broadcast into
+        # the strong-backbone threshold
+        "ev_autocorr",  # 1-row global-moment broadcast + 7-row lag fan-out
+        "ev_periodogram",  # 1-row global-moment broadcast + 9-row period
+        # fan-out
     }
     # streaming queries execute on construction; dedup_clusters and
     # emb_kmeans run their iterative jobs on construction — covered by

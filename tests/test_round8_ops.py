@@ -577,3 +577,90 @@ def test_lpa_driver_and_distributed_paths_identical(spark, monkeypatch):
     nodes = {t[0] for t in fast}
     assert nodes == {0, 1, 2, 10, 11, 12}
     assert {t[1] for t in fast} <= nodes
+
+
+# --------------------------- round-8 continuation: new operator units ----
+def test_link_prediction_scores_hand_graph(spark):
+    """Path graph 1-2-3 plus 2-4: non-adjacent pairs through center 2
+    (deg 3) and the leaf wedges. AA(1,3)=AA(1,4)=AA(3,4)=1/ln(3); no
+    adjacent pair appears; common-neighbor counts are exact."""
+    import math
+
+    from helixdb_spark.operators.graph import link_prediction_scores
+
+    und = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "a int, b int"
+    )
+    got = {
+        (r["a"], r["b"]): (r["common_neighbors"], r["adamic_adar"])
+        for r in link_prediction_scores(und).collect()
+    }
+    expect_aa = round(1e-9 + round(1e-9 + 1e9 / math.log(3)) / 1e9, 6)
+    assert set(got) == {(1, 3), (1, 4), (3, 4)}
+    assert all(v == (1, expect_aa) for v in got.values())
+
+
+def test_link_prediction_excludes_adjacent_and_handles_squares(spark):
+    """4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4) each share TWO
+    degree-2 neighbors -> cn=2, aa=2/ln(2); edges themselves never
+    predicted."""
+    import math
+
+    from helixdb_spark.operators.graph import link_prediction_scores
+
+    und = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "a int, b int"
+    )
+    rows = {
+        (r["a"], r["b"]): (r["common_neighbors"], r["adamic_adar"])
+        for r in link_prediction_scores(und).collect()
+    }
+    per_wedge = round(1e-9 + 1e9 / math.log(2))
+    expect = round(1e-9 + 2 * per_wedge / 1e9, 6)
+    assert rows == {(1, 3): (2, expect), (2, 4): (2, expect)}
+
+
+def test_knn_graph_matches_per_vector_probe(spark, sf_dir):
+    """The corpus kNN graph restricted to one vector equals lsh_topk
+    probing that vector (minus the self hit) — same buckets, same scores,
+    same tie-breaks."""
+    from helixdb_spark.operators import similarity as sim
+    from helixdb_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = sim.knn_graph(emb, k=3)
+    probe_vec = emb.where(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    probe = sim.lsh_topk(emb, probe_vec, k=4)  # self lands at rk 1
+    got = [
+        (r["neighbor_id"], r["cosine"])
+        for r in g.where(F.col("src") == 7).orderBy("rk").collect()
+    ]
+    want = [
+        (r["neighbor_id"], r["cosine"])
+        for r in probe.orderBy("rk").collect()
+        if r["neighbor_id"] != 7
+    ]
+    assert got == want[: len(got)] and len(got) == 3
+
+
+def test_audio_vad_segments_threshold_edges(spark, monkeypatch):
+    """Islands merge correctly and silent docs survive with zeros: force
+    the threshold so doc windows alternate active/inactive predictably."""
+    from helixdb_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    # threshold below any possible RMS -> every window active, one segment
+    all_on = {
+        r["doc_id"]: (r["n_segments"], r["active_windows"], r["longest_run"])
+        for r in mm.audio_vad_segments(media, threshold=-1.0).collect()
+    }
+    n_win = mm.AUDIO_N_SAMPLES // mm.VAD_WINDOW
+    assert all_on == {0: (1, n_win, n_win), 1: (1, n_win, n_win)}
+    # threshold above any possible RMS -> zero segments, docs retained
+    all_off = {
+        r["doc_id"]: (r["n_segments"], r["active_windows"], r["longest_run"])
+        for r in mm.audio_vad_segments(media, threshold=1e9).collect()
+    }
+    assert all_off == {0: (0, 0, 0), 1: (0, 0, 0)}
