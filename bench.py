@@ -187,6 +187,10 @@ HEADLINE = [
     "ev_autocorr",
     "ev_periodogram",
     "mm_audio_vad",
+    "hybrid_rrf_search",
+    "emb_jl_distortion",
+    # knn_graph_descent graded but NOT benched: its toy-SF cost is stage
+    # scheduling across ~20 iterative mini-jobs, not data (see docstring)
 ]
 
 # db_bench-shaped KV micro-bench. Default is scaled down to keep the bench

@@ -1756,3 +1756,106 @@ def knn_graph(
         .where(F.col("rk") <= k)
         .select("src", "rk", "neighbor_id", "cosine")
     )
+
+
+def knn_graph_refine(
+    corpus: DataFrame,
+    base: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_r: int | None = None,
+) -> DataFrame:
+    """One NN-Descent round (Dong, Moses & Li, WWW 2011): the key insight
+    is that a neighbor's neighbor is likely a neighbor, so each round
+    scores the current graph's edges, their reversals, and all 2-hop
+    paths through the symmetrized graph, then keeps the top-k per vector.
+    Starting from the LSH-bucketed ``knn_graph`` this converges toward
+    the exact kNN graph in a few rounds WITHOUT any all-pairs stage —
+    the scalable way to tighten an approximate graph.
+
+    Hub control (the paper's ρK neighbor sampling): reverse edges
+    concentrate on high-cosine hubs, so WITHOUT a cap the 2-hop join
+    volume is sum(deg²) and explodes after one round. The symmetrized
+    adjacency is therefore sampled to at most ``sample_r`` (default 2k)
+    neighbors per node, picked by a deterministic md5 hash order so the
+    SQL oracle reproduces the same sample. Forward top-k edges are
+    re-admitted unsampled, so ranking stays monotone per round.
+
+    Scale shape: candidate generation is two equi self-joins on node keys
+    (candidate volume <= |V|·sample_r² per round); scoring joins the
+    vector table twice on its id key.
+    """
+    r_cap = sample_r if sample_r is not None else 2 * k
+    sym = (
+        base.select(F.col("src").alias("a"), F.col("neighbor_id").alias("b"))
+        .unionByName(
+            base.select(
+                F.col("neighbor_id").alias("a"), F.col("src").alias("b")
+            )
+        )
+        .distinct()
+    )
+    ws = W.partitionBy("a").orderBy(
+        F.md5(F.concat_ws(":", F.col("a"), F.col("b"))), F.asc("b")
+    )
+    adj = (
+        sym.withColumn("_srk", F.row_number().over(ws))
+        .where(F.col("_srk") <= r_cap)
+        .select("a", "b")
+    )
+    two_hop = (
+        adj.select(F.col("a"), F.col("b").alias("_mid"))
+        .join(adj.select(F.col("a").alias("_mid"), F.col("b")), "_mid")
+        .select("a", "b")
+        .where(F.col("a") != F.col("b"))
+    )
+    fwd = base.select(
+        F.col("src").alias("a"), F.col("neighbor_id").alias("b")
+    )
+    cand = fwd.unionByName(adj).unionByName(two_hop).distinct()
+    c = spread(corpus)
+    left = c.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_avec"))
+    right = c.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_bvec"))
+    scored = (
+        cand.join(left, "a")
+        .join(right, "b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.lit(1e-9)
+                + cosine_similarity(F.col("_avec"), F.col("_bvec")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("a").alias("src"),
+            "rk",
+            F.col("b").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+
+
+JL_OUT_DIM = 16
+
+
+def jl_project(
+    vec: Column, out_dim: int = JL_OUT_DIM, dim: int = DIM
+) -> Column:
+    """Johnson-Lindenstrauss random-sign projection to ``out_dim``
+    dimensions: component j is ``(sign_j · v) / sqrt(out_dim)`` with the
+    deterministic md5 sign family (``plane_sign``, row offset by 100 so
+    the JL matrix never aliases the LSH planes). Per-row sequential fold
+    — no partition-order sensitivity; the SQL twin regenerates the same
+    signs. 1/sqrt(16) = 0.25 is exact in binary, so the scale step costs
+    no precision."""
+    scale = 1.0 / (out_dim**0.5)
+    return F.array(
+        *[_plane_dot(vec, 100 + j, dim) * F.lit(scale) for j in range(out_dim)]
+    )

@@ -328,6 +328,12 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "ev_autocorr",  # 1-row global-moment broadcast + 7-row lag fan-out
         "ev_periodogram",  # 1-row global-moment broadcast + 9-row period
         # fan-out
+        "hybrid_rrf_search",  # the two top-20 retriever tiers' design-point
+        # broadcasts (brute |Q|=1 tier + BM25's 1-row corpus stats)
+        "knn_graph_descent",  # sampled brute truth tier + 1-row n_vecs /
+        # possible broadcasts (the recall-audit shape)
+        "emb_jl_distortion",  # bounded sample-pair audit tier: the 10% id
+        # sample crossed with itself is the measurement, not the operator
     }
     # streaming queries execute on construction; dedup_clusters and
     # emb_kmeans run their iterative jobs on construction — covered by

@@ -664,3 +664,61 @@ def test_audio_vad_segments_threshold_edges(spark, monkeypatch):
         for r in mm.audio_vad_segments(media, threshold=1e9).collect()
     }
     assert all_off == {0: (0, 0, 0), 1: (0, 0, 0)}
+
+
+def test_knn_refine_hits_monotone(spark):
+    """knn_graph_refine's candidate set contains the previous edges, so
+    per-node top-k can only improve in cosine order — overlap with the
+    exact graph never shrinks round over round (tiny sf0.001 corpus)."""
+    from helixdb_spark.operators import similarity as sim
+    from helixdb_spark.sources import load_table
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = sim.knn_graph(emb, k=3)
+    g1 = sim.knn_graph_refine(emb, base, k=3)
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("_a"))
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_b")
+    )
+    from helixdb_spark.functions.vector import cosine_similarity
+
+    w = W.partitionBy("src").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    exact = (
+        a.join(F.broadcast(b), F.col("src") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(F.lit(1e-9) + cosine_similarity(F.col("_a"), F.col("_b")), 6),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("src", "neighbor_id")
+    )
+
+    def hits(g):
+        return g.select("src", "neighbor_id").join(
+            exact, ["src", "neighbor_id"], "left_semi"
+        ).count()
+
+    assert hits(g1) >= hits(base)
+
+
+def test_jl_distortion_is_a_contraction_audit(spark, sf_dir):
+    """The JL audit's pair count is exactly C(|sample|, 2) (no pair lost to
+    a zero original distance in this corpus) and mean <= max."""
+    from helixdb_spark.plans.pipeline import (
+        JL_SAMPLE_MOD,
+        emb_jl_distortion,
+    )
+    from helixdb_spark.sources import load_table
+
+    n = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % JL_SAMPLE_MOD == 0)
+        .count()
+    )
+    row = emb_jl_distortion(spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == n * (n - 1) // 2
+    assert 0.0 <= row["mean_distortion"] <= row["max_distortion"]
