@@ -189,6 +189,10 @@ HEADLINE = [
     "mm_audio_vad",
     "hybrid_rrf_search",
     "emb_jl_distortion",
+    "nation_trade_closeness",
+    "ann_ivfpq_rerank",
+    # curate_dedup_savings graded but NOT benched: its cost IS the already-
+    # benched canonical-closure family (dedup_minhash_lsh + components)
     # knn_graph_descent graded but NOT benched: its toy-SF cost is stage
     # scheduling across ~20 iterative mini-jobs, not data (see docstring)
 ]

@@ -581,3 +581,79 @@ def link_prediction_scores(
         ),
     )
     return scored.join(und_edges.select(a_col, b_col), [a_col, b_col], "left_anti")
+
+
+def harmonic_centrality(
+    und_edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Bounded-hop harmonic centrality over a deduped undirected edge list:
+    ``H(v) = sum over u reached within max_hops of 1/d(v,u)`` (Boldi &
+    Vigna, "Axioms for centrality", 2014 — harmonic handles disconnected
+    graphs where classic closeness breaks). Distances come from
+    ``max_hops`` synchronous multi-source BFS rounds — the standard BSP
+    frontier expansion: each round joins the CURRENT frontier to the
+    adjacency list on the node key and anti-joins everything already
+    settled, so per-round work is |frontier|·avg_deg, never |V|².
+    Fixed-round semantics make the operator deterministic on any graph
+    (beyond-horizon pairs simply contribute 0 — the bounded-radius
+    variant used at web scale, where full APSP is unpayable).
+
+    Per-pair terms quantize 1/d to scaled int64 before the per-node sum
+    (1/3 is not binary-exact — the exact-sum discipline). Returns
+    (node, n_reached, harmonic).
+    """
+    from helixdb_spark.operators.util import (
+        tracked_local_checkpoint,
+        unpersist_on_gc,
+    )
+
+    cp_handles: list = []
+    # the adjacency list joins into EVERY round's frontier expansion —
+    # checkpoint it once so the (possibly expensive) edge build upstream
+    # runs one job, not one per round
+    adj = tracked_local_checkpoint(
+        und_edges.select(
+            F.col(a_col).alias("node"), F.col(b_col).alias("nbr")
+        ).unionByName(
+            und_edges.select(
+                F.col(b_col).alias("node"), F.col(a_col).alias("nbr")
+            )
+        ),
+        cp_handles,
+    )
+    nodes = adj.select("node").distinct()
+    settled = nodes.select(
+        F.col("node").alias("src"), F.col("node").alias("dst"), F.lit(0).alias("d")
+    )
+    frontier = settled
+    # settled feeds both the anti-join and the union every round —
+    # checkpoint per round so the recompute DAG stays linear in max_hops
+    for r in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(
+                adj.select(F.col("node").alias("dst"), F.col("nbr")), "dst"
+            )
+            .select("src", F.col("nbr").alias("dst"))
+            .distinct()
+            .join(settled.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("d", F.lit(r))
+        )
+        settled = tracked_local_checkpoint(
+            settled.unionByName(nxt), cp_handles
+        )
+        frontier = settled.where(F.col("d") == r)
+    term_q = F.round(F.lit(1e-9) + F.lit(1e9) / F.col("d"), 0).cast("long")
+    reached = settled.where(F.col("d") > 0)
+    return unpersist_on_gc(
+        reached.groupBy(F.col("src").alias("node"))
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.round(F.lit(1e-9) + F.sum(term_q) / F.lit(1e9), 6).alias(
+                "harmonic"
+            ),
+        ),
+        *cp_handles,
+    )

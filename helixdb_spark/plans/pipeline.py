@@ -4975,7 +4975,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_adc_sql() -> str:
+def _ivfpq_adc_sql(k_nn: int = ANN_K) -> str:
     m, k, n_iter = _sim.PQ_M, _sim.PQ_K, _sim.PQ_ITERS
     dim = _sim.DIM
     sub = dim // m
@@ -5058,7 +5058,7 @@ scored AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY adc_dist ASC, vec_id ASC) AS rk FROM scored)
 SELECT query_id, rk, vec_id AS neighbor_id, adc_dist
-FROM r WHERE rk <= {ANN_K}
+FROM r WHERE rk <= {k_nn}
 ORDER BY query_id, rk
 """
 
@@ -6181,3 +6181,152 @@ FROM d
 
 QUERIES.update({"emb_jl_distortion": emb_jl_distortion})
 ORACLES.update({"emb_jl_distortion": _jl_distortion_sql()})
+
+
+# -------------------------------------- dedup savings report (r8 cont.)
+def curate_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number a dedup pass is judged by: per-source docs/tokens BEFORE
+    vs AFTER applying the canonical survivorship map (dedup_canonical —
+    MinHash-LSH pairs, transitive clusters, longest-doc election): every
+    non-canonical cluster member is dropped, tokens counted with the
+    BPE-ish rule the budget operators use. This is the savings table a
+    pipeline publishes next to its mixing weights so downstream token
+    budgets are set against the DEDUPED corpus. Scale shape: the drop set
+    rides the already-graded canonical map; the report is one scan with a
+    key join on doc_id."""
+    from helixdb_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    drops = (
+        dedup_canonical(spark, sf_dir)
+        .where(F.col("is_canonical") == 0)
+        .select("doc_id", F.lit(1).alias("_dropped"))
+    )
+    t = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    j = t.join(drops, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        F.coalesce("_dropped", F.lit(0)).alias("dropped"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum(
+                F.when(F.col("dropped") == 0, F.col("n_tokens")).otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .withColumn(
+            "savings_rate",
+            F.round(
+                F.lit(1e-9)
+                + 1.0
+                - F.col("tokens_kept") / F.col("tokens_total"),
+                6,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_savings_sql() -> str:
+    return rf"""
+WITH canon AS ({_canonical_sql()}),
+drops AS (SELECT doc_id FROM canon WHERE is_canonical = 0),
+t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS n_tokens
+  FROM documents
+),
+j AS (
+  SELECT t.source, t.n_tokens,
+         CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS dropped
+  FROM t LEFT JOIN drops d USING (doc_id)
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(dropped)::BIGINT AS n_dropped,
+       sum(n_tokens)::BIGINT AS tokens_total,
+       sum(CASE WHEN dropped = 0 THEN n_tokens ELSE 0 END)::BIGINT
+         AS tokens_kept,
+       round(1e-9 + 1.0 - sum(CASE WHEN dropped = 0 THEN n_tokens ELSE 0 END)::DOUBLE
+             / sum(n_tokens), 6) AS savings_rate
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES.update({"curate_dedup_savings": curate_dedup_savings})
+ORACLES.update({"curate_dedup_savings": _dedup_savings_sql()})
+
+
+# --------------------------------- IVFADC + exact re-rank (r8 cont.)
+RERANK_CAND = 20
+
+
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard two-stage ANN serving path (FAISS refine / SPANN
+    re-rank): IVFADC proposes a 4k candidate pool through byte codes
+    (never touching raw vectors), then ONLY those candidates' original
+    vectors are fetched and re-scored with exact cosine for the final
+    top-k. This buys back most quantization error at the cost of
+    |Q|·RERANK_CAND random vector fetches — at scale, a broadcast-keyed
+    join against the id-keyed vector table, which is exactly how it is
+    expressed here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vecs(spark, sf_dir)
+    cand = _sim.ivfpq_adc_topk(
+        emb, q, k_nn=RERANK_CAND, prefit=_ivfpq_prefit(spark, sf_dir)
+    )
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nvec")
+    )
+    qv = q.select("query_id", F.col("embedding").alias("_qvec"))
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id")
+        .join(nb, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.lit(1e-9)
+                + _sim.cosine_similarity(F.col("_qvec"), F.col("_nvec")),
+                6,
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= ANN_K)
+        .select("query_id", "rk", "neighbor_id", "cosine")
+        .orderBy("query_id", "rk")
+    )
+
+
+def _ivfpq_rerank_sql() -> str:
+    return f"""
+WITH cand AS ({_ivfpq_adc_sql(RERANK_CAND)}),
+sc AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(1e-9 + list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN embeddings q ON q.vec_id = c.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM sc)
+SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= {ANN_K}
+ORDER BY query_id, rk
+"""
+
+
+QUERIES.update({"ann_ivfpq_rerank": ann_ivfpq_rerank})
+ORACLES.update({"ann_ivfpq_rerank": _ivfpq_rerank_sql()})

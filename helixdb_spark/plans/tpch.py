@@ -2487,3 +2487,123 @@ LIMIT 10
 
 QUERIES.update({"nation_trade_linkpred": nation_trade_linkpred})
 ORACLES.update({"nation_trade_linkpred": NATION_LINKPRED_SQL})
+
+
+# ------------------------------------ harmonic centrality (r8 cont.)
+CLOSENESS_MAX_HOPS = 4
+
+
+def nation_trade_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop harmonic centrality (Boldi & Vigna 2014) on the sparse
+    top-2 trade backbone (the nation_trade_lpa graph, undirected):
+    operators.graph.harmonic_centrality runs 4 synchronous multi-source
+    BFS rounds — frontier-join-anti-join per round, the BSP shape that
+    scales to web graphs where full APSP is unpayable — and scores each
+    nation by sum(1/d) over pairs settled within the horizon. On the
+    dense above-mean backbone every pair sits at d<=2 and the metric
+    collapses toward degree; the top-2 backbone keeps real multi-hop
+    structure. 1/d quantizes to scaled int64 before the per-node sum
+    (1/3 is not binary-exact)."""
+    from pyspark.sql.window import Window as W
+
+    from helixdb_spark.operators.graph import harmonic_centrality
+    from helixdb_spark.operators.util import carry_caches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair_rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + F.lit(1e-9),
+                2,
+            ).alias("rev")
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("rev"), F.asc("dst"))
+    und = (
+        pair_rev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= LPA_TOP_PARTNERS)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    hc = harmonic_centrality(und, max_hops=CLOSENESS_MAX_HOPS)
+    return carry_caches(
+        hc.join(F.broadcast(nation), hc["node"] == nation["n_nationkey"])
+        .select("node", "n_name", "n_reached", "harmonic")
+        .orderBy("node"),
+        hc,
+    )
+
+
+def _closeness_sql(
+    max_hops: int = CLOSENESS_MAX_HOPS, top: int = None
+) -> str:
+    top = top if top is not None else LPA_TOP_PARTNERS
+    head = f"""
+WITH pair_rev AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey != c.c_nationkey
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM (
+    SELECT src, dst FROM (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY rev DESC, dst) AS rk
+      FROM pair_rev
+    ) WHERE rk <= {top}
+  )
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und
+),
+nodes AS (SELECT DISTINCT node FROM adj),
+s0 AS MATERIALIZED (SELECT node AS src, node AS dst, 0 AS d FROM nodes)"""
+    parts = [head]
+    for r in range(1, max_hops + 1):
+        prev = f"s{r - 1}"
+        parts.append(f""",
+f{r} AS (
+  SELECT DISTINCT f.src, a.nbr AS dst
+  FROM {prev} f JOIN adj a ON f.dst = a.node
+  WHERE f.d = {r - 1}
+),
+s{r} AS MATERIALIZED (
+  SELECT src, dst, d FROM {prev}
+  UNION ALL
+  SELECT n.src, n.dst, {r} AS d
+  FROM f{r} n ANTI JOIN {prev} p ON n.src = p.src AND n.dst = p.dst
+)""")
+    parts.append(f"""
+SELECT s.src AS node, n.n_name,
+       count(*)::BIGINT AS n_reached,
+       round(1e-9 + sum(CAST(round(1e-9 + 1e9 / d) AS BIGINT))::DOUBLE / 1e9, 6)
+         AS harmonic
+FROM s{max_hops} s JOIN nation n ON s.src = n.n_nationkey
+WHERE s.d > 0
+GROUP BY 1, 2
+ORDER BY node
+""")
+    return "".join(parts)
+
+
+QUERIES.update({"nation_trade_closeness": nation_trade_closeness})
+ORACLES.update({"nation_trade_closeness": _closeness_sql()})

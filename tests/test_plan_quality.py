@@ -334,6 +334,8 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         # possible broadcasts (the recall-audit shape)
         "emb_jl_distortion",  # bounded sample-pair audit tier: the 10% id
         # sample crossed with itself is the measurement, not the operator
+        "ann_ivfpq_rerank",  # rides ann_ivfpq_topk's allowlisted coarse-
+        # centroid broadcast; the re-rank stage itself is equi-keyed
     }
     # streaming queries execute on construction; dedup_clusters and
     # emb_kmeans run their iterative jobs on construction — covered by
@@ -354,6 +356,8 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         "emb_pca_scores",  # runs the eigenvector build on construction
         "emb_pc1_removed",  # same eigenvector build on construction
         "emb_kmeans_sampled",  # runs the sampled Lloyd fit on construction
+        "curate_dedup_savings",  # reuses dedup_canonical's iterative
+        # closure on construction (same reason dedup_canonical is skipped)
     }
     qs = entrymod.queries()
     offenders = []

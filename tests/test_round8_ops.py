@@ -722,3 +722,42 @@ def test_jl_distortion_is_a_contraction_audit(spark, sf_dir):
     row = emb_jl_distortion(spark, sf_dir).collect()[0]
     assert row["n_pairs"] == n * (n - 1) // 2
     assert 0.0 <= row["mean_distortion"] <= row["max_distortion"]
+
+
+def test_harmonic_centrality_path_graph(spark):
+    """Path 1-2-3-4 with max_hops=2: ends reach 2 nodes (1 + 1/2), middles
+    reach 3 (1 + 1 + 1/2); the d=3 pair (1,4) is beyond the horizon and
+    contributes nothing."""
+    from helixdb_spark.operators.graph import harmonic_centrality
+
+    und = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a int, b int"
+    )
+    got = {
+        r["node"]: (r["n_reached"], r["harmonic"])
+        for r in harmonic_centrality(und, max_hops=2).collect()
+    }
+    assert got == {
+        1: (2, 1.5),
+        2: (3, 2.5),
+        3: (3, 2.5),
+        4: (2, 1.5),
+    }
+
+
+def test_harmonic_centrality_horizon_extends(spark):
+    """Same path with max_hops=3: the (1,4) pair now settles at d=3 and
+    adds round(1e9/3)/1e9 to each end."""
+    from helixdb_spark.operators.graph import harmonic_centrality
+
+    und = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a int, b int"
+    )
+    got = {
+        r["node"]: (r["n_reached"], r["harmonic"])
+        for r in harmonic_centrality(und, max_hops=3).collect()
+    }
+    third = round(1e-9 + round(1e-9 + 1e9 / 3) / 1e9, 6)
+    assert got[1] == (3, round(1.5 + third, 6))
+    assert got[4] == (3, round(1.5 + third, 6))
+    assert got[2] == (3, 2.5) and got[3] == (3, 2.5)
