@@ -37,6 +37,10 @@ TOP = [
     "nation_trade_pagerank",
     "text_bpe_merges_batched",
     "dedup_minhash_lsh",
+    # round-8 continuation heavy rows
+    "nation_trade_closeness",
+    "curate_dedup_savings",
+    "ann_ivfpq_rerank",
 ]
 
 
