@@ -6037,7 +6037,7 @@ g{r} AS MATERIALIZED (
         ORDER BY cosine DESC, neighbor_id) AS rk FROM sc{r}
   ) WHERE rk <= {KNN_GRAPH_K}
 )""")
-        last = f"g{NNDESCENT_ROUNDS}"
+    last = f"g{NNDESCENT_ROUNDS}"
     parts.append(f""",
 ex AS MATERIALIZED (
   SELECT src, neighbor_id FROM (
