@@ -64,9 +64,11 @@ def main() -> None:
     ]:
         load_table(spark, SF1_DIR, t).count()
 
+    only = os.environ.get("SPARK_GRAFT_SF1_ONLY")
+    top = [n for n in TOP if n in only.split(",")] if only else TOP
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in TOP:
+    for name in top:
         best, n_rows = float("inf"), 0
         try:
             fn = qs[name]
