@@ -191,6 +191,7 @@ HEADLINE = [
     "emb_jl_distortion",
     "nation_trade_closeness",
     "ann_ivfpq_rerank",
+    "curate_split_assignment",
     # curate_dedup_savings graded but NOT benched: its cost IS the already-
     # benched canonical-closure family (dedup_minhash_lsh + components)
     # knn_graph_descent graded but NOT benched: its toy-SF cost is stage

@@ -6330,3 +6330,64 @@ ORDER BY query_id, rk
 
 QUERIES.update({"ann_ivfpq_rerank": ann_ivfpq_rerank})
 ORACLES.update({"ann_ivfpq_rerank": _ivfpq_rerank_sql()})
+
+
+# ---------------------------------- dataset split assignment (r8 cont.)
+SPLIT_BOUNDS = (80, 90)  # % cut points: train < 80 <= val < 90 <= test
+
+
+def curate_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by CONTENT hash: the split
+    key is md5 of the normalized text (not the doc id), so byte-identical
+    re-crawls of a document can never land in different splits — the
+    leakage rule eval-set hygiene actually requires. 80/10/10 by hash
+    percentile; the report is per-(source, split) docs + tokens, the
+    table an eval pipeline checks before trusting held-out numbers.
+    One scan, one map-side-combinable aggregate; the hash is the same
+    md5 family every sampler in the repo replays in SQL."""
+    from helixdb_spark.functions.text import normalized_text, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    pct = (
+        F.conv(F.substring(F.md5(normalized_text(F.col("text"))), 1, 12), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(pct < SPLIT_BOUNDS[0], "train")
+        .when(pct < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            "source",
+            split.alias("split"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+SPLIT_ASSIGN_SQL = rf"""
+WITH t AS (
+  SELECT source,
+         ('0x' || substr(md5({_NORM}), 1, 12))::BIGINT % 100 AS pct,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS n_tokens
+  FROM documents
+)
+SELECT source,
+       CASE WHEN pct < {SPLIT_BOUNDS[0]} THEN 'train'
+            WHEN pct < {SPLIT_BOUNDS[1]} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS tokens
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES.update({"curate_split_assignment": curate_split_assignment})
+ORACLES.update({"curate_split_assignment": SPLIT_ASSIGN_SQL})
