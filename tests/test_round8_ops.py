@@ -761,3 +761,28 @@ def test_harmonic_centrality_horizon_extends(spark):
     assert got[1] == (3, round(1.5 + third, 6))
     assert got[4] == (3, round(1.5 + third, 6))
     assert got[2] == (3, 2.5) and got[3] == (3, 2.5)
+
+
+def test_split_assignment_keys_on_content_not_id(spark):
+    """Byte-identical text must land in the same split regardless of
+    doc_id — the leakage rule curate_split_assignment exists to enforce
+    (splitting by id would let a re-crawl of a train doc into test)."""
+    from helixdb_spark.functions.text import normalized_text
+    from helixdb_spark.plans.pipeline import SPLIT_BOUNDS
+
+    docs = spark.createDataFrame(
+        [(1, "The exact same sentence."), (999, "The exact same sentence."),
+         (2, "A different one entirely.")],
+        "doc_id long, text string",
+    )
+    pct = (
+        F.conv(F.substring(F.md5(normalized_text(F.col("text"))), 1, 12), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(pct < SPLIT_BOUNDS[0], "train")
+        .when(pct < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+    )
+    got = {r["doc_id"]: r["s"] for r in docs.select("doc_id", split.alias("s")).collect()}
+    assert got[1] == got[999]  # same content, different ids -> same split
