@@ -479,6 +479,9 @@ class HelixSpark:
         )
         produced = self._fs.list_buckets(gen_dir)
         if not produced:
+            # empty batch: nothing to publish — remove the staged dir
+            # (otherwise it sits orphaned until vacuum(), like the clash path)
+            self._fs.delete(gen_dir)
             return
         manifest_before = dict(self._state.get("cold_manifest") or {})
         hot_buckets = set(self._fs.list_buckets(self.layout.hot_path))
@@ -1740,12 +1743,30 @@ class HelixSpark:
         self._save_state()
         for b, gen in dead:
             self._fs.delete(f"{self.layout.cold_gen_path(gen)}/time_bucket={b}")
-        for name in self._fs.listdir(self.layout.hot_path):
-            if not name.startswith("time_bucket="):
-                continue
-            if int(name.split("=", 1)[1]) <= last_full_bucket:
-                self._fs.delete(f"{self.layout.hot_path}/{name}")
-        self._invalidate_purged_indexes()
+        hot_buckets = [
+            int(name.split("=", 1)[1])
+            for name in self._fs.listdir(self.layout.hot_path)
+            if name.startswith("time_bucket=")
+        ]
+        dropped_hot = [b for b in hot_buckets if b <= last_full_bucket]
+        for b in dropped_hot:
+            self._fs.delete(f"{self.layout.hot_path}/time_bucket={b}")
+        # Purge decision for registered indexes from facts this call already
+        # holds — NO Spark jobs (r8 counted the corpus once per index here):
+        #   * whole buckets dropped -> rows definitely left the live view;
+        #   * cutoff advanced into an OCCUPIED partial bucket -> rows with
+        #     ts <= cutoff in it are now read-path-filtered, so rows MAY
+        #     have left the live view (bucket-granularity conservative).
+        # Conservative staleness costs a rebuild at worst; it is also
+        # STRICTLY SAFER than the r8 count heuristic, which missed purges
+        # whenever the index covered only a prefix of a still-larger corpus.
+        pb = cutoff // self.layout.rick_range  # the partially-covered bucket
+        advanced = prev is None or cutoff > prev
+        partial_occupied = pb > last_full_bucket and (
+            str(pb) in manifest or pb in hot_buckets
+        )
+        if dead or dropped_hot or (advanced and partial_occupied):
+            self._invalidate_purged_indexes(cutoff)
 
     # ------------------------------------------------------------------ SQL
     def entries_view(self, name: str = "entries") -> DataFrame:
@@ -1794,11 +1815,16 @@ class HelixSpark:
         ``compact_index`` only).
 
         Maintenance is APPEND-ONLY: retention (``outdate``) cannot remove
-        rows from committed index segments, so ``outdate()`` instead
-        INVALIDATES every registered index whose recorded row count now
-        exceeds its corpus (``AnnIndexStore.invalidate``) — probes raise
-        ``StaleIndexError`` rather than silently serving ids for purged
-        rows; rebuilding is the owner's call."""
+        rows from committed index segments, so an ``outdate()`` that may
+        have removed live rows (whole buckets dropped, or the cutoff
+        landing inside an occupied bucket — decided from the commit's own
+        facts, no Spark jobs) INVALIDATES every registered index
+        (``AnnIndexStore.invalidate``) — probes raise ``StaleIndexError``
+        rather than silently serving ids for purged rows; rebuilding is
+        the owner's call. Bucket-granularity conservatism: a cutoff inside
+        an occupied bucket flips indexes stale even if no row actually
+        fell below it; the rebuild is the price of never re-counting the
+        corpus on the retention path."""
         self._index_registry.append(
             (store, name, corpus_fn, max_segments, append_kw)
         )
@@ -1823,22 +1849,23 @@ class HelixSpark:
             ):
                 store.compact_index(name)
 
-    def _invalidate_purged_indexes(self) -> None:
-        """Post-retention hook: an appended index whose recorded n_rows
-        exceeds its (now smaller) corpus is serving purged ids — flip it
-        stale (see register_index docstring). Costs one count per
-        registered index and only runs when a registry exists."""
-        for store, name, corpus_fn, _max_segments, _kw in self._index_registry:
+    def _invalidate_purged_indexes(self, cutoff: int) -> None:
+        """Post-retention hook: appended index segments cannot lose rows,
+        so once retention may have removed live rows every registered
+        index may be serving purged ids — flip them stale (see
+        register_index docstring). The caller (``outdate``) decides MAY
+        from its own commit facts (buckets dropped / cutoff inside an
+        occupied bucket), so this path launches no Spark jobs; the r8
+        version counted the corpus once per index per outdate()."""
+        for store, name, _corpus_fn, _max_segments, _kw in self._index_registry:
             desc = store._state["indexes"].get(name)
             if desc is None or desc.get("stale"):
                 continue
-            n_corpus = corpus_fn(self).count()
-            if int(desc["n_rows"]) > n_corpus:
-                store.invalidate(
-                    name,
-                    f"retention purged corpus rows (index n_rows="
-                    f"{desc['n_rows']} > corpus {n_corpus})",
-                )
+            store.invalidate(
+                name,
+                f"retention (outdate cutoff={cutoff}) may have purged rows "
+                f"covered by the index (n_rows={desc['n_rows']})",
+            )
 
     # ------------------------------------------------------------------ misc
     def user_keys(self) -> DataFrame:

@@ -2711,8 +2711,12 @@ def ev_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACF sum is an INTEGER: with S1=sum(y_t*y_{t-l}), A=sum(y_t),
     B=sum(y_{t-l}) over the n-l pairs and (n, sy, syy) the global
     moments, r_l = (n^2*S1 - n*sy*(A+B) + (n-l)*sy^2) /
-    (n^2*syy - n*sy^2) — exact int64 numerator/denominator, one float
-    division at the end, so partition order cannot move the result.
+    (n^2*syy - n*sy^2). The SUMS are exact int64 (partition order cannot
+    move them); the n^2-scale products are formed in DOUBLE — at large
+    volumes (y ~ 1e7+/day over a year) n^2*syy exceeds 2^63, where Spark
+    (non-ANSI) wraps silently while DuckDB raises. Both engines evaluate
+    the identical double expression tree on identical int64 inputs, so
+    the quotient stays bit-matched.
 
     Scale shape: one map-side-combined day count, a broadcast 1-row span
     + 7-row lag fan-out, and an equi self-join on the shifted day index
@@ -2754,14 +2758,13 @@ def ev_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y0").cast("long").alias("b"),
         )
     )
+    n_d = F.col("n").cast("double")
     num = (
-        F.col("n") * F.col("n") * F.col("s1")
-        - F.col("n") * F.col("sy") * (F.col("a") + F.col("b"))
-        + F.col("m") * F.col("sy") * F.col("sy")
+        n_d * F.col("n") * F.col("s1")
+        - n_d * F.col("sy") * (F.col("a") + F.col("b"))
+        + F.col("m").cast("double") * F.col("sy") * F.col("sy")
     )
-    den = F.col("n") * F.col("n") * F.col("syy") - F.col("n") * F.col(
-        "sy"
-    ) * F.col("sy")
+    den = n_d * F.col("n") * F.col("syy") - n_d * F.col("sy") * F.col("sy")
     return (
         per_lag.crossJoin(F.broadcast(mom))
         .select(
@@ -2808,8 +2811,8 @@ per_lag AS (
   GROUP BY 1
 )
 SELECT lag, m AS n_pairs,
-       round(1e-9 + (n*n*s1 - n*sy*(a+b) + m*sy*sy)::DOUBLE
-                    / (n*n*syy - n*sy*sy), 6) AS acf
+       round(1e-9 + (n::DOUBLE*n*s1 - n::DOUBLE*sy*(a+b) + m::DOUBLE*sy*sy)
+                    / (n::DOUBLE*n*syy - n::DOUBLE*sy*sy), 6) AS acf
 FROM per_lag, mom
 ORDER BY lag
 """
@@ -2877,7 +2880,10 @@ def ev_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.col("sxc") - ybar * F.col("sc")
     s = F.col("sxs") - ybar * F.col("ss")
     power = 2.0 * (c * c + s * s) / F.col("n")
-    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    # sy is cast to double BEFORE squaring (mirrors the oracle's
+    # sy::DOUBLE*sy/n): at large volumes sy^2 exceeds int64 and Spark's
+    # non-ANSI long multiply would wrap silently where DuckDB raises.
+    sst = F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
     return (
         per_p.crossJoin(F.broadcast(mom))
         .select(

@@ -874,14 +874,18 @@ def _emb_stream_dir(spark: SparkSession, sf_dir: str, bounds) -> str:
     """Time-ordered micro-batch replay of the embeddings table as engine
     entry rows (ts=vec_id, key=str(vec_id), value=packed float32 blob),
     one file per consecutive vec_id range."""
-    key = (sf_dir, tuple(bounds))
-    if key in _EMB_STREAM_DIRS:
-        return _EMB_STREAM_DIRS[key]
     import atexit
     import glob
     import os
     import shutil
     import tempfile
+
+    key = (sf_dir, tuple(bounds))
+    cached = _EMB_STREAM_DIRS.get(key)
+    # the memo can outlive the directory (atexit teardown ordering, manual
+    # temp cleanup) — validate before returning, rebuild if gone
+    if cached is not None and os.path.isdir(cached):
+        return cached
 
     from helixdb_spark.sources import load_table
 
@@ -973,9 +977,13 @@ def stream_index_refresh(
         )
     )
     # many small maintenance jobs over micro-batch-sized inputs: size the
-    # shuffles to the batches, restore before the analytic probe
+    # shuffles to the batches, restore before the analytic probe. One
+    # try/finally covers the conf, the StreamingQuery, AND the engine: a
+    # failing micro-batch must not leak a running stream or an open engine
+    # into the session.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = None
     try:
         db.put(base)  # fires the quarter-0 compaction (registry empty yet)
         store.write_lsh(corpus_fn(db))
@@ -993,10 +1001,14 @@ def stream_index_refresh(
             lambda batch_df, _epoch: db.put(batch_df)
         ).start()
         q.processAllAvailable()
-        q.stop()
     finally:
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 — best-effort on the error path
+                pass
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    db.close()
+        db.close()
     if debug is not None:
         desc = store._state["indexes"]["lsh"]
         debug["segments"] = len(store._segments(desc))

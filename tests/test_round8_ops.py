@@ -408,9 +408,12 @@ def test_registered_index_chain_is_bounded_and_exact(spark, sf_dir, tmp_path):
 
 
 def test_outdate_invalidates_shrunk_registered_index(spark, sf_dir, tmp_path):
-    """ADVICE r7 #4: retention deletes can't remove appended index entries,
-    so outdate() flips registered indexes STALE when the corpus shrank —
-    probes raise instead of serving purged ids."""
+    """ADVICE r7 #4 (r9 semantics): retention deletes can't remove appended
+    index entries, so an outdate() that may have purged live rows (here:
+    cutoff landing inside the occupied bucket 0) flips registered indexes
+    STALE — probes raise instead of serving purged ids. Decided from the
+    commit's own facts; corpus_fn is never called (see
+    test_round9_ops.test_outdate_launches_no_corpus_jobs)."""
     emb = load_table(spark, sf_dir, "embeddings").limit(40)
     store = AnnIndexStore(spark, str(tmp_path / "idx"))
     store.write_lsh(emb)
@@ -419,12 +422,8 @@ def test_outdate_invalidates_shrunk_registered_index(spark, sf_dir, tmp_path):
         str(tmp_path / "db"),
         HelixOptions(rick_range=10, outdate_range=1 << 30, auto_maintain=False),
     )
-    shrunk = {"on": False}
-    db.register_index(
-        store, "lsh", lambda _db: emb.limit(20) if shrunk["on"] else emb
-    )
+    db.register_index(store, "lsh", lambda _db: emb)
     db.put([(5, b"k", b"v")])
-    shrunk["on"] = True  # the indexed corpus lost rows
     db.outdate(3)
     assert store._state["indexes"]["lsh"].get("stale")
     assert not store.validate("lsh", emb.limit(20))
