@@ -192,6 +192,15 @@ HEADLINE = [
     "nation_trade_closeness",
     "ann_ivfpq_rerank",
     "curate_split_assignment",
+    # round-9 additions
+    "supplier_customer_linkpred_capped",
+    # shuffle-volume comparison vs dedup_duplicate_spans (same plan, 8-byte
+    # anchors on the wire instead of 30-char grams)
+    "dedup_spans_hashed",
+    "ann_ivf_share_drift",
+    # lifecycle row (fit -> clean append -> shifted append -> in-pass refit):
+    # cost is ~15 delta-sized maintenance jobs, the chain_autofold class
+    "ann_drift_refit",
     # curate_dedup_savings graded but NOT benched: its cost IS the already-
     # benched canonical-closure family (dedup_minhash_lsh + components)
     # knn_graph_descent graded but NOT benched: its toy-SF cost is stage

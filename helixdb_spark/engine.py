@@ -1787,7 +1787,14 @@ class HelixSpark:
 
     # ------------------------------------------------------ index maintenance
     def register_index(
-        self, store, name: str, corpus_fn, max_segments: int = 8, **append_kw
+        self,
+        store,
+        name: str,
+        corpus_fn,
+        max_segments: int = 8,
+        drift_threshold: float | None = None,
+        drift_action: str = "invalidate",
+        **append_kw,
     ) -> None:
         """Register a persisted ANN index for automatic maintenance: after
         every ``compact()``/``optimize()`` commit, the engine appends the
@@ -1824,13 +1831,45 @@ class HelixSpark:
         the owner's call. Bucket-granularity conservatism: a cutoff inside
         an occupied bucket flips indexes stale even if no row actually
         fell below it; the rebuild is the price of never re-counting the
-        corpus on the retention path."""
+        corpus on the retention path.
+
+        ``drift_threshold`` (r9) closes the drift loop the audit rows
+        (`ann_ivf_drift_stats` / `ann_appended_drift_audit`) were built
+        toward: frozen-quantizer appends are bit-exact but decay silently
+        as the ingested distribution drifts from the fit corpus, and
+        without a policy the maintenance loop appends forever. With a
+        threshold set (IVF indexes only — the stat reads list routing),
+        every append also computes the cheap assignment-SHARE drift
+        statistic (``AnnIndexStore.ivf_share_drift`` — the total-variation
+        distance between the newest segment's per-list assignment shares
+        and the fit segment's; one combined scan of (seg, centroid_id)
+        pairs the index already stores, no vectors, NO truth tier). When
+        it exceeds the threshold, ``drift_action`` fires:
+
+        - ``"invalidate"`` (default): flip the index stale — readers get
+          ``StaleIndexError`` instead of silently degraded recall, and
+          the rebuild is the owner's explicit call;
+        - ``"refit"``: re-fit from ``corpus_fn`` IN THE SAME maintenance
+          pass with fresh quantizers (same stride/columns), resetting the
+          chain to one segment — the self-healing mode.
+
+        The reference never faces this choice because its on-disk index
+        is exact (src/types/sstable.rs:115-121); bounding exactly this
+        class of maintenance debt is what its compaction scheduler exists
+        for (src/compact_sched.rs:16-143)."""
+        if drift_action not in ("invalidate", "refit"):
+            raise ValueError(
+                f"drift_action must be 'invalidate' or 'refit', got "
+                f"{drift_action!r}"
+            )
         self._index_registry.append(
-            (store, name, corpus_fn, max_segments, append_kw)
+            (store, name, corpus_fn, max_segments, drift_threshold,
+             drift_action, append_kw)
         )
 
     def _refresh_indexes(self) -> None:
-        for store, name, corpus_fn, max_segments, kw in self._index_registry:
+        for (store, name, corpus_fn, max_segments, drift_threshold,
+             drift_action, kw) in self._index_registry:
             desc = store._state["indexes"].get(name)
             if desc is None or desc.get("stale"):
                 continue  # never built / invalidated — rebuilding is the
@@ -1843,11 +1882,49 @@ class HelixSpark:
                 "ivfpq": store.append_ivfpq,
             }[desc["kind"]]
             new_desc = append(corpus_fn(self), name=name, **kw)
+            if drift_threshold is not None and self._drift_tripped(
+                store, name, new_desc, drift_threshold, drift_action, corpus_fn
+            ):
+                continue  # refit reset the chain / invalidate ended it
             if (
                 max_segments is not None
                 and len(store._segments(new_desc)) > max_segments
             ):
                 store.compact_index(name)
+
+    def _drift_tripped(
+        self, store, name, desc, threshold, action, corpus_fn
+    ) -> bool:
+        """Post-append drift policy (see register_index): total-variation
+        distance between the newest segment's per-list assignment shares
+        and the fit segment's; above the threshold either invalidate or
+        re-fit. Driver state is one stat row — never corpus-sized."""
+        if desc["kind"] != "ivf":
+            raise ValueError(
+                "drift_threshold reads IVF list routing; index "
+                f"{name!r} is kind {desc['kind']!r} (only 'ivf' supports it)"
+            )
+        if len(store._segments(desc)) <= 1:
+            return False  # nothing appended yet — no drift to measure
+        drift = float(store.ivf_share_drift(name).first()["share_drift"])
+        if drift <= threshold:
+            return False
+        if action == "refit":
+            store.write_ivf(
+                corpus_fn(self),
+                name=name,
+                stride=int(desc["stride"]),
+                id_col=desc["id_col"],
+                vec_col=desc["vec_col"],
+            )
+        else:
+            store.invalidate(
+                name,
+                f"assignment-share drift {drift:.6f} > threshold "
+                f"{threshold} (newest segment routes into different lists "
+                "than the fit corpus)",
+            )
+        return True
 
     def _invalidate_purged_indexes(self, cutoff: int) -> None:
         """Post-retention hook: appended index segments cannot lose rows,
@@ -1857,7 +1934,7 @@ class HelixSpark:
         from its own commit facts (buckets dropped / cutoff inside an
         occupied bucket), so this path launches no Spark jobs; the r8
         version counted the corpus once per index per outdate()."""
-        for store, name, _corpus_fn, _max_segments, _kw in self._index_registry:
+        for store, name, *_rest in self._index_registry:
             desc = store._state["indexes"].get(name)
             if desc is None or desc.get("stale"):
                 continue

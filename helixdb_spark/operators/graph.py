@@ -533,6 +533,7 @@ def link_prediction_scores(
     und_edges: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Common-neighbor link prediction over a deduped undirected edge list
     (rows with ``a < b``): for every NON-adjacent node pair that shares at
@@ -544,11 +545,18 @@ def link_prediction_scores(
     Scale shape: one adjacency materialization (2|E| rows), a per-node
     degree aggregate joined back on the wedge center, then the standard
     wedge self-join keyed on the center node — the triangle-counting
-    exchange pattern; candidate volume is sum of deg(w)^2, so a real
-    web-scale run caps hub degrees first (the same df-cap lever the
-    MinHash-LSH band join uses). A common neighbor has degree >= 2 by
-    construction, so ln(deg) is never zero. Per-wedge scores quantize to
-    scaled int64 before the pair sum (exact-sum discipline).
+    exchange pattern. Candidate volume is sum of deg(w)^2 — quadratic in
+    HUB degree, so a real web-scale run sets ``max_degree``: each wedge
+    CENTER's adjacency is truncated to its first ``max_degree`` neighbors
+    in md5(center:nbr) order (deterministic, seed-free, replayable by any
+    SQL engine — the same df-cap lever the MinHash-LSH band join and the
+    NN-Descent sampler use), bounding candidates at n*max_degree^2. The
+    Adamic-Adar term still uses the TRUE degree (the discount must see
+    the hub's real size); only the wedge fan-out is sampled, so capped
+    scores are a documented under-count on pairs whose shared neighbors
+    were dropped. A common neighbor has degree >= 2 by construction, so
+    ln(deg) is never zero. Per-wedge scores quantize to scaled int64
+    before the pair sum (exact-sum discipline).
 
     Returns (a, b, common_neighbors, adamic_adar) for predicted pairs.
     """
@@ -561,8 +569,25 @@ def link_prediction_scores(
         F.count("*").alias("deg_w")
     )
     # wedge (x - w - y): w is adjacent to both endpoints
-    left = adj.select(F.col("nbr").alias("w"), F.col("node").alias("x"))
-    right = adj.select(F.col("nbr").alias("w"), F.col("node").alias("y"))
+    cadj = adj.select(F.col("nbr").alias("w"), F.col("node").alias("x"))
+    if max_degree is not None:
+        from pyspark.sql.window import Window as W
+
+        rank_w = W.partitionBy("w").orderBy(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("w").cast("string"), F.col("x").cast("string")
+                )
+            ),
+            F.col("x").cast("string"),
+        )
+        cadj = (
+            cadj.withColumn("_rn", F.row_number().over(rank_w))
+            .where(F.col("_rn") <= int(max_degree))
+            .drop("_rn")
+        )
+    left = cadj
+    right = cadj.select("w", F.col("x").alias("y"))
     term_q = F.round(
         F.lit(1e-9) + F.lit(1e9) / F.log(F.col("deg_w").cast("double")), 0
     ).cast("long")

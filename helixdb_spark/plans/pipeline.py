@@ -4801,6 +4801,203 @@ QUERIES.update({"ann_ivf_drift_stats": ann_ivf_drift_stats})
 ORACLES.update({"ann_ivf_drift_stats": _drift_stats_sql()})
 
 
+# ---------------------- assignment-share drift statistic (round 9)
+def ann_ivf_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift number the r9 maintenance POLICY acts on, graded: the
+    total-variation distance between the newest appended segment's
+    per-list assignment shares and the fit segment's
+    (AnnIndexStore.ivf_share_drift), over the same persisted drift-
+    scenario chain as ann_ivf_drift_stats. Share routing is the right
+    proxy for near-isotropic embeddings: a distribution shift barely
+    moves each row's own assignment cosine but reroutes mass into
+    different lists — exactly what degrades a one-probe IVF read. Costs
+    one combined scan of (seg, centroid_id) pairs; no vectors move."""
+    store, _base, _grown = _drift_store(spark, sf_dir)
+    return store.ivf_share_drift("ivf")
+
+
+def _share_drift_sql() -> str:
+    rot = (
+        f"[embedding[1 + ((i + {DRIFT_ROT}) % {_sim.DIM})] "
+        f"for i in range(0, {_sim.DIM})]"
+    )
+    return f"""
+WITH g AS (
+  SELECT vec_id, embedding, 0 AS segment_idx FROM embeddings
+  WHERE vec_id % 3 != 0
+  UNION ALL
+  SELECT vec_id, {rot} AS embedding, 1 AS segment_idx FROM embeddings
+  WHERE vec_id % 3 = 0
+),
+cent_f AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+           WHERE vec_id % {_sim.IVF_CENTROID_STRIDE} = 0 AND vec_id % 3 != 0),
+assigned AS (
+  SELECT segment_idx, centroid_id FROM (
+    SELECT e.segment_idx, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+             c.centroid_id ASC) AS crk
+    FROM g e CROSS JOIN cent_f c
+  ) WHERE crk = 1
+),
+cnt AS (SELECT segment_idx, centroid_id, count(*)::BIGINT AS n
+        FROM assigned GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(f.n, 0) AS nf, coalesce(a.n, 0) AS nn
+  FROM (SELECT centroid_id, n FROM cnt WHERE segment_idx = 0) f
+  FULL JOIN (SELECT centroid_id, n FROM cnt WHERE segment_idx = 1) a
+  USING (centroid_id)
+),
+tot AS (SELECT sum(nf)::BIGINT AS tf, sum(nn)::BIGINT AS tn FROM j)
+SELECT tf AS n_fit, tn AS n_newest,
+       round(1e-9 + sum(abs(
+           CAST(round(1e-9 + nf::DOUBLE / tf * 1e9) AS BIGINT)
+         - CAST(round(1e-9 + nn::DOUBLE / tn * 1e9) AS BIGINT)
+       ))::DOUBLE / 2e9, 6) + 0.0 AS share_drift
+FROM j, tot
+GROUP BY tf, tn
+"""
+
+
+QUERIES.update({"ann_ivf_share_drift": ann_ivf_share_drift})
+ORACLES.update({"ann_ivf_share_drift": _share_drift_sql()})
+
+
+# ---------------------- drift-triggered re-fit lifecycle (round 9)
+DRIFT_REFIT_TV = 0.25  # share-TV above this re-fits; null appends sit < 0.13
+
+
+def _abs_shift_corpus(spark: SparkSession, sf_dir: str):
+    """(base, grown) with a POSITIVE-ORTHANT shift on the ingest delta:
+    the %3==0 third re-enters with elementwise |x| embeddings. For
+    near-isotropic vectors a coordinate permutation preserves list
+    routing statistics (the rotation scenario measures recall decay
+    instead); folding every vector into the positive orthant reroutes
+    ~half the assignment mass — share-TV ~0.5-0.8 vs <0.13 for same-
+    distribution growth — the unambiguous re-fit case. abs() is exact in
+    float, so both engines hash identical bytes."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    delta = emb.where(F.col("vec_id") % 3 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.abs(x)).alias("embedding"),
+    )
+    return base, base.unionByName(delta)
+
+
+def ann_drift_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift loop CLOSED, graded end-to-end (VERDICT r8 #1): an engine
+    lifecycle where ``register_index(drift_threshold=DRIFT_REFIT_TV,
+    drift_action="refit")`` lets the maintenance pass itself decide when
+    frozen-quantizer appends have drifted too far:
+
+    1. IVF fit on half the base corpus;
+    2. same-distribution growth cycle -> append under frozen centroids,
+       share-TV < threshold, chain grows to 2 (asserted: NOT tripped);
+    3. positive-orthant-shifted ingest -> append, share-TV > threshold,
+       the SAME maintenance pass re-fits from corpus_fn with fresh
+       stride-rule centroids and resets the chain to 1 (asserted);
+    4. the final probe answers from the re-fit index and must match a
+       FRESH FIT's oracle over the grown corpus — proving the loop healed
+       to exactly what a from-scratch build would answer.
+
+    The reference bounds exactly this class of maintenance debt with its
+    compaction scheduler (src/compact_sched.rs:16-143); its index never
+    drifts only because it is exact (src/types/sstable.rs:115-121)."""
+    from helixdb_spark.engine import HelixOptions, HelixSpark
+    from helixdb_spark.index_store import AnnIndexStore
+    from helixdb_spark.plans.kv import _scratch_dir
+
+    base, grown = _abs_shift_corpus(spark, sf_dir)
+    stages = [base.where(F.col("vec_id") % 2 == 0), base, grown]
+    phase = {"i": 0}
+    store = AnnIndexStore(spark, _scratch_dir("anndriftrefit"))
+    db = HelixSpark.open(
+        spark,
+        _scratch_dir("anndriftrefitdb"),
+        HelixOptions(rick_range=10, outdate_range=1 << 40, auto_maintain=False),
+    )
+    db.register_index(
+        store,
+        "ivf",
+        lambda _db: stages[phase["i"]],
+        drift_threshold=DRIFT_REFIT_TV,
+        drift_action="refit",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        store.write_ivf(stages[0], name="ivf")
+        phase["i"] = 1  # same-distribution growth: must NOT trip
+        db.put([(5, b"k1", b"v1")])
+        db.compact(0, 9)
+        desc = store._state["indexes"]["ivf"]
+        assert len(store._segments(desc)) == 2 and not desc.get("stale"), (
+            "un-shifted append must keep the chain, not trip the policy"
+        )
+        phase["i"] = 2  # shifted ingest: must trip and re-fit in-pass
+        db.put([(15, b"k2", b"v2")])
+        db.compact(10, 19)
+        db.close()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    desc = store._state["indexes"]["ivf"]
+    assert len(store._segments(desc)) == 1 and not desc.get("stale"), (
+        "shifted append must re-fit back to one fresh segment"
+    )
+    reopened = AnnIndexStore(spark, store.base)  # answer off disk
+    q = grown.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return reopened.ivf_topk(q, k=ANN_K)
+
+
+def _drift_refit_sql() -> str:
+    return f"""
+WITH g AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 != 0
+  UNION ALL
+  SELECT vec_id, list_transform(embedding, x -> abs(x)) AS embedding
+  FROM embeddings WHERE vec_id % 3 = 0
+),
+cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM g
+         WHERE vec_id % {_sim.IVF_CENTROID_STRIDE} = 0),
+c_assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_cosine_similarity(e.embedding::DOUBLE[], cent.cvec::DOUBLE[]) DESC,
+             cent.centroid_id ASC) AS crk
+    FROM g e CROSS JOIN cent
+  ) WHERE crk = 1
+),
+q_assign AS (
+  SELECT query_id, qvec, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qvec, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_cosine_similarity(e.embedding::DOUBLE[], cent.cvec::DOUBLE[]) DESC,
+             cent.centroid_id ASC) AS crk
+    FROM g e CROSS JOIN cent
+    WHERE e.vec_id < {N_QUERY_VECS}
+  ) WHERE crk = 1
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(1e-9 + list_cosine_similarity(q.qvec::DOUBLE[],
+               c.embedding::DOUBLE[]), 6) AS cosine
+  FROM c_assign c JOIN q_assign q USING (centroid_id)
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
+SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= {ANN_K}
+ORDER BY query_id, rk
+"""
+
+
+QUERIES.update({"ann_drift_refit": ann_drift_refit})
+ORACLES.update({"ann_drift_refit": _drift_refit_sql()})
+
+
 # ---------------------- DSIR importance resampling (round 8)
 def curate_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance-resampling data selection (DSIR, Xie et al. 2023) over
@@ -5107,6 +5304,24 @@ ORDER BY d.doc_id
 
 QUERIES.update({"dedup_duplicate_spans": dedup_duplicate_spans})
 ORACLES.update({"dedup_duplicate_spans": _dup_spans_sql()})
+
+
+def dedup_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB substring-duplication profile
+    (operators.dedup.duplicate_spans_hashed): same two-exchange plan as
+    dedup_duplicate_spans but the anchor key on the wire is a ~60-bit
+    rolling hash (8 bytes) instead of the 30-char gram. The oracle is
+    deliberately the EXACT substring SQL — the driver gate re-proves
+    hash-equals-exact on the graded corpus every round (a combined-hash
+    collision would fail the row; expected collisions ~ 5e-7 per million
+    distinct grams, see the operator docstring)."""
+    from helixdb_spark.operators.dedup import duplicate_spans_hashed
+
+    return duplicate_spans_hashed(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"dedup_spans_hashed": dedup_spans_hashed})
+ORACLES.update({"dedup_spans_hashed": _dup_spans_sql()})
 
 
 # ------------------------------- streaming ingest -> index maintenance ----

@@ -2489,6 +2489,94 @@ QUERIES.update({"nation_trade_linkpred": nation_trade_linkpred})
 ORACLES.update({"nation_trade_linkpred": NATION_LINKPRED_SQL})
 
 
+# ---------------------- hub-capped link prediction (r9, VERDICT r8 #2)
+LINKPRED_MAX_DEGREE = 12
+
+
+def supplier_customer_linkpred_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adamic-Adar link prediction on the HUB-HEAVY supplier-customer
+    bipartite shipment graph (distinct shipped pairs; supplier degrees run
+    to the hundreds at sf0.01, so uncapped wedge volume is sum deg(w)^2 ~
+    tens of millions) with ``max_degree=LINKPRED_MAX_DEGREE``: each wedge
+    center's adjacency truncates to its first 12 neighbors in
+    md5(center:nbr) order, bounding candidates at n*12^2 regardless of hub
+    skew — the df-cap lever operators.graph.link_prediction_scores grew
+    this round. The md5 order is seed-free and SQL-replayable, so the
+    oracle samples the identical wedges. Top 15 predicted pairs by
+    (adamic_adar desc, a, b). test_round9_ops pins the candidate bound on
+    a star graph where the uncapped count would be 100x larger."""
+    from helixdb_spark.operators.graph import link_prediction_scores
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").cast("long").alias("a"),
+            (F.col("o_custkey").cast("long") + F.lit(CUST_NODE_OFFSET)).alias(
+                "b"
+            ),
+        )
+        .distinct()
+    )
+    pred = link_prediction_scores(
+        edges, max_degree=LINKPRED_MAX_DEGREE
+    )
+    return pred.orderBy(F.desc("adamic_adar"), "a", "b").limit(15)
+
+
+SUPPCUST_LINKPRED_SQL = f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey::BIGINT AS a,
+         o_custkey::BIGINT + {CUST_NODE_OFFSET} AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM edges
+  UNION ALL SELECT b, a FROM edges
+),
+deg AS (SELECT node AS w, count(*)::BIGINT AS deg_w FROM adj GROUP BY 1),
+cadj AS MATERIALIZED (
+  SELECT w, x FROM (
+    SELECT nbr AS w, node AS x,
+           row_number() OVER (
+             PARTITION BY nbr
+             ORDER BY md5(nbr::VARCHAR || ':' || node::VARCHAR),
+                      node::VARCHAR
+           ) AS rn
+    FROM adj
+  ) WHERE rn <= {LINKPRED_MAX_DEGREE}
+),
+wedges AS (
+  SELECT p.x AS x, q.x AS y,
+         CAST(round(1e-9 + 1e9 / ln(d.deg_w)) AS BIGINT) AS tq
+  FROM cadj p JOIN cadj q ON p.w = q.w AND p.x < q.x
+  JOIN deg d ON d.w = p.w
+),
+scored AS (
+  SELECT x AS a, y AS b, count(*)::BIGINT AS common_neighbors,
+         round(1e-9 + sum(tq)::DOUBLE / 1e9, 6) AS adamic_adar
+  FROM wedges GROUP BY 1, 2
+),
+pred AS (
+  SELECT s.* FROM scored s ANTI JOIN edges e ON s.a = e.a AND s.b = e.b
+)
+SELECT a, b, common_neighbors, adamic_adar
+FROM pred
+ORDER BY adamic_adar DESC, a, b
+LIMIT 15
+"""
+
+QUERIES.update(
+    {"supplier_customer_linkpred_capped": supplier_customer_linkpred_capped}
+)
+ORACLES.update(
+    {"supplier_customer_linkpred_capped": SUPPCUST_LINKPRED_SQL}
+)
+
+
 # ------------------------------------ harmonic centrality (r8 cont.)
 CLOSENESS_MAX_HOPS = 4
 
