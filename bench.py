@@ -201,6 +201,9 @@ HEADLINE = [
     # lifecycle row (fit -> clean append -> shifted append -> in-pass refit):
     # cost is ~15 delta-sized maintenance jobs, the chain_autofold class
     "ann_drift_refit",
+    # production-shaped batched BPE: 64 merges / batch 8 => ~9 driver
+    # round-trips; wall-time per merge round = this entry / rounds
+    "text_bpe_merges_64",
     # curate_dedup_savings graded but NOT benched: its cost IS the already-
     # benched canonical-closure family (dedup_minhash_lsh + components)
     # knn_graph_descent graded but NOT benched: its toy-SF cost is stage

@@ -1246,6 +1246,7 @@ def bpe_train_merges(
     text_col: str = "text",
     n_merges: int = BPE_MERGES,
     batch: int = 1,
+    stats: dict | None = None,
 ):
     """Train byte-pair-encoding merges over the corpus (Sennrich et al.
     2016) — tokenizer TRAINING, completing the subword family whose
@@ -1272,7 +1273,11 @@ def bpe_train_merges(
     top pairs (greedy admission in (count DESC, pair ASC) order; a pair
     is admitted only if its left/right/merged symbols are disjoint from
     every earlier admitted pair's), cutting driver round-trips from
-    O(n_merges) to O(n_merges/batch). Applying symbol-disjoint pairs in
+    O(n_merges) to O(n_merges/batch). The candidate head is a FIXED
+    ``batch**2`` every round — never shrunk as the merge budget runs out —
+    so the round sequence depends only on the corpus and the global pick
+    list trims to ``n_merges``; that is what lets a static SQL oracle
+    replay the rounds exactly. Applying symbol-disjoint pairs in
     one simultaneous fold is exact: a merge of (a,b) can neither create
     nor destroy an adjacency of symbols outside {a,b,ab}, so each
     admitted pair's occurrence set — and hence the fold result — equals
@@ -1302,6 +1307,7 @@ def bpe_train_merges(
     if batch < 1:
         raise ValueError(f"batch must be >= 1, got {batch}")
     merges = []
+    rounds = 0
     cur = vocab
     try:
         while len(merges) < n_merges:
@@ -1320,24 +1326,27 @@ def bpe_train_merges(
                 ).alias("p"),
                 "n",
             )
-            want = min(batch, n_merges - len(merges))
             ranked = (
                 pairs.groupBy("p.l", "p.r")
                 .agg(F.sum("n").alias("c"))
                 .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
             )
             # batch=1: the exact 1-row argmax of the serial trainer.
-            # batch>1: a bounded candidate head. Greedy disjoint admission
-            # may admit fewer than `want` (a hot symbol can dominate the
-            # head) — the top-1 is always admitted, so a shortfall only
-            # costs an extra round, never a stall.
-            cands = ranked.take(1 if want == 1 else want * want)
+            # batch>1: a FIXED batch^2 candidate head every round (never
+            # shrunk near the merge budget) so the round sequence is a pure
+            # function of the corpus — statically replayable by the SQL
+            # oracle; the global pick list is trimmed to n_merges below.
+            # Greedy disjoint admission may admit fewer than `batch` (a hot
+            # symbol can dominate the head) — the top-1 is always admitted,
+            # so a shortfall only costs an extra round, never a stall.
+            cands = ranked.take(1 if batch == 1 else batch * batch)
             if not cands:
                 break
+            rounds += 1
             admitted: list = []
             used: set = set()
             for row in cands:
-                if len(admitted) == want:
+                if len(admitted) == batch:
                     break
                 a, b, m = row["l"], row["r"], row["l"] + row["r"]
                 if used & {a, b, m}:
@@ -1345,7 +1354,11 @@ def bpe_train_merges(
                 used |= {a, b, m}
                 admitted.append((a, b, m, int(row["c"])))
             for a, b, m, c in admitted:
+                if len(merges) == n_merges:
+                    break  # budget hit mid-batch: trim the overshoot
                 merges.append((len(merges) + 1, a, b, m, c))
+            if len(merges) >= n_merges:
+                break  # skip the final fold — nothing downstream reads it
 
             def folded_expr(pairs_=tuple(admitted)):
                 def step(acc, s):
@@ -1377,6 +1390,8 @@ def bpe_train_merges(
         if cur is not vocab:
             cur.unpersist()
         vocab.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 
@@ -1602,10 +1617,13 @@ def textrank_keywords(
         F.col("node").alias("keyword"),
         F.round(F.col("rank") + F.lit(1e-9), 6).alias("rank"),
     )
+    # Distributed top-k (TakeOrderedAndProject) FIRST, then number the
+    # <= top_k survivors — the unpartitioned rank window never sees the
+    # vocabulary-sized input (plan-pinned: test_plan_quality gate).
+    top = scored.orderBy(F.desc("rank"), F.asc("keyword")).limit(top_k)
     w = W.orderBy(F.desc("rank"), F.asc("keyword"))
     return carry_caches(
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= top_k)
+        top.withColumn("rk", F.row_number().over(w))
         .select("rk", "keyword", "rank")
         .orderBy("rk"),
         ranks,
@@ -1820,10 +1838,12 @@ def quality_probe_scores(
         F.round(F.expr(PROBE_PRED_EXPR) + F.lit(1e-9), 6).alias("predicted"),
         F.round(F.expr(PROBE_RESID_EXPR) + F.lit(1e-9), 6).alias("residual"),
     )
+    # Distributed top-k first; the unpartitioned numbering window runs over
+    # the <= k survivors, never the corpus (plan-pinned: test_plan_quality).
+    top = scored.orderBy(F.asc("residual"), F.asc(id_col)).limit(k)
     w = W.orderBy(F.asc("residual"), F.asc(id_col))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
+        top.withColumn("rk", F.row_number().over(w))
         .select("rk", id_col, "density", "predicted", "residual")
         .orderBy("rk")
     )

@@ -3257,8 +3257,12 @@ def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", F.explode("__ws").alias("token"))
     st = tok.groupBy("source", "token").agg(F.count("*").alias("n_st"))
     t = tok.groupBy("token").agg(F.count("*").alias("n_t"))
-    n_corpus = F.sum("n_t").over(W.partitionBy())
-    t = t.withColumn("n_corpus", n_corpus)
+    # corpus total as a 1-row aggregate broadcast (the oracle's own CROSS
+    # JOIN tot shape) — NOT an unpartitioned window over the vocab-sized
+    # stream, which funnels the vocabulary through one task (plan-pinned:
+    # the unpartitioned-window gate in test_plan_quality)
+    tot = t.agg(F.sum("n_t").cast("long").alias("n_corpus"))
+    t = t.crossJoin(F.broadcast(tot))
     n_source = F.sum("n_st").over(W.partitionBy("source"))
     joined = st.withColumn("n_s", n_source).join(F.broadcast(t), "token")
     p_s = F.col("n_st") / F.col("n_s")
@@ -6606,3 +6610,151 @@ FROM t GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES.update({"curate_split_assignment": curate_split_assignment})
 ORACLES.update({"curate_split_assignment": SPLIT_ASSIGN_SQL})
+
+
+# ---------------------- production-shaped batched BPE (round 9) --------------
+BPE_PROD_MERGES = 64
+BPE_PROD_BATCH = 8
+# Oracle rounds generated: 2x the zero-shortfall minimum. Every round admits
+# at least the argmax, so 16 rounds guarantee >= 16 picks; on the graded
+# corpus rounds admit near-`batch`, and the pick list is cut to the first
+# BPE_PROD_MERGES in (round, slot) order — extra generated rounds only add
+# unread picks. A shortfall (> 16 rounds needed) under-produces rows and
+# fails the driver's row-count gate loudly rather than silently diverging.
+BPE_PROD_ORACLE_ROUNDS = 2 * (BPE_PROD_MERGES // BPE_PROD_BATCH)
+
+
+def text_bpe_merges_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training at a production-shaped merge count: 64 merges,
+    batch=8 — driver round-trips drop to ~merges/batch (vs 64 serial
+    rounds), the economics that make the trainer real at a 32k-merge
+    tokenizer. Same fixed-head greedy-disjoint-admission semantics as
+    text_bpe_merges_batched (operators.text_analysis.bpe_train_merges);
+    the oracle replays the identical rounds as chained CTEs with one slot
+    CTE per admission. Wall-time per merge round lands in the bench as
+    text_bpe_merges_64 / rounds (rounds ~= 8-10 on the graded corpus)."""
+    from helixdb_spark.operators.text_analysis import bpe_train_merges
+
+    rows = bpe_train_merges(
+        load_table(spark, sf_dir, "documents"),
+        n_merges=BPE_PROD_MERGES,
+        batch=BPE_PROD_BATCH,
+    )
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("merge_rank")
+
+
+def _bpe_batched_sql_n(merges: int, batch: int, rounds: int) -> str:
+    """Generalized oracle replay of the fixed-head batched trainer: per
+    round, slot 1 is the argmax pair and slot j (2..batch) is the
+    minimum-rank candidate within rank 2..batch^2 whose {l, r, merged}
+    symbols are disjoint from EVERY earlier admitted slot's — each slot
+    CTE's constraint set strictly contains the previous one's, so the
+    slot sequence reproduces the trainer's greedy scan exactly. The fold
+    applies all admitted pairs simultaneously, first match in admission
+    order winning (symbol-disjointness makes at most one applicable).
+    Picks are cut to `merges` by (round, slot) rank."""
+    head = batch * batch
+
+    def disj(cand: str, p: str) -> str:
+        trip = f"{p}.l, {p}.r2, {p}.l || {p}.r2"
+        return (
+            f"{cand}.l NOT IN ({trip}) AND {cand}.r2 NOT IN ({trip})"
+            f" AND ({cand}.l || {cand}.r2) NOT IN ({trip})"
+        )
+
+    parts = [
+        f"""
+WITH v0 AS (
+  SELECT word, string_split(word, '') AS syms, count(*)::BIGINT AS n
+  FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+  ) WHERE word != ''
+  GROUP BY 1
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT pr[1] AS l, pr[2] AS r2, sum(n)::BIGINT AS c FROM (
+    SELECT unnest(list_transform(range(1, len(syms)),
+                                 i -> [syms[i], syms[i+1]])) AS pr, n
+    FROM v{r} WHERE len(syms) >= 2
+  ) GROUP BY 1, 2
+),
+rk{r} AS MATERIALIZED (
+  SELECT l, r2, c,
+         row_number() OVER (ORDER BY c DESC, l ASC, r2 ASC) AS rk
+  FROM p{r}
+),
+b{r}s1 AS MATERIALIZED (SELECT l, r2, c FROM rk{r} WHERE rk = 1)""")
+        for j in range(2, batch + 1):
+            joins = "\n  ".join(
+                f"LEFT JOIN b{r}s{i} s{i} ON TRUE" for i in range(2, j)
+            )
+            conds = [disj("cand", "s1")]
+            conds += [
+                f"(s{i}.l IS NULL OR ({disj('cand', f's{i}')}))"
+                for i in range(2, j)
+            ]
+            cond_sql = "\n    AND ".join(conds)
+            parts.append(f"""
+b{r}s{j} AS MATERIALIZED (
+  SELECT cand.l, cand.r2, cand.c FROM rk{r} cand
+  CROSS JOIN b{r}s1 s1
+  {joins}
+  WHERE cand.rk BETWEEN 2 AND {head}
+    AND {cond_sql}
+  ORDER BY cand.rk LIMIT 1
+)""")
+        fold_joins = "\n  ".join(
+            f"LEFT JOIN b{r}s{i} s{i} ON TRUE" for i in range(2, batch + 1)
+        )
+        whens = [
+            """WHEN len(acc) > 0 AND acc[-1] = s1.l AND x[1] = s1.r2
+               THEN acc[1:len(acc)-1] || [s1.l || s1.r2]"""
+        ]
+        whens += [
+            f"""WHEN s{i}.l IS NOT NULL AND len(acc) > 0 AND acc[-1] = s{i}.l
+                  AND x[1] = s{i}.r2
+               THEN acc[1:len(acc)-1] || [s{i}.l || s{i}.r2]"""
+            for i in range(2, batch + 1)
+        ]
+        when_sql = "\n             ".join(whens)
+        parts.append(f"""
+v{r + 1} AS MATERIALIZED (
+  SELECT v.word, list_reduce(list_transform(v.syms, s -> [s]),
+           (acc, x) -> CASE
+             {when_sql}
+             ELSE acc || x END) AS syms, v.n
+  FROM v{r} v CROSS JOIN b{r}s1 s1
+  {fold_joins}
+)""")
+    picks = []
+    for r in range(rounds):
+        for j in range(1, batch + 1):
+            picks.append(f"SELECT {r} AS rnd, {j} AS slot, l, r2, c FROM b{r}s{j}")
+    return (
+        ",".join(parts)
+        + ",\nallm AS (\n  "
+        + "\n  UNION ALL ".join(picks)
+        + f"""
+)
+SELECT row_number() OVER (ORDER BY rnd, slot)::INT AS merge_rank,
+       l AS left_sym, r2 AS right_sym, l || r2 AS merged, c AS pair_count
+FROM allm
+ORDER BY merge_rank
+LIMIT {merges}
+"""
+    )
+
+
+QUERIES.update({"text_bpe_merges_64": text_bpe_merges_64})
+ORACLES.update({
+    "text_bpe_merges_64": _bpe_batched_sql_n(
+        BPE_PROD_MERGES, BPE_PROD_BATCH, BPE_PROD_ORACLE_ROUNDS
+    )
+})

@@ -336,6 +336,13 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         # sample crossed with itself is the measurement, not the operator
         "ann_ivfpq_rerank",  # rides ann_ivfpq_topk's allowlisted coarse-
         # centroid broadcast; the re-rank stage itself is equi-keyed
+        "text_source_kl",  # 1-row corpus-token-total broadcast (replaced
+        # the unpartitioned window sum over the vocab — r9)
+        "ann_ivf_share_drift",  # 1-row (fit-total, newest-total) broadcast
+        # into the per-list TV terms + the IVF family's k-row centroid
+        # routing broadcast (r9)
+        "ann_drift_refit",  # final probe rides the same ivf_share_drift /
+        # coarse-routing broadcasts after the in-pass re-fit (r9)
     }
     # streaming queries execute on construction; dedup_clusters and
     # emb_kmeans run their iterative jobs on construction — covered by
@@ -446,3 +453,77 @@ def test_entity_pagerank_exceeds_driver_threshold_at_sf001(spark):
         .count()
     )
     assert n_nodes > SMALL_GRAPH_DRIVER_NODES
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+    """Sweep every batch graded query's OPTIMIZED LOGICAL plan: a Window
+    with an empty partitionSpec executes as Exchange SinglePartition ->
+    one task sorting the whole input — acceptable only when the input is
+    provably row-bounded (a GlobalLimit/LocalLimit below it, a grouping-
+    free 1-row aggregate, literal local data, or compositions of those
+    through row-preserving operators). The top-k discipline: orderBy()
+    .limit(k) FIRST (distributed TakeOrderedAndProject), then number the
+    k survivors — never row_number over the corpus (r8 verdict item 4)."""
+    import __spark_entry__ as entrymod
+
+    # constant-bounded inputs the rule cannot see through a grouped
+    # aggregate: each justified individually
+    ALLOWED = {
+        "sketch_hist_quantiles",  # cumulative sum over groupBy(bin) where
+        # bin = least(bins-1, ...) — at most HIST_BINS (constant) rows
+    }
+    SKIP = {
+        "dedup_clusters", "dedup_canonical", "emb_kmeans", "dedup_semantic",
+        "emb_power_iteration", "emb_pca_scores", "emb_pc1_removed",
+        "emb_kmeans_sampled", "curate_dedup_savings",
+    }
+
+    PASS_THROUGH = {
+        "Project", "Filter", "Sort", "Window", "SubqueryAlias",
+        "Repartition", "RepartitionByExpression", "RepartitionOperation",
+        "Distinct", "Deduplicate", "Generate", "ResolvedHint", "WithCTE",
+        "CTERelationDef", "Expand",
+    }
+    BOUNDED_LEAF = {"GlobalLimit", "LocalLimit", "LocalRelation",
+                    "OneRowRelation"}
+
+    def children(node):
+        ch = node.children()
+        return [ch.apply(i) for i in range(ch.length())]
+
+    def bounded(node) -> bool:
+        cls = node.getClass().getSimpleName()
+        if cls in BOUNDED_LEAF:
+            return True
+        if cls == "Aggregate":
+            return node.groupingExpressions().isEmpty() or bounded(
+                children(node)[0]
+            )
+        if cls in ("Join", "Union"):
+            return all(bounded(c) for c in children(node))
+        if cls in PASS_THROUGH:
+            kids = children(node)
+            return bool(kids) and all(bounded(c) for c in kids)
+        return False  # leaf relations (parquet scans), anything unknown
+
+    def walk(node):
+        yield node
+        for c in children(node):
+            yield from walk(c)
+
+    qs = entrymod.queries()
+    offenders = []
+    for name, fn in sorted(qs.items()):
+        if name.startswith("stream_") or name in SKIP:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+        for n in walk(plan):
+            if (
+                n.getClass().getSimpleName() == "Window"
+                and n.partitionSpec().isEmpty()
+                and not bounded(children(n)[0])
+                and name not in ALLOWED
+            ):
+                offenders.append(name)
+                break
+    assert not offenders, offenders
