@@ -204,6 +204,9 @@ HEADLINE = [
     # production-shaped batched BPE: 64 merges / batch 8 => ~9 driver
     # round-trips; wall-time per merge round = this entry / rounds
     "text_bpe_merges_64",
+    "text_kn_lm_score",
+    "curate_hard_negatives",
+    "text_heaps_exponent",
     # curate_dedup_savings graded but NOT benched: its cost IS the already-
     # benched canonical-closure family (dedup_minhash_lsh + components)
     # knn_graph_descent graded but NOT benched: its toy-SF cost is stage

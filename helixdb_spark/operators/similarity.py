@@ -128,6 +128,72 @@ def brute_force_topk(
     )
 
 
+def hard_negative_mine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_neg: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive-training data mining: for each query vector, the single
+    best SAME-label neighbor (the positive) and the top ``n_neg``
+    DIFFERENT-label neighbors by cosine (the hard negatives — the wrong
+    answers an embedding model most confuses, which is exactly what makes
+    them the training signal; random negatives are trivially separable).
+    The standard mining step behind dense-retriever / contrastive
+    fine-tuning corpora (in-batch negatives + mined hard negatives).
+
+    Scale shape: the query set broadcasts (it is small by definition), the
+    corpus streams ONCE, and both roles fall out of a single window
+    partitioned by (query, same_label) — no second scan for positives. At
+    production scale the brute pass swaps for any of the ANN tiers (IVF /
+    PQ / LSH) feeding the same (query, same_label) rank window; the output
+    contract is unchanged.
+
+    Returns (query_id, kind, rk, neighbor_id, cosine); kind='positive'
+    carries rk=1, kind='negative' rk=1..n_neg; self-matches excluded.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    scored = (
+        spread(corpus)
+        .join(F.broadcast(q))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.lit(1e-9) + cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6
+            ),
+        )
+        .withColumn("_same", F.col(label_col) == F.col("_qlabel"))
+    )
+    w = W.partitionBy(query_id_col, "_same").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.where(
+            (F.col("_same") & (F.col("rk") == 1))
+            | (~F.col("_same") & (F.col("rk") <= n_neg))
+        )
+        .select(
+            query_id_col,
+            F.when(F.col("_same"), F.lit("positive"))
+            .otherwise(F.lit("negative"))
+            .alias("kind"),
+            "rk",
+            F.col(id_col).alias("neighbor_id"),
+            "cosine",
+        )
+        .orderBy(query_id_col, F.desc("kind"), "rk")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

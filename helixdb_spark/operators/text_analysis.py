@@ -1133,6 +1133,136 @@ ORDER BY doc_id
 """
 
 
+KN_DISCOUNT = 0.75  # the standard absolute-discount value (Chen & Goodman)
+
+# The per-bigram interpolated-KN log-prob, quantized to a scaled int64 —
+# ONE SQL text parsed by BOTH engines (the PROBE_SOLVE_EXPRS discipline),
+# so the double arithmetic runs in the identical expression order and the
+# int64 term survives any aggregation order. Column contract:
+#   c2     bigram count c(prev, term)            BIGINT
+#   c1b    left total   sum_w c(prev, w)         BIGINT
+#   n1_fwd distinct continuations |{w: c(prev,w)>0}|   BIGINT
+#   n1_rev distinct left contexts |{v: c(v,term)>0}|   BIGINT
+#   n1_all total distinct bigram types           BIGINT
+_KN_TERM_Q = (
+    "CAST(round(1e-9 + ln((c2 - {d} + {d} * n1_fwd * (n1_rev / n1_all))"
+    " / c1b) * 1e9, 0) AS BIGINT)"
+).format(d=KN_DISCOUNT)
+
+
+def kn_lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM quality score (Kneser & Ney 1995;
+    Chen & Goodman 1999) — the smoothing the production CCNet/KenLM
+    perplexity filters actually use, upgrading ``bigram_lm_score``'s
+    Laplace conditionals. Absolute discount D={d} with the mass
+    redistributed by CONTINUATION probability:
+
+        p_kn(w | v) = (c(v,w) - D + D * N1+(v,.) * p_cont(w)) / c(v,.)
+        p_cont(w)   = N1+(.,w) / N1+(.,.)
+
+    (every scored bigram occurs in training, so the max(.,0) clamp is
+    never active and the formula above is exact). Continuation counts are
+    what distinguish "francisco" (frequent but only ever after "san") from
+    a genuinely productive word — the signal Laplace smoothing cannot see.
+
+    Scale shape: identical to bigram_lm_score — one posexplode, the per-doc
+    lag window, one (prev, term) count shuffle; the KN statistics (left
+    totals, forward/reverse continuation type counts) are three map-side-
+    combined aggregates OVER THE BIGRAM-TYPE table (vocab^2-bounded, far
+    smaller than the corpus), joined back on token keys (not broadcast — a
+    web-scale bigram vocab exceeds broadcast limits); N1+(.,.) is a 1-row
+    broadcast. Per-bigram log terms quantize to scaled int64 before the
+    per-doc sum via a shared SQL expression text both engines parse.
+
+    Returns (doc_id, n_bigrams, avg_logp_kn, kn_bits) for docs with >= 2
+    tokens.
+    """
+    from pyspark.sql.window import Window
+
+    staged = spread(docs).withColumn(
+        "__ws", words(normalized_text(F.col(text_col)))
+    )
+    tok = staged.select(
+        F.col(id_col), F.posexplode("__ws").alias("pos", "term")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = (
+        tok.withColumn("prev", F.lag("term").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy(id_col, "prev", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    c2 = bg.groupBy("prev", "term").agg(F.sum("tf").alias("c2"))
+    fwd = c2.groupBy("prev").agg(
+        F.sum("c2").alias("c1b"), F.count("*").alias("n1_fwd")
+    )
+    rev = c2.groupBy("term").agg(F.count("*").alias("n1_rev"))
+    nall = c2.agg(F.count("*").alias("n1_all"))
+    term_q = F.expr(_KN_TERM_Q)
+    return (
+        bg.join(c2, ["prev", "term"])
+        .join(fwd, "prev")
+        .join(rev, "term")
+        .crossJoin(F.broadcast(nall))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.lit(1e-9)
+                + (F.sum(term_q * F.col("tf")) / F.lit(1e9)) / F.sum("tf"),
+                6,
+            ).alias("avg_logp_kn"),
+            F.round(
+                F.lit(1e-9)
+                - (F.sum(term_q * F.col("tf")) / F.lit(1e9))
+                / F.sum("tf")
+                / F.log(F.lit(2.0)),
+                6,
+            ).alias("kn_bits"),
+        )
+        .orderBy(id_col)
+    )
+
+
+kn_lm_score.__doc__ = kn_lm_score.__doc__.replace("{d}", str(KN_DISCOUNT))
+
+
+def kn_lm_score_sql(norm_sql: str) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split({norm_sql}, ' ') AS ws FROM documents
+           WHERE {norm_sql} != ''),
+tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS term
+        FROM w),
+lagged AS (
+  SELECT doc_id, term,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tok
+),
+bg AS (SELECT doc_id, prev, term, count(*)::BIGINT AS tf FROM lagged
+       WHERE prev IS NOT NULL GROUP BY 1, 2, 3),
+c2t AS (SELECT prev, term, sum(tf)::BIGINT AS c2 FROM bg GROUP BY 1, 2),
+fwd AS (SELECT prev, sum(c2)::BIGINT AS c1b, count(*)::BIGINT AS n1_fwd
+        FROM c2t GROUP BY 1),
+rev AS (SELECT term, count(*)::BIGINT AS n1_rev FROM c2t GROUP BY 1),
+nall AS (SELECT count(*)::BIGINT AS n1_all FROM c2t),
+terms AS (
+  SELECT bg.doc_id, bg.tf, {_KN_TERM_Q} AS term_q
+  FROM bg JOIN c2t USING (prev, term) JOIN fwd USING (prev)
+  JOIN rev USING (term) CROSS JOIN nall
+)
+SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+       round(1e-9 + (sum(term_q * tf)::DOUBLE / 1e9) / sum(tf), 6)
+         AS avg_logp_kn,
+       round(1e-9 - (sum(term_q * tf)::DOUBLE / 1e9) / sum(tf) / ln(2.0), 6)
+         AS kn_bits
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 RAKE_N_STOPWORDS = 15
 RAKE_TOP_K = 20
 

@@ -6758,3 +6758,129 @@ ORACLES.update({
         BPE_PROD_MERGES, BPE_PROD_BATCH, BPE_PROD_ORACLE_ROUNDS
     )
 })
+
+
+# ---------------------- Kneser-Ney bigram LM score (round 9) -----------------
+def text_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM per-doc quality score
+    (operators.text_analysis.kn_lm_score) — the smoothing family the
+    production CCNet/KenLM perplexity filters use; continuation-count mass
+    redistribution separates productive words from frozen-collocation
+    tails, which the Laplace row (text_bigram_lm_score) cannot."""
+    return _ta.kn_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"text_kn_lm_score": text_kn_lm_score})
+ORACLES.update({"text_kn_lm_score": _ta.kn_lm_score_sql(_NORM)})
+
+
+# ---------------------- hard-negative mining (round 9) -----------------------
+HARDNEG_N = 5
+
+
+def curate_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triples mined from the embedding corpus
+    (operators.similarity.hard_negative_mine): per query vector, the top
+    same-label neighbor as the positive and the top-{HARDNEG_N}
+    different-label neighbors as hard negatives — the mining pass behind
+    dense-retriever fine-tuning corpora. Brute tier here (the truth tier
+    the recall audits keep); the ANN tiers slot into the same contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return _sim.hard_negative_mine(emb, q, n_neg=HARDNEG_N)
+
+
+HARDNEG_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+           FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(1e-9 + list_cosine_similarity(q.qvec::DOUBLE[],
+               e.embedding::DOUBLE[]), 6) AS cosine,
+         (e.label = q.qlabel) AS same
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id, same
+          ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
+SELECT query_id,
+       CASE WHEN same THEN 'positive' ELSE 'negative' END AS kind,
+       rk, neighbor_id, cosine
+FROM r
+WHERE (same AND rk = 1) OR (NOT same AND rk <= {HARDNEG_N})
+ORDER BY query_id, kind DESC, rk
+"""
+
+QUERIES.update({"curate_hard_negatives": curate_hard_negatives})
+ORACLES.update({"curate_hard_negatives": HARDNEG_SQL})
+
+
+# ---------------------- Heaps-law vocabulary growth (round 9) ----------------
+def text_heaps_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit over the per-source (token count, distinct vocab)
+    points: V = K * n^beta, estimated as log-log OLS across sources — the
+    companion corpus-health number to text_zipf_slope (natural text sits
+    near beta ~ 0.5-0.7; template spam collapses it toward 0, id-soup
+    pushes it toward 1). Scale shape: the token explode feeds two
+    map-side-combined per-source aggregates (count + distinct-count); the
+    OLS runs over n_sources rows. Same rounding discipline as the Zipf
+    row: ln() inputs exact integers, x/y at 8 dp, sums at 6 dp, identical
+    closed-form expression text on both engines."""
+    from helixdb_spark.functions.text import normalized_text, words
+    from helixdb_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.withColumn(
+        "__ws", words(normalized_text(F.col("text")))
+    ).select("source", F.explode("__ws").alias("token"))
+    per_src = tok.groupBy("source").agg(
+        F.count("*").alias("n_tok"),
+        F.count_distinct("token").alias("v_vocab"),
+    )
+    xy = per_src.select(
+        F.round(F.log("n_tok") + F.lit(1e-9), 8).alias("x"),
+        F.round(F.log("v_vocab") + F.lit(1e-9), 8).alias("y"),
+    )
+    sums = xy.agg(
+        F.count("*").alias("n_pts"),
+        F.round(F.sum("x") + F.lit(1e-9), 6).alias("sx"),
+        F.round(F.sum("y") + F.lit(1e-9), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("y")) + F.lit(1e-9), 6).alias("sxy"),
+        F.round(F.sum(F.col("x") * F.col("x")) + F.lit(1e-9), 6).alias("sxx"),
+    )
+    slope = (
+        F.col("n_pts") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n_pts") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n_pts")
+    return sums.select(
+        F.col("n_pts").cast("long").alias("n_sources"),
+        F.round(slope + F.lit(1e-9), 6).alias("heaps_beta"),
+        F.round(intercept + F.lit(1e-9), 6).alias("heaps_logk"),
+    )
+
+
+HEAPS_SQL = f"""
+WITH norm AS (SELECT source, string_split({_NORM}, ' ') AS ws FROM documents),
+tok AS (SELECT source, unnest(ws) AS token FROM norm),
+per_src AS (SELECT source, count(*)::BIGINT AS n_tok,
+                   count(DISTINCT token)::BIGINT AS v_vocab
+            FROM tok WHERE token != '' GROUP BY 1),
+xy AS (SELECT round(ln(n_tok) + 1e-9, 8) AS x,
+              round(ln(v_vocab) + 1e-9, 8) AS y FROM per_src),
+s AS (SELECT count(*) AS n_pts,
+             round(sum(x) + 1e-9, 6) AS sx, round(sum(y) + 1e-9, 6) AS sy,
+             round(sum(x * y) + 1e-9, 6) AS sxy,
+             round(sum(x * x) + 1e-9, 6) AS sxx
+      FROM xy)
+SELECT n_pts::BIGINT AS n_sources,
+       round((n_pts * sxy - sx * sy) / (n_pts * sxx - sx * sx) + 1e-9, 6)
+         AS heaps_beta,
+       round((sy - ((n_pts * sxy - sx * sy) / (n_pts * sxx - sx * sx)) * sx)
+             / n_pts + 1e-9, 6) AS heaps_logk
+FROM s
+"""
+
+QUERIES.update({"text_heaps_exponent": text_heaps_exponent})
+ORACLES.update({"text_heaps_exponent": HEAPS_SQL})

@@ -41,6 +41,14 @@ TOP = [
     "nation_trade_closeness",
     "curate_dedup_savings",
     "ann_ivfpq_rerank",
+    # round-9: the streaming lifecycle rows (verdict r8 #7 — expected
+    # fixed-job-count behavior, exponent ~ the kv lifecycle rows') and
+    # this round's heavy additions
+    "stream_ingest_scan",
+    "stream_index_refresh",
+    "ann_drift_refit",
+    "text_bpe_merges_64",
+    "dedup_spans_hashed",
 ]
 
 

@@ -343,6 +343,10 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         # routing broadcast (r9)
         "ann_drift_refit",  # final probe rides the same ivf_share_drift /
         # coarse-routing broadcasts after the in-pass re-fit (r9)
+        "text_kn_lm_score",  # 1-row N1+(.,.) bigram-type-total broadcast
+        # into the continuation-probability terms (r9)
+        "curate_hard_negatives",  # |Q|-row query broadcast against the
+        # corpus — the brute mining tier's design point (r9)
     }
     # streaming queries execute on construction; dedup_clusters and
     # emb_kmeans run their iterative jobs on construction — covered by

