@@ -207,6 +207,11 @@ HEADLINE = [
     "text_kn_lm_score",
     "curate_hard_negatives",
     "text_heaps_exponent",
+    # the removal half of the Lee et al. span family (islands -> cut text)
+    "dedup_spans_removed",
+    # streaming drift time series: fit + 3 streamed frozen-centroid appends
+    # + the per-segment share-TV scan — ~5 micro-jobs, the lifecycle class
+    "stream_share_drift",
     # curate_dedup_savings graded but NOT benched: its cost IS the already-
     # benched canonical-closure family (dedup_minhash_lsh + components)
     # knn_graph_descent graded but NOT benched: its toy-SF cost is stage

@@ -1172,6 +1172,86 @@ class AnnIndexStore:
             ).alias("share_drift"),
         )
 
+    def ivf_share_drift_by_segment(self, name: str = "ivf") -> DataFrame:
+        """``ivf_share_drift`` for EVERY segment of the chain — the drift
+        TIME SERIES a monitoring dashboard plots when appends arrive as
+        streaming micro-batches: one row per segment with its per-list
+        assignment-share TV distance from the fit segment (segment 0 =
+        the fit itself, drift 0.0 by definition). Same single scan of the
+        lists table's (seg, centroid_id) pairs and the same 1e-9
+        fixed-point TV discipline as the scalar statistic; cost is one
+        map-side-combined count per (segment, list), no vectors.
+
+        Returns (segment_idx, n_rows, share_drift) ordered by segment."""
+        desc = self._descriptor(name, "ivf")
+        segs = self._segments(desc)
+        if len(segs) <= 1:
+            return self.spark.createDataFrame(
+                [(0, int(desc["n_rows"]), 0.0)],
+                "segment_idx int, n_rows long, share_drift double",
+            )
+        lists = self.spark.read.parquet(self._table_root(name, "lists"))
+        idx = F.array(*[F.lit(int(s)) for s in segs])
+        counts = (
+            lists.where(F.col("seg").isin(segs))
+            .groupBy("seg", "centroid_id")
+            .agg(F.count("*").alias("_n"))
+            .select(
+                (F.array_position(idx, F.col("seg")) - 1)
+                .cast("int")
+                .alias("segment_idx"),
+                "centroid_id",
+                "_n",
+            )
+        )
+        fit = counts.where(F.col("segment_idx") == 0).select(
+            "centroid_id", F.col("_n").alias("_nf")
+        )
+        # full outer per segment: lists hit by only one side count fully
+        others = counts.where(F.col("segment_idx") > 0)
+        seg_ids = others.select("segment_idx").distinct()
+        grid = seg_ids.crossJoin(F.broadcast(fit)).select(
+            "segment_idx", "centroid_id", "_nf"
+        )
+        j = grid.join(
+            others.select("segment_idx", "centroid_id", F.col("_n").alias("_nn")),
+            ["segment_idx", "centroid_id"],
+            "full",
+        ).select(
+            "segment_idx",
+            F.coalesce("_nf", F.lit(0)).alias("_nf"),
+            F.coalesce("_nn", F.lit(0)).alias("_nn"),
+        )
+        tot = j.groupBy("segment_idx").agg(
+            F.sum("_nf").alias("_tf"), F.sum("_nn").alias("_tn")
+        )
+        share_fp = lambda n, t: F.round(  # noqa: E731 — local fixed-point
+            F.lit(1e-9) + n.cast("double") / t * 1e9, 0
+        ).cast("long")
+        per = j.join(F.broadcast(tot), "segment_idx").select(
+            "segment_idx",
+            "_tn",
+            F.abs(
+                share_fp(F.col("_nf"), F.col("_tf"))
+                - share_fp(F.col("_nn"), F.col("_tn"))
+            ).alias("_d"),
+        )
+        drifts = per.groupBy("segment_idx").agg(
+            F.max("_tn").alias("n_rows"), F.sum("_d").alias("_sd")
+        ).select(
+            "segment_idx",
+            "n_rows",
+            (
+                F.round(F.lit(1e-9) + F.col("_sd") / 2e9, 6) + F.lit(0.0)
+            ).alias("share_drift"),
+        )
+        fit_row = fit.agg(F.sum("_nf").alias("n_rows")).select(
+            F.lit(0).cast("int").alias("segment_idx"),
+            F.col("n_rows").cast("long"),
+            F.lit(0.0).alias("share_drift"),
+        )
+        return fit_row.unionByName(drifts).orderBy("segment_idx")
+
     def compact_index(self, name: str) -> dict:
         """Fold a segment chain back into ONE segment — the small-file /
         long-chain axis of index maintenance (the engine's OPTIMIZE applied

@@ -1589,6 +1589,125 @@ def duplicate_spans_hashed(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = DUP_SPAN_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The CUT itself — the step Lee et al. 2022 actually apply after the
+    measurement rows (`duplicate_spans*`, `duplicate_span_coverage`): emit
+    each document's normalized text with every maximal duplicated island
+    removed, i.e. the deduplicated corpus a training run would consume.
+    Kept text is the ordered concatenation of the inter-island gaps (the
+    head before the first island, the gaps between islands, the tail after
+    the last); documents with no duplicated anchors pass through whole,
+    fully-covered documents come back empty.
+
+    Scale shape: the island build is duplicate_span_coverage's (two anchor
+    shuffles + the per-doc windows); the reconstruction adds one lag
+    window on the SAME doc-key partitioning (AQE reuses the exchange), a
+    substring projection, and a per-doc ordered array_sort/array_join
+    rollup whose state is the kept segments of one document — never the
+    corpus. Returns (doc_id, n_chars, kept_chars, text_kept).
+    """
+    from pyspark.sql.window import Window as W
+
+    d = _spread(docs).select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_norm")
+    )
+    anchors = d.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 0)),"
+                f" i -> substring(_norm, i, {k}))"
+            )
+        ).alias("_p0", "gram"),
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "gram")
+    dup = (
+        anchors.groupBy("gram")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("gram")
+    )
+    hits = anchors.join(dup, "gram").select(
+        id_col, "pos", (F.col("pos") + F.lit(k - 1)).alias("end")
+    )
+    w_prev = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new_island",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("end").over(w_prev), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_run = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = (
+        flagged.withColumn("_isl", F.sum("_new_island").over(w_run))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+    )
+    # kept gaps: before each island [prev_end+1, s-1]; tail after the last
+    # island [max_end+1, len]. Head falls out of the lag's coalesce(., 0)+1.
+    w_ord = W.partitionBy(id_col).orderBy("s")
+    gaps_before = islands.select(
+        F.col(id_col),
+        (F.coalesce(F.lag("e").over(w_ord), F.lit(0)) + 1).alias("gs"),
+        (F.col("s") - 1).alias("ge"),
+    )
+    tails = islands.groupBy(id_col).agg((F.max("e") + 1).alias("gs"))
+    tails = tails.join(d, id_col).select(
+        id_col, "gs", F.length("_norm").alias("ge")
+    )
+    segs = gaps_before.unionByName(tails).where(F.col("ge") >= F.col("gs"))
+    kept = (
+        segs.join(d, id_col)
+        .select(
+            id_col,
+            "gs",
+            F.expr("substring(_norm, gs, ge - gs + 1)").alias("txt"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gs", "txt"))),
+                    lambda s: s["txt"],
+                ),
+                "",
+            ).alias("_kept")
+        )
+    )
+    has_isl = islands.select(id_col).distinct().withColumn("_has", F.lit(1))
+    return (
+        d.join(kept, id_col, "left")
+        .join(has_isl, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.length("_norm").cast("long").alias("n_chars"),
+            F.when(F.col("_has").isNull(), F.col("_norm"))
+            .otherwise(F.coalesce("_kept", F.lit("")))
+            .alias("text_kept"),
+        )
+        .select(
+            id_col,
+            "n_chars",
+            F.length("text_kept").cast("long").alias("kept_chars"),
+            "text_kept",
+        )
+        .orderBy(id_col)
+    )
+
+
 def duplicate_span_coverage(
     docs: DataFrame,
     k: int = DUP_SPAN_K,

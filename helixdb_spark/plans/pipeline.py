@@ -6884,3 +6884,159 @@ FROM s
 
 QUERIES.update({"text_heaps_exponent": text_heaps_exponent})
 ORACLES.update({"text_heaps_exponent": HEAPS_SQL})
+
+
+# ---------------------- duplicated-span REMOVAL (round 9) --------------------
+def dedup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cut the Lee et al. 2022 pipeline applies
+    (operators.dedup.remove_duplicate_spans): every maximal duplicated
+    island excised, the inter-island gaps re-concatenated in order — the
+    deduplicated corpus itself, closing the measure -> merge -> REMOVE
+    family. The oracle rebuilds islands and stitches the same gaps with
+    an ordered string_agg."""
+    from helixdb_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(load_table(spark, sf_dir, "documents"))
+
+
+def _spans_removed_sql() -> str:
+    from helixdb_spark.operators.dedup import DUP_SPAN_K as k
+
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+a AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(norm) - {k - 1}, 0) + 1),
+                i -> struct_pack(pos := i, gram := norm[i:i+{k - 1}]))) AS s
+  FROM d
+),
+an AS (SELECT doc_id, s.pos::INT AS pos, s.gram AS gram FROM a),
+g AS (SELECT gram FROM an GROUP BY gram HAVING count(*) >= 2),
+h AS (SELECT an.doc_id, an.pos, an.pos + {k - 1} AS e
+      FROM an JOIN g USING (gram)),
+f AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+                  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM h
+),
+isl2 AS (
+  SELECT doc_id, pos, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM f
+),
+m AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS ee
+      FROM isl2 GROUP BY 1, 2),
+gaps AS (
+  SELECT doc_id,
+         coalesce(lag(ee) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+         s - 1 AS ge
+  FROM m
+  UNION ALL
+  SELECT m.doc_id, max(m.ee) + 1 AS gs, max(len(d.norm)) AS ge
+  FROM m JOIN d USING (doc_id) GROUP BY m.doc_id
+),
+kept AS (
+  SELECT g2.doc_id,
+         string_agg(d.norm[g2.gs:g2.ge], '' ORDER BY g2.gs) AS kept_txt
+  FROM gaps g2 JOIN d USING (doc_id)
+  WHERE g2.ge >= g2.gs
+  GROUP BY g2.doc_id
+),
+hasm AS (SELECT DISTINCT doc_id FROM m)
+SELECT d.doc_id, len(d.norm)::BIGINT AS n_chars,
+       len(CASE WHEN hasm.doc_id IS NULL THEN d.norm
+                ELSE coalesce(kept.kept_txt, '') END)::BIGINT AS kept_chars,
+       CASE WHEN hasm.doc_id IS NULL THEN d.norm
+            ELSE coalesce(kept.kept_txt, '') END AS text_kept
+FROM d LEFT JOIN kept USING (doc_id) LEFT JOIN hasm USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+QUERIES.update({"dedup_spans_removed": dedup_spans_removed})
+ORACLES.update({"dedup_spans_removed": _spans_removed_sql()})
+
+
+# ---------------------- streaming drift monitoring (round 9) -----------------
+def stream_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift time series a production index operator watches
+    (streaming.stream_share_drift): IVF fit on the first half of the
+    corpus, three streamed micro-batch appends under frozen centroids,
+    the last batch distribution-shifted — per-segment assignment-share
+    TV distance (index_store.ivf_share_drift_by_segment) shows the clean
+    appends flat and the shifted batch spiking over the re-fit threshold.
+    The observability half of the r9 drift policy (ann_drift_refit is
+    the acting half)."""
+    from helixdb_spark import streaming as _stream
+
+    return _stream.stream_share_drift(spark, sf_dir)
+
+
+def _stream_share_drift_sql() -> str:
+    s = _sim.IVF_CENTROID_STRIDE
+    return f"""
+WITH p AS (SELECT (max(vec_id) + 1) AS n FROM embeddings),
+g AS (
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id >= (p.n // 2) + 2 * (p.n // 6)
+              THEN list_transform(e.embedding, x -> abs(x))
+              ELSE e.embedding END AS embedding,
+         CASE WHEN e.vec_id < p.n // 2 THEN 0
+              WHEN e.vec_id < (p.n // 2) + (p.n // 6) THEN 1
+              WHEN e.vec_id < (p.n // 2) + 2 * (p.n // 6) THEN 2
+              ELSE 3 END AS segment_idx
+  FROM embeddings e CROSS JOIN p
+),
+cent AS (
+  SELECT g.vec_id AS centroid_id, g.embedding AS cvec
+  FROM g CROSS JOIN p
+  WHERE g.vec_id % {s} = 0 AND g.vec_id < p.n // 2
+),
+assigned AS (
+  SELECT segment_idx, centroid_id FROM (
+    SELECT e.segment_idx, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+             c.centroid_id ASC) AS crk
+    FROM g e CROSS JOIN cent c
+  ) WHERE crk = 1
+),
+cnt AS (SELECT segment_idx, centroid_id, count(*)::BIGINT AS nn
+        FROM assigned GROUP BY 1, 2),
+fitc AS (SELECT centroid_id, nn AS nf FROM cnt WHERE segment_idx = 0),
+tfv AS (SELECT sum(nf)::BIGINT AS tf FROM fitc),
+tot AS (SELECT segment_idx, sum(nn)::BIGINT AS tn FROM cnt
+        WHERE segment_idx > 0 GROUP BY 1),
+segs AS (SELECT DISTINCT segment_idx FROM cnt WHERE segment_idx > 0),
+grid AS (SELECT s2.segment_idx, f.centroid_id, f.nf
+         FROM segs s2 CROSS JOIN fitc f),
+j AS (
+  SELECT segment_idx, centroid_id,
+         coalesce(gr.nf, 0) AS nf, coalesce(c2.nn, 0) AS nn
+  FROM grid gr FULL JOIN (SELECT * FROM cnt WHERE segment_idx > 0) c2
+    USING (segment_idx, centroid_id)
+),
+per AS (
+  SELECT j.segment_idx, t.tn,
+         abs(CAST(round(1e-9 + j.nf::DOUBLE / tfv.tf * 1e9) AS BIGINT)
+           - CAST(round(1e-9 + j.nn::DOUBLE / t.tn * 1e9) AS BIGINT)) AS d
+  FROM j CROSS JOIN tfv JOIN tot t USING (segment_idx)
+),
+drift AS (
+  SELECT segment_idx, max(tn)::BIGINT AS n_rows,
+         round(1e-9 + sum(d)::DOUBLE / 2e9, 6) + 0.0 AS share_drift
+  FROM per GROUP BY 1
+)
+SELECT 0 AS segment_idx, (SELECT tf FROM tfv) AS n_rows, 0.0 AS share_drift
+UNION ALL
+SELECT segment_idx, n_rows, share_drift FROM drift
+ORDER BY segment_idx
+"""
+
+
+QUERIES.update({"stream_share_drift": stream_share_drift})
+ORACLES.update({"stream_share_drift": _stream_share_drift_sql()})

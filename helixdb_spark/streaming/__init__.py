@@ -1014,3 +1014,95 @@ def stream_index_refresh(
         debug["segments"] = len(store._segments(desc))
         debug["n_rows"] = int(desc["n_rows"])
     return store.lsh_topk(queries, k=k)
+
+
+def stream_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift MONITORING — the observability half of the r9 drift
+    policy (``HelixSpark.register_index(drift_threshold=...)`` acts;
+    this row is what an operator watches): an IVF index is fit on the
+    first half of the embeddings corpus, the second half arrives as three
+    time-ordered micro-batches appended under the FROZEN centroids
+    (foreachBatch -> ``AnnIndexStore.append_ivf``), and the LAST batch is
+    distribution-shifted (every vector folded into the positive orthant —
+    the unambiguous rerouting case the refit lifecycle uses). The output
+    is the per-segment assignment-share TV time series
+    (``ivf_share_drift_by_segment``): clean appends sit low, the shifted
+    batch spikes — the dashboard line that crosses the re-fit threshold.
+
+    Scale shape: each append assigns only its micro-batch against the
+    broadcast centroid set and writes one lists segment; the statistic is
+    one map-side-combined (seg, centroid_id) count scan — no vectors, no
+    truth tier, per-commit cost independent of corpus size."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from helixdb_spark.index_store import AnnIndexStore
+    from helixdb_spark.plans.kv import _scratch_dir
+    from helixdb_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    half, q = n // 2, n // 6
+    bounds = [(half, half + q), (half + q, half + 2 * q), (half + 2 * q, n)]
+    fit = emb.where(F.col("vec_id") < half)
+
+    # dedicated stream dir: the LAST batch's vectors are |x|-folded at file
+    # build time (the stream carries what actually arrived)
+    root = tempfile.mkdtemp(prefix="helix_driftstream_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    stream_dir = f"{root}/stream"
+    os.makedirs(stream_dir)
+    for i, (lo, hi) in enumerate(bounds):
+        batch = emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        if i == len(bounds) - 1:
+            batch = batch.select(
+                "vec_id",
+                F.transform("embedding", lambda x: F.abs(x)).alias("embedding"),
+            )
+        entries = batch.select(
+            F.col("vec_id").cast("long").alias("ts"),
+            F.col("vec_id").cast("string").alias("key"),
+            _pack_f32(F.col("embedding")).alias("value"),
+        )
+        tmp = f"{root}/b{i}_tmp"
+        entries.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{stream_dir}/b{i}.parquet"
+        shutil.move(part, dst)
+        mtime = 1_000_000_000 + i * 500
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    store = AnnIndexStore(spark, _scratch_dir("anndriftstream"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    qry = None
+    try:
+        store.write_ivf(fit, name="ivf")
+
+        def _append(batch_df, _epoch):
+            vecs = batch_df.select(
+                F.col("key").cast("long").alias("vec_id"),
+                _unpack_f32(F.col("value")).alias("embedding"),
+            )
+            store.append_ivf(vecs, name="ivf")
+
+        schema = spark.read.parquet(stream_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        qry = stream.writeStream.foreachBatch(_append).start()
+        qry.processAllAvailable()
+    finally:
+        if qry is not None:
+            try:
+                qry.stop()
+            except Exception:  # noqa: BLE001 — best-effort on the error path
+                pass
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return store.ivf_share_drift_by_segment("ivf")

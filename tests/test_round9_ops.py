@@ -347,3 +347,71 @@ def test_heaps_exponent_two_point_exact(spark):
     beta = (math.log(4) - math.log(2)) / (math.log(16) - math.log(4))
     assert out["n_sources"] == 2
     assert abs(out["heaps_beta"] - beta) < 1e-4
+
+
+# ------------------------------------------------ span removal ----
+def test_remove_duplicate_spans_hand_checkable(spark):
+    """Three-doc corpus with one shared 30-char run: the run is excised
+    from both carriers, the clean doc passes through byte-identical, and
+    kept_chars always equals n_chars minus duplicate_span_coverage's
+    covered_chars (the measure/remove pair agree)."""
+    from helixdb_spark.operators.dedup import (
+        duplicate_span_coverage,
+        remove_duplicate_spans,
+    )
+
+    dup_run = "the quick brown fox jumps over the lazy dog again"  # 50 chars
+    rows = [
+        (1, "AAA " + dup_run + " tail one"),
+        (2, "BBBB " + dup_run + " other tail"),
+        (3, "completely unique text with no repeats at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(docs).collect()}
+    cov = {r["doc_id"]: r for r in duplicate_span_coverage(docs).collect()}
+    for i in (1, 2, 3):
+        assert got[i]["kept_chars"] == got[i]["n_chars"] - cov[i]["covered_chars"], i
+        assert got[i]["kept_chars"] == len(got[i]["text_kept"]), i
+    # doc 3 untouched
+    assert cov[3]["covered_chars"] == 0
+    assert got[3]["kept_chars"] == got[3]["n_chars"]
+    # the shared run is gone from both carriers
+    assert dup_run not in got[1]["text_kept"]
+    assert dup_run not in got[2]["text_kept"]
+    # and the non-duplicated flanks survive (doc 1 head normalizes to 'aaa')
+    assert got[1]["text_kept"].startswith("aaa")
+    assert got[1]["text_kept"].endswith("one")
+
+
+def test_remove_duplicate_spans_fully_covered_doc(spark):
+    """A document that is one duplicated island end-to-end comes back
+    empty — the degenerate case the reconstruction must not mangle."""
+    from helixdb_spark.operators.dedup import remove_duplicate_spans
+
+    body = "z" * 40  # 40 identical chars, duplicated across both docs
+    docs = spark.createDataFrame(
+        [(1, body), (2, body)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(docs).collect()}
+    for i in (1, 2):
+        assert got[i]["n_chars"] == 40
+        assert got[i]["kept_chars"] == 0
+        assert got[i]["text_kept"] == ""
+
+
+# ------------------------------------------------ streaming drift series ----
+def test_stream_share_drift_shape(spark, sf_dir):
+    """The monitored series must separate signal from growth: clean
+    same-distribution appends (segments 1-2) sit strictly below the
+    shifted batch (segment 3), and the shifted batch crosses the refit
+    threshold the policy uses."""
+    from helixdb_spark.plans.pipeline import DRIFT_REFIT_TV
+    from helixdb_spark.streaming import stream_share_drift
+
+    rows = {r["segment_idx"]: r for r in stream_share_drift(spark, sf_dir).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert rows[0]["share_drift"] == 0.0
+    clean_max = max(rows[1]["share_drift"], rows[2]["share_drift"])
+    assert rows[3]["share_drift"] > clean_max
+    assert rows[3]["share_drift"] > DRIFT_REFIT_TV
+    assert clean_max < DRIFT_REFIT_TV
