@@ -212,6 +212,8 @@ HEADLINE = [
     # streaming drift time series: fit + 3 streamed frozen-centroid appends
     # + the per-segment share-TV scan — ~5 micro-jobs, the lifecycle class
     "stream_share_drift",
+    "supplier_customer_hits",
+    "curate_unigram_sampler",
     # curate_dedup_savings graded but NOT benched: its cost IS the already-
     # benched canonical-closure family (dedup_minhash_lsh + components)
     # knn_graph_descent graded but NOT benched: its toy-SF cost is stage

@@ -682,3 +682,107 @@ def harmonic_centrality(
         ),
         *cp_handles,
     )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 3,
+    truncate_lineage_every: int = 2,
+    round_dp: int | None = 9,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, "Authoritative Sources in a
+    Hyperlinked Environment", JACM 1999), the L1-normalized fixed-round
+    variant: per round ``a'(v) = sum over (u,v) of w * h(u)`` then
+    ``a = a' / sum(a')``, and ``h'(u) = sum over (u,v) of w * a(v)`` then
+    ``h = h' / sum(h')``. L1 normalization (instead of Kleinberg's L2)
+    keeps every per-round number a ratio of sums — the same unrolled-CTE
+    oracle discipline as ``pagerank`` — and leaves the RANKING identical
+    (normalization only rescales). ``round_dp`` quantizes both vectors at
+    the end of each round so engine summation order cannot compound.
+
+    On a bipartite graph (e.g. supplier->customer shipments) hubs rank
+    the source side and authorities the destination side — the two-sided
+    importance split one PageRank cannot express.
+
+    Scale shape: the edge table persists once; each round is two
+    broadcast-or-shuffle equi-joins of edges with the |V|-row score
+    vectors plus two 1-row normalization broadcasts; lineage truncates
+    every ``truncate_lineage_every`` rounds (the iterative-DAG
+    discipline). Returns (node, hub, authority) for every node.
+    """
+    from helixdb_spark.operators.util import (
+        tracked_local_checkpoint,
+        unpersist_on_gc,
+    )
+
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # one scalar; the score vectors never move
+    broadcast_scores = n <= PAGERANK_BROADCAST_NODES
+
+    def _bc(df):
+        return F.broadcast(df) if broadcast_scores else df
+
+    def _quant(col):
+        if round_dp is None:
+            return col
+        return F.round(col + F.lit(1e-9), round_dp)
+
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auths = None
+    cp_handles: list = []
+    for it in range(iterations):
+        if it and truncate_lineage_every and it % truncate_lineage_every == 0:
+            hubs = tracked_local_checkpoint(hubs, cp_handles)
+        raw_a = (
+            e.join(_bc(hubs.select(F.col("node").alias("src"), "hub")), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("hub")).alias("_a"))
+        )
+        a_tot = raw_a.agg(F.sum("_a").alias("_at"))
+        auths = (
+            nodes.join(raw_a, "node", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                _quant(
+                    F.coalesce("_a", F.lit(0.0)) / F.col("_at")
+                ).alias("authority"),
+            )
+        )
+        raw_h = (
+            e.join(
+                _bc(auths.select(F.col("node").alias("dst"), "authority")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("authority")).alias("_h"))
+        )
+        h_tot = raw_h.agg(F.sum("_h").alias("_ht"))
+        hubs = (
+            nodes.join(raw_h, "node", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                _quant(
+                    F.coalesce("_h", F.lit(0.0)) / F.col("_ht")
+                ).alias("hub"),
+            )
+        )
+    out = (
+        hubs.join(auths, "node")
+        .select("node", "hub", "authority")
+        .orderBy("node")
+    )
+    return unpersist_on_gc(out, e, nodes, *cp_handles)

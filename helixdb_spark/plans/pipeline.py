@@ -7040,3 +7040,89 @@ ORDER BY segment_idx
 
 QUERIES.update({"stream_share_drift": stream_share_drift})
 ORACLES.update({"stream_share_drift": _stream_share_drift_sql()})
+
+
+# ---------------------- unigram^0.75 negative-sampling table (round 9) -------
+SAMPLER_TOP_V = 50
+SAMPLER_POW = 0.75
+
+
+def curate_unigram_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec-style negative-sampling table (Mikolov et al. 2013):
+    token sampling probability proportional to count^{SAMPLER_POW} — the
+    standard flattening that keeps frequent tokens from dominating
+    contrastive negatives — materialized for the corpus head as
+    (rk, token, n, p_sample, cdf). The cdf column is what an O(log V)
+    binary-search sampler consumes. Normalization domain is the emitted
+    top-{SAMPLER_TOP_V} head itself (documented contract; the tail's mass
+    is the complement). Exactness: each count^0.75 quantizes to a scaled
+    int64 BEFORE the total and the cumulative sum, so both engines build
+    bit-identical ratios; the rank window runs over the LIMITed head,
+    never the vocabulary (the r9 top-k discipline)."""
+    from helixdb_spark.functions.text import normalized_text, words
+    from helixdb_spark.operators.util import spread
+    from pyspark.sql.window import Window as W
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.withColumn(
+        "__ws", words(normalized_text(F.col("text")))
+    ).select(F.explode("__ws").alias("token"))
+    head = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(SAMPLER_TOP_V)
+    )
+    w_ord = W.orderBy(F.desc("n"), F.asc("token"))
+    q = head.select(
+        F.row_number().over(w_ord).alias("rk"),
+        "token",
+        "n",
+        F.round(
+            F.lit(1e-9) + F.pow(F.col("n"), F.lit(SAMPLER_POW)) * 1e6, 0
+        )
+        .cast("long")
+        .alias("_pq"),
+    )
+    tot = q.agg(F.sum("_pq").alias("_tot"))
+    w_cum = W.orderBy("rk").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        q.crossJoin(F.broadcast(tot))
+        .select(
+            "rk",
+            "token",
+            "n",
+            F.round(F.lit(1e-9) + F.col("_pq") / F.col("_tot"), 6).alias(
+                "p_sample"
+            ),
+            F.round(
+                F.lit(1e-9) + F.sum("_pq").over(w_cum) / F.col("_tot"), 6
+            ).alias("cdf"),
+        )
+        .orderBy("rk")
+    )
+
+
+SAMPLER_SQL = f"""
+WITH norm AS (SELECT string_split({_NORM}, ' ') AS ws FROM documents),
+tok AS (SELECT unnest(ws) AS token FROM norm),
+head AS (SELECT token, count(*)::BIGINT AS n FROM tok WHERE token != ''
+         GROUP BY 1 ORDER BY n DESC, token ASC LIMIT {SAMPLER_TOP_V}),
+q AS (
+  SELECT row_number() OVER (ORDER BY n DESC, token ASC)::INT AS rk,
+         token, n,
+         CAST(round(1e-9 + power(n, {SAMPLER_POW}) * 1e6, 0) AS BIGINT) AS pq
+  FROM head
+),
+tot AS (SELECT sum(pq)::BIGINT AS t FROM q)
+SELECT rk, token, n,
+       round(1e-9 + pq::DOUBLE / t, 6) AS p_sample,
+       round(1e-9 + (sum(pq) OVER (ORDER BY rk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE / t,
+             6) AS cdf
+FROM q CROSS JOIN tot
+ORDER BY rk
+"""
+
+QUERIES.update({"curate_unigram_sampler": curate_unigram_sampler})
+ORACLES.update({"curate_unigram_sampler": SAMPLER_SQL})

@@ -2695,3 +2695,100 @@ ORDER BY node
 
 QUERIES.update({"nation_trade_closeness": nation_trade_closeness})
 ORACLES.update({"nation_trade_closeness": _closeness_sql()})
+
+
+# ---------------------- HITS hubs/authorities (round 9) ----------------------
+HITS_ITERS = 3
+
+
+def supplier_customer_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the supplier->customer shipment graph
+    (operators.graph.hits — Kleinberg 1999, L1-normalized fixed rounds):
+    the bipartite two-sided importance split one PageRank cannot express —
+    hubs rank suppliers by how much revenue they ship to important
+    customers, authorities rank customers by how much they receive from
+    important suppliers. Same revenue-weighted edges as
+    supplier_customer_pagerank; oracle unrolls the identical rounds."""
+    from helixdb_spark.operators.graph import hits
+    from helixdb_spark.operators.util import carry_caches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.col("o_custkey").cast("long") + F.lit(CUST_NODE_OFFSET)).alias(
+                "dst"
+            ),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "w"
+            )
+        )
+    )
+    scores = hits(
+        edges, "src", "dst", "w", iterations=HITS_ITERS, round_dp=PR_ROUND_DP
+    )
+    return carry_caches(
+        scores.select(
+            F.col("node").cast("long").alias("node"),
+            F.round(F.col("hub") + F.lit(1e-9), 6).alias("hub"),
+            F.round(F.col("authority") + F.lit(1e-9), 6).alias("authority"),
+        ).orderBy("node"),
+        scores,
+    )
+
+
+def _hits_sql(iters: int = HITS_ITERS, round_dp: int = PR_ROUND_DP) -> str:
+    head = f"""
+WITH edges AS MATERIALIZED (
+  SELECT l_suppkey::BIGINT AS src,
+         o_custkey::BIGINT + {CUST_NODE_OFFSET} AS dst,
+         sum(l_extendedprice * (1 - l_discount)) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+  )
+),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+rawa{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(e.w * h.hub) AS a
+  FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY 1
+),
+at{i} AS MATERIALIZED (SELECT sum(a) AS t FROM rawa{i}),
+a{i} AS MATERIALIZED (
+  SELECT n.node,
+         round(coalesce(r.a, 0.0) / (SELECT t FROM at{i}) + 1e-9, {round_dp})
+           AS authority
+  FROM nodes n LEFT JOIN rawa{i} r ON n.node = r.node
+),
+rawh{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(e.w * a.authority) AS h
+  FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY 1
+),
+ht{i} AS MATERIALIZED (SELECT sum(h) AS t FROM rawh{i}),
+h{i} AS MATERIALIZED (
+  SELECT n.node,
+         round(coalesce(r.h, 0.0) / (SELECT t FROM ht{i}) + 1e-9, {round_dp})
+           AS hub
+  FROM nodes n LEFT JOIN rawh{i} r ON n.node = r.node
+)""")
+    parts.append(f"""
+SELECT h.node, round(h.hub + 1e-9, 6) AS hub,
+       round(a.authority + 1e-9, 6) AS authority
+FROM h{iters} h JOIN a{iters} a USING (node)
+ORDER BY h.node
+""")
+    return "".join(parts)
+
+
+QUERIES.update({"supplier_customer_hits": supplier_customer_hits})
+ORACLES.update({"supplier_customer_hits": _hits_sql()})

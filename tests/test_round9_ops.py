@@ -415,3 +415,51 @@ def test_stream_share_drift_shape(spark, sf_dir):
     assert rows[3]["share_drift"] > clean_max
     assert rows[3]["share_drift"] > DRIFT_REFIT_TV
     assert clean_max < DRIFT_REFIT_TV
+
+
+# ------------------------------------------------ HITS ----
+def test_hits_bipartite_sides_and_normalization(spark):
+    """On a bipartite graph: sources carry hub mass only, destinations
+    authority mass only, each side L1-sums to 1 (up to the per-round
+    quantization), and the better-connected hub outranks the weaker one."""
+    from helixdb_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [
+            (1, 10, 5.0),
+            (1, 11, 5.0),  # hub 1 feeds two authorities
+            (2, 10, 5.0),  # hub 2 feeds one
+        ],
+        "src long, dst long, w double",
+    )
+    rows = {r["node"]: r for r in hits(edges, iterations=3).collect()}
+    assert sorted(rows) == [1, 2, 10, 11]
+    # the per-round +1e-9 half-even nudge leaves exact zeros at 1e-9 (the
+    # same value on both engines — the quantization discipline, not noise)
+    for s in (1, 2):
+        assert rows[s]["authority"] <= 1e-9  # no in-edges
+    for d in (10, 11):
+        assert rows[d]["hub"] <= 1e-9  # no out-edges
+    assert abs(rows[1]["hub"] + rows[2]["hub"] - 1.0) < 1e-6
+    assert abs(rows[10]["authority"] + rows[11]["authority"] - 1.0) < 1e-6
+    assert rows[1]["hub"] > rows[2]["hub"]
+    # authority 10 hears from both hubs, 11 only from hub 1
+    assert rows[10]["authority"] > rows[11]["authority"]
+
+
+# ------------------------------------------------ unigram sampler ----
+def test_unigram_sampler_flattens_head(spark, sf_dir):
+    """count^0.75 flattening: p_sample is monotone in count but strictly
+    flatter than the raw frequency ratio, the cdf ends at 1.0, and ranks
+    are count-desc deterministic."""
+    from helixdb_spark.plans.pipeline import curate_unigram_sampler
+
+    rows = curate_unigram_sampler(spark, sf_dir).collect()
+    assert rows, "empty sampler table"
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert abs(rows[-1]["cdf"] - 1.0) < 1e-5
+    # flattening: head token's sampling share < its raw count share
+    tot_n = sum(ns)
+    assert rows[0]["p_sample"] < rows[0]["n"] / tot_n
