@@ -214,6 +214,8 @@ HEADLINE = [
     "stream_share_drift",
     "supplier_customer_hits",
     "curate_unigram_sampler",
+    "ev_changepoint",
+    "mm_color_histogram",
     # curate_dedup_savings graded but NOT benched: its cost IS the already-
     # benched canonical-closure family (dedup_minhash_lsh + components)
     # knn_graph_descent graded but NOT benched: its toy-SF cost is stage

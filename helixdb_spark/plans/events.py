@@ -2945,3 +2945,143 @@ ORDER BY period
 
 QUERIES.update({"ev_periodogram": ev_periodogram})
 ORACLES.update({"ev_periodogram": EV_PERIODOGRAM_SQL})
+
+
+# ---------------------- single changepoint per series (round 9) --------------
+def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary segmentation's FIRST split (Scott & Knott 1974 lineage; the
+    opening move of every changepoint pipeline): per event_type, the day
+    boundary that minimizes left+right sum-of-squared-error over the daily
+    value-sum series, via the closed form
+    ``SSE(l..r) = Q - P^2/len`` on prefix sums — no iteration, no UDF.
+    Complements ev_cusum_drift (sequential detection) with the
+    retrospective segmentation view. Returns per type the split day and
+    the fraction of total SSE the split removes.
+
+    FP determinism: per-event values quantize to int64 centi-units before
+    the daily sums (exact), the prefix sums are ORDERED windows (both
+    engines fold in day order — the ev_cusum discipline), and the totals
+    are the t=n prefix row itself (never a separately-ordered aggregate),
+    so the cost expression sees bit-identical operands; costs quantize to
+    6 dp before the argmin (ties -> earliest day)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.lit(1e-9) + F.col("value") * 100, 0)
+            .cast("long")
+            .alias("vq"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("vq").alias("y"))
+    )
+    wo = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(W.partitionBy("event_type").orderBy("day")).alias(
+            "t"
+        ),
+        F.sum(F.col("y").cast("double")).over(wo).alias("pt"),
+        F.sum(
+            (F.col("y").cast("double") * F.col("y").cast("double"))
+        ).over(wo).alias("qt"),
+    )
+    last = (
+        pre.groupBy("event_type")
+        .agg(F.max("t").alias("n"))
+        .join(pre, "event_type")
+        .where(F.col("t") == F.col("n"))
+        .select(
+            "event_type",
+            "n",
+            F.col("pt").alias("pn"),
+            F.col("qt").alias("qn"),
+        )
+    )
+    cand = pre.join(last, "event_type").where(
+        (F.col("t") < F.col("n")) & (F.col("n") >= 2)
+    )
+    cost = (
+        F.col("qt")
+        - F.col("pt") * F.col("pt") / F.col("t")
+        + (F.col("qn") - F.col("qt"))
+        - (F.col("pn") - F.col("pt"))
+        * (F.col("pn") - F.col("pt"))
+        / (F.col("n") - F.col("t"))
+    )
+    total = F.col("qn") - F.col("pn") * F.col("pn") / F.col("n")
+    scored = cand.select(
+        "event_type",
+        "n",
+        "day",
+        F.round(cost + F.lit(1e-9), 6).alias("cost_q"),
+        F.round(total + F.lit(1e-9), 6).alias("total_q"),
+    )
+    wk = W.partitionBy("event_type").orderBy(F.asc("cost_q"), F.asc("day"))
+    best = scored.withColumn("rk", F.row_number().over(wk)).where(
+        F.col("rk") == 1
+    )
+    return best.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("day").cast("string").alias("split_day"),
+        F.when(F.col("total_q") > 0, F.round(
+            F.lit(1e-9) + (F.col("total_q") - F.col("cost_q")) / F.col("total_q"),
+            6,
+        )).otherwise(F.lit(0.0)).alias("sse_reduction"),
+    ).orderBy("event_type")
+
+
+EV_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(round(1e-9 + value * 100, 0) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type, day,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         sum(y::DOUBLE) OVER (PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS pt,
+         sum(y::DOUBLE * y::DOUBLE) OVER (PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS qt
+  FROM daily
+),
+lastrow AS (
+  SELECT p.event_type, p.t AS n, p.pt AS pn, p.qt AS qn
+  FROM pre p JOIN (SELECT event_type, max(t) AS n FROM pre GROUP BY 1) m
+    ON p.event_type = m.event_type AND p.t = m.n
+),
+cand AS (
+  SELECT pre.event_type, lastrow.n, pre.day,
+         round(pre.qt - pre.pt * pre.pt / pre.t
+               + (lastrow.qn - pre.qt)
+               - (lastrow.pn - pre.pt) * (lastrow.pn - pre.pt)
+                 / (lastrow.n - pre.t)
+               + 1e-9, 6) AS cost_q,
+         round(lastrow.qn - lastrow.pn * lastrow.pn / lastrow.n + 1e-9, 6)
+           AS total_q
+  FROM pre JOIN lastrow USING (event_type)
+  WHERE pre.t < lastrow.n AND lastrow.n >= 2
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY cost_q ASC, day ASC) AS rk
+  FROM cand
+)
+SELECT event_type, n::BIGINT AS n_days, day::VARCHAR AS split_day,
+       CASE WHEN total_q > 0
+            THEN round(1e-9 + (total_q - cost_q) / total_q, 6) + 0.0
+            ELSE 0.0 END AS sse_reduction
+FROM best WHERE rk = 1
+ORDER BY event_type
+"""
+
+QUERIES.update({"ev_changepoint": ev_changepoint})
+ORACLES.update({"ev_changepoint": EV_CHANGEPOINT_SQL})

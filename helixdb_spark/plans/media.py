@@ -514,3 +514,112 @@ ORDER BY d.doc_id
 
 QUERIES.update({"mm_audio_vad": mm_audio_vad})
 ORACLES.update({"mm_audio_vad": MM_VAD_SQL})
+
+
+# ---------------------- luminance histogram + entropy (round 9) --------------
+def mm_color_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 8-bin luminance histogram + entropy through the REAL BMP
+    container round trip (mm_decode_bmp's pixel formula, encode_bmp ->
+    decode_image) — the flat/blank-image quality signal an image-curation
+    pass thresholds (a near-zero-entropy image is a solid color or a
+    banner; the multimodal counterpart of text char-entropy). The Python
+    stage returns only the integer bin counts; the entropy expression is
+    ONE SQL text both engines parse over those exact ints, so the double
+    arithmetic runs in identical order.
+
+    Scale shape: two Arrow mapInPandas passes (encode, decode+bin), no
+    shuffle until the presentation sort; payloads never leave executors."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 8 + d % 3
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                ch = np.arange(3, dtype=np.int64)[None, None, :]
+                arr = ((d * 7 + r * 31 + c * 13 + ch * 5) % 256).astype("uint8")
+                payloads.append(mm.encode_bmp(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, "doc_id long, payload binary")
+
+    def binned(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                ["doc_id", "n_px"] + [f"h{i}" for i in range(8)]
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = mm.decode_image(bytes(payload)).astype(np.int64)
+                lum = (arr.sum(axis=2) // 3) // 32  # 8 luminance bins
+                counts = np.bincount(lum.ravel(), minlength=8)
+                out["doc_id"].append(int(doc_id))
+                out["n_px"].append(int(lum.size))
+                for i in range(8):
+                    out[f"h{i}"].append(int(counts[i]))
+            yield pd.DataFrame(out)
+
+    hist = media.mapInPandas(
+        binned,
+        "doc_id long, n_px long, " + ", ".join(f"h{i} long" for i in range(8)),
+    )
+    ent_terms = " + ".join(
+        f"(CASE WHEN h{i} > 0 THEN (h{i} / CAST(n_px AS DOUBLE))"
+        f" * ln(h{i} / CAST(n_px AS DOUBLE)) ELSE 0.0 END)"
+        for i in range(8)
+    )
+    return hist.select(
+        "doc_id",
+        "n_px",
+        *[f"h{i}" for i in range(8)],
+        F.round(F.lit(1e-9) - F.expr(ent_terms), 6).alias("lum_entropy"),
+    ).orderBy("doc_id")
+
+
+def _mm_histogram_sql() -> str:
+    ent_terms = " + ".join(
+        f"(CASE WHEN h{i} > 0 THEN (h{i} / CAST(n_px AS DOUBLE))"
+        f" * ln(h{i} / CAST(n_px AS DOUBLE)) ELSE 0.0 END)"
+        for i in range(8)
+    )
+    pivots = ", ".join(
+        f"sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END)::BIGINT AS h{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id, (8 + doc_id % 5)::BIGINT AS w, (8 + doc_id % 3)::BIGINT AS h
+  FROM documents
+),
+rows_ AS (SELECT doc_id, w, h, unnest(range(h)) AS r FROM dims),
+px AS (SELECT doc_id, w, h, r, unnest(range(w)) AS c FROM rows_),
+lum AS (
+  SELECT doc_id, w, h,
+         ((((doc_id*7 + r*31 + c*13) % 256)
+           + ((doc_id*7 + r*31 + c*13 + 5) % 256)
+           + ((doc_id*7 + r*31 + c*13 + 10) % 256)) // 3) // 32 AS bin
+  FROM px
+),
+hist AS (
+  SELECT doc_id, (max(w) * max(h))::BIGINT AS n_px, {pivots}
+  FROM lum GROUP BY doc_id
+)
+SELECT doc_id, n_px, h0, h1, h2, h3, h4, h5, h6, h7,
+       round(1e-9 - ({ent_terms}), 6) + 0.0 AS lum_entropy
+FROM hist
+ORDER BY doc_id
+"""
+
+
+QUERIES.update({"mm_color_histogram": mm_color_histogram})
+ORACLES.update({"mm_color_histogram": _mm_histogram_sql()})
