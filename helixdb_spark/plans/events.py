@@ -3085,3 +3085,99 @@ ORDER BY event_type
 
 QUERIES.update({"ev_changepoint": ev_changepoint})
 ORACLES.update({"ev_changepoint": EV_CHANGEPOINT_SQL})
+
+
+# ---------------------- day-of-week seasonality strength (round 9) -----------
+def ev_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality strength per event_type: the one-way-ANOVA
+    variance share R^2 = SS_between / SS_total of the daily value-sum
+    series grouped by day of week — the single number that says how much
+    of a series' variation the weekly cycle explains (compare: the
+    periodogram row shows WHERE the energy is; this says HOW MUCH, in
+    variance units). Closed form from exact int sums:
+    SS_total = Q - P^2/n, SS_between = sum_g P_g^2/n_g - P^2/n.
+
+    Determinism: per-event values quantize to int64 centi-units before
+    the daily sums; every P/Q/P_g/n_g is an exact int64 cast to double
+    once, and the R^2 expression text is identical on both engines. The
+    day-of-week labels differ across engines (Spark 1-7, DuckDB 0-6) but
+    partition the dates identically, and only the aggregate leaves the
+    query."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.lit(1e-9) + F.col("value") * 100, 0)
+            .cast("long")
+            .alias("vq"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("vq").alias("y"))
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    per_g = daily.groupBy("event_type", "dow").agg(
+        F.sum("y").alias("pg"), F.count("*").alias("ng")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("p"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+    )
+    between = per_g.groupBy("event_type").agg(
+        F.sum(
+            F.col("pg").cast("double") * F.col("pg").cast("double")
+            / F.col("ng")
+        ).alias("sb_raw")
+    )
+    j = tot.join(between, "event_type")
+    ss_total = (
+        F.col("q").cast("double")
+        - F.col("p").cast("double") * F.col("p").cast("double") / F.col("n")
+    )
+    ss_between = F.col("sb_raw") - F.col("p").cast("double") * F.col(
+        "p"
+    ).cast("double") / F.col("n")
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            ss_total > 0,
+            F.round(F.lit(1e-9) + ss_between / ss_total, 6),
+        ).otherwise(F.lit(0.0)).alias("dow_r2"),
+    ).orderBy("event_type")
+
+
+EV_DOW_ANOVA_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(round(1e-9 + value * 100, 0) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+),
+d2 AS (SELECT event_type, day, y, dayofweek(day) AS dow FROM daily),
+per_g AS (
+  SELECT event_type, dow, sum(y)::BIGINT AS pg, count(*)::BIGINT AS ng
+  FROM d2 GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(y)::BIGINT AS p,
+         sum(y * y)::BIGINT AS q
+  FROM d2 GROUP BY 1
+),
+btw AS (
+  SELECT event_type,
+         sum(pg::DOUBLE * pg::DOUBLE / ng) AS sb_raw
+  FROM per_g GROUP BY 1
+)
+SELECT t.event_type, t.n AS n_days,
+       CASE WHEN (t.q::DOUBLE - t.p::DOUBLE * t.p::DOUBLE / t.n) > 0
+            THEN round(1e-9
+                 + (b.sb_raw - t.p::DOUBLE * t.p::DOUBLE / t.n)
+                 / (t.q::DOUBLE - t.p::DOUBLE * t.p::DOUBLE / t.n), 6) + 0.0
+            ELSE 0.0 END AS dow_r2
+FROM tot t JOIN btw b USING (event_type)
+ORDER BY t.event_type
+"""
+
+QUERIES.update({"ev_dow_anova": ev_dow_anova})
+ORACLES.update({"ev_dow_anova": EV_DOW_ANOVA_SQL})

@@ -7126,3 +7126,157 @@ ORDER BY rk
 
 QUERIES.update({"curate_unigram_sampler": curate_unigram_sampler})
 ORACLES.update({"curate_unigram_sampler": SAMPLER_SQL})
+
+
+# ---------------------- one-row dataset card (round 9) -----------------------
+def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card a corpus release ships with (the
+    datasheet/data-card practice): document and token counts, language and
+    source cardinalities, exact-duplicate share, and mean document length
+    — every number a single pass of map-side-combined aggregates over the
+    documents table plus the exact-dup grouping the dedup family already
+    defines (normalized-text identity). All counts exact ints; the two
+    ratios round at 6 dp from exact ints."""
+    from helixdb_spark.functions.text import normalized_text, token_count
+    from helixdb_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    norm = normalized_text(F.col("text"))
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5(norm).alias("_h"),
+    )
+    dup = per_doc.groupBy("_h").agg(F.count("*").alias("_c"))
+    dup_docs = dup.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_c") >= 2, F.col("_c"))), F.lit(0)
+        ).cast("long").alias("dup_docs")
+    )
+    base = per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+    )
+    return base.crossJoin(F.broadcast(dup_docs)).select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        "n_sources",
+        "dup_docs",
+        F.round(
+            F.lit(1e-9) + F.col("dup_docs") / F.col("n_docs"), 6
+        ).alias("dup_ratio"),
+        F.round(
+            F.lit(1e-9) + F.col("n_tokens") / F.col("n_docs"), 6
+        ).alias("mean_tokens_per_doc"),
+    )
+
+
+DATASET_CARD_SQL = rf"""
+WITH per_doc AS (
+  SELECT doc_id, lang, source,
+         len(text)::BIGINT AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           ::BIGINT AS n_tokens,
+         md5({_NORM}) AS h
+  FROM documents
+),
+dup AS (SELECT h, count(*)::BIGINT AS c FROM per_doc GROUP BY 1),
+dd AS (SELECT coalesce(sum(CASE WHEN c >= 2 THEN c END), 0)::BIGINT
+         AS dup_docs FROM dup),
+base AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+         sum(n_chars)::BIGINT AS n_chars,
+         count(DISTINCT lang)::BIGINT AS n_langs,
+         count(DISTINCT source)::BIGINT AS n_sources
+  FROM per_doc
+)
+SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, dup_docs,
+       round(1e-9 + dup_docs::DOUBLE / n_docs, 6) AS dup_ratio,
+       round(1e-9 + n_tokens::DOUBLE / n_docs, 6) AS mean_tokens_per_doc
+FROM base CROSS JOIN dd
+"""
+
+QUERIES.update({"curate_dataset_card": curate_dataset_card})
+ORACLES.update({"curate_dataset_card": DATASET_CARD_SQL})
+
+
+# ---------------------- cross-source vocabulary overlap (round 9) ------------
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the mixing-design
+    diagnostic that says which sources are lexically redundant (near-1
+    overlap: merging them adds volume, not coverage) vs complementary.
+    Scale shape: one token explode to the DISTINCT (source, token) set
+    (map-side combine), per-source sizes, then the intersection via a
+    self-equi-join ON TOKEN (never source x source x vocab); with S
+    sources the output is S*(S-1)/2 rows. All counts exact ints."""
+    from helixdb_spark.functions.text import normalized_text, words
+    from helixdb_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    st = (
+        docs.withColumn("__ws", words(normalized_text(F.col("text"))))
+        .select("source", F.explode("__ws").alias("token"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("_sz"))
+    a = st.select(F.col("source").alias("src_a"), "token")
+    b = st.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("_sz").alias("sz_a"))), "src_a"
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("_sz").alias("sz_b"))), "src_b"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.lit(1e-9)
+                + F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+VOCAB_OVERLAP_SQL = f"""
+WITH norm AS (SELECT source, string_split({_NORM}, ' ') AS ws FROM documents),
+st AS (SELECT DISTINCT source, unnest(ws) AS token FROM norm),
+st2 AS (SELECT source, token FROM st WHERE token != ''),
+sizes AS (SELECT source, count(*)::BIGINT AS sz FROM st2 GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_common
+  FROM st2 a JOIN st2 b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common,
+       round(1e-9 + n_common::DOUBLE / (sa.sz + sb.sz - n_common), 6)
+         AS vocab_jaccard
+FROM inter
+JOIN sizes sa ON sa.source = inter.src_a
+JOIN sizes sb ON sb.source = inter.src_b
+ORDER BY src_a, src_b
+"""
+
+QUERIES.update({"text_source_vocab_overlap": text_source_vocab_overlap})
+ORACLES.update({"text_source_vocab_overlap": VOCAB_OVERLAP_SQL})
