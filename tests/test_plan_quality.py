@@ -351,6 +351,8 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         # per HITS half-round (r9)
         "curate_unigram_sampler",  # 1-row head-total broadcast into the
         # p/cdf ratios (r9)
+        "curate_dataset_card",  # 1-row duplicate-count broadcast into the
+        # one-row card (r9)
     }
     # streaming queries execute on construction; dedup_clusters and
     # emb_kmeans run their iterative jobs on construction — covered by
