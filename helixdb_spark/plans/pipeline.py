@@ -7280,3 +7280,56 @@ ORDER BY src_a, src_b
 
 QUERIES.update({"text_source_vocab_overlap": text_source_vocab_overlap})
 ORACLES.update({"text_source_vocab_overlap": VOCAB_OVERLAP_SQL})
+
+
+# ---------------------- MinHash estimator calibration (round 9) --------------
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-estimator calibration audit
+    (operators.dedup.minhash_calibration): over the LSH candidate pairs,
+    the Broder matching-components Jaccard estimate vs the exact shingle
+    Jaccard — (n_pairs, mean_est, mean_true, mean_abs_err, max_abs_err).
+    The measured justification for the 32-hash signature width the whole
+    MinHash family runs on (per-pair std bound ~0.09 at k=32; this row
+    reports the realized error)."""
+    from helixdb_spark.operators.dedup import minhash_calibration
+
+    return minhash_calibration(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_calibration_sql() -> str:
+    nh = NUM_MINHASHES
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(nh)
+    )
+    return f"""
+WITH {_minhash_cte_body()},
+cal AS (
+  SELECT
+    CAST(round(1e-9 + (({matches})::DOUBLE / {nh}) * 1e9, 0) AS BIGINT)
+      AS est_q,
+    CAST(round(1e-9 + (len(list_intersect(na.shingles, nb.shingles))::DOUBLE
+         / (len(na.shingles) + len(nb.shingles)
+            - len(list_intersect(na.shingles, nb.shingles)))) * 1e9, 0)
+      AS BIGINT) AS true_q,
+    CAST(round(1e-9 + abs(({matches})::DOUBLE / {nh}
+         - len(list_intersect(na.shingles, nb.shingles))::DOUBLE
+           / (len(na.shingles) + len(nb.shingles)
+              - len(list_intersect(na.shingles, nb.shingles)))) * 1e9, 0)
+      AS BIGINT) AS err_q
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+  JOIN nonempty na ON na.doc_id = c.id_a
+  JOIN nonempty nb ON nb.doc_id = c.id_b
+)
+SELECT count(*)::BIGINT AS n_pairs,
+       round(1e-9 + sum(est_q)::DOUBLE / 1e9 / count(*), 6) AS mean_est,
+       round(1e-9 + sum(true_q)::DOUBLE / 1e9 / count(*), 6) AS mean_true,
+       round(1e-9 + sum(err_q)::DOUBLE / 1e9 / count(*), 6) AS mean_abs_err,
+       round(1e-9 + max(err_q)::DOUBLE / 1e9, 6) AS max_abs_err
+FROM cal
+"""
+
+
+QUERIES.update({"dedup_minhash_calibration": dedup_minhash_calibration})
+ORACLES.update({"dedup_minhash_calibration": _minhash_calibration_sql()})
