@@ -347,8 +347,6 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         # into the continuation-probability terms (r9)
         "curate_hard_negatives",  # |Q|-row query broadcast against the
         # corpus — the brute mining tier's design point (r9)
-        "supplier_customer_hits",  # 1-row L1-normalization total broadcast
-        # per HITS half-round (r9)
         "curate_unigram_sampler",  # 1-row head-total broadcast into the
         # p/cdf ratios (r9)
         "curate_dataset_card",  # 1-row duplicate-count broadcast into the
