@@ -220,6 +220,7 @@ HEADLINE = [
     "text_source_vocab_overlap",
     "ev_dow_anova",
     "dedup_minhash_calibration",
+    "curate_pack_efficiency",
     # curate_dedup_savings graded but NOT benched: its cost IS the already-
     # benched canonical-closure family (dedup_minhash_lsh + components)
     # knn_graph_descent graded but NOT benched: its toy-SF cost is stage

@@ -7333,3 +7333,108 @@ FROM cal
 
 QUERIES.update({"dedup_minhash_calibration": dedup_minhash_calibration})
 ORACLES.update({"dedup_minhash_calibration": _minhash_calibration_sql()})
+
+
+# ---------------------- packing-efficiency report (round 9) ------------------
+def curate_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-builder's economics on top of the packing plan
+    (operators.chunking.pack_contexts): per source, how many training
+    sequences the stream cuts into, the context-window utilization
+    (token mass / bins*context — padding waste is its complement), and
+    how many documents get SPLIT across a sequence boundary (the
+    fragmentation that costs attention-mask quality in naive packing) —
+    the numbers that decide between concat-and-split and bin-packing for
+    a corpus. Same one (source-key) shuffle + running-sum window as
+    pack_contexts; the boundary test is per-row arithmetic on the offsets."""
+    from helixdb_spark.functions.text import normalized_text, words
+    from helixdb_spark.operators.chunking import PACK_CONTEXT
+    from helixdb_spark.operators.util import spread
+    from pyspark.sql.window import Window as W
+
+    C = PACK_CONTEXT
+    staged = spread(load_table(spark, sf_dir, "documents")).withColumn(
+        "__nw", F.size(words(normalized_text(F.col("text"))))
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("__nw").over(w), F.lit(0))
+    per = staged.select(
+        "source",
+        "__nw",
+        offset.alias("__off"),
+        (
+            (F.col("__nw") > 0)
+            & (
+                F.floor(offset / C)
+                != F.floor((offset + F.col("__nw") - 1) / C)
+            )
+        ).cast("long").alias("__split"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__nw").cast("long").alias("n_tokens"),
+        F.sum("__split").cast("long").alias("n_split_docs"),
+    )
+    n_bins = F.when(
+        F.col("n_tokens") > 0,
+        F.floor((F.col("n_tokens") - 1) / C) + 1,
+    ).otherwise(F.lit(0)).cast("long")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        n_bins.alias("n_bins"),
+        "n_split_docs",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.lit(1e-9)
+                + F.col("n_tokens") / (n_bins * F.lit(float(C))), 6
+            ),
+        ).otherwise(F.lit(0.0)).alias("utilization"),
+    ).orderBy("source")
+
+
+def _pack_efficiency_sql() -> str:
+    from helixdb_spark.operators.chunking import PACK_CONTEXT as C
+
+    return f"""
+WITH w AS (SELECT doc_id, source,
+                  CASE WHEN {_NORM} = ''
+                       THEN 0 ELSE len(string_split({_NORM}, ' ')) END AS nw
+           FROM documents),
+b AS (
+  SELECT source, nw,
+         coalesce(sum(nw) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM w
+),
+per AS (
+  SELECT source, nw,
+         (CASE WHEN nw > 0 AND off // {C} != (off + nw - 1) // {C}
+               THEN 1 ELSE 0 END)::BIGINT AS split
+  FROM b
+),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(nw)::BIGINT AS n_tokens,
+         sum(split)::BIGINT AS n_split_docs
+  FROM per GROUP BY 1
+)
+SELECT source, n_docs, n_tokens,
+       (CASE WHEN n_tokens > 0 THEN (n_tokens - 1) // {C} + 1
+             ELSE 0 END)::BIGINT AS n_bins,
+       n_split_docs,
+       CASE WHEN n_tokens > 0
+            THEN round(1e-9 + n_tokens::DOUBLE
+                 / (((n_tokens - 1) // {C} + 1) * {float(C)}), 6) + 0.0
+            ELSE 0.0 END AS utilization
+FROM agg
+ORDER BY source
+"""
+
+
+QUERIES.update({"curate_pack_efficiency": curate_pack_efficiency})
+ORACLES.update({"curate_pack_efficiency": _pack_efficiency_sql()})
