@@ -463,3 +463,21 @@ def test_unigram_sampler_flattens_head(spark, sf_dir):
     # flattening: head token's sampling share < its raw count share
     tot_n = sum(ns)
     assert rows[0]["p_sample"] < rows[0]["n"] / tot_n
+
+
+# ------------------------------------------------ packing efficiency ----
+def test_pack_efficiency_invariants(spark, sf_dir):
+    """Utilization is (0, 1]; split docs never exceed doc count; bins
+    cover the token mass exactly (bins = ceil(tokens / context))."""
+    import math
+
+    from helixdb_spark.operators.chunking import PACK_CONTEXT
+    from helixdb_spark.plans.pipeline import curate_pack_efficiency
+
+    rows = curate_pack_efficiency(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["n_tokens"] > 0:
+            assert 0.0 < r["utilization"] <= 1.0 + 1e-9, r
+            assert r["n_bins"] == math.ceil(r["n_tokens"] / PACK_CONTEXT), r
+        assert 0 <= r["n_split_docs"] <= r["n_docs"], r
