@@ -1910,10 +1910,11 @@ class HelixSpark:
         if drift <= threshold:
             return False
         if action == "refit":
+            s = desc["stride"]
             store.write_ivf(
                 corpus_fn(self),
                 name=name,
-                stride=int(desc["stride"]),
+                stride=s if s == "sqrt" else int(s),
                 id_col=desc["id_col"],
                 vec_col=desc["vec_col"],
             )

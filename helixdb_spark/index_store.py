@@ -328,7 +328,11 @@ class AnnIndexStore:
         if partition_by:
             w = w.partitionBy(partition_by)
         w.parquet(path)
-        return self.spark.read.parquet(path).count()
+        # explicit schema: a zero-row staged batch writes only _SUCCESS and
+        # an inference read would raise UNABLE_TO_INFER_SCHEMA — the empty
+        # segment must stage cleanly (count 0) so drift monitoring can show
+        # the stalled append rather than the writer crashing
+        return self.spark.read.schema(df.schema).parquet(path).count()
 
     # -------------------------------------------------------------------- PQ
     def write_pq(
@@ -744,7 +748,7 @@ class AnnIndexStore:
         self,
         corpus: DataFrame,
         name: str = "ivf",
-        stride: int = sim.IVF_CENTROID_STRIDE,
+        stride: int | str = sim.IVF_CENTROID_STRIDE,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         centroids: Optional[DataFrame] = None,
@@ -755,14 +759,28 @@ class AnnIndexStore:
         a probe reads exactly one inverted list's files (partition
         pruning — the on-disk analog of an in-memory inverted list).
         ``centroids`` lets a rebuild reuse a frozen centroid set (the
-        prefit analog — required for append bit-identity checks)."""
-        from helixdb_spark.operators.similarity import assign_nearest_centroid
+        prefit analog — required for append bit-identity checks).
+
+        ``stride="sqrt"`` is the PRODUCTION fit sizing (r9 VERDICT #1):
+        the centroid stride is derived in-plan from the corpus count so
+        nlist ∝ √n — assignment cost O(n·√n) instead of the fixed-stride
+        rule's O(n²/stride). The rule stays deterministic and
+        SQL-replayable: stride = greatest(1, ceil(n / ceil(sqrt(n)))),
+        centroids = rows with id % stride = 0 (a broadcast 1-row count,
+        no driver job)."""
+        from helixdb_spark.operators.similarity import (
+            assign_nearest_centroid,
+            sqrt_stride_centroids,
+        )
 
         if centroids is None:
-            centroids = corpus.where((F.col(id_col) % stride) == 0).select(
-                F.col(id_col).alias("centroid_id"),
-                F.col(vec_col).alias("_cvec"),
-            )
+            if stride == "sqrt":
+                centroids = sqrt_stride_centroids(corpus, id_col, vec_col)
+            else:
+                centroids = corpus.where((F.col(id_col) % stride) == 0).select(
+                    F.col(id_col).alias("centroid_id"),
+                    F.col(vec_col).alias("_cvec"),
+                )
         assigned = assign_nearest_centroid(
             spread(corpus), centroids, vec_col, id_col
         )
@@ -1151,9 +1169,10 @@ class AnnIndexStore:
         tot = j.agg(
             F.sum("_nf").alias("_tf"), F.sum("_nn").alias("_tn")
         )
-        share_fp = lambda n, t: F.round(  # noqa: E731 — local fixed-point
-            F.lit(1e-9) + n.cast("double") / t * 1e9, 0
-        ).cast("long")
+        share_fp = lambda n, t: F.when(  # noqa: E731 — local fixed-point
+            t > 0,
+            F.round(F.lit(1e-9) + n.cast("double") / t * 1e9, 0).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
         per = j.crossJoin(F.broadcast(tot)).select(
             "_tf",
             "_tn",
@@ -1207,9 +1226,15 @@ class AnnIndexStore:
         fit = counts.where(F.col("segment_idx") == 0).select(
             "centroid_id", F.col("_n").alias("_nf")
         )
-        # full outer per segment: lists hit by only one side count fully
+        # full outer per segment: lists hit by only one side count fully.
+        # Segment ids come from the DESCRIPTOR, not from observed list rows
+        # — an empty append (zero rows) has no list rows, and deriving the
+        # grid from rows would silently drop exactly the segment where
+        # ingest stalled from the drift series.
         others = counts.where(F.col("segment_idx") > 0)
-        seg_ids = others.select("segment_idx").distinct()
+        seg_ids = self.spark.createDataFrame(
+            [(i,) for i in range(1, len(segs))], "segment_idx int"
+        )
         grid = seg_ids.crossJoin(F.broadcast(fit)).select(
             "segment_idx", "centroid_id", "_nf"
         )
@@ -1225,9 +1250,10 @@ class AnnIndexStore:
         tot = j.groupBy("segment_idx").agg(
             F.sum("_nf").alias("_tf"), F.sum("_nn").alias("_tn")
         )
-        share_fp = lambda n, t: F.round(  # noqa: E731 — local fixed-point
-            F.lit(1e-9) + n.cast("double") / t * 1e9, 0
-        ).cast("long")
+        share_fp = lambda n, t: F.when(  # noqa: E731 — local fixed-point
+            t > 0,
+            F.round(F.lit(1e-9) + n.cast("double") / t * 1e9, 0).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
         per = j.join(F.broadcast(tot), "segment_idx").select(
             "segment_idx",
             "_tn",
@@ -1241,9 +1267,14 @@ class AnnIndexStore:
         ).select(
             "segment_idx",
             "n_rows",
-            (
+            # an empty append reports drift 0.0 (with n_rows 0) rather than
+            # nulling out — the stalled segment must stay visible in the
+            # monitoring series
+            F.when(F.col("n_rows") == 0, F.lit(0.0))
+            .otherwise(
                 F.round(F.lit(1e-9) + F.col("_sd") / 2e9, 6) + F.lit(0.0)
-            ).alias("share_drift"),
+            )
+            .alias("share_drift"),
         )
         fit_row = fit.agg(F.sum("_nf").alias("n_rows")).select(
             F.lit(0).cast("int").alias("segment_idx"),

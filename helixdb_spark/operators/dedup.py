@@ -326,32 +326,50 @@ def minhash_lsh_pairs(
     broadcast anti-join against the (tiny) over-MAX_LSH_BUCKET blacklist,
     so no bucket key can go quadratic (see MAX_LSH_BUCKET).
     """
-    rows = num_hashes // bands
-    # The persisted build stage carries BOTH the shingle strings (the
-    # verification join intersects them) and the md5 base-hash longs (the
-    # signature input) — hashed once at cache materialization, ~8 bytes per
-    # shingle of extra cache. No size>0 filter below the cache: it would be
-    # predicate-pushed under the spread exchange and re-evaluate the
-    # shingling serially; the empty-doc filter sits ABOVE the cache (sig
-    # below), where it reads materialized rows.
+    shingled, sig = _minhash_build(docs, id_col, text_col, n, num_hashes)
+    stacked = _minhash_stacked_bands(sig, id_col, num_hashes, bands)
+    return unpersist_on_gc(
+        minhash_verify_pairs(stacked, shingled, id_col, threshold),
+        shingled,
+    )
+
+
+def _minhash_build(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared shingle+signature build of the MinHash family — ONE
+    implementation so ``minhash_lsh_pairs`` and ``minhash_calibration``
+    cannot drift (the calibration audit must measure exactly the
+    candidate set the production pass generates). Returns
+    ``(shingled, sig)``; the caller owns unpersisting ``shingled``.
+
+    The persisted build stage carries BOTH the shingle strings (the
+    verification join intersects them) and the md5 base-hash longs (the
+    signature input) — hashed once at cache materialization, ~8 bytes per
+    shingle of extra cache. No size>0 filter below the cache: it would be
+    predicate-pushed under the spread exchange and re-evaluate the
+    shingling serially; the empty-doc filter sits ABOVE the cache (sig),
+    where it reads materialized rows.
+
+    Signature minima are k per-row array_min(transform(...)) folds over
+    the CACHED hash array — ZERO shuffle for the signatures (the
+    formulations tried before all paid a groupBy: r3's single-pass
+    higher-order fold also allocated a fresh k-array accumulator per
+    shingle, ~1.1 s of the sf0.1 wall). The k traversals are codegen'd
+    long arithmetic over the materialized bhs column (a<2^28 × bh<2^32
+    cannot overflow; md5 is NOT re-evaluated — bhs is a cache column,
+    not an inlined expression). Docs with no shingles are filtered out
+    above the cache, matching the no-row behavior the exploded
+    formulations got for free."""
     shingled = (
         doc_shingles(docs, id_col, text_col, n)
         .withColumn("bhs", F.transform("shingles", lambda s: _hex_long(s, 8)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-
-    # Signature minima as k per-row array_min(transform(...)) folds over
-    # the CACHED hash array — ZERO shuffle for the signatures (the
-    # formulations tried before all paid a groupBy: r3's single-pass
-    # higher-order fold also allocated a fresh k-array accumulator per
-    # shingle, ~1.1 s of the sf0.1 wall). The k traversals are codegen'd
-    # long arithmetic over the materialized bhs column (a<2^28 × bh<2^32
-    # cannot overflow; md5 is NOT re-evaluated — bhs is a cache column,
-    # not an inlined expression). Identical arithmetic and key format, so
-    # the oracle SQL is unchanged. Docs with no shingles are filtered out
-    # here (above the cache), matching the no-row behavior the exploded
-    # formulations got for free.
-    coeffs = minhash_coeffs(num_hashes)
     prime = F.lit(MINHASH_PRIME).cast("long")
 
     def _affine_min(a: int, b: int):
@@ -361,8 +379,22 @@ def minhash_lsh_pairs(
 
     sig = shingled.where(F.size("shingles") > 0).select(
         F.col(id_col),
-        *[_affine_min(a, b).alias(f"m{i}") for i, (a, b) in enumerate(coeffs)],
+        *[
+            _affine_min(a, b).alias(f"m{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ],
     )
+    return shingled, sig
+
+
+def _minhash_stacked_bands(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_key) table from a signature DF: band b's key is the md5
+    of its ``rows = num_hashes // bands`` signature components prefixed
+    with the band index. Same key format as the persisted index store's
+    band table."""
+    rows = num_hashes // bands
     band_key_array = F.array(
         *[
             F.md5(
@@ -378,12 +410,33 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    stacked = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(band_key_array).alias("band_key")
     )
-    return unpersist_on_gc(
-        minhash_verify_pairs(stacked, shingled, id_col, threshold),
-        shingled,
+
+
+def _lsh_candidates(stacked: DataFrame, id_col: str) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from a band table: ONE shuffle on the
+    band key builds the bucket member lists; buckets over MAX_LSH_BUCKET
+    are dropped whole (see the cap's rationale above) and each surviving
+    bucket emits its sorted id pairs inline."""
+    ids = F.col("ids")
+    pair_lists = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        stacked.groupBy("band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= MAX_LSH_BUCKET))
+        .select(F.explode(pair_lists).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
     )
 
 
@@ -399,30 +452,11 @@ def minhash_verify_pairs(
     ``AnnIndexStore.minhash_pairs`` (tables read back from the persisted
     index), so the reopened index is provably bit-identical.
 
-    ONE shuffle on the band key builds the bucket member lists; buckets
-    over MAX_LSH_BUCKET are dropped whole (see the cap's rationale above)
-    and each surviving bucket emits its sorted id pairs inline — the same
-    inverted-index shape as the n-gram path. The verification join touches
-    only candidate docs' shingle arrays.
+    Candidate generation is the shared ``_lsh_candidates`` stage (the
+    same inverted-index shape as the n-gram path); the verification join
+    touches only candidate docs' shingle arrays.
     """
-    ids = F.col("ids")
-    pair_lists = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    candidates = (
-        stacked.groupBy("band_key")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= MAX_LSH_BUCKET))
-        .select(F.explode(pair_lists).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
-    )
+    candidates = _lsh_candidates(stacked, id_col)
     sh_a = shingled.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )
@@ -1452,6 +1486,21 @@ def sorted_neighborhood_pairs(
 DUP_SPAN_K = 30  # span width in normalized characters
 
 
+def _span_anchor_expr(k: int) -> str:
+    """SQL expression yielding the array of k-char anchor windows of
+    ``_norm`` — EMPTY for documents shorter than k. The guard matters:
+    ``sequence(1, greatest(len - k + 1, 0))`` is DESCENDING ``[1, 0]``
+    when len < k (Spark sequence steps toward the stop), emitting two
+    identical whole-text anchors that make every short document
+    self-qualify as a corpus-wide duplicate (count >= 2) — the r9 bug
+    that silently erased short docs from remove_duplicate_spans."""
+    return (
+        f"if(length(_norm) >= {k},"
+        f" transform(sequence(1, length(_norm) - {k - 1}),"
+        f" i -> substring(_norm, i, {k})), array())"
+    )
+
+
 def duplicate_spans(
     docs: DataFrame,
     k: int = DUP_SPAN_K,
@@ -1484,10 +1533,7 @@ def duplicate_spans(
     spans = d.select(
         id_col,
         F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 0)),"
-                f" i -> substring(_norm, i, {k}))"
-            )
+            F.expr(_span_anchor_expr(k))
         ).alias("gram"),
     )
     dup = (
@@ -1619,10 +1665,7 @@ def remove_duplicate_spans(
     anchors = d.select(
         id_col,
         F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 0)),"
-                f" i -> substring(_norm, i, {k}))"
-            )
+            F.expr(_span_anchor_expr(k))
         ).alias("_p0", "gram"),
     ).select(id_col, (F.col("_p0") + 1).alias("pos"), "gram")
     dup = (
@@ -1736,10 +1779,7 @@ def duplicate_span_coverage(
     anchors = d.select(
         id_col,
         F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 0)),"
-                f" i -> substring(_norm, i, {k}))"
-            )
+            F.expr(_span_anchor_expr(k))
         ).alias("_p0", "gram"),
     ).select(id_col, (F.col("_p0") + 1).alias("pos"), "gram")
     dup = (
@@ -1817,64 +1857,16 @@ def minhash_calibration(
     MEASURES the realized error instead of assuming the bound.
 
     Scale shape: the same one-band-key shuffle + candidate-only
-    verification joins as minhash_lsh_pairs (signatures ride the same
-    cached base-hash arrays); the audit adds one 32-column signature join
-    per pair side and a 1-row aggregate. Per-pair error terms quantize to
-    1e-9-scaled int64 before the corpus sums (exact-sum discipline)."""
-    coeffs = minhash_coeffs(num_hashes)
-    rows = num_hashes // bands
-    prime = F.lit(MINHASH_PRIME).cast("long")
-    shingled = (
-        doc_shingles(docs, id_col, text_col, n)
-        .withColumn("bhs", F.transform("shingles", lambda s: _hex_long(s, 8)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-    def _affine_min(a: int, b: int):
-        return F.array_min(
-            F.transform("bhs", lambda x: (F.lit(a) * x + F.lit(b)) % prime)
-        )
-
-    sig = shingled.where(F.size("shingles") > 0).select(
-        F.col(id_col),
-        *[_affine_min(a, b).alias(f"m{i}") for i, (a, b) in enumerate(coeffs)],
-    )
-    band_key_array = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.lit(str(b)),
-                    *[
-                        F.col(f"m{b * rows + r}").cast("string")
-                        for r in range(rows)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    stacked = sig.select(
-        F.col(id_col), F.explode(band_key_array).alias("band_key")
-    )
-    ids = F.col("ids")
-    pair_lists = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    candidates = (
-        stacked.groupBy("band_key")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= MAX_LSH_BUCKET))
-        .select(F.explode(pair_lists).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
-    )
+    verification joins as minhash_lsh_pairs — the shingle/signature/band/
+    candidate stages ARE minhash_lsh_pairs' (shared ``_minhash_build`` /
+    ``_minhash_stacked_bands`` / ``_lsh_candidates`` helpers, so the audit
+    provably measures the production candidate set); the audit adds one
+    32-column signature join per pair side and a 1-row aggregate. Per-pair
+    error terms quantize to 1e-9-scaled int64 before the corpus sums
+    (exact-sum discipline)."""
+    shingled, sig = _minhash_build(docs, id_col, text_col, n, num_hashes)
+    stacked = _minhash_stacked_bands(sig, id_col, num_hashes, bands)
+    candidates = _lsh_candidates(stacked, id_col)
     sig_a = sig.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"m{i}").alias(f"ma{i}") for i in range(num_hashes)],

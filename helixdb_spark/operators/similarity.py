@@ -363,6 +363,38 @@ def ivf_topk(
     )
 
 
+def sqrt_stride_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """√n-scaled deterministic coarse quantizer (r9 VERDICT #1 — the
+    production IVF fit sizing): centroids are the rows with
+    ``id % stride = 0`` where ``stride = greatest(1, ceil(n /
+    ceil(sqrt(n))))`` is derived IN-PLAN from the corpus count — nlist ∝
+    √n, so the fit-tier assignment join costs O(n^1.5) instead of the
+    fixed-stride rule's O(n²/stride). Fully oracle-replayable: the same
+    arithmetic is one scalar subquery in SQL (both engines divide BIGINT
+    by the ceil'd double sqrt in IEEE doubles, so the stride is
+    bit-identical), and the count rides a broadcast 1-row aggregate — no
+    driver job, no sampling nondeterminism."""
+    n = corpus.agg(F.count("*").alias("_n"))
+    stride = n.select(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("_n") / F.ceil(F.sqrt(F.col("_n")))).cast("long"),
+        ).alias("_stride")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(stride))
+        .where((F.col(id_col) % F.col("_stride")) == 0)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("_cvec"),
+        )
+    )
+
+
 def assign_nearest_centroids(
     df: DataFrame,
     centroids: DataFrame,

@@ -3122,7 +3122,13 @@ def ev_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = daily.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("y").alias("p"),
-        F.sum(F.col("y") * F.col("y")).alias("q"),
+        # n^2-scale moment: form the product on doubles (the ev_changepoint
+        # qt discipline) — int64 y*y silently wraps under non-ANSI overflow
+        # while the DuckDB oracle's HUGEINT sum raises, so large SFs would
+        # diverge wrong-vs-error.
+        F.sum(
+            F.col("y").cast("double") * F.col("y").cast("double")
+        ).alias("q"),
     )
     between = per_g.groupBy("event_type").agg(
         F.sum(
@@ -3161,7 +3167,7 @@ per_g AS (
 ),
 tot AS (
   SELECT event_type, count(*)::BIGINT AS n, sum(y)::BIGINT AS p,
-         sum(y * y)::BIGINT AS q
+         sum(y::DOUBLE * y::DOUBLE) AS q
   FROM d2 GROUP BY 1
 ),
 btw AS (

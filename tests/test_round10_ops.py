@@ -1,0 +1,114 @@
+"""Round-10 operator tests: ADVICE fixes + new rows."""
+from __future__ import annotations
+
+import pytest  # noqa: F401
+
+
+# ------------------------------------------- short-doc span-anchor guard ----
+def test_remove_duplicate_spans_short_docs_pass_through(spark):
+    """r9 ADVICE (high): documents shorter than k=30 must pass through
+    WHOLE. The unguarded ``sequence(1, greatest(len-k+1, 0))`` was
+    descending ``[1, 0]`` for len<k, emitting two identical whole-text
+    anchors that made every short doc self-qualify as a corpus-wide
+    duplicate and come back empty."""
+    from helixdb_spark.operators.dedup import (
+        duplicate_span_coverage,
+        duplicate_spans,
+        duplicate_spans_hashed,
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        (1, "tiny unique doc"),  # 15 chars < k — MUST survive whole
+        (2, "x"),  # degenerate 1-char doc
+        (3, "another short one"),  # < k, unique
+        (4, "AAA the quick brown fox jumps over the lazy dog again tail"),
+        (5, "BBB the quick brown fox jumps over the lazy dog again end"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(docs).collect()}
+    for i in (1, 2, 3):
+        assert got[i]["kept_chars"] == got[i]["n_chars"], i
+        assert got[i]["kept_chars"] > 0, i
+    # the long shared run is still excised from its two carriers
+    assert got[4]["kept_chars"] < got[4]["n_chars"]
+    assert got[5]["kept_chars"] < got[5]["n_chars"]
+
+    # the measurement rows agree: short docs have zero spans, not two
+    for fn in (duplicate_spans, duplicate_spans_hashed):
+        prof = {r["doc_id"]: r for r in fn(docs).collect()}
+        for i in (1, 2, 3):
+            assert prof[i]["n_spans"] == 0, (fn.__name__, i)
+            assert prof[i]["n_dup_spans"] == 0, (fn.__name__, i)
+    cov = {r["doc_id"]: r for r in duplicate_span_coverage(docs).collect()}
+    for i in (1, 2, 3):
+        assert cov[i]["covered_chars"] == 0, i
+
+
+# ------------------------------------------- minhash shared-stage factor ----
+def test_minhash_calibration_uses_production_candidates(spark):
+    """The calibration audit's candidate stage is the SAME code path as
+    minhash_lsh_pairs (shared helpers) — every pair the production pass
+    verifies above threshold 0.0 appears in the audit's n_pairs count."""
+    from helixdb_spark.operators.dedup import (
+        minhash_calibration,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog wandering around town "
+    rows = [
+        (1, base + "alpha beta gamma"),
+        (2, base + "alpha beta delta"),
+        (3, "completely different content with no overlap whatsoever here"),
+        (4, base + "alpha beta gamma"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, threshold=0.0).collect()
+    cal = minhash_calibration(docs).collect()[0]
+    assert cal["n_pairs"] == len(pairs) > 0
+    assert 0.0 <= cal["mean_abs_err"] <= cal["max_abs_err"] <= 1.0
+
+
+# ------------------------------------------- empty-segment drift guard ----
+def test_ivf_share_drift_empty_segment_stays_visible(spark, tmp_path):
+    """r9 ADVICE: an appended segment with ZERO rows must appear in the
+    per-segment drift series (share_drift 0.0, n_rows 0), not null out or
+    vanish — the dashboard must show exactly the segment where ingest
+    stalled."""
+    from pyspark.sql import functions as F
+
+    from helixdb_spark.index_store import AnnIndexStore
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7 + 1).cast("float"),
+            (F.col("id") % 11 + 1).cast("float"),
+            (F.col("id") % 13 + 1).cast("float"),
+        ).alias("embedding"),
+    )
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.write_ivf(emb, name="ivf", stride=50)
+    # one real append, then a ZERO-ROW lists segment (a stalled ingest —
+    # append_ivf's own empty-input early-return can't produce one, but a
+    # crashed upstream writer or filtered-to-nothing batch can)
+    more = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    store.append_ivf(more, name="ivf")
+    desc, assigned, _ = store.read_ivf("ivf")
+    gen = store._reserve_gen()
+    store._stage(assigned.where(F.lit(False)), "ivf", "lists", gen, "centroid_id")
+    new_desc = dict(desc)
+    new_desc.update({"gen": gen, "segments": store._segments(desc) + [gen]})
+    store._commit("ivf", new_desc)
+
+    rows = {
+        r["segment_idx"]: r
+        for r in store.ivf_share_drift_by_segment("ivf").collect()
+    }
+    assert sorted(rows) == [0, 1, 2]
+    assert rows[2]["n_rows"] == 0
+    assert rows[2]["share_drift"] == 0.0  # visible, not null
+    assert rows[1]["n_rows"] == 50
+    assert rows[1]["share_drift"] is not None
