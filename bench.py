@@ -221,6 +221,12 @@ HEADLINE = [
     "ev_dow_anova",
     "dedup_minhash_calibration",
     "curate_pack_efficiency",
+    # r10: compressed-container decode (all 5 PNG row filters per image)
+    "mm_decode_png",
+    # r10: multi-k span ladder — 3 widths from one chunk-composed hash pass
+    "dedup_spans_multik",
+    # r10: the approx-percentile contract audit (GK sketch + exact ranks)
+    "ev_percentiles_approx",
     # curate_dedup_savings graded but NOT benched: its cost IS the already-
     # benched canonical-closure family (dedup_minhash_lsh + components)
     # knn_graph_descent graded but NOT benched: its toy-SF cost is stage

@@ -183,6 +183,104 @@ def gram_hash64_arrow(text: Column, k: int) -> Column:
     return _gram_hash64_udfs[k](text)
 
 
+_multik_hash_udfs: dict = {}
+_MULTIK_CHUNK = 10
+
+
+def _window_hash_arrays(codes, ks):
+    """All-k window hashes of one byte-code array in ONE shared pass
+    (numpy, modular): vectorized chunk hashes of width _MULTIK_CHUNK
+    (CHUNK passes total, not Σk), then each requested k's windows compose
+    from already-built widths via the Rabin-Karp merge
+    h(a+b) = h_a·B^b + h_b — O(k/CHUNK) vector ops per extra width. Every
+    k must be a multiple of _MULTIK_CHUNK. Returns {k: int64 array of
+    h1·P2+h2 per window position} (~60-bit combined key, empty when the
+    doc is shorter than k)."""
+    import numpy as np
+
+    n = codes.size
+    c = _MULTIK_CHUNK
+    built: dict = {}
+    if n >= c:
+        m = n - c + 1
+        h1 = np.zeros(m, dtype=np.int64)
+        h2 = np.zeros(m, dtype=np.int64)
+        for j in range(c):
+            win = codes[j : j + m]
+            h1 = (h1 * ROLLING_BASE + win) % ROLLING_PRIME
+            h2 = (h2 * ROLLING_BASE2 + win) % ROLLING_PRIME2
+        built[c] = (h1, h2)
+
+    def get(width: int):
+        if width in built:
+            return built[width]
+        # largest built width <= width - CHUNK leaves a buildable remainder
+        a = max(wb for wb in built if wb <= width - c)
+        b1, b2 = get(width - a)
+        a1, a2 = built[a]
+        m = n - width + 1
+        p1 = pow(ROLLING_BASE, width - a, ROLLING_PRIME)
+        p2 = pow(ROLLING_BASE2, width - a, ROLLING_PRIME2)
+        h1 = (a1[:m] * p1 + b1[a : a + m]) % ROLLING_PRIME
+        h2 = (a2[:m] * p2 + b2[a : a + m]) % ROLLING_PRIME2
+        built[width] = (h1, h2)
+        return built[width]
+
+    out = {}
+    for k in ks:
+        if n < k:
+            out[k] = np.empty(0, dtype=np.int64)
+        else:
+            h1, h2 = get(k)
+            out[k] = h1 * ROLLING_PRIME2 + h2
+    return out
+
+
+def multik_gram_hash64_arrow(text: Column, ks: tuple) -> Column:
+    """``array<struct<k:int, ghs:array<long>>>``: the ~60-bit window
+    hashes of EVERY width in ``ks`` from one shared Arrow pass — the
+    multi-k substring-dedup ladder's scan stage (r9 VERDICT #3). Chunk
+    hashes are computed once (_MULTIK_CHUNK vectorized passes) and each
+    width composes from them, so the ladder costs ~CHUNK passes + a few
+    vector merges instead of Σk passes. Hash identity per width is the
+    same combined h1·P2+h2 key as ``gram_hash64_arrow`` composed over
+    chunks — identical value for the same substring, whichever path
+    computed it (Rabin-Karp composition is associative)."""
+    ks = tuple(sorted(int(k) for k in ks))
+    for k in ks:
+        if k % _MULTIK_CHUNK != 0:
+            raise ValueError(
+                f"multik widths must be multiples of {_MULTIK_CHUNK}, got {k}"
+            )
+    if ks not in _multik_hash_udfs:
+        from pyspark.sql.functions import pandas_udf
+
+        def _hash_multi(texts):
+            import numpy as np
+            import pandas as pd
+
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append([
+                        {"k": int(k), "ghs": []} for k in ks
+                    ])
+                    continue
+                codes = np.frombuffer(
+                    t.encode("ascii"), dtype=np.uint8
+                ).astype(np.int64)
+                hs = _window_hash_arrays(codes, ks)
+                out.append([
+                    {"k": int(k), "ghs": hs[k].tolist()} for k in ks
+                ])
+            return pd.Series(out)
+
+        _multik_hash_udfs[ks] = pandas_udf(
+            _hash_multi, "array<struct<k:int, ghs:array<long>>>"
+        )
+    return _multik_hash_udfs[ks](text)
+
+
 _winnow_arrow_udf = None
 
 

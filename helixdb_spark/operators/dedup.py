@@ -1635,6 +1635,113 @@ def duplicate_spans_hashed(
     )
 
 
+DUP_SPAN_KS = (30, 100, 400)  # the multi-k ladder's widths
+
+
+def duplicate_spans_multik(
+    docs: DataFrame,
+    ks: tuple = DUP_SPAN_KS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-k substring-duplication ladder (r9 VERDICT #3 — closing most
+    of the suffix-array gap of Lee et al. ACL 2022): the fixed-k anchor
+    approximation detects any duplicated run >= k but reports its
+    coverage only to k-gram resolution; running SEVERAL widths at once
+    (default 30/100/400) distinguishes short boilerplate from long
+    wholesale copying — a run duplicated at k=400 is a different curation
+    decision than one only visible at k=30.
+
+    ONE pass over the corpus: the shared Arrow stage
+    (functions.text.multik_gram_hash64_arrow) computes every width's
+    ~60-bit window hashes from composed chunk hashes (~10 vectorized
+    passes total, not Σk), and a single (k, gram)-keyed shuffle builds
+    all widths' dup sets together — same two-exchange + island-window
+    shape as duplicate_span_coverage, with k riding the keys. Returns
+    (doc_id, k, n_spans, n_dup_spans, n_dup_islands, covered_chars)
+    with a row for every (doc, k), zeros when nothing is duplicated.
+    """
+    from pyspark.sql.window import Window as W
+
+    from helixdb_spark.functions.text import multik_gram_hash64_arrow
+
+    d = _spread(docs).select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_norm")
+    )
+    kh = d.select(
+        id_col,
+        F.explode(multik_gram_hash64_arrow(F.col("_norm"), ks)).alias("kh"),
+    ).select(id_col, F.col("kh.k").alias("k"), F.col("kh.ghs").alias("ghs"))
+    anchors = kh.select(
+        id_col, "k", F.posexplode("ghs").alias("_p0", "gram")
+    ).select(id_col, "k", (F.col("_p0") + 1).alias("pos"), "gram")
+    dup = (
+        anchors.groupBy("k", "gram")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("k", "gram")
+    )
+    hits = anchors.join(dup, ["k", "gram"]).select(
+        id_col, "k", "pos", (F.col("pos") + F.col("k") - 1).alias("end")
+    )
+    w_prev = (
+        W.partitionBy(id_col, "k")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new_island",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("end").over(w_prev), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_run = (
+        W.partitionBy(id_col, "k")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = (
+        flagged.withColumn("_isl", F.sum("_new_island").over(w_run))
+        .groupBy(id_col, "k", "_isl")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+    )
+    per_isl = islands.groupBy(id_col, "k").agg(
+        F.count("*").alias("n_dup_islands"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("covered_chars"),
+    )
+    per_span = anchors.groupBy(id_col, "k").agg(
+        F.count("*").alias("n_spans")
+    )
+    per_dup = hits.groupBy(id_col, "k").agg(
+        F.count("*").alias("n_dup_spans")
+    )
+    # every (doc, k) cell of the grid — explode of a literal array, no join
+    grid = d.select(
+        id_col, F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k")
+    )
+    return (
+        grid.join(per_span, [id_col, "k"], "left")
+        .join(per_dup, [id_col, "k"], "left")
+        .join(per_isl, [id_col, "k"], "left")
+        .select(
+            F.col(id_col),
+            F.col("k").cast("int").alias("k"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.coalesce("n_dup_islands", F.lit(0))
+            .cast("long")
+            .alias("n_dup_islands"),
+            F.coalesce("covered_chars", F.lit(0))
+            .cast("long")
+            .alias("covered_chars"),
+        )
+        .orderBy(id_col, "k")
+    )
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     k: int = DUP_SPAN_K,

@@ -166,18 +166,191 @@ def decode_ppm(payload: bytes):
     return np.ascontiguousarray(data.reshape(h, w, 3))
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type at bit depth 8
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/
+    up-left to the linear estimate a + b - c, ties breaking a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(arr, filter_rule=None) -> bytes:
+    """Encode an H×W×3 RGB (or H×W×4 RGBA, or H×W grayscale) uint8 array
+    as a real zlib-compressed PNG — the container ``decode_png`` inverts.
+    ``filter_rule(row_idx) -> 0..4`` picks the per-row filter (default
+    cycles 0,1,2,3,4 so a round trip exercises every filter type); the
+    filtered bytes are computed exactly per RFC 2083 §6, so any standard
+    reader decodes the output too."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if filter_rule is None:
+        filter_rule = lambda r: r % 5  # noqa: E731
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int64)
+    zero = np.zeros(stride, dtype=np.int64)
+    raw = bytearray()
+    for r in range(h):
+        line, prev = flat[r], (flat[r - 1] if r > 0 else zero)
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), line[:-ch]])
+        ul = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        ft = int(filter_rule(r))
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = line - left
+        elif ft == 2:
+            enc = line - prev
+        elif ft == 3:
+            enc = line - ((left + prev) >> 1)
+        elif ft == 4:
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, prev, ul)),
+                dtype=np.int64, count=stride,
+            )
+            enc = line - pred
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        raw.append(ft)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Pure numpy+zlib decode of an 8-bit non-interlaced PNG to an H×W×3
+    RGB uint8 array (r9 VERDICT #2 — real corpora are PNG-first and this
+    container has no PIL): walks the chunk stream (IHDR/PLTE/IDAT/IEND,
+    ancillary chunks skipped), inflates the concatenated IDAT data, then
+    un-applies the per-row filter (all 5 types of RFC 2083 §6 — None /
+    Sub / Up / Average / Paeth). Sub and Up reconstruct vectorized (a
+    per-lane cumsum resp. one uint8 add — wraparound is mod-256 by
+    construction); Average/Paeth walk bytes within the row, the genuinely
+    sequential recurrences. Grayscale broadcasts to RGB, RGBA drops alpha
+    (PIL convert("RGB") behavior), palette indexes PLTE. 16-bit and
+    interlaced images raise NotImplementedError (format guard, same
+    discipline as decode_bmp's bpp guard)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, palette = 8, [], None
+    w = h = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG payload has no IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG supported (bit_depth="
+            f"{bit_depth}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None:
+        raise NotImplementedError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length does not match dimensions")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        )
+        prev = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            out[r] = line
+        elif ft == 1:  # Sub: per-lane prefix sum mod 256
+            out[r] = (
+                line.reshape(w, ch).astype(np.int64).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up: uint8 add wraps mod 256 natively
+            out[r] = line + prev
+        elif ft == 3:  # Average
+            cur = out[r]
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                cur[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = out[r]
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                c = int(prev[i - ch]) if i >= ch else 0
+                cur[i] = (int(line[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft} in row {r}")
+    px = out.reshape(h, w, ch)
+    if color_type == 2:  # RGB
+        return np.ascontiguousarray(px)
+    if color_type == 6:  # RGBA -> drop alpha (PIL convert("RGB"))
+        return np.ascontiguousarray(px[:, :, :3])
+    if color_type == 0:  # grayscale -> broadcast
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if color_type == 4:  # gray+alpha -> broadcast gray, drop alpha
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
+    if palette is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    return np.ascontiguousarray(palette[px[:, :, 0]])
+
+
 def decode_image(payload: bytes):
     """Decode one payload: the injected decoder first (``set_decoder``),
-    then the built-in pure-Python decoders for the two uncompressed
-    containers (24-bit BMP, P6 PPM), then PIL if installed. Raises
-    NotImplementedError only for formats none of those cover (JPEG/PNG in
-    a PIL-less container)."""
+    then the built-in pure-Python decoders (24-bit BMP, P6 PPM, 8-bit
+    PNG — ``decode_png``, numpy+zlib, all five row filters), then PIL if
+    installed. Raises NotImplementedError only for formats none of those
+    cover (JPEG in a PIL-less container)."""
     if _DECODER is not None:
         return _DECODER(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
     try:  # pragma: no cover - container lacks PIL
         import io
 
@@ -188,7 +361,7 @@ def decode_image(payload: bytes):
     except ImportError as e:
         raise NotImplementedError(
             "compressed formats need an injected decoder (set_decoder) or "
-            "PIL; BMP/PPM decode natively"
+            "PIL; BMP/PPM/PNG decode natively"
         ) from e
 
 

@@ -467,6 +467,109 @@ QUERIES.update({"mm_decode_ppm": mm_decode_ppm})
 ORACLES.update({"mm_decode_ppm": MM_DECODE_PPM_SQL})
 
 
+# ----------------------------------- PNG decode round trip (round 10)
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG member of the decode family (r9 VERDICT #2 — real corpora
+    are PNG-first and this container has no PIL): per document a
+    deterministic pixel pattern is encoded as a REAL zlib-compressed PNG
+    (multimodal.encode_png) with the per-row filter cycling through all
+    five RFC 2083 filter types (None/Sub/Up/Average/Paeth — h >= 5
+    guarantees every type appears in every image), shipped through a
+    binary column, decoded by the pure numpy+zlib ``decode_image`` fast
+    path (multimodal.decode_png) and reduced to integer channel sums plus
+    a main-diagonal sum (catches row/column transposition the channel
+    sums alone cannot). Any filter-reconstruction bug breaks the sums;
+    the oracle recomputes them straight from the pixel formula, so the
+    compressed-container round trip itself is what's being graded.
+
+    Scale shape: two Arrow mapInPandas passes (encode, decode+reduce), no
+    shuffle until the final orderBy; payload bytes never reach the
+    driver."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 7 + d % 6, 5 + d % 5
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                ch = np.arange(3, dtype=np.int64)[None, None, :]
+                arr = ((d * 13 + r * 19 + c * 7 + ch * 37) % 256).astype(
+                    "uint8"
+                )
+                payloads.append(mm.encode_png(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, "doc_id long, payload binary")
+
+    def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "r_sum",
+                                   "g_sum", "b_sum", "diag_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = mm.decode_image(bytes(payload)).astype(np.int64)
+                h, w = arr.shape[0], arr.shape[1]
+                k = min(h, w)
+                di = np.arange(k)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["r_sum"].append(int(arr[:, :, 0].sum()))
+                out["g_sum"].append(int(arr[:, :, 1].sum()))
+                out["b_sum"].append(int(arr[:, :, 2].sum()))
+                out["diag_sum"].append(int(arr[di, di, :].sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, r_sum long, g_sum long, "
+        "b_sum long, diag_sum long",
+    ).orderBy("doc_id")
+
+
+MM_DECODE_PNG_SQL = """
+WITH dims AS (
+  SELECT doc_id, (7 + doc_id % 6)::BIGINT AS w, (5 + doc_id % 5)::BIGINT AS h
+  FROM documents
+),
+rows_ AS (SELECT doc_id, w, h, unnest(range(h)) AS r FROM dims),
+px AS (SELECT doc_id, w, h, r, unnest(range(w)) AS c FROM rows_),
+sums AS (
+  SELECT doc_id,
+         sum((doc_id*13 + r*19 + c*7) % 256) AS r_sum,
+         sum((doc_id*13 + r*19 + c*7 + 37) % 256) AS g_sum,
+         sum((doc_id*13 + r*19 + c*7 + 74) % 256) AS b_sum
+  FROM px GROUP BY 1
+),
+dg AS (
+  SELECT doc_id,
+         sum((doc_id*13 + i*19 + i*7) % 256
+             + (doc_id*13 + i*19 + i*7 + 37) % 256
+             + (doc_id*13 + i*19 + i*7 + 74) % 256) AS diag_sum
+  FROM (SELECT doc_id, unnest(range(least(w, h))) AS i FROM dims)
+  GROUP BY 1
+)
+SELECT d.doc_id, d.w::INT AS width, d.h::INT AS height,
+       s.r_sum::BIGINT AS r_sum, s.g_sum::BIGINT AS g_sum,
+       s.b_sum::BIGINT AS b_sum, dg.diag_sum::BIGINT AS diag_sum
+FROM dims d JOIN sums s USING (doc_id) JOIN dg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+QUERIES.update({"mm_decode_png": mm_decode_png})
+ORACLES.update({"mm_decode_png": MM_DECODE_PNG_SQL})
+
+
 def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voice-activity segments per audio doc (operators.multimodal.
     audio_vad_segments): 10-sample window RMS thresholded at 74 (the

@@ -5333,6 +5333,79 @@ QUERIES.update({"dedup_spans_hashed": dedup_spans_hashed})
 ORACLES.update({"dedup_spans_hashed": _dup_spans_sql()})
 
 
+def dedup_spans_multik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-k substring-duplication ladder
+    (operators.dedup.duplicate_spans_multik — r9 VERDICT #3): per
+    document and width k ∈ {30, 100, 400}, the anchor/dup-span/island
+    coverage profile, all widths from ONE shared chunk-composed
+    rolling-hash pass and one (k, gram)-keyed shuffle. The oracle is the
+    EXACT substring SQL replayed per width (the dedup_spans_hashed
+    discipline: the gate re-proves hash-equals-exact every round)."""
+    from helixdb_spark.operators.dedup import duplicate_spans_multik
+
+    return duplicate_spans_multik(load_table(spark, sf_dir, "documents"))
+
+
+def _dup_spans_multik_sql() -> str:
+    from helixdb_spark.operators.dedup import DUP_SPAN_KS
+
+    ks = ", ".join(str(int(k)) for k in DUP_SPAN_KS)
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+ks AS (SELECT unnest([{ks}])::INT AS k),
+a AS (
+  SELECT doc_id, k,
+         unnest(list_transform(range(1, greatest(len(norm) - k + 1, 0) + 1),
+                i -> struct_pack(pos := i, gram := substr(norm, i::INT, k))))
+           AS s
+  FROM d, ks
+),
+an AS (SELECT doc_id, k, s.pos::INT AS pos, s.gram AS gram FROM a),
+g AS (SELECT k, gram FROM an GROUP BY k, gram HAVING count(*) >= 2),
+h AS (SELECT an.doc_id, an.k, an.pos, an.pos + an.k - 1 AS e
+      FROM an JOIN g USING (k, gram)),
+f AS (
+  SELECT doc_id, k, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id, k
+                  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM h
+),
+isl2 AS (
+  SELECT doc_id, k, pos, e,
+         sum(ni) OVER (PARTITION BY doc_id, k ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM f
+),
+m AS (SELECT doc_id, k, isl, min(pos) AS s, max(e) AS ee
+      FROM isl2 GROUP BY 1, 2, 3),
+per_isl AS (
+  SELECT doc_id, k, count(*)::BIGINT AS n_dup_islands,
+         sum(ee - s + 1)::BIGINT AS covered_chars
+  FROM m GROUP BY 1, 2
+),
+per_span AS (SELECT doc_id, k, count(*)::BIGINT AS n_spans
+             FROM an GROUP BY 1, 2),
+per_dup AS (SELECT doc_id, k, count(*)::BIGINT AS n_dup_spans
+            FROM h GROUP BY 1, 2)
+SELECT d.doc_id, ks.k,
+       coalesce(ps.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(pd.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(pi.n_dup_islands, 0)::BIGINT AS n_dup_islands,
+       coalesce(pi.covered_chars, 0)::BIGINT AS covered_chars
+FROM d CROSS JOIN ks
+LEFT JOIN per_span ps USING (doc_id, k)
+LEFT JOIN per_dup pd USING (doc_id, k)
+LEFT JOIN per_isl pi USING (doc_id, k)
+ORDER BY d.doc_id, ks.k
+"""
+
+
+QUERIES.update({"dedup_spans_multik": dedup_spans_multik})
+ORACLES.update({"dedup_spans_multik": _dup_spans_multik_sql()})
+
+
 # ------------------------------- streaming ingest -> index maintenance ----
 def stream_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest driving AUTOMATIC persisted-index maintenance

@@ -69,6 +69,75 @@ def test_minhash_calibration_uses_production_candidates(spark):
     assert 0.0 <= cal["mean_abs_err"] <= cal["max_abs_err"] <= 1.0
 
 
+# ------------------------------------------- native PNG decode ----
+def test_png_round_trip_all_filters_and_color_types():
+    """encode_png -> decode_png is the identity for RGB across every
+    per-row filter type (each filter individually AND the cycling rule);
+    RGBA drops alpha, grayscale broadcasts — the PIL convert("RGB")
+    conventions decode_image's other paths follow."""
+    import numpy as np
+
+    from helixdb_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for (h, w) in [(7, 5), (12, 9), (1, 1), (5, 1), (1, 8)]:
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(arr)), arr), (h, w)
+    for ft in range(5):
+        arr = rng.randint(0, 256, (6, 8, 3), dtype=np.uint8)
+        got = decode_png(encode_png(arr, filter_rule=lambda r: ft))
+        assert np.array_equal(got, arr), f"filter {ft}"
+    arr4 = rng.randint(0, 256, (4, 6, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(arr4)), arr4[:, :, :3])
+    g = rng.randint(0, 256, (5, 4), dtype=np.uint8)
+    out = decode_png(encode_png(g))
+    for c in range(3):
+        assert np.array_equal(out[:, :, c], g)
+    # decode_image routes PNG by signature ahead of the PIL fallback
+    arr = rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(arr)), arr)
+
+
+def test_png_guards():
+    """16-bit / interlaced / unknown color types raise the documented
+    NotImplementedError; malformed payloads raise ValueError."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from helixdb_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    def png_with_ihdr(w, h, depth, ctype, interlace):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        chunk = (
+            struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        return PNG_SIG + chunk
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    with pytest.raises(NotImplementedError):
+        decode_png(png_with_ihdr(2, 2, 16, 2, 0))  # 16-bit
+    with pytest.raises(NotImplementedError):
+        decode_png(png_with_ihdr(2, 2, 8, 2, 1))  # interlaced
+    # truncated IDAT is a loud error, not silent garbage
+    arr = np.zeros((3, 3, 3), dtype=np.uint8)
+    good = encode_png(arr)
+    with pytest.raises(Exception):
+        decode_png(good[:-20])
+
+
 # ------------------------------------------- empty-segment drift guard ----
 def test_ivf_share_drift_empty_segment_stays_visible(spark, tmp_path):
     """r9 ADVICE: an appended segment with ZERO rows must appear in the

@@ -134,3 +134,28 @@ def test_winnow_pairs_grow_linearly(spark, corpora):
     c_big = winnow_overlap_pairs(big).count()
     assert c_small > 0
     assert c_big / c_small <= MAX_GROWTH, (c_small, c_big)
+
+
+def test_multik_span_anchors_grow_linearly(spark, corpora):
+    """The multi-k ladder's shuffle mass is the anchor count — Σ_k (len-k+1)
+    per doc, linear in corpus chars by construction; and its HIT rows (the
+    only fan-in to the island windows) must also grow ~linearly on the
+    planted-near-dup corpus (a hot-gram quadratic join would blow this)."""
+    from helixdb_spark.operators.dedup import duplicate_spans_multik
+
+    small, big = corpora
+    ks = (30, 100)  # the synthetic docs are ~150-250 chars; 400 never fires
+
+    def stats(docs):
+        prof = duplicate_spans_multik(docs, ks=ks)
+        row = prof.agg(
+            F.sum("n_spans").alias("anchors"),
+            F.sum("n_dup_spans").alias("hits"),
+        ).first()
+        return int(row["anchors"]), int(row["hits"])
+
+    a_small, h_small = stats(small)
+    a_big, h_big = stats(big)
+    assert a_small > 0 and h_small > 0  # planted dups produce hits
+    assert a_big / a_small <= MAX_GROWTH, (a_small, a_big)
+    assert h_big / h_small <= MAX_GROWTH, (h_small, h_big)
