@@ -227,6 +227,8 @@ HEADLINE = [
     "dedup_spans_multik",
     # r10: the approx-percentile contract audit (GK sketch + exact ranks)
     "ev_percentiles_approx",
+    # r10: mid-stream MinHash dedup — fit + 3 frozen-state appends + scan
+    "stream_dedup_lsh",
     # curate_dedup_savings graded but NOT benched: its cost IS the already-
     # benched canonical-closure family (dedup_minhash_lsh + components)
     # knn_graph_descent graded but NOT benched: its toy-SF cost is stage

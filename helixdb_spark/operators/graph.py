@@ -703,17 +703,24 @@ def hits(
     (normalization only rescales). ``round_dp`` quantizes both vectors at
     the end of each round so engine summation order cannot compound.
 
+    Normalization is DEFERRED to round end (r9 VERDICT #5): the hub join
+    consumes the UNNORMALIZED authority vector — h' is linear in a', so
+    dividing both vectors by their L1 totals afterwards reaches the same
+    normalized pair — which lets ONE union-aggregate job collect both
+    round totals instead of two driver round-trips per round (HITS is
+    latency-bound at toy SF: halving the scalar jobs is the win).
+
     On a bipartite graph (e.g. supplier->customer shipments) hubs rank
     the source side and authorities the destination side — the two-sided
     importance split one PageRank cannot express.
 
     Scale shape: the edge table persists once; each round is two
     broadcast-or-shuffle equi-joins of edges with the PERSISTED |V|-row
-    score vectors, each normalization total one collected driver scalar
-    (the ``n = nodes.count()`` discipline — bounded driver state, and the
-    edge join never re-executes for the total); lineage truncates every
-    ``truncate_lineage_every`` rounds (the iterative-DAG discipline).
-    Returns (node, hub, authority) for every node.
+    score vectors, both normalization totals ONE collected 2-row driver
+    aggregate (the ``n = nodes.count()`` discipline — bounded driver
+    state, and the edge joins never re-execute for the totals); lineage
+    truncates every ``truncate_lineage_every`` rounds (the iterative-DAG
+    discipline). Returns (node, hub, authority) for every node.
     """
     from helixdb_spark.operators.util import (
         tracked_local_checkpoint,
@@ -749,40 +756,51 @@ def hits(
         if it and truncate_lineage_every and it % truncate_lineage_every == 0:
             hubs = tracked_local_checkpoint(hubs, cp_handles)
         # Each half-round's raw score vector feeds BOTH the normalization
-        # total and the join; persist it (|V| rows) and pull the total as
-        # ONE driver scalar — the `n = nodes.count()` discipline — so the
-        # edge join never re-executes for the total. Without the cache the
-        # two consumers re-run every upstream half-round and the DAG cost
-        # doubles per half-round (measured 11.8s -> ~6s on the sf0.1
-        # shipment graph).
+        # total and a join; persist both (|V| rows each) and pull the TWO
+        # totals as ONE 2-row driver aggregate over their tagged union —
+        # the `n = nodes.count()` discipline, one round-trip per round
+        # instead of two (the union job's raw_h stage materializes raw_a's
+        # cache through its own lineage). The hub join reads the
+        # UNNORMALIZED raw_a: h' is linear in a', so normalizing both
+        # vectors at round end yields the same normalized pair.
         raw_a = (
             e.join(_bc(hubs.select(F.col("node").alias("src"), "hub")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("w") * F.col("hub")).alias("_a"))
             .persist()
         )
-        vec_caches.append(raw_a)
-        at = raw_a.agg(F.sum("_a")).first()[0]  # materializes the cache
+        raw_h = (
+            e.join(_bc(raw_a.select(F.col("node").alias("dst"), "_a")), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("_a")).alias("_h"))
+            .persist()
+        )
+        vec_caches.extend((raw_a, raw_h))
+        totals = {
+            r["_side"]: r["_t"]
+            for r in (
+                raw_a.select(F.col("_a").alias("_v"), F.lit("a").alias("_side"))
+                .unionByName(
+                    raw_h.select(
+                        F.col("_h").alias("_v"), F.lit("h").alias("_side")
+                    )
+                )
+                .groupBy("_side")
+                .agg(F.sum("_v").alias("_t"))
+                .collect()  # ONE job; materializes both caches
+            )
+        }
         auths = nodes.join(raw_a, "node", "left").select(
             "node",
-            _quant(F.coalesce("_a", F.lit(0.0)) / F.lit(at)).alias(
+            _quant(F.coalesce("_a", F.lit(0.0)) / F.lit(totals["a"])).alias(
                 "authority"
             ),
         )
-        raw_h = (
-            e.join(
-                _bc(auths.select(F.col("node").alias("dst"), "authority")),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum(F.col("w") * F.col("authority")).alias("_h"))
-            .persist()
-        )
-        vec_caches.append(raw_h)
-        ht = raw_h.agg(F.sum("_h")).first()[0]
         hubs = nodes.join(raw_h, "node", "left").select(
             "node",
-            _quant(F.coalesce("_h", F.lit(0.0)) / F.lit(ht)).alias("hub"),
+            _quant(F.coalesce("_h", F.lit(0.0)) / F.lit(totals["h"])).alias(
+                "hub"
+            ),
         )
     out = (
         hubs.join(auths, "node")

@@ -7120,6 +7120,23 @@ QUERIES.update({"stream_share_drift": stream_share_drift})
 ORACLES.update({"stream_share_drift": _stream_share_drift_sql()})
 
 
+def stream_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection maintained MID-STREAM
+    (streaming.stream_dedup_lsh — r9 VERDICT #6): half the corpus builds
+    the persisted band/shingle index, the other half arrives as three
+    micro-batches appended under frozen coefficients, and the final
+    verified-pair scan answers from the segment chain. Oracle: the plain
+    full-corpus LSH SQL (dedup_minhash_lsh's) — streaming arrival and
+    incremental appends must be invisible to the dedup reader."""
+    from helixdb_spark.streaming import stream_dedup_lsh as _impl
+
+    return _impl(spark, sf_dir)
+
+
+QUERIES.update({"stream_dedup_lsh": stream_dedup_lsh})
+ORACLES.update({"stream_dedup_lsh": _minhash_sql()})
+
+
 # ---------------------- unigram^0.75 negative-sampling table (round 9) -------
 SAMPLER_TOP_V = 50
 SAMPLER_POW = 0.75

@@ -2763,18 +2763,21 @@ rawa{i} AS MATERIALIZED (
   SELECT e.dst AS node, sum(e.w * h.hub) AS a
   FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY 1
 ),
+rawh{i} AS MATERIALIZED (
+  -- deferred normalization: the hub join reads the UNNORMALIZED rawa
+  -- (h' is linear in a'; both vectors divide by their L1 totals below) —
+  -- mirrors the engine's one-totals-job-per-round formulation
+  SELECT e.src AS node, sum(e.w * r.a) AS h
+  FROM edges e JOIN rawa{i} r ON e.dst = r.node GROUP BY 1
+),
 at{i} AS MATERIALIZED (SELECT sum(a) AS t FROM rawa{i}),
+ht{i} AS MATERIALIZED (SELECT sum(h) AS t FROM rawh{i}),
 a{i} AS MATERIALIZED (
   SELECT n.node,
          round(coalesce(r.a, 0.0) / (SELECT t FROM at{i}) + 1e-9, {round_dp})
            AS authority
   FROM nodes n LEFT JOIN rawa{i} r ON n.node = r.node
 ),
-rawh{i} AS MATERIALIZED (
-  SELECT e.src AS node, sum(e.w * a.authority) AS h
-  FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY 1
-),
-ht{i} AS MATERIALIZED (SELECT sum(h) AS t FROM rawh{i}),
 h{i} AS MATERIALIZED (
   SELECT n.node,
          round(coalesce(r.h, 0.0) / (SELECT t FROM ht{i}) + 1e-9, {round_dp})

@@ -1106,3 +1106,103 @@ def stream_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pass
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return store.ivf_share_drift_by_segment("ivf")
+
+
+def stream_dedup_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    debug: dict | None = None,
+) -> DataFrame:
+    """Near-duplicate detection maintained MID-STREAM (r9 VERDICT #6 —
+    the streaming counterpart of ``dedup_minhash_lsh``): the first half
+    of the documents corpus builds the persisted MinHash-LSH index
+    (``AnnIndexStore.write_minhash`` — banded signatures + shingles),
+    the second half arrives as three time-ordered micro-batches and each
+    batch appends under the FROZEN coefficients/banding
+    (foreachBatch -> ``append_minhash`` — the delta re-shingles, the
+    corpus does not), and the final verified-pair scan answers from the
+    persisted segment chain. The result must equal the plain full-corpus
+    LSH pass (``dedup_minhash_lsh``'s oracle): streaming arrival and
+    frozen-state appends provably invisible to the dedup reader — a new
+    document's duplicates are queryable the moment its batch commits,
+    without ever re-signing the backlog.
+
+    Scale shape: per batch, shingling/signing touches only the batch
+    (one band/shingle segment write + the anti-join against committed
+    ids); the pair scan is the shared ``minhash_verify_pairs`` single
+    band-key shuffle over the chain. ``debug`` (tests) receives the
+    per-batch segment count and the per-batch NEW-vs-KNOWN duplicate
+    counts a live dedup dashboard would chart."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from helixdb_spark.index_store import AnnIndexStore
+    from helixdb_spark.plans.kv import _scratch_dir
+    from helixdb_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    half, q = n // 2, n // 6
+    bounds = [(half, half + q), (half + q, half + 2 * q), (half + 2 * q, n)]
+
+    root = tempfile.mkdtemp(prefix="helix_dedupstream_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    stream_dir = f"{root}/stream"
+    os.makedirs(stream_dir)
+    for i, (lo, hi) in enumerate(bounds):
+        tmp = f"{root}/b{i}_tmp"
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{stream_dir}/b{i}.parquet"
+        shutil.move(part, dst)
+        mtime = 1_000_000_000 + i * 500
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    store = AnnIndexStore(spark, _scratch_dir("minhashstream"))
+    batch_stats: list = []
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    qry = None
+    try:
+        store.write_minhash(docs.where(F.col("doc_id") < half))
+
+        def _append(batch_df, _epoch):
+            store.append_minhash(batch_df)
+            if debug is not None:
+                ids = {r["doc_id"] for r in batch_df.select("doc_id").collect()}
+                pairs = store.minhash_pairs(threshold=threshold).collect()
+                new = sum(
+                    1 for p in pairs
+                    if p["id_a"] in ids or p["id_b"] in ids
+                )
+                known = len(pairs) - new
+                batch_stats.append({"new_dup_pairs": new, "known_pairs": known})
+
+        schema = spark.read.parquet(stream_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        qry = stream.writeStream.foreachBatch(_append).start()
+        qry.processAllAvailable()
+    finally:
+        if qry is not None:
+            try:
+                qry.stop()
+            except Exception:  # noqa: BLE001 — best-effort on the error path
+                pass
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if debug is not None:
+        desc = store._state["indexes"]["minhash"]
+        debug["segments"] = len(store._segments(desc))
+        debug["n_rows"] = int(desc["n_rows"])
+        debug["batches"] = batch_stats
+    return store.minhash_pairs(threshold=threshold)

@@ -181,3 +181,65 @@ def test_ivf_share_drift_empty_segment_stays_visible(spark, tmp_path):
     assert rows[2]["share_drift"] == 0.0  # visible, not null
     assert rows[1]["n_rows"] == 50
     assert rows[1]["share_drift"] is not None
+
+
+# ------------------------------------------- streaming minhash dedup ----
+def test_stream_dedup_lsh_lifecycle(spark, sf_dir):
+    """The mid-stream MinHash index grows one segment per micro-batch
+    (fit + 3 appends), every committed row is accounted for, and the
+    per-batch dashboard stats are monotone-consistent (pairs never
+    vanish once committed)."""
+    from helixdb_spark.sources import load_table
+    from helixdb_spark.streaming import stream_dedup_lsh
+
+    debug = {}
+    pairs = stream_dedup_lsh(spark, sf_dir, debug=debug).collect()
+    assert debug["segments"] == 4  # fit + 3 streamed appends
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert debug["n_rows"] == n_docs
+    assert len(debug["batches"]) == 3
+    totals = [b["new_dup_pairs"] + b["known_pairs"] for b in debug["batches"]]
+    assert totals == sorted(totals)  # committed pairs never vanish
+    assert totals[-1] == len(pairs)
+
+
+# ------------------------------------------- overflow-bounded moments ----
+def test_bounded_moment_sum_adversarial_volumes(spark):
+    """The shared int64-moment helper (r9 VERDICT #7): within the proven
+    bound it sums EXACT int64; past it, it forms products on doubles so
+    the job neither raises (ANSI) nor wraps (non-ANSI). Adversarial
+    volume: y ~ 2^32, where y*y alone exceeds 2^63."""
+    from pyspark.sql import functions as F
+
+    from helixdb_spark.functions.numeric import (
+        INT64_MAX,
+        bounded_square_sum,
+        int64_sum_product_fits,
+    )
+
+    assert int64_sum_product_fits(10**6, 10**6, 10**6)
+    assert not int64_sum_product_fits(2**32, 2**32, 4)
+    assert int64_sum_product_fits(0, 0, 0)
+    # boundary: exactly INT64_MAX fits, one more does not
+    assert int64_sum_product_fits(INT64_MAX, 1, 1)
+    assert not int64_sum_product_fits(INT64_MAX, 2, 1)
+
+    big = 2**32  # y*y = 2^64 > int64
+    df = spark.createDataFrame([(big,)] * 4, "y long")
+    # helper path: provably-unfittable bound -> double, correct value
+    got = df.agg(
+        bounded_square_sum(F.col("y"), big, 4).alias("q")
+    ).first()["q"]
+    assert abs(got - 4.0 * big * big) / (4.0 * big * big) < 1e-12
+    # the small-volume path stays exact int64
+    small = spark.createDataFrame([(3,), (4,)], "y long")
+    got2 = small.agg(
+        bounded_square_sum(F.col("y"), 4, 2).alias("q")
+    ).first()["q"]
+    assert got2 == 25 and isinstance(got2, int)
+    # and the naive int64 product on the adversarial data fails loudly
+    # under this session's ANSI mode (the failure the helper prevents)
+    import pytest
+
+    with pytest.raises(Exception):
+        df.agg(F.sum(F.col("y") * F.col("y")).alias("q")).first()
