@@ -49,6 +49,17 @@ TOP = [
     "ann_drift_refit",
     "text_bpe_merges_64",
     "dedup_spans_hashed",
+    # round-10: the four heaviest r9 rows without a committed exponent
+    # (verdict r9 #8), the re-based sqrt-fit drift lifecycle is already in
+    # TOP above, and this round's heavy additions
+    "dedup_spans_removed",
+    "text_kn_lm_score",
+    "supplier_customer_hits",
+    "stream_share_drift",
+    "dedup_spans_multik",
+    "stream_dedup_lsh",
+    "mm_decode_png",
+    "ev_percentiles_approx",
 ]
 
 
@@ -106,7 +117,16 @@ def main() -> None:
     if errors:
         result["errors"] = errors
 
-    base_path = "BENCH_local_r8.json"
+    import glob
+    import re
+
+    # newest committed same-box idle baseline (min-merged per round) —
+    # numeric round sort, r10 > r9
+    candidates = sorted(
+        glob.glob("BENCH_local_r*.json"),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    base_path = candidates[-1] if candidates else "BENCH_local_r8.json"
     if os.path.exists(base_path):
         base = json.load(open(base_path)).get("queries", {})
         exps = {}
