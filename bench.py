@@ -229,6 +229,8 @@ HEADLINE = [
     "ev_percentiles_approx",
     # r10: mid-stream MinHash dedup — fit + 3 frozen-state appends + scan
     "stream_dedup_lsh",
+    # r10: baseline JPEG contract gate (lossy — bound + fixed-point checks)
+    "mm_decode_jpeg",
     # curate_dedup_savings graded but NOT benched: its cost IS the already-
     # benched canonical-closure family (dedup_minhash_lsh + components)
     # knn_graph_descent graded but NOT benched: its toy-SF cost is stage

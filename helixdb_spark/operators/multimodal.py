@@ -340,9 +340,11 @@ def decode_png(payload: bytes):
 def decode_image(payload: bytes):
     """Decode one payload: the injected decoder first (``set_decoder``),
     then the built-in pure-Python decoders (24-bit BMP, P6 PPM, 8-bit
-    PNG — ``decode_png``, numpy+zlib, all five row filters), then PIL if
-    installed. Raises NotImplementedError only for formats none of those
-    cover (JPEG in a PIL-less container)."""
+    PNG — ``decode_png``, numpy+zlib, all five row filters; baseline
+    JFIF JPEG — ``operators.jpeg.decode_jpeg``, Huffman + IDCT +
+    4:2:0/4:4:4), then PIL if installed. With the r10 JPEG decoder every
+    mainstream raster container decodes natively; the PIL fallback now
+    covers only exotic formats (WebP, TIFF, progressive JPEG)."""
     if _DECODER is not None:
         return _DECODER(payload)
     if payload[:2] == b"BM":
@@ -351,6 +353,13 @@ def decode_image(payload: bytes):
         return decode_ppm(payload)
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from helixdb_spark.operators.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            pass  # progressive/12-bit: fall through to PIL if present
     try:  # pragma: no cover - container lacks PIL
         import io
 
@@ -360,8 +369,8 @@ def decode_image(payload: bytes):
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError as e:
         raise NotImplementedError(
-            "compressed formats need an injected decoder (set_decoder) or "
-            "PIL; BMP/PPM/PNG decode natively"
+            "exotic formats need an injected decoder (set_decoder) or "
+            "PIL; BMP/PPM/PNG/baseline-JPEG decode natively"
         ) from e
 
 

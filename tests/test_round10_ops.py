@@ -243,3 +243,62 @@ def test_bounded_moment_sum_adversarial_volumes(spark):
 
     with pytest.raises(Exception):
         df.agg(F.sum(F.col("y") * F.col("y")).alias("q")).first()
+
+
+# ------------------------------------------- native baseline JPEG ----
+def test_jpeg_flat_blocks_round_trip_exactly():
+    """DC-only content (flat color) survives the lossy pipeline exactly
+    at q>=50 — the property that pins quantize/dequant, DC prediction,
+    level shift and color-convert all at once."""
+    import numpy as np
+
+    from helixdb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for color in [(0, 0, 0), (255, 255, 255), (128, 64, 200), (1, 2, 3)]:
+        arr = np.zeros((16, 24, 3), dtype=np.uint8)
+        arr[:, :] = color
+        out = decode_jpeg(encode_jpeg(arr, quality=90))
+        assert np.array_equal(out, arr), color
+
+
+def test_jpeg_smooth_content_small_error():
+    """Smooth ramps at q90 stay within a few units per channel across
+    4:4:4, 4:2:0 and grayscale; odd dimensions exercise MCU padding."""
+    import numpy as np
+
+    from helixdb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 23, 37  # odd: forces edge-replicated partial MCUs
+    r = np.linspace(0, 255, w)[None, :].repeat(h, 0)
+    g = np.linspace(0, 255, h)[:, None].repeat(w, 1)
+    arr = np.stack([r, g, (r + g) / 2], 2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(arr, quality=90))
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 8
+    out420 = decode_jpeg(encode_jpeg(arr, quality=90, subsample=True))
+    assert out420.shape == arr.shape
+    assert np.abs(out420.astype(int) - arr.astype(int)).max() <= 16
+    gray = np.linspace(10, 240, w)[None, :].repeat(h, 0).astype(np.uint8)
+    outg = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert outg.shape == (h, w, 3)
+    assert np.abs(outg[:, :, 0].astype(int) - gray.astype(int)).max() <= 8
+
+
+def test_jpeg_guards_and_routing():
+    """Non-baseline frames raise NotImplementedError; decode_image routes
+    FFD8 payloads through the native decoder."""
+    import numpy as np
+    import pytest
+
+    from helixdb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from helixdb_spark.operators.multimodal import decode_image
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    # craft a progressive (SOF2) frame header: must raise, not garble
+    good = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof = good.find(b"\xff\xc0")
+    good[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(good))
+    arr = np.full((8, 8, 3), 77, dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_jpeg(arr, quality=90)), arr)
