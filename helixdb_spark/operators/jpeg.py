@@ -187,12 +187,7 @@ class _BitReader:
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1  # stuffed
-            elif 0xD0 <= nxt <= 0xD7:  # restart marker: reset bitstream
-                self.pos += 1
-                self.acc = 0
-                self.nbits = 0
-                raise _Restart()
-            else:
+            else:  # any real marker mid-entropy-data ends the segment
                 raise _EndOfScan()
         self.acc = (self.acc << 8) | b
         self.nbits += 8
@@ -209,9 +204,31 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
-
-class _Restart(Exception):
-    pass
+    def sync_restart(self) -> None:
+        """T.81 restart: drop the byte-alignment padding bits, consume the
+        expected RSTn marker, and leave the reader at the next entropy
+        byte. Called BETWEEN MCUs (the only place RSTn may appear). The
+        reader may not have consumed the final 1-padded byte (or its
+        stuffed 0x00 companion), so up to two pad bytes are skipped before
+        the marker — anything more is corruption."""
+        self.acc = 0
+        self.nbits = 0
+        skipped = 0
+        while skipped <= 2:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1]
+                if nxt == 0x00:  # stuffed 1-padded 0xFF byte
+                    self.pos += 2
+                    skipped += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    self.pos += 2
+                    return
+                break
+            self.pos += 1  # unconsumed 1-padding byte
+            skipped += 1
+        raise ValueError("expected RSTn marker at restart interval boundary")
 
 
 class _EndOfScan(Exception):
@@ -238,11 +255,19 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 # ---------------------------------------------------------------- encoder
-def encode_jpeg(arr, quality: int = 90, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    arr,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an H×W×3 RGB (or H×W grayscale) uint8 array as a baseline
     JFIF JPEG: standard Annex K tables scaled by ``quality``,
     4:4:4 (or 4:2:0 when ``subsample``) YCbCr, Huffman entropy coding
-    with byte stuffing. Output decodes in any standard reader."""
+    with byte stuffing; ``restart_interval`` > 0 emits DRI + RSTn markers
+    every N MCUs (the error-resilience feature most camera JPEGs carry —
+    and the decoder path's test vector). Output decodes in any standard
+    reader."""
     import numpy as np
 
     arr = np.asarray(arr, dtype=np.uint8)
@@ -307,8 +332,17 @@ def encode_jpeg(arr, quality: int = 90, subsample: bool = False) -> bytes:
 
     bw = _BitWriter()
     pred = [0] * n_comp
+    mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                bw.flush()  # byte-align with 1-padding per T.81
+                n_rst = (mcu_count // restart_interval - 1) % 8
+                bw.out.extend(bytes([0xFF, 0xD0 + n_rst]))
+                pred = [0] * n_comp
+            mcu_count += 1
             for ci in range(n_comp):
                 sh, sv = sampling[ci]
                 tsel = 0 if ci == 0 else 1
@@ -367,6 +401,8 @@ def encode_jpeg(arr, quality: int = 90, subsample: bool = False) -> bytes:
             0xFFC4,
             bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values),
         )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([n_comp])
     for ci in range(n_comp):
         t = 0 if ci == 0 else 1
@@ -497,45 +533,35 @@ def decode_jpeg(payload: bytes):
             if restart_interval and mcu_count and (
                 mcu_count % restart_interval == 0
             ):
-                # the encoder placed an RSTn here; the reader raises
-                # _Restart when it meets it — resync predictors
-                try:
-                    while br.nbits:
-                        br.read_bit()
-                    br._fill()
-                except _Restart:
-                    pass
+                br.sync_restart()  # RSTn sits BETWEEN MCUs (T.81 E.1.4)
                 pred = {c["id"]: 0 for c in comps}
-            try:
-                for c in comps:
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            zc = np.zeros(64, dtype=np.int64)
-                            size = read_symbol(c["dct"])
-                            diff = _extend(br.receive(size), size)
-                            pred[c["id"]] += diff
-                            zc[0] = pred[c["id"]]
-                            k = 1
-                            while k < 64:
-                                rs = read_symbol(c["act"])
-                                if rs == 0x00:  # EOB
-                                    break
-                                if rs == 0xF0:  # ZRL
-                                    k += 16
-                                    continue
-                                k += rs >> 4
-                                sz = rs & 0xF
-                                zc[k] = _extend(br.receive(sz), sz)
-                                k += 1
-                            blk = np.zeros(64)
-                            blk[zz] = zc
-                            coef = blk.reshape(8, 8) * qtabs[c["tq"]]
-                            sp = C.T @ coef @ C
-                            r0 = (my * c["v"] + by) * 8
-                            c0 = (mx * c["h"] + bx) * 8
-                            c["plane"][r0 : r0 + 8, c0 : c0 + 8] = sp
-            except _Restart:
-                pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zc = np.zeros(64, dtype=np.int64)
+                        size = read_symbol(c["dct"])
+                        diff = _extend(br.receive(size), size)
+                        pred[c["id"]] += diff
+                        zc[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = read_symbol(c["act"])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            sz = rs & 0xF
+                            zc[k] = _extend(br.receive(sz), sz)
+                            k += 1
+                        blk = np.zeros(64)
+                        blk[zz] = zc
+                        coef = blk.reshape(8, 8) * qtabs[c["tq"]]
+                        sp = C.T @ coef @ C
+                        r0 = (my * c["v"] + by) * 8
+                        c0 = (mx * c["h"] + bx) * 8
+                        c["plane"][r0 : r0 + 8, c0 : c0 + 8] = sp
             mcu_count += 1
 
     # upsample + color convert

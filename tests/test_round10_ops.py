@@ -302,3 +302,27 @@ def test_jpeg_guards_and_routing():
         decode_jpeg(bytes(good))
     arr = np.full((8, 8, 3), 77, dtype=np.uint8)
     assert np.array_equal(decode_image(encode_jpeg(arr, quality=90)), arr)
+
+
+def test_jpeg_restart_markers_are_transparent():
+    """DRI/RSTn every N MCUs (the camera-JPEG resilience feature) must
+    decode to EXACTLY the same pixels as the plain stream — restarts only
+    reset DC predictors and byte-align, never change coefficients."""
+    import numpy as np
+
+    from helixdb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 40, 56  # 35 MCUs at 4:4:4
+    r = np.linspace(0, 255, w)[None, :].repeat(h, 0)
+    g = np.linspace(0, 255, h)[:, None].repeat(w, 1)
+    arr = np.stack([r, g, (r + g) / 2], 2).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(arr, quality=90))
+    for ri in (1, 3, 7, 35, 100):
+        got = decode_jpeg(encode_jpeg(arr, quality=90, restart_interval=ri))
+        assert np.array_equal(got, plain), f"restart_interval={ri}"
+    rng = np.random.RandomState(5)
+    noise = rng.randint(0, 256, (24, 32, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(noise, quality=95, restart_interval=1)),
+        decode_jpeg(encode_jpeg(noise, quality=95)),
+    )
