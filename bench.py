@@ -231,6 +231,8 @@ HEADLINE = [
     "stream_dedup_lsh",
     # r10: baseline JPEG contract gate (lossy — bound + fixed-point checks)
     "mm_decode_jpeg",
+    # r10: seasonal-naive forecast skill (MASE shape) over the daily grid
+    "ev_seasonal_naive_mase",
     # curate_dedup_savings graded but NOT benched: its cost IS the already-
     # benched canonical-closure family (dedup_minhash_lsh + components)
     # knn_graph_descent graded but NOT benched: its toy-SF cost is stage

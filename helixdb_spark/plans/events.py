@@ -1110,6 +1110,129 @@ SELECT event_type, count(value)::BIGINT AS n_events,
 FROM events GROUP BY 1 ORDER BY 1
 """
 
+# ------------------ seasonal-naive forecast skill / MASE (round 10) ---------
+def ev_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-skill screening per event_type: the seasonal-naive
+    forecast ŷ(t) = y(t−7) scored against the naive-1 baseline
+    ŷ(t) = y(t−1) over the dense daily count grid (absent days are 0 —
+    the ev_ols/ev_autocorr discipline). The reported ratio is the MASE
+    shape (Hyndman & Koehler 2006): mean|y−y₋₇| / mean|y−y₋₁|; < 1 means
+    weekly structure predicts better than persistence — the one number
+    read before spending on a real forecaster (compare: ev_autocorr says
+    the lag-7 correlation, ev_dow_anova the variance share; this says
+    forecast ERROR, the unit a capacity planner budgets in).
+
+    Exact-sum discipline: daily counts are int64, |y−lag| sums are int64
+    (partition-order independent), one double division rounded to 6dp.
+    Scale shape: one map-side-combined (type, day) count, a broadcast
+    1-row calendar span, a per-type day grid (bounded by the calendar,
+    never by event volume), and one per-type window sort."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    counts = (
+        ev.select(F.col("event_type"), day.alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").alias("y"))
+    )
+    span = ev.agg(
+        F.min(day).alias("d0"),
+        F.datediff(F.max(day), F.min(day)).alias("nm1"),
+    )
+    types = counts.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.col("nm1"))).alias("x"),
+            "d0",
+        )
+        .select("event_type", "x", F.date_add("d0", F.col("x")).alias("d"))
+    )
+    dense = grid.join(counts, ["event_type", "d"], "left").select(
+        "event_type", "x", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    w = W.partitionBy("event_type").orderBy("x")
+    lagged = dense.select(
+        "event_type",
+        "y",
+        F.lag("y", 7).over(w).alias("y7"),
+        F.lag("y", 1).over(w).alias("y1"),
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum(F.abs(F.col("y") - F.col("y7"))).cast("long").alias("sae7"),
+            F.count("y7").cast("long").alias("n7"),
+            F.sum(F.abs(F.col("y") - F.col("y1"))).cast("long").alias("sae1"),
+            F.count("y1").cast("long").alias("n1"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "sae7",
+            "sae1",
+            F.when(
+                (F.col("sae1") > 0) & (F.col("n7") > 0),
+                F.round(
+                    F.lit(1e-9)
+                    + (F.col("sae7").cast("double") / F.col("n7"))
+                    / (F.col("sae1").cast("double") / F.col("n1")),
+                    6,
+                ),
+            ).otherwise(F.lit(None).cast("double")).alias("mase"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_MASE_SQL = """
+WITH counts AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS d, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT min(date_trunc('day', ts)::DATE) AS d0,
+         date_diff('day', min(date_trunc('day', ts)::DATE),
+                   max(date_trunc('day', ts)::DATE)) AS nm1
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, x.x::BIGINT AS x, s.d0 + x.x::INT AS d
+  FROM (SELECT DISTINCT event_type FROM counts) t, span s,
+       unnest(range(0, (SELECT nm1 + 1 FROM span))) x(x)
+),
+dense AS (
+  SELECT g.event_type, g.x, coalesce(c.y, 0)::BIGINT AS y
+  FROM grid g LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.d = g.d
+),
+lagged AS (
+  SELECT event_type, y,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY x) AS y7,
+         lag(y, 1) OVER (PARTITION BY event_type ORDER BY x) AS y1
+  FROM dense
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_days,
+         sum(abs(y - y7))::BIGINT AS sae7, count(y7)::BIGINT AS n7,
+         sum(abs(y - y1))::BIGINT AS sae1, count(y1)::BIGINT AS n1
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, n_days, sae7, sae1,
+       CASE WHEN sae1 > 0 AND n7 > 0
+            THEN round(1e-9 + (sae7::DOUBLE / n7) / (sae1::DOUBLE / n1), 6)
+                 + 0.0
+            ELSE NULL END AS mase
+FROM agg ORDER BY event_type
+"""
+
+QUERIES.update({"ev_seasonal_naive_mase": ev_seasonal_naive_mase})
+ORACLES.update({"ev_seasonal_naive_mase": EV_MASE_SQL})
+
+
 QUERIES.update({"ev_percentiles_approx": ev_percentiles_approx})
 ORACLES.update({"ev_percentiles_approx": EV_PCT_APPROX_SQL})
 

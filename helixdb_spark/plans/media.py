@@ -299,7 +299,12 @@ def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from helixdb_spark.operators.util import spread
+
+    # spread BEFORE the codec stages: a small parquet reads as 1-2
+    # partitions locally and would serialize every encode/decode onto two
+    # cores (no-op at scale — the scan already arrives wide)
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import numpy as np
@@ -394,7 +399,12 @@ def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from helixdb_spark.operators.util import spread
+
+    # spread BEFORE the codec stages: a small parquet reads as 1-2
+    # partitions locally and would serialize every encode/decode onto two
+    # cores (no-op at scale — the scan already arrives wide)
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import numpy as np
@@ -489,7 +499,12 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from helixdb_spark.operators.util import spread
+
+    # spread BEFORE the codec stages: a small parquet reads as 1-2
+    # partitions locally and would serialize every encode/decode onto two
+    # cores (no-op at scale — the scan already arrives wide)
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import numpy as np
@@ -595,7 +610,12 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from helixdb_spark.operators.util import spread
+
+    # spread BEFORE the codec stages: a small parquet reads as 1-2
+    # partitions locally and would serialize every encode/decode onto two
+    # cores (no-op at scale — the scan already arrives wide)
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import numpy as np
@@ -737,7 +757,12 @@ def mm_color_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from helixdb_spark.operators.util import spread
+
+    # spread BEFORE the codec stages: a small parquet reads as 1-2
+    # partitions locally and would serialize every encode/decode onto two
+    # cores (no-op at scale — the scan already arrives wide)
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import numpy as np
