@@ -326,3 +326,35 @@ def test_jpeg_restart_markers_are_transparent():
         decode_jpeg(encode_jpeg(noise, quality=95, restart_interval=1)),
         decode_jpeg(encode_jpeg(noise, quality=95)),
     )
+
+
+def test_multik_islands_nest(spark):
+    """Monotonicity of the ladder: a run duplicated at k=100 contains
+    duplicated k=30 windows everywhere inside it, so covered_chars and
+    dup-span counts can only DECREASE as k grows — the mathematical
+    reason the REMOVAL step only needs the smallest k while the
+    measurement needs the whole ladder (long-duplication mass is the
+    k=400 row; what to cut is the k=30 row)."""
+    from helixdb_spark.operators.dedup import duplicate_spans_multik
+
+    run120 = "x" * 50 + "the shared one hundred and twenty character run " * 3
+    rows = [
+        (1, "head A " + run120 + " tail A unique one"),
+        (2, "head B " + run120 + " tail B other text"),
+        (3, "entirely unique filler content with no duplication anywhere "
+            "each word appearing once so no thirty char window can repeat "
+            "within this document or across the other two documents here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = {
+        (r["doc_id"], r["k"]): r
+        for r in duplicate_spans_multik(docs, ks=(30, 100)).collect()
+    }
+    for d in (1, 2, 3):
+        assert prof[(d, 100)]["covered_chars"] <= prof[(d, 30)]["covered_chars"], d
+        assert prof[(d, 100)]["n_dup_spans"] <= prof[(d, 30)]["n_dup_spans"], d
+    # the long shared run is visible at BOTH widths for its carriers
+    for d in (1, 2):
+        assert prof[(d, 100)]["n_dup_spans"] > 0, d
+        assert prof[(d, 30)]["covered_chars"] >= prof[(d, 100)]["covered_chars"] > 0
+    assert prof[(3, 30)]["n_dup_spans"] == 0
