@@ -233,6 +233,8 @@ HEADLINE = [
     "mm_decode_jpeg",
     # r10: seasonal-naive forecast skill (MASE shape) over the daily grid
     "ev_seasonal_naive_mase",
+    # r10: DCT pHash recompression-robustness gate over real codecs
+    "mm_phash_dct_robust",
     # curate_dedup_savings graded but NOT benched: its cost IS the already-
     # benched canonical-closure family (dedup_minhash_lsh + components)
     # knn_graph_descent graded but NOT benched: its toy-SF cost is stage

@@ -97,16 +97,23 @@ HUFF_AC_CHROMA = (
 )
 
 
-def _dct_matrix():
+def dct_matrix(n: int = 8):
+    """Orthonormal DCT-II basis matrix: ``dct(B) = C @ B @ C.T``,
+    ``idct = C.T @ B @ C``. n=8 is the JPEG block transform; n=32 is the
+    perceptual-hash front end (multimodal.dct_phash)."""
     import numpy as np
 
-    c = np.zeros((8, 8))
-    for k in range(8):
-        for n in range(8):
-            c[k, n] = np.cos(np.pi * (2 * n + 1) * k / 16.0)
-    c *= 0.5
+    c = np.zeros((n, n))
+    for k in range(n):
+        for m in range(n):
+            c[k, m] = np.cos(np.pi * (2 * m + 1) * k / (2.0 * n))
+    c *= np.sqrt(2.0 / n)
     c[0, :] *= 1.0 / np.sqrt(2.0)
     return c
+
+
+def _dct_matrix():
+    return dct_matrix(8)
 
 
 def _scaled_qtables(quality: int):

@@ -337,6 +337,52 @@ def decode_png(payload: bytes):
     return np.ascontiguousarray(palette[px[:, :, 0]])
 
 
+_PHASH_DCT32 = None
+
+
+def dct_phash(arr):
+    """Classic DCT perceptual hash (the pHash algorithm): grayscale →
+    32×32 area resize → 2-D DCT-II → the top-left 8×8 low-frequency
+    block minus DC → median threshold → 63 bits (returned as a numpy
+    uint8 bit vector). Robust to re-encoding (JPEG q85 recompression
+    moves ≤ ~10 of 63 bits on structured content — pinned by the graded
+    row) while sign-flipping transforms land ~60+ bits away. This is the
+    DCT upgrade of the aHash fingerprint ``perceptual_hash`` ships for
+    byte payloads — use it on REAL decoded pixels."""
+    import numpy as np
+
+    global _PHASH_DCT32
+    if _PHASH_DCT32 is None:
+        from helixdb_spark.operators.jpeg import dct_matrix
+
+        _PHASH_DCT32 = dct_matrix(32)
+    arr = np.asarray(arr)
+    g = (
+        arr.astype(np.float64).mean(axis=2)
+        if arr.ndim == 3
+        else arr.astype(np.float64)
+    )
+    h, w = g.shape
+    ri = (np.arange(h) * 32) // h
+    ci = (np.arange(w) * 32) // w
+    small = np.zeros((32, 32))
+    cnt = np.zeros((32, 32))
+    rr = ri[:, None].repeat(w, 1)
+    cc = ci[None, :].repeat(h, 0)
+    np.add.at(small, (rr, cc), g)
+    np.add.at(cnt, (rr, cc), 1.0)
+    small = small / np.maximum(cnt, 1.0)
+    d = _PHASH_DCT32 @ small @ _PHASH_DCT32.T
+    block = d[:8, :8].reshape(64)[1:]  # drop DC
+    med = np.median(block)
+    return (block > med).astype(np.uint8)
+
+
+def phash_hamming(a, b) -> int:
+    """Bit distance between two ``dct_phash`` vectors."""
+    return int((a != b).sum())
+
+
 def decode_image(payload: bytes):
     """Decode one payload: the injected decoder first (``set_decoder``),
     then the built-in pure-Python decoders (24-bit BMP, P6 PPM, 8-bit

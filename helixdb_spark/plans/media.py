@@ -691,6 +691,95 @@ QUERIES.update({"mm_decode_jpeg": mm_decode_jpeg})
 ORACLES.update({"mm_decode_jpeg": MM_DECODE_JPEG_SQL})
 
 
+# ----------------------------- DCT pHash recompression gate (round 10)
+PHASH_ROBUST_MAX = 16  # measured worst over the family: 10 of 63 bits
+PHASH_DISTINCT_MIN = 48  # measured min for the inverted image: 62
+
+
+def mm_phash_dct_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hashing over REAL decoded pixels, graded on the
+    property that makes it useful (the re-encoded-duplicate detection a
+    production image-dedup pass runs): per document a structured
+    multi-wave image is hashed (multimodal.dct_phash — 32×32 area
+    resize, 2-D DCT-II, median-thresholded low-frequency block), then
+    (a) the image is ROUND-TRIPPED THROUGH THE REAL JPEG CODEC at q85
+    and its hash must stay within {robust} of 63 bits (a re-encoded
+    duplicate still matches), while (b) the tonally-inverted image must
+    land at least {distinct} bits away (a genuinely different image does
+    not). The hash itself is not SQL-expressible (32-point DCT + median),
+    so the graded columns are the contract verdicts + exact dims — the
+    mm_decode_jpeg bound-gate discipline. This exercises synth → hash →
+    JPEG encode → Huffman decode → re-hash end-to-end per document.
+
+    Scale shape: one Arrow mapInPandas pass; payload bytes never reach
+    the driver."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from helixdb_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def op(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        from helixdb_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "recompress_stable", "inverted_far")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 36 + d % 13, 34 + d % 11
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                g = np.full((h, w), 128.0)
+                for j in range(4):
+                    fr = (d * 3 + j * 7) % 5 + 1
+                    fc = (d * 5 + j * 11) % 4 + 1
+                    ph = ((d * 13 + j * 17) % 8) * np.pi / 4
+                    g += 30 * np.sin(fr * np.pi * r / h + ph) * np.cos(
+                        fc * np.pi * c / w + ph / 2
+                    )
+                g += r * 40.0 / h - c * 25.0 / w
+                arr = np.stack([g, g + 8, g - 8], 2).clip(0, 255).astype(
+                    "uint8"
+                )
+                h0 = mm.dct_phash(arr)
+                rec = mm.decode_image(encode_jpeg(arr, quality=85))
+                inv = (255 - arr).astype(np.uint8)
+                out["doc_id"].append(d)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["recompress_stable"].append(
+                    mm.phash_hamming(h0, mm.dct_phash(rec))
+                    <= PHASH_ROBUST_MAX
+                )
+                out["inverted_far"].append(
+                    mm.phash_hamming(h0, mm.dct_phash(inv))
+                    >= PHASH_DISTINCT_MIN
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        op,
+        "doc_id long, width int, height int, recompress_stable boolean, "
+        "inverted_far boolean",
+    ).orderBy("doc_id")
+
+
+MM_PHASH_DCT_SQL = """
+SELECT doc_id, (36 + doc_id % 13)::INT AS width,
+       (34 + doc_id % 11)::INT AS height,
+       true AS recompress_stable, true AS inverted_far
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES.update({"mm_phash_dct_robust": mm_phash_dct_robust})
+ORACLES.update({"mm_phash_dct_robust": MM_PHASH_DCT_SQL})
+
+
 def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voice-activity segments per audio doc (operators.multimodal.
     audio_vad_segments): 10-sample window RMS thresholded at 74 (the

