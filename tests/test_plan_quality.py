@@ -351,6 +351,8 @@ def test_no_unintended_nested_loops_in_graded_queries(spark, sf_dir):
         # p/cdf ratios (r9)
         "curate_dataset_card",  # 1-row duplicate-count broadcast into the
         # one-row card (r9)
+        "ev_seasonal_naive_mase",  # 1-row calendar-span broadcast into the
+        # per-type dense day grid (the ev_ols_trend shape — r10)
     }
     # streaming queries execute on construction; dedup_clusters and
     # emb_kmeans run their iterative jobs on construction — covered by
