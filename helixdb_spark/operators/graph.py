@@ -790,17 +790,18 @@ def hits(
                 .collect()  # ONE job; materializes both caches
             )
         }
+        # an edgeless graph yields EMPTY raw vectors (no groupBy rows), so
+        # neither total exists — divide by null to keep the old behaviour
+        # of null scores instead of a driver KeyError
+        tot_a = F.lit(totals.get("a"))
+        tot_h = F.lit(totals.get("h"))
         auths = nodes.join(raw_a, "node", "left").select(
             "node",
-            _quant(F.coalesce("_a", F.lit(0.0)) / F.lit(totals["a"])).alias(
-                "authority"
-            ),
+            _quant(F.coalesce("_a", F.lit(0.0)) / tot_a).alias("authority"),
         )
         hubs = nodes.join(raw_h, "node", "left").select(
             "node",
-            _quant(F.coalesce("_h", F.lit(0.0)) / F.lit(totals["h"])).alias(
-                "hub"
-            ),
+            _quant(F.coalesce("_h", F.lit(0.0)) / tot_h).alias("hub"),
         )
     out = (
         hubs.join(auths, "node")

@@ -188,9 +188,13 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG scan")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG scan")
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1  # stuffed
@@ -222,6 +226,8 @@ class _BitReader:
         self.nbits = 0
         skipped = 0
         while skipped <= 2:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG scan")
             b = self.data[self.pos]
             if b == 0xFF:
                 nxt = self.data[self.pos + 1]
@@ -427,8 +433,20 @@ def decode_jpeg(payload: bytes):
     (grayscale broadcasts): marker walk (DQT/SOF0/DHT/SOS/DRI), Huffman
     MCU decode with byte unstuffing and restart-marker resets, dequantize,
     inverse zigzag, IDCT, chroma upsample (nearest), YCbCr→RGB, clip.
-    Progressive (SOF2), arithmetic (SOF9+), and 12-bit frames raise
-    NotImplementedError."""
+    Progressive (SOF2), arithmetic (SOF9+), 12-bit, and non-1/3-component
+    frames raise NotImplementedError (valid but unsupported — decode_image
+    falls through to an injected decoder / PIL); truncated or foreign
+    payloads raise a clean ValueError, never a raw IndexError."""
+    import struct as _struct
+
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, _struct.error) as e:
+        # marker walk ran off the end of a cropped header segment
+        raise ValueError("truncated or corrupt JPEG") from e
+
+
+def _decode_jpeg(payload: bytes):
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -472,6 +490,13 @@ def decode_jpeg(payload: bytes):
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG")
+            if nc not in (1, 3):
+                # valid-but-unsupported layouts (4-component Adobe
+                # CMYK/YCCK, 2-component) — NotImplementedError so
+                # decode_image falls through to an injected decoder / PIL
+                raise NotImplementedError(
+                    f"JPEG with {nc} components (only 1/3 supported)"
+                )
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -535,41 +560,46 @@ def decode_jpeg(payload: bytes):
 
     pred = {c["id"]: 0 for c in comps}
     mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and (
-                mcu_count % restart_interval == 0
-            ):
-                br.sync_restart()  # RSTn sits BETWEEN MCUs (T.81 E.1.4)
-                pred = {c["id"]: 0 for c in comps}
-            for c in comps:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zc = np.zeros(64, dtype=np.int64)
-                        size = read_symbol(c["dct"])
-                        diff = _extend(br.receive(size), size)
-                        pred[c["id"]] += diff
-                        zc[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = read_symbol(c["act"])
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            sz = rs & 0xF
-                            zc[k] = _extend(br.receive(sz), sz)
-                            k += 1
-                        blk = np.zeros(64)
-                        blk[zz] = zc
-                        coef = blk.reshape(8, 8) * qtabs[c["tq"]]
-                        sp = C.T @ coef @ C
-                        r0 = (my * c["v"] + by) * 8
-                        c0 = (mx * c["h"] + bx) * 8
-                        c["plane"][r0 : r0 + 8, c0 : c0 + 8] = sp
-            mcu_count += 1
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and (
+                    mcu_count % restart_interval == 0
+                ):
+                    br.sync_restart()  # RSTn sits BETWEEN MCUs (T.81 E.1.4)
+                    pred = {c["id"]: 0 for c in comps}
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zc = np.zeros(64, dtype=np.int64)
+                            size = read_symbol(c["dct"])
+                            diff = _extend(br.receive(size), size)
+                            pred[c["id"]] += diff
+                            zc[0] = pred[c["id"]]
+                            k = 1
+                            while k < 64:
+                                rs = read_symbol(c["act"])
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                sz = rs & 0xF
+                                zc[k] = _extend(br.receive(sz), sz)
+                                k += 1
+                            blk = np.zeros(64)
+                            blk[zz] = zc
+                            coef = blk.reshape(8, 8) * qtabs[c["tq"]]
+                            sp = C.T @ coef @ C
+                            r0 = (my * c["v"] + by) * 8
+                            c0 = (mx * c["h"] + bx) * 8
+                            c["plane"][r0 : r0 + 8, c0 : c0 + 8] = sp
+                mcu_count += 1
+    except _EndOfScan as e:
+        # a real marker mid-MCU means the entropy stream ended before the
+        # frame's MCU grid was filled — truncated or foreign payload
+        raise ValueError("truncated JPEG scan") from e
 
     # upsample + color convert
     out_planes = []

@@ -404,8 +404,11 @@ def decode_image(payload: bytes):
 
         try:
             return decode_jpeg(payload)
-        except NotImplementedError:
-            pass  # progressive/12-bit: fall through to PIL if present
+        except (NotImplementedError, ValueError):
+            # progressive/12-bit/CMYK (NotImplementedError) or
+            # truncated/odd-but-PIL-decodable streams (ValueError):
+            # fall through to PIL if present
+            pass
     try:  # pragma: no cover - container lacks PIL
         import io
 

@@ -664,8 +664,10 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     encode_jpeg(arr.astype(np.uint8), quality=90)
                 ).astype(np.int64)
                 # fixed-point to within one quantization step: measured
-                # re-encode deltas over the graded family are <= 2 (one
-                # rounding unit each through DCT and color convert)
+                # re-encode deltas over the graded family AT sf0.1 are <= 2
+                # (one rounding unit each through DCT and color convert);
+                # re-measure when grading a new SF — unseen doc_id residue
+                # combinations may sit nearer the bound
                 restable = int(np.abs(second - arr).max()) <= 2
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(w)
@@ -692,8 +694,13 @@ ORACLES.update({"mm_decode_jpeg": MM_DECODE_JPEG_SQL})
 
 
 # ----------------------------- DCT pHash recompression gate (round 10)
-PHASH_ROBUST_MAX = 16  # measured worst over the family: 10 of 63 bits
-PHASH_DISTINCT_MIN = 48  # measured min for the inverted image: 62
+# Gate thresholds measured over the synthetic doc_id family AT sf0.1
+# (worst re-encode distance 10/63 bits; min inverted distance 62). Larger
+# SFs introduce unseen (doc_id % modulus) residue combinations — re-measure
+# (scripts/bench_sf1.py drives sf1) or derive analytically before trusting
+# the boolean gates at a new scale factor.
+PHASH_ROBUST_MAX = 16  # measured worst over the family @ sf0.1: 10 of 63
+PHASH_DISTINCT_MIN = 48  # measured min for the inverted image @ sf0.1: 62
 
 
 def mm_phash_dct_robust(spark: SparkSession, sf_dir: str) -> DataFrame:

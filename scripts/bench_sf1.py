@@ -122,8 +122,12 @@ def main() -> None:
 
     # newest committed same-box idle baseline (min-merged per round) —
     # numeric round sort, r10 > r9
+    hits = [
+        (p, re.search(r"_r(\d+)\.json$", p)) for p in
+        glob.glob("BENCH_local_r*.json")
+    ]
     candidates = sorted(
-        glob.glob("BENCH_local_r*.json"),
+        (p for p, m in hits if m),
         key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
     )
     base_path = candidates[-1] if candidates else "BENCH_local_r8.json"
