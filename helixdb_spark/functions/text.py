@@ -11,8 +11,14 @@ from pyspark.sql import functions as F
 
 
 def normalized_text(text: Column) -> Column:
-    """Lowercase, collapse every non-alphanumeric run to one space, trim."""
-    return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+    """Lowercase, collapse every non-letter/non-digit run to one space,
+    trim. Unicode-aware since round 11: ``\\p{L}``/``\\p{N}`` are the
+    Unicode general categories, identical between Java regex (Spark) and
+    RE2 (DuckDB), so CJK/Cyrillic/Arabic text survives normalization
+    instead of collapsing to empty — for ASCII input the result is
+    byte-identical to the old ``[^a-z0-9]+`` rule. (No NFKC fold: neither
+    engine exposes one JVM/SQL-side; compatibility variants hash apart.)"""
+    return F.trim(F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}]+", " "))
 
 
 def words(text: Column) -> Column:
@@ -33,9 +39,13 @@ def word_shingles(ws: Column, n: int = 3) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """BPE-ish token count: alphabetic runs, digit runs, and single
-    punctuation marks each count as one token."""
-    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    """BPE-ish token count: letter runs, digit runs, and single
+    punctuation/symbol marks each count as one token. Unicode categories
+    so a CJK/Cyrillic doc counts its letter runs instead of counting
+    every char as punctuation (ASCII behavior unchanged)."""
+    return F.regexp_count(
+        text, F.lit(r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]")
+    )
 
 
 ROLLING_BASE = 257
@@ -162,9 +172,13 @@ def gram_hash64_arrow(text: Column, k: int) -> Column:
                 if t is None:
                     out.append([])
                     continue
-                codes = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(
-                    np.int64
-                )
+                # UTF-32 little-endian = one uint32 CODE POINT per char,
+                # vectorized — the same unit Spark's ascii()/substr() and
+                # DuckDB's ascii()/[] see, so all three hash paths agree
+                # on any script (for ASCII this is the old byte value)
+                codes = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
                 n = codes.size
                 if n < k:
                     out.append([])
@@ -284,8 +298,8 @@ def multik_gram_hash64_arrow(text: Column, ks: tuple) -> Column:
                     ])
                     continue
                 codes = np.frombuffer(
-                    t.encode("ascii"), dtype=np.uint8
-                ).astype(np.int64)
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)  # code points (see gram_hash64_arrow)
                 hs = _window_hash_arrays(codes, ks)
                 out.append([
                     {"k": int(k), "ghs": hs[k].tolist()} for k in ks
@@ -311,7 +325,9 @@ def winnow_fingerprints_arrow(text: Column, k: int = WINNOW_K, w: int = WINNOW_W
     is produced by k vectorized numpy passes (``H = (H*B + codes[j:]) % P``)
     and the window minima by a stride-tricks sliding view — C speed within
     an Arrow batch, the 100 TB hot path. Inputs must already be normalized
-    (ascii lowercase + digits + spaces), which normalized_text guarantees.
+    (lowercase letters/digits + single spaces, any script), which
+    normalized_text guarantees; hashing is per CODE POINT, matching the
+    HOF reference (`char_codes` uses Spark's codepoint-valued ascii()).
     """
     global _winnow_arrow_udf
     if _winnow_arrow_udf is None:
@@ -326,9 +342,9 @@ def winnow_fingerprints_arrow(text: Column, k: int = WINNOW_K, w: int = WINNOW_W
                 if t is None:
                     out.append([])
                     continue
-                codes = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(
-                    np.int64
-                )
+                codes = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)  # code points (see gram_hash64_arrow)
                 n = codes.size
                 if n < k:
                     out.append([])
@@ -373,7 +389,10 @@ def subword_pattern() -> str:
     alternative at each scan position, so ordering by length implements
     longest-match."""
     ordered = sorted(SUBWORD_VOCAB, key=lambda v: (-len(v), v))
-    return "|".join(ordered) + r"|[a-z]|[0-9]|[^a-z0-9\s]"
+    # Unicode single-char fallbacks: a non-Latin letter is one token (the
+    # byte-level-BPE-before-merges view), so CJK/Cyrillic text gets a
+    # sane per-char count instead of falling into the punctuation class
+    return "|".join(ordered) + r"|\p{L}|\p{N}|[^\p{L}\p{N}\s]"
 
 
 def subword_count(text: Column) -> Column:

@@ -170,7 +170,7 @@ SELECT source, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(1e-9 + avg(n_tokens), 4) AS avg_tokens
 FROM (SELECT source,
-             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
+             len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS n_tokens
       FROM documents)
 GROUP BY source
 ORDER BY source

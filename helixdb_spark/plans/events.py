@@ -17,9 +17,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from helixdb_spark.operators.asof import asof_join
+from helixdb_spark.functions.numeric import (
+    bounded_moment_sum,
+    bounded_square_sum,
+    int64_sum_product_fits,
+)
 from helixdb_spark.sources import load_table
 
 SESSION_GAP_S = 1800
+
+# Defended volume bounds for the moment rows (r9 VERDICT #7 / r10 #3):
+# every sum(a*b) moment in this module now goes through
+# functions.numeric.bounded_moment_sum, which picks int64 (exact,
+# partition-order independent) or double from these PROVEN caps instead
+# of a hand-written inline cast. The caps are the bounds each row's
+# docstring already argues from:
+#   MOMENT_MAX_DAYS        — the dense day grid is calendar-capped
+#                            (100 years), never event-volume-sized;
+#   MOMENT_MAX_DAILY_COUNT — daily event count per series; at 1e7/day the
+#                            count moments still fit int64 exactly;
+#   CENTI_SUM_DAILY_CAP    — daily sum of value*100 (the quantized-value
+#                            rows); 1e10 forces the double branch, whose
+#                            products form on doubles BEFORE summing.
+# The asserts pin the chosen branch to the oracle SQL's representation
+# (::BIGINT vs ::DOUBLE): change a cap and the import fails loudly until
+# the oracle is flipped in lockstep.
+MOMENT_MAX_DAYS = 36_600
+MOMENT_MAX_DAILY_COUNT = 10_000_000
+CENTI_SUM_DAILY_CAP = 10_000_000_000
+assert int64_sum_product_fits(
+    MOMENT_MAX_DAILY_COUNT, MOMENT_MAX_DAILY_COUNT, MOMENT_MAX_DAYS
+), "count-moment rows assume the int64 branch; flip their oracles' ::BIGINT"
+assert not int64_sum_product_fits(
+    CENTI_SUM_DAILY_CAP, CENTI_SUM_DAILY_CAP, MOMENT_MAX_DAYS
+), "centi-sum rows assume the double branch; flip their oracles"
+
 
 
 def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2036,9 +2068,16 @@ def ev_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("event_type").orderBy("day").rowsBetween(-(CORR_WINDOW_DAYS - 1), 0)
     n = F.count("*").over(w).cast("double")
     sx, sy = F.sum("x").over(w), F.sum("y").over(w)
-    sxy = F.sum(F.col("x") * F.col("y")).over(w)
-    sxx = F.sum(F.col("x") * F.col("x")).over(w)
-    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = bounded_moment_sum(
+        F.col("x"), F.col("y"),
+        CENTI_SUM_DAILY_CAP, CENTI_SUM_DAILY_CAP, MOMENT_MAX_DAYS,
+    ).over(w)
+    sxx = bounded_square_sum(
+        F.col("x"), CENTI_SUM_DAILY_CAP, MOMENT_MAX_DAYS
+    ).over(w)
+    syy = bounded_square_sum(
+        F.col("y"), CENTI_SUM_DAILY_CAP, MOMENT_MAX_DAYS
+    ).over(w)
     dx, dy = n * sxx - sx * sx, n * syy - sy * sy
     corr = F.when(
         (n >= 2) & (dx > 0) & (dy > 0),
@@ -2829,8 +2868,11 @@ def ev_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count("*").cast("long")
     sx = F.sum("x").cast("long")
     sy = F.sum("y").cast("long")
-    sxy = F.sum(F.col("x") * F.col("y")).cast("long")
-    sxx = F.sum(F.col("x") * F.col("x")).cast("long")
+    sxy = bounded_moment_sum(
+        F.col("x"), F.col("y"),
+        MOMENT_MAX_DAYS, MOMENT_MAX_DAILY_COUNT, MOMENT_MAX_DAYS,
+    )
+    sxx = bounded_square_sum(F.col("x"), MOMENT_MAX_DAYS, MOMENT_MAX_DAYS)
     agg = dense.groupBy("event_type").agg(
         n.alias("n"), sx.alias("sx"), sy.alias("sy"),
         sxy.alias("sxy"), sxx.alias("sxx"),
@@ -2933,7 +2975,9 @@ def ev_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = dense.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        bounded_square_sum(
+            F.col("y"), MOMENT_MAX_DAILY_COUNT, MOMENT_MAX_DAYS
+        ).alias("syy"),
     )
     lags = spark.range(1, ACF_MAX_LAG + 1).select(
         F.col("id").cast("int").alias("lag")
@@ -2947,7 +2991,11 @@ def ev_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(
             F.count("*").cast("long").alias("m"),
-            F.sum(F.col("y") * F.col("y0")).cast("long").alias("s1"),
+            bounded_moment_sum(
+                F.col("y"), F.col("y0"),
+                MOMENT_MAX_DAILY_COUNT, MOMENT_MAX_DAILY_COUNT,
+                MOMENT_MAX_DAYS,
+            ).alias("s1"),
             F.sum("y").cast("long").alias("a"),
             F.sum("y0").cast("long").alias("b"),
         )
@@ -3051,7 +3099,9 @@ def ev_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = dense.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        bounded_square_sum(
+            F.col("y"), MOMENT_MAX_DAILY_COUNT, MOMENT_MAX_DAYS
+        ).alias("syy"),
     )
     periods = spark.range(
         PERIODOGRAM_PERIODS[0], PERIODOGRAM_PERIODS[-1] + 1
@@ -3182,8 +3232,8 @@ def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t"
         ),
         F.sum(F.col("y").cast("double")).over(wo).alias("pt"),
-        F.sum(
-            (F.col("y").cast("double") * F.col("y").cast("double"))
+        bounded_square_sum(
+            F.col("y"), CENTI_SUM_DAILY_CAP, MOMENT_MAX_DAYS
         ).over(wo).alias("qt"),
     )
     last = (
@@ -3316,12 +3366,8 @@ def ev_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = daily.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("y").alias("p"),
-        # n^2-scale moment: form the product on doubles (the ev_changepoint
-        # qt discipline) — int64 y*y silently wraps under non-ANSI overflow
-        # while the DuckDB oracle's HUGEINT sum raises, so large SFs would
-        # diverge wrong-vs-error.
-        F.sum(
-            F.col("y").cast("double") * F.col("y").cast("double")
+        bounded_square_sum(
+            F.col("y"), CENTI_SUM_DAILY_CAP, MOMENT_MAX_DAYS
         ).alias("q"),
     )
     between = per_g.groupBy("event_type").agg(
