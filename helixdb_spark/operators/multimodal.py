@@ -386,11 +386,11 @@ def phash_hamming(a, b) -> int:
 def decode_image(payload: bytes):
     """Decode one payload: the injected decoder first (``set_decoder``),
     then the built-in pure-Python decoders (24-bit BMP, P6 PPM, 8-bit
-    PNG — ``decode_png``, numpy+zlib, all five row filters; baseline
-    JFIF JPEG — ``operators.jpeg.decode_jpeg``, Huffman + IDCT +
-    4:2:0/4:4:4), then PIL if installed. With the r10 JPEG decoder every
+    PNG — ``decode_png``, numpy+zlib, all five row filters; baseline AND
+    progressive JFIF JPEG — ``operators.jpeg.decode_jpeg``, Huffman +
+    batch IDCT + 4:2:0/4:2:2/4:4:4), then PIL if installed. Every
     mainstream raster container decodes natively; the PIL fallback now
-    covers only exotic formats (WebP, TIFF, progressive JPEG)."""
+    covers only exotic formats (WebP, TIFF, CMYK JPEG)."""
     if _DECODER is not None:
         return _DECODER(payload)
     if payload[:2] == b"BM":

@@ -948,3 +948,79 @@ ORDER BY doc_id
 
 QUERIES.update({"mm_color_histogram": mm_color_histogram})
 ORACLES.update({"mm_color_histogram": _mm_histogram_sql()})
+
+
+def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (SOF2) JPEG decode graded on the EXACT contract that
+    defines the mode (r10 VERDICT #2): progressive encoding re-orders the
+    entropy bits of the SAME quantized coefficients, so decoding the
+    progressive stream must be BIT-IDENTICAL to decoding the baseline
+    stream of the same source — no error bound needed, unlike the lossy
+    mm_decode_jpeg grade. Per document the mm_decode_jpeg ramp image is
+    encoded twice (baseline SOF0 and the 10-scan SOF2 script with DC+AC
+    successive approximation, EOB runs, correction bits), the chroma
+    layout rotates 4:4:4 / 4:2:0 / 4:2:2 by doc_id so all three
+    subsampling modes are exercised, and both payloads decode through
+    ``decode_image``'s native path. ``matches_baseline`` flips on any
+    Annex G scan-decode regression.
+
+    Scale shape: one Arrow mapInPandas pass after a spread, no shuffle
+    until the final orderBy; payloads never reach the driver."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from helixdb_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def op(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        from helixdb_spark.operators.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        subs = (False, True, "422")
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "matches_baseline")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 12 + d % 7, 10 + d % 5
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                arr = np.clip(
+                    (d % 97) + r * 2 + c * 3 + ch * 10, 0, 255
+                ).astype("uint8")
+                sub = subs[d % 3]
+                base = mm.decode_image(
+                    encode_jpeg(arr, quality=90, subsample=sub)
+                )
+                prog = mm.decode_image(
+                    encode_jpeg_progressive(arr, quality=90, subsample=sub)
+                )
+                out["doc_id"].append(d)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["matches_baseline"].append(
+                    bool(np.array_equal(base, prog))
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        op,
+        "doc_id long, width int, height int, matches_baseline boolean",
+    ).orderBy("doc_id")
+
+
+MM_DECODE_JPEG_PROG_SQL = """
+SELECT doc_id, (12 + doc_id % 7)::INT AS width, (10 + doc_id % 5)::INT AS height,
+       true AS matches_baseline
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES.update({"mm_decode_jpeg_progressive": mm_decode_jpeg_progressive})
+ORACLES.update({"mm_decode_jpeg_progressive": MM_DECODE_JPEG_PROG_SQL})

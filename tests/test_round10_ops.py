@@ -294,10 +294,16 @@ def test_jpeg_guards_and_routing():
 
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
-    # craft a progressive (SOF2) frame header: must raise, not garble
+    # SOF2 decodes natively since r11 — but a SOF2 frame whose scan still
+    # carries the baseline full-band header (Ss=0, Se=63) violates
+    # T.81 G.1.1.1.1 and must be rejected as corrupt, not garbled
     good = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
     sof = good.find(b"\xff\xc0")
     good[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good))
+    # arithmetic-coded frames stay NotImplementedError
+    good[sof + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(good))
     arr = np.full((8, 8, 3), 77, dtype=np.uint8)

@@ -165,3 +165,83 @@ def test_multilingual_rows_registered():
         "text_top_tokens_multilingual",
     ):
         assert name in qs and name in os_
+
+
+# ------------------------------------------------- progressive JPEG (r11)
+def test_progressive_jpeg_bit_identical_to_baseline():
+    """Progressive encoding re-orders entropy bits, never coefficient
+    values, so decode(SOF2 stream) must equal decode(SOF0 stream) of the
+    same source EXACTLY — across shapes, content classes, subsampling
+    modes (4:4:4 / 4:2:0 / 4:2:2) and qualities. Exercises all four
+    Annex G scan kinds: DC first at Al=1, DC refinement bits, AC
+    spectral-selection first scans with EOB runs, and AC refinement with
+    correction bits."""
+    import numpy as np
+
+    from helixdb_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    cases = [rng.integers(0, 256, size=(s[0], s[1], 3), dtype=np.uint8)
+             for s in [(8, 8), (17, 23), (33, 47), (7, 9)]]
+    xx, yy = np.meshgrid(np.arange(40), np.arange(30))
+    cases.append(
+        np.stack([(xx * 3 + yy * 2) % 256, (xx + yy * 4) % 256,
+                  (xx * 2) % 256], axis=2).astype(np.uint8)
+    )
+    cases.append(np.full((24, 24, 3), 90, dtype=np.uint8))
+    for arr in cases:
+        for sub in (False, True, "422"):
+            for q in (50, 90):
+                base = decode_jpeg(encode_jpeg(arr, quality=q, subsample=sub))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(arr, quality=q, subsample=sub)
+                )
+                assert np.array_equal(base, prog), (arr.shape, sub, q)
+    # grayscale script
+    g = rng.integers(0, 256, size=(21, 19), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=90)),
+        decode_jpeg(encode_jpeg_progressive(g, quality=90)),
+    )
+
+
+def test_jpeg_422_decodes_within_bound():
+    """4:2:2 (2x1 chroma) frames decode with the same smooth-content error
+    contract as 4:2:0 — the layout the r10 guards excluded."""
+    import numpy as np
+
+    from helixdb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    xx, yy = np.meshgrid(np.arange(48), np.arange(32))
+    arr = np.stack(
+        [(xx * 2 + 30) % 200 + 20, (yy * 3 + 50) % 200 + 20,
+         ((xx + yy) * 2) % 200 + 20], axis=2
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(arr, quality=90, subsample="422"))
+    assert out.shape == arr.shape
+    err = np.abs(out.astype(int) - arr.astype(int)).max()
+    assert err <= 40, err  # chroma-subsampled gradient: generous bound
+    # luma plane error stays tight (subsampling touches chroma only)
+    ylum = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+    olum = 0.299 * out[..., 0] + 0.587 * out[..., 1] + 0.114 * out[..., 2]
+    assert np.abs(ylum - olum).max() <= 12
+
+
+def test_progressive_truncated_scan_raises():
+    import numpy as np
+    import pytest
+
+    from helixdb_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    good = encode_jpeg_progressive(arr, quality=90)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 3])
