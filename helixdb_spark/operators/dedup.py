@@ -1638,6 +1638,37 @@ def duplicate_spans_hashed(
 DUP_SPAN_KS = (30, 100, 400)  # the multi-k ladder's widths
 
 
+def _multik_anchors_hits(docs, ks, id_col, text_col):
+    """Shared multi-k front end: (normalized docs, all-width anchors,
+    dup-anchor hits with [pos, end] char intervals) from ONE chunk-
+    composed Arrow hash pass and one (k, gram)-keyed shuffle — used by
+    the per-k ladder (duplicate_spans_multik) and the cross-k
+    consolidated report (duplicate_spans_consolidated)."""
+    from helixdb_spark.functions.text import multik_gram_hash64_arrow
+
+    d = _spread(docs).select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_norm")
+    )
+    kh = d.select(
+        id_col,
+        F.explode(multik_gram_hash64_arrow(F.col("_norm"), ks)).alias("kh"),
+    ).select(id_col, F.col("kh.k").alias("k"), F.col("kh.ghs").alias("ghs"))
+    anchors = kh.select(
+        id_col, "k", F.posexplode("ghs").alias("_p0", "gram")
+    ).select(id_col, "k", (F.col("_p0") + 1).alias("pos"), "gram")
+    dup = (
+        anchors.groupBy("k", "gram")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("k", "gram")
+    )
+    hits = anchors.join(dup, ["k", "gram"]).select(
+        id_col, "k", "pos", (F.col("pos") + F.col("k") - 1).alias("end")
+    )
+    return d, anchors, hits
+
+
+
 def duplicate_spans_multik(
     docs: DataFrame,
     ks: tuple = DUP_SPAN_KS,
@@ -1663,27 +1694,7 @@ def duplicate_spans_multik(
     """
     from pyspark.sql.window import Window as W
 
-    from helixdb_spark.functions.text import multik_gram_hash64_arrow
-
-    d = _spread(docs).select(
-        F.col(id_col), normalized_text(F.col(text_col)).alias("_norm")
-    )
-    kh = d.select(
-        id_col,
-        F.explode(multik_gram_hash64_arrow(F.col("_norm"), ks)).alias("kh"),
-    ).select(id_col, F.col("kh.k").alias("k"), F.col("kh.ghs").alias("ghs"))
-    anchors = kh.select(
-        id_col, "k", F.posexplode("ghs").alias("_p0", "gram")
-    ).select(id_col, "k", (F.col("_p0") + 1).alias("pos"), "gram")
-    dup = (
-        anchors.groupBy("k", "gram")
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") >= 2)
-        .select("k", "gram")
-    )
-    hits = anchors.join(dup, ["k", "gram"]).select(
-        id_col, "k", "pos", (F.col("pos") + F.col("k") - 1).alias("end")
-    )
+    d, anchors, hits = _multik_anchors_hits(docs, ks, id_col, text_col)
     w_prev = (
         W.partitionBy(id_col, "k")
         .orderBy("pos")
@@ -1739,6 +1750,86 @@ def duplicate_spans_multik(
             .alias("covered_chars"),
         )
         .orderBy(id_col, "k")
+    )
+
+
+def duplicate_spans_consolidated(
+    docs: DataFrame,
+    ks: tuple = DUP_SPAN_KS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-k island consolidation (r10 VERDICT #7 — the last step
+    toward suffix-array-grade span output): the per-k ladder reports each
+    width's islands separately; this merges the dup intervals of ALL
+    widths into ONE arbitrary-length island set per document, so a
+    400-char wholesale copy whose flanks only show at k=30 is reported
+    as a single maximal span, not three per-width fragments.
+    Attribution is longest-width-wins: each merged island carries the
+    largest k that contributed an anchor to it (``deepest_k`` per doc is
+    the max over islands) — the curation signal that separates short
+    boilerplate overlap from long verbatim copying.
+
+    Same scale shape as duplicate_spans_multik (one shared Arrow hash
+    pass, one (k, gram) shuffle); the extra work is a per-doc window
+    over the hit intervals ordered by (pos, end) — interval union via
+    the running max(end) gaps-and-islands pattern, identical SQL on the
+    oracle side with EXACT substrings (the gate re-proves hash == exact
+    every round). Returns (doc_id, n_islands, covered_chars,
+    longest_island, deepest_k), zeros for clean docs.
+    """
+    from pyspark.sql.window import Window as W
+
+    d, _anchors, hits = _multik_anchors_hits(docs, ks, id_col, text_col)
+    # cross-k interval union: (pos, end) is a total order within a doc
+    # (equal pos implies different k hence different end)
+    w_prev = (
+        W.partitionBy(id_col)
+        .orderBy("pos", "end")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new_island",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("end").over(w_prev), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_run = (
+        W.partitionBy(id_col)
+        .orderBy("pos", "end")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = (
+        flagged.withColumn("_isl", F.sum("_new_island").over(w_run))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("s"),
+            F.max("end").alias("e"),
+            F.max("k").alias("_dk"),
+        )
+    )
+    per_doc = islands.groupBy(id_col).agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("covered_chars"),
+        F.max(F.col("e") - F.col("s") + 1).alias("longest_island"),
+        F.max("_dk").alias("deepest_k"),
+    )
+    return (
+        d.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_islands", F.lit(0)).cast("long").alias("n_islands"),
+            F.coalesce("covered_chars", F.lit(0))
+            .cast("long")
+            .alias("covered_chars"),
+            F.coalesce("longest_island", F.lit(0))
+            .cast("long")
+            .alias("longest_island"),
+            F.coalesce("deepest_k", F.lit(0)).cast("int").alias("deepest_k"),
+        )
+        .orderBy(id_col)
     )
 
 

@@ -7689,3 +7689,73 @@ ORACLES.update(
         "text_top_tokens_multilingual": TOP_TOKENS_ML_SQL,
     }
 )
+
+
+def dedup_spans_consolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-k consolidated span report
+    (operators.dedup.duplicate_spans_consolidated — r10 VERDICT #7): the
+    ladder's per-width islands merged into one arbitrary-length island
+    set per document with longest-width-wins attribution. The oracle is
+    the EXACT variable-length substring SQL at the ladder widths — dup
+    anchors from real substr() equality per k, then the identical
+    cross-k interval union — so the driver gate proves the hashed
+    pipeline reproduces suffix-array-style maximal spans on the graded
+    corpus every round."""
+    from helixdb_spark.operators.dedup import duplicate_spans_consolidated
+
+    return duplicate_spans_consolidated(load_table(spark, sf_dir, "documents"))
+
+
+def _dup_spans_consolidated_sql() -> str:
+    from helixdb_spark.operators.dedup import DUP_SPAN_KS
+
+    ks = ", ".join(str(int(k)) for k in DUP_SPAN_KS)
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+ks AS (SELECT unnest([{ks}])::INT AS k),
+a AS (
+  SELECT doc_id, k,
+         unnest(list_transform(range(1, greatest(len(norm) - k + 1, 0) + 1),
+                i -> struct_pack(pos := i, gram := substr(norm, i::INT, k))))
+           AS s
+  FROM d, ks
+),
+an AS (SELECT doc_id, k, s.pos::INT AS pos, s.gram AS gram FROM a),
+g AS (SELECT k, gram FROM an GROUP BY k, gram HAVING count(*) >= 2),
+h AS (SELECT an.doc_id, an.k, an.pos, an.pos + an.k - 1 AS e
+      FROM an JOIN g USING (k, gram)),
+f AS (
+  SELECT doc_id, k, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+                  ORDER BY pos, e ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM h
+),
+isl2 AS (
+  SELECT doc_id, k, pos, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM f
+),
+m AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS ee, max(k) AS dk
+      FROM isl2 GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_islands,
+         sum(ee - s + 1)::BIGINT AS covered_chars,
+         max(ee - s + 1)::BIGINT AS longest_island,
+         max(dk)::INT AS deepest_k
+  FROM m GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_islands, 0)::BIGINT AS n_islands,
+       coalesce(p.covered_chars, 0)::BIGINT AS covered_chars,
+       coalesce(p.longest_island, 0)::BIGINT AS longest_island,
+       coalesce(p.deepest_k, 0)::INT AS deepest_k
+FROM d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+QUERIES.update({"dedup_spans_consolidated": dedup_spans_consolidated})
+ORACLES.update({"dedup_spans_consolidated": _dup_spans_consolidated_sql()})

@@ -245,3 +245,58 @@ def test_progressive_truncated_scan_raises():
     good = encode_jpeg_progressive(arr, quality=90)
     with pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 3])
+
+
+# ---------------------------------------- cross-k span consolidation (r11)
+def test_duplicate_spans_consolidated_semantics(spark):
+    """A 500-char wholesale copy and a short 40-char boilerplate overlap
+    must come back as SEPARATE consolidated islands with longest-width-
+    wins attribution: the long copy carries deepest_k=400, the
+    boilerplate only the k=30 ladder rung; per-k fragments never split a
+    merged island."""
+    from helixdb_spark.operators.dedup import (
+        DUP_SPAN_KS,
+        duplicate_spans_consolidated,
+        duplicate_spans_multik,
+    )
+
+    import hashlib
+
+    def text_from(seed: int, n: int) -> str:
+        # hash-derived words: no 30-gram repeats within or across fillers
+        words = [
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:7]
+            for i in range(n // 8 + 1)
+        ]
+        return " ".join(words)[:n]
+
+    long_copy = text_from(3, 520)[:500]
+    boiler = text_from(11, 48)[:40]
+    docs = [
+        (0, text_from(1, 200) + " " + long_copy + " " + text_from(2, 200)),
+        (1, long_copy + " " + text_from(4, 300)),
+        (2, text_from(5, 150) + " " + boiler),
+        (3, boiler + " " + text_from(6, 260)),
+        (4, text_from(8, 120)),  # clean
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_spans_consolidated(df).collect()
+    }
+    assert out[4]["n_islands"] == 0 and out[4]["deepest_k"] == 0
+    for d in (0, 1):
+        assert out[d]["deepest_k"] == 400, out[d]
+        assert out[d]["longest_island"] >= 480
+    for d in (2, 3):
+        assert out[d]["deepest_k"] == 30, out[d]
+        assert out[d]["n_islands"] >= 1
+    # consolidation dominates every per-k view: merged coverage >= the
+    # widest single-k coverage, island count <= the per-k island count
+    per_k = duplicate_spans_multik(df).collect()
+    by_doc_k = {(r["doc_id"], r["k"]): r for r in per_k}
+    for d in range(5):
+        best_cov = max(
+            by_doc_k[(d, k)]["covered_chars"] for k in DUP_SPAN_KS
+        )
+        assert out[d]["covered_chars"] >= best_cov
