@@ -592,15 +592,25 @@ class AnnIndexStore:
     def _minhash_tables(
         self, docs: DataFrame, id_col: str, text_col: str, n: int,
         num_hashes: int, bands: int,
+        caches: list | None = None,
     ) -> tuple[DataFrame, DataFrame]:
         """(band table, shingle table) for a document set under the frozen
-        MinHash state (coefficients are deterministic in num_hashes)."""
+        MinHash state (coefficients are deterministic in num_hashes).
+
+        ``caches``: when the caller will MATERIALIZE both outputs (the
+        write/append staging path), pass a list — the shingled
+        intermediate is persisted (and appended to the list for the
+        caller to unpersist) so the normalize+shingle+hash pass runs once
+        instead of once per staged table."""
         from helixdb_spark.operators import dedup as _dd
 
         rows = num_hashes // bands
         shingled = _dd.doc_shingles(docs, id_col, text_col, n).withColumn(
             "bhs", F.transform("shingles", lambda s: _dd._hex_long(s, 8))
         )
+        if caches is not None:
+            shingled = shingled.persist()
+            caches.append(shingled)
         coeffs = _dd.minhash_coeffs(num_hashes)
         prime = F.lit(_dd.MINHASH_PRIME).cast("long")
 
@@ -657,12 +667,17 @@ class AnnIndexStore:
 
         num_hashes = _dd.NUM_MINHASHES if num_hashes is None else num_hashes
         bands = _dd.LSH_BANDS if bands is None else bands
+        caches: list = []
         stacked, shingles = self._minhash_tables(
-            docs, id_col, text_col, n, num_hashes, bands
+            docs, id_col, text_col, n, num_hashes, bands, caches=caches
         )
         gen = self._reserve_gen()
-        self._stage(stacked, name, "bands", gen)
-        n_rows = self._stage(shingles, name, "shingles", gen)
+        try:
+            self._stage(stacked, name, "bands", gen)
+            n_rows = self._stage(shingles, name, "shingles", gen)
+        finally:  # staging is eager — safe to release
+            for c in caches:
+                c.unpersist()
         desc = {
             "kind": "minhash",
             "gen": gen,
@@ -705,13 +720,23 @@ class AnnIndexStore:
         docs: DataFrame,
         name: str = "minhash",
         fingerprint: str | None = None,
+        assume_new: bool = False,
     ) -> dict:
         """Incremental MinHash maintenance: coefficients and banding are
         frozen (deterministic in num_hashes), so new documents shingle and
         sign into a fresh band/shingle segment without touching the
         committed ones — a daily ingest re-shingles the delta, not the
         corpus. Bit-identical to a full rebuild by construction (a doc's
-        signature depends only on its own text)."""
+        signature depends only on its own text).
+
+        ``assume_new=True`` skips the already-committed anti-join — for
+        callers whose batches are disjoint from the committed set BY
+        CONSTRUCTION (a streaming source with exactly-once micro-batches,
+        a partitioned daily ingest): the committed chain's id column is
+        then never re-scanned per append, so append cost is O(batch)
+        regardless of chain length. A violated promise double-counts the
+        re-sent documents' shingles (it never corrupts committed
+        segments); leave False unless the source guarantees disjointness."""
         desc, stacked_old, shingled_old = self.read_minhash(name)
         if "segments" not in desc:
             return self.write_minhash(
@@ -721,16 +746,26 @@ class AnnIndexStore:
                 fingerprint=fingerprint,
             )
         id_col = desc["id_col"]
-        fresh = docs.join(shingled_old.select(id_col), id_col, "left_anti")
+        if assume_new:
+            fresh = docs
+        else:
+            fresh = docs.join(
+                shingled_old.select(id_col), id_col, "left_anti"
+            )
         if fresh.isEmpty():
             return desc
+        caches: list = []
         stacked, shingles = self._minhash_tables(
             fresh, id_col, desc.get("text_col", "text"), int(desc["n"]),
-            int(desc["num_hashes"]), int(desc["bands"]),
+            int(desc["num_hashes"]), int(desc["bands"]), caches=caches,
         )
         gen = self._reserve_gen()
-        self._stage(stacked, name, "bands", gen)
-        n_new = self._stage(shingles, name, "shingles", gen)
+        try:
+            self._stage(stacked, name, "bands", gen)
+            n_new = self._stage(shingles, name, "shingles", gen)
+        finally:
+            for c in caches:
+                c.unpersist()
         new_desc = dict(desc)
         new_desc.update(
             {
@@ -866,12 +901,17 @@ class AnnIndexStore:
         corpus: DataFrame,
         name: str = "ivf",
         fingerprint: str | None = None,
+        assume_new: bool = False,
     ) -> dict:
         """Incremental IVF maintenance: the centroid set is FROZEN (like PQ
         codebooks — re-clustering would invalidate every committed list),
         so new rows assign to their nearest existing centroid and land in a
         fresh lists segment. Bit-identical to a full rebuild over the same
-        frozen centroids (write_ivf(centroids=...))."""
+        frozen centroids (write_ivf(centroids=...)).
+
+        ``assume_new=True`` skips the committed-id anti-join for sources
+        whose batches are disjoint by construction (see append_minhash) —
+        append cost becomes O(batch) independent of chain length."""
         from helixdb_spark.operators.similarity import assign_nearest_centroid
 
         desc, assigned_old, centroids = self.read_ivf(name)
@@ -882,9 +922,12 @@ class AnnIndexStore:
                 centroids=centroids, fingerprint=fingerprint,
             )
         id_col = desc["id_col"]
-        fresh = spread(corpus).join(
-            assigned_old.select(id_col), id_col, "left_anti"
-        )
+        if assume_new:
+            fresh = spread(corpus)
+        else:
+            fresh = spread(corpus).join(
+                assigned_old.select(id_col), id_col, "left_anti"
+            )
         if fresh.isEmpty():
             return desc
         staged = assign_nearest_centroid(

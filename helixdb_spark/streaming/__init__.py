@@ -1088,7 +1088,9 @@ def stream_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("key").cast("long").alias("vec_id"),
                 _unpack_f32(F.col("value")).alias("embedding"),
             )
-            store.append_ivf(vecs, name="ivf")
+            # micro-batches are disjoint by construction (file-per-batch
+            # source): skip the committed-id anti-join, O(batch) append
+            store.append_ivf(vecs, name="ivf", assume_new=True)
 
         schema = spark.read.parquet(stream_dir).schema
         stream = (
@@ -1174,7 +1176,9 @@ def stream_dedup_lsh(
         store.write_minhash(docs.where(F.col("doc_id") < half))
 
         def _append(batch_df, _epoch):
-            store.append_minhash(batch_df)
+            # disjoint micro-batches by construction: O(batch) append with
+            # no committed-chain re-scan (see append_minhash assume_new)
+            store.append_minhash(batch_df, assume_new=True)
             if debug is not None:
                 ids = {r["doc_id"] for r in batch_df.select("doc_id").collect()}
                 pairs = store.minhash_pairs(threshold=threshold).collect()
