@@ -320,14 +320,21 @@ class AnnIndexStore:
         table: str,
         gen: int,
         partition_by: str | None = None,
-    ) -> int:
+        count: bool = True,
+    ) -> int | None:
         """Write one segment and return its row count (counted off the
-        written files, so the descriptor records what actually landed)."""
+        written files, so the descriptor records what actually landed).
+        ``count=False`` skips the count-back job for tables whose row
+        count the descriptor does not record (the bands table — its
+        sibling shingles count is the bookkept one); a micro-batch append
+        is fixed-job-latency-bound, so every skipped job matters."""
         path = self._seg_path(name, table, gen)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(partition_by)
         w.parquet(path)
+        if not count:
+            return None
         # explicit schema: a zero-row staged batch writes only _SUCCESS and
         # an inference read would raise UNABLE_TO_INFER_SCHEMA — the empty
         # segment must stage cleanly (count 0) so drift monitoring can show
@@ -673,7 +680,7 @@ class AnnIndexStore:
         )
         gen = self._reserve_gen()
         try:
-            self._stage(stacked, name, "bands", gen)
+            self._stage(stacked, name, "bands", gen, count=False)
             n_rows = self._stage(shingles, name, "shingles", gen)
         finally:  # staging is eager — safe to release
             for c in caches:
@@ -761,8 +768,16 @@ class AnnIndexStore:
         )
         gen = self._reserve_gen()
         try:
-            self._stage(stacked, name, "bands", gen)
-            n_new = self._stage(shingles, name, "shingles", gen)
+            # materialize the shingle cache at full parallelism FIRST,
+            # then write each delta table as ONE file: an append is
+            # delta-sized by contract, and a chain of many-small-file
+            # segments taxes every later pair scan's file listing
+            n_new = caches[0].count() if caches else None
+            self._stage(stacked.coalesce(1), name, "bands", gen, count=False)
+            self._stage(
+                shingles.coalesce(1), name, "shingles", gen,
+                count=n_new is None,
+            )
         finally:
             for c in caches:
                 c.unpersist()

@@ -1077,11 +1077,13 @@ def stream_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
     store = AnnIndexStore(spark, _scratch_dir("anndriftstream"))
+    # fit at full parallelism; 8 shuffle partitions only for the
+    # delta-sized micro-batch appends (see stream_dedup_lsh)
+    store.write_ivf(fit, name="ivf")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     qry = None
     try:
-        store.write_ivf(fit, name="ivf")
 
         def _append(batch_df, _epoch):
             vecs = batch_df.select(
@@ -1169,11 +1171,15 @@ def stream_dedup_lsh(
 
     store = AnnIndexStore(spark, _scratch_dir("minhashstream"))
     batch_stats: list = []
+    # the FIT runs at the session's full shuffle parallelism (it is the
+    # corpus-sized stage); only the micro-batch appends drop to 8 —
+    # a delta-sized batch gains nothing from 32 shuffle partitions and
+    # pays per-partition task overhead on every one of its fixed jobs
+    store.write_minhash(docs.where(F.col("doc_id") < half))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     qry = None
     try:
-        store.write_minhash(docs.where(F.col("doc_id") < half))
 
         def _append(batch_df, _epoch):
             # disjoint micro-batches by construction: O(batch) append with
