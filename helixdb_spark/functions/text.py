@@ -400,3 +400,33 @@ def subword_count(text: Column) -> Column:
     the unit real training pipelines budget in (whitespace words
     under-count by the subword fan-out)."""
     return F.regexp_count(F.lower(text), F.lit(subword_pattern()))
+
+
+_unicode_norm_udfs: dict = {}
+
+
+def unicode_normalize_arrow(text: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (UAX #15) as an Arrow-batched kernel:
+    ``form`` in NFC/NFD/NFKC/NFKD via Python's unicodedata, vectorized
+    per batch. NFC is the graded form (DuckDB's ``nfc_normalize`` is the
+    oracle twin — both implement the same standard algorithm, proven
+    equal by the text_nfc_normalize row every round); NFKC/NFKD have no
+    SQL twin on either engine, so pipelines that fold compatibility
+    variants (ﬁ->fi, ｶ->カ) use this kernel ahead of the hash stages and
+    accept rows-only grading for that step."""
+    form = form.upper()
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    if form not in _unicode_norm_udfs:
+        from pyspark.sql.functions import pandas_udf
+
+        def _norm(texts, _form=form):
+            import unicodedata
+
+            return texts.map(
+                lambda t: None if t is None
+                else unicodedata.normalize(_form, t)
+            )
+
+        _unicode_norm_udfs[form] = pandas_udf(_norm, "string")
+    return _unicode_norm_udfs[form](text)

@@ -7759,3 +7759,117 @@ ORDER BY d.doc_id
 
 QUERIES.update({"dedup_spans_consolidated": dedup_spans_consolidated})
 ORACLES.update({"dedup_spans_consolidated": _dup_spans_consolidated_sql()})
+
+
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode SCRIPT profile over the derived multilingual
+    corpus — the routing statistic a multilingual curation pipeline
+    computes before language-specific processing (which tokenizer, which
+    quality model, which dedup shingle unit): counts of Latin / Cyrillic
+    / Han / Arabic letters and decimal digits, plus the dominant script
+    under a fixed priority tie-break. Pure JVM regexp_count over the
+    Unicode script properties — Java spells them \\p{IsLatin}, RE2 (the
+    oracle) \\p{Latin}; the class CONTENTS are the same Unicode script
+    assignments, proven equal by the hash gate every round."""
+    docs = _multilingual_docs(spark, sf_dir)
+
+    def cnt(prop):
+        return F.regexp_count(F.col("text"), F.lit(prop))
+
+    lat, cyr, han = cnt(r"\p{IsLatin}"), cnt(r"\p{IsCyrillic}"), cnt(r"\p{IsHan}")
+    ara, dig = cnt(r"\p{IsArabic}"), cnt(r"\p{Nd}")
+    dom = (
+        F.when((han >= lat) & (han >= cyr) & (han > 0), "han")
+        .when((cyr >= lat) & (cyr > 0), "cyrillic")
+        .when(lat > 0, "latin")
+        .otherwise("none")
+    )
+    return docs.select(
+        "doc_id",
+        lat.alias("n_latin"),
+        cyr.alias("n_cyrillic"),
+        han.alias("n_han"),
+        ara.alias("n_arabic"),
+        dig.alias("n_digit"),
+        dom.alias("dominant_script"),
+    ).orderBy("doc_id")
+
+
+TEXT_SCRIPT_PROFILE_SQL = rf"""
+WITH {_ML_CTE},
+c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\p{{Latin}}'))::INT AS n_latin,
+         len(regexp_extract_all(text, '\p{{Cyrillic}}'))::INT AS n_cyrillic,
+         len(regexp_extract_all(text, '\p{{Han}}'))::INT AS n_han,
+         len(regexp_extract_all(text, '\p{{Arabic}}'))::INT AS n_arabic,
+         len(regexp_extract_all(text, '\p{{Nd}}'))::INT AS n_digit
+  FROM mldocs)
+SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_digit,
+       CASE WHEN n_han >= n_latin AND n_han >= n_cyrillic AND n_han > 0
+            THEN 'han'
+            WHEN n_cyrillic >= n_latin AND n_cyrillic > 0 THEN 'cyrillic'
+            WHEN n_latin > 0 THEN 'latin'
+            ELSE 'none' END AS dominant_script
+FROM c ORDER BY doc_id
+"""
+
+# decomposed-form suffix: e+COMBINING ACUTE, A+COMBINING RING, i+COMBINING
+# DIAERESIS — text that hashes apart from its precomposed equivalent until
+# an NFC pass folds it (the canonical-equivalence dedup hazard)
+_NFC_SUFFIX = " cafe\u0301 A\u030angstro\u0308m nai\u0308ve"
+
+
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (NFC) Unicode normalization, graded engine-vs-engine: a
+    decomposed-form suffix (combining accents) is appended to every
+    document, normalized by the Arrow kernel
+    (functions.text.unicode_normalize_arrow — Python unicodedata), and
+    the oracle replays it with DuckDB's nfc_normalize. Both implement
+    UAX #15 canonical composition, so lengths and md5 must match
+    byte-for-byte — the equivalence a dedup pipeline needs before
+    hashing multilingual text (cafe+◌́ and café are the SAME document).
+    n_raw > n_nfc for every row proves the composition actually fired."""
+    from helixdb_spark.functions.text import unicode_normalize_arrow
+    from helixdb_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    raw = F.concat(F.col("text"), F.lit(_NFC_SUFFIX))
+    return (
+        docs.select("doc_id", raw.alias("_raw"))
+        .select(
+            "doc_id",
+            F.length("_raw").alias("n_raw"),
+            unicode_normalize_arrow(F.col("_raw"), "NFC").alias("_nfc"),
+        )
+        .select(
+            "doc_id",
+            "n_raw",
+            F.length("_nfc").alias("n_nfc"),
+            F.md5("_nfc").alias("nfc_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_NFC_SQL = f"""
+WITH r AS (SELECT doc_id, text || '{_NFC_SUFFIX}' AS raw FROM documents)
+SELECT doc_id, length(raw)::INT AS n_raw,
+       length(nfc_normalize(raw))::INT AS n_nfc,
+       md5(nfc_normalize(raw)) AS nfc_md5
+FROM r ORDER BY doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "text_script_profile": text_script_profile,
+        "text_nfc_normalize": text_nfc_normalize,
+    }
+)
+ORACLES.update(
+    {
+        "text_script_profile": TEXT_SCRIPT_PROFILE_SQL,
+        "text_nfc_normalize": TEXT_NFC_SQL,
+    }
+)

@@ -300,3 +300,37 @@ def test_duplicate_spans_consolidated_semantics(spark):
             by_doc_k[(d, k)]["covered_chars"] for k in DUP_SPAN_KS
         )
         assert out[d]["covered_chars"] >= best_cov
+
+
+# --------------------------------------------- unicode kernels (r11 late)
+def test_unicode_normalize_arrow_forms(spark):
+    from pyspark.sql import functions as F
+
+    from helixdb_spark.functions.text import unicode_normalize_arrow
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [("café ｶﾀｶﾅ ﬁne",)], "t string"
+    )
+    got = {
+        form: df.select(
+            unicode_normalize_arrow(F.col("t"), form).alias("n")
+        ).first()["n"]
+        for form in ("NFC", "NFKC")
+    }
+    assert got["NFC"].startswith("café")       # composed
+    assert "ﬁ" in got["NFC"]                    # ligature untouched
+    assert "fine" in got["NFKC"]                     # ligature folded
+    assert "カタカナ" in got["NFKC"]  # halfwidth folded
+    with pytest.raises(ValueError):
+        unicode_normalize_arrow(F.col("t"), "NFX")
+
+
+def test_script_profile_and_nfc_rows_registered():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    for name in ("text_script_profile", "text_nfc_normalize",
+                 "dedup_spans_consolidated", "mm_decode_jpeg_progressive"):
+        assert name in qs and name in os_
