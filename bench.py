@@ -235,6 +235,17 @@ HEADLINE = [
     "ev_seasonal_naive_mase",
     # r10: DCT pHash recompression-robustness gate over real codecs
     "mm_phash_dct_robust",
+    # r11: progressive JPEG decode == baseline decode, all chroma layouts
+    "mm_decode_jpeg_progressive",
+    # r11: cross-k span consolidation (one arbitrary-length island report)
+    "dedup_spans_consolidated",
+    # r11: multilingual derived-corpus rows (unicode normalization path)
+    "dedup_exact_multilingual",
+    "dedup_minhash_multilingual",
+    "text_top_tokens_multilingual",
+    # r11: unicode script routing + graded NFC canonicalization
+    "text_script_profile",
+    "text_nfc_normalize",
     # curate_dedup_savings graded but NOT benched: its cost IS the already-
     # benched canonical-closure family (dedup_minhash_lsh + components)
     # knn_graph_descent graded but NOT benched: its toy-SF cost is stage

@@ -60,6 +60,14 @@ TOP = [
     "stream_dedup_lsh",
     "mm_decode_png",
     "ev_percentiles_approx",
+    # round-11: the r10 media rows without a committed exponent (verdict
+    # r10 #8) plus this round's heavy additions
+    "mm_decode_jpeg",
+    "mm_phash_dct_robust",
+    "mm_decode_jpeg_progressive",
+    "dedup_spans_consolidated",
+    "dedup_minhash_multilingual",
+    "text_nfc_normalize",
 ]
 
 
