@@ -104,6 +104,16 @@ def main() -> None:
                 rows = fn(spark, SF1_DIR).collect()
                 best = min(best, time.monotonic() - t0)
                 n_rows = len(rows)
+                # same hygiene as bench.py's per-query loop: drop
+                # operator-persisted caches and drain the py4j object
+                # backlog BETWEEN runs, so a late row in TOP measures the
+                # query, not 30 heavy sf1 queries of session aging (r11:
+                # dedup_snm_multipass read 94.8s in-suite vs 21.4s in a
+                # fresh session before this)
+                import gc
+
+                spark.catalog.clearCache()
+                gc.collect()
             timings[name] = round(best, 3)
             print(f"# {name}: {timings[name]}s ({n_rows} rows)", file=sys.stderr)
         except Exception as ex:  # noqa: BLE001
