@@ -76,6 +76,11 @@ class StaleIndexError(RuntimeError):
     index). Rebuild with the matching ``write_*`` before using it."""
 
 
+# append deltas at or below this many docs are written as one file per
+# table (keeps the committed chain's file listing O(#appends) for
+# streaming micro-batches); larger deltas keep their write parallelism
+SINGLE_FILE_APPEND_ROWS = 100_000
+
 # parquet tables each index kind owns (segment dirs live under each)
 KIND_TABLES = {
     "pq": ("codes",),
@@ -769,14 +774,21 @@ class AnnIndexStore:
         gen = self._reserve_gen()
         try:
             # materialize the shingle cache at full parallelism FIRST,
-            # then write each delta table as ONE file: an append is
-            # delta-sized by contract, and a chain of many-small-file
-            # segments taxes every later pair scan's file listing
+            # then write a SMALL delta as one file each: a streaming
+            # micro-batch is delta-sized, and a chain of many-small-file
+            # segments taxes every later pair scan's file listing — but a
+            # large daily-ingest delta keeps its write parallelism (one
+            # funneled task would serialize the whole delta) and pays the
+            # extra files instead
             n_new = caches[0].count() if caches else None
-            self._stage(stacked.coalesce(1), name, "bands", gen, count=False)
+            one = n_new is not None and n_new <= SINGLE_FILE_APPEND_ROWS
             self._stage(
-                shingles.coalesce(1), name, "shingles", gen,
-                count=n_new is None,
+                stacked.coalesce(1) if one else stacked,
+                name, "bands", gen, count=False,
+            )
+            self._stage(
+                shingles.coalesce(1) if one else shingles,
+                name, "shingles", gen, count=n_new is None,
             )
         finally:
             for c in caches:

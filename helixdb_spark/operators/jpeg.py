@@ -556,7 +556,6 @@ def _write_dc_scan(bw, comp_ids, zblocks, sampling, mcux, mcuy, dc_tabs,
     arithmetic-shifted DC (T.81 G.1.2.1); refinement emits raw bit
     ``al`` per block in the same interleaved MCU order."""
     preds = {ci: 0 for ci in comp_ids}
-    single = len(comp_ids) == 1
     for my in range(mcuy):
         for mx in range(mcux):
             for ci in comp_ids:
@@ -564,10 +563,7 @@ def _write_dc_scan(bw, comp_ids, zblocks, sampling, mcux, mcuy, dc_tabs,
                 tsel = 0 if ci == 0 else 1
                 for by in range(sv):
                     for bx in range(sh):
-                        if single and len(sampling) > 1:
-                            row, col = my * sv + by, mx * sh + bx
-                        else:
-                            row, col = my * sv + by, mx * sh + bx
+                        row, col = my * sv + by, mx * sh + bx
                         dc = int(zblocks[ci][row, col, 0])
                         if ah == 0:
                             v = dc >> al  # arithmetic shift per spec
@@ -681,7 +677,9 @@ def _write_ac_scan(bw, zb, samp, w, h, maxh, maxv, ac_tab, ss, se, ah, al):
                             bw.write(bit, 1)
                         corr.clear()
                         run = 0
-                assert not corr or True
+                # the loop ends at last_sig, a newly-significant index
+                # whose `else` branch flushed the buffer
+                assert not corr
                 if last_sig < se:
                     eobrun += 1
                     for k in range(last_sig + 1, se + 1):
@@ -754,6 +752,12 @@ def _decode_jpeg(payload: bytes):
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xFF:
+            # optional fill bytes before a marker (T.81 B.1.1.2): any
+            # number of 0xFF may pad ahead of the marker code — advance
+            # one byte and re-examine, never treat 0xFF as a code
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue

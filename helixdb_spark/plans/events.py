@@ -661,6 +661,10 @@ def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_intervals"),
             F.round(
                 F.lit(1e-9)
+                # bounded: value is a DOUBLE (double*long promotes to
+                # double) — a floating sum cannot wrap, and the ratio
+                # normalizes away magnitude; bounded_moment_sum guards
+                # LONG product sums only
                 + F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"),
                 6,
             ).alias("twa_value"),
@@ -3114,6 +3118,11 @@ def ev_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("period", "y", cq.alias("cq"), sq.alias("sq"))
         .groupBy("period")
         .agg(
+            # bounded: cq/sq are DOUBLES in [-1,1] (round(cos/sin)), so
+            # these are double-typed product sums with each term bounded
+            # by |y| <= MOMENT_MAX_DAILY_COUNT over <= MOMENT_MAX_DAYS
+            # rows — no int64 product to wrap; bounded_moment_sum is for
+            # LONG-typed product sums and would force a lossy cast here
             F.sum(F.col("y") * F.col("cq")).alias("sxc"),
             F.sum(F.col("y") * F.col("sq")).alias("sxs"),
             F.sum("cq").alias("sc"),

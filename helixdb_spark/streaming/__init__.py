@@ -1181,10 +1181,20 @@ def stream_dedup_lsh(
     qry = None
     try:
 
-        def _append(batch_df, _epoch):
+        seen_epochs: set = set()
+
+        def _append(batch_df, epoch_id):
             # disjoint micro-batches by construction: O(batch) append with
-            # no committed-chain re-scan (see append_minhash assume_new)
+            # no committed-chain re-scan (see append_minhash assume_new).
+            # foreachBatch is only at-least-once — a replayed epoch after
+            # a task/driver failure would double-count the batch's
+            # shingles under assume_new — so already-committed epoch ids
+            # are skipped (in-process ledger; a durable pipeline would
+            # persist the committed-epoch set next to the descriptor)
+            if epoch_id in seen_epochs:
+                return
             store.append_minhash(batch_df, assume_new=True)
+            seen_epochs.add(epoch_id)
             if debug is not None:
                 ids = {r["doc_id"] for r in batch_df.select("doc_id").collect()}
                 pairs = store.minhash_pairs(threshold=threshold).collect()

@@ -537,3 +537,24 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
                 offenders.append(name)
                 break
     assert not offenders, offenders
+
+
+def test_events_product_sums_are_documented_bounded():
+    """Every inline ``F.sum(col * col)`` product sum in plans/events.py
+    must carry a ``bounded:`` comment (or route through
+    ``bounded_moment_sum``/``bounded_square_sum``): an undocumented
+    long-typed product sum is how int64 silently wraps at 100 TB (the
+    r10/r11 moment-sum sweep, closed in r12)."""
+    import re
+    from pathlib import Path
+
+    import helixdb_spark.plans.events as events_mod
+
+    src = Path(events_mod.__file__).read_text().splitlines()
+    offenders = []
+    for i, line in enumerate(src):
+        if re.search(r"F\.sum\(F\.col\(.*\) \* F\.col\(", line):
+            window = "\n".join(src[max(0, i - 8): i])
+            if "bounded:" not in window:
+                offenders.append(f"events.py:{i + 1}: {line.strip()}")
+    assert not offenders, offenders
