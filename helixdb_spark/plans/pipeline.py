@@ -7761,17 +7761,53 @@ QUERIES.update({"dedup_spans_consolidated": dedup_spans_consolidated})
 ORACLES.update({"dedup_spans_consolidated": _dup_spans_consolidated_sql()})
 
 
+# 26 distinct Arabic-script letters (U+0627..U+0647) — the fourth branch
+# of the script-profile corpus, so 'arabic' dominance is actually
+# reachable (the r11 advice: Arabic letters were counted but the
+# tie-break never routed to 'arabic')
+_ML_ARA = "ابتثجحخدذرزسشصضطظعغفقكلمنه"
+
+_SCRIPT_CTE = f"""
+spdocs AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN translate(text, '{_ML_LAT}', '{_ML_CYR}')
+           WHEN 1 THEN translate(text, '{_ML_LAT}', '{_ML_CJK}')
+           WHEN 2 THEN translate(text, '{_ML_LAT}', '{_ML_ARA}')
+           ELSE text || '{_ML_SUFFIX}' END AS text
+  FROM documents)
+"""
+
+
+def _script_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The script-profile row's OWN derived corpus: four branches so every
+    profiled script (incl. Arabic) has dominant fixtures. Kept separate
+    from ``_multilingual_docs`` — the dedup rows' corpus stays 3-branch
+    so their graded dup structure is untouched."""
+    docs = load_table(spark, sf_dir, "documents")
+    branch = F.col("doc_id") % 4
+    return docs.select(
+        "doc_id",
+        F.when(branch == 0, F.translate(F.col("text"), _ML_LAT, _ML_CYR))
+        .when(branch == 1, F.translate(F.col("text"), _ML_LAT, _ML_CJK))
+        .when(branch == 2, F.translate(F.col("text"), _ML_LAT, _ML_ARA))
+        .otherwise(F.concat(F.col("text"), F.lit(_ML_SUFFIX)))
+        .alias("text"),
+    )
+
+
 def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document Unicode SCRIPT profile over the derived multilingual
-    corpus — the routing statistic a multilingual curation pipeline
-    computes before language-specific processing (which tokenizer, which
-    quality model, which dedup shingle unit): counts of Latin / Cyrillic
-    / Han / Arabic letters and decimal digits, plus the dominant script
-    under a fixed priority tie-break. Pure JVM regexp_count over the
+    """Per-document Unicode SCRIPT profile over a derived 4-script corpus
+    — the routing statistic a multilingual curation pipeline computes
+    before language-specific processing (which tokenizer, which quality
+    model, which dedup shingle unit): counts of Latin / Cyrillic / Han /
+    Arabic letters and decimal digits, plus the dominant script under a
+    fixed priority tie-break covering ALL profiled scripts (han >
+    arabic > cyrillic > latin on ties). Pure JVM regexp_count over the
     Unicode script properties — Java spells them \\p{IsLatin}, RE2 (the
     oracle) \\p{Latin}; the class CONTENTS are the same Unicode script
     assignments, proven equal by the hash gate every round."""
-    docs = _multilingual_docs(spark, sf_dir)
+    docs = _script_profile_docs(spark, sf_dir)
 
     def cnt(prop):
         return F.regexp_count(F.col("text"), F.lit(prop))
@@ -7779,7 +7815,8 @@ def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat, cyr, han = cnt(r"\p{IsLatin}"), cnt(r"\p{IsCyrillic}"), cnt(r"\p{IsHan}")
     ara, dig = cnt(r"\p{IsArabic}"), cnt(r"\p{Nd}")
     dom = (
-        F.when((han >= lat) & (han >= cyr) & (han > 0), "han")
+        F.when((han >= lat) & (han >= cyr) & (han >= ara) & (han > 0), "han")
+        .when((ara >= lat) & (ara >= cyr) & (ara > 0), "arabic")
         .when((cyr >= lat) & (cyr > 0), "cyrillic")
         .when(lat > 0, "latin")
         .otherwise("none")
@@ -7796,7 +7833,7 @@ def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_SCRIPT_PROFILE_SQL = rf"""
-WITH {_ML_CTE},
+WITH {_SCRIPT_CTE},
 c AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '\p{{Latin}}'))::INT AS n_latin,
@@ -7804,10 +7841,13 @@ c AS (
          len(regexp_extract_all(text, '\p{{Han}}'))::INT AS n_han,
          len(regexp_extract_all(text, '\p{{Arabic}}'))::INT AS n_arabic,
          len(regexp_extract_all(text, '\p{{Nd}}'))::INT AS n_digit
-  FROM mldocs)
+  FROM spdocs)
 SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_digit,
-       CASE WHEN n_han >= n_latin AND n_han >= n_cyrillic AND n_han > 0
+       CASE WHEN n_han >= n_latin AND n_han >= n_cyrillic
+                 AND n_han >= n_arabic AND n_han > 0
             THEN 'han'
+            WHEN n_arabic >= n_latin AND n_arabic >= n_cyrillic
+                 AND n_arabic > 0 THEN 'arabic'
             WHEN n_cyrillic >= n_latin AND n_cyrillic > 0 THEN 'cyrillic'
             WHEN n_latin > 0 THEN 'latin'
             ELSE 'none' END AS dominant_script
