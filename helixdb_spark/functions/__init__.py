@@ -8,8 +8,10 @@ whole-stage codegen — no Python in the hot path.
 
 from helixdb_spark.functions.vector import cosine_similarity, dot, l2_norm
 from helixdb_spark.functions.text import (
+    char_shingles,
     fingerprint,
     normalized_text,
+    squeezed_text,
     token_count,
     word_shingles,
     words,
@@ -19,8 +21,10 @@ __all__ = [
     "cosine_similarity",
     "dot",
     "l2_norm",
+    "char_shingles",
     "fingerprint",
     "normalized_text",
+    "squeezed_text",
     "token_count",
     "word_shingles",
     "words",

@@ -38,6 +38,40 @@ def word_shingles(ws: Column, n: int = 3) -> Column:
     )
 
 
+def squeezed_text(text: Column) -> Column:
+    """Normalized text with ALL whitespace removed — the character stream
+    a space-free script (CJK/Thai/Japanese/Lao/Khmer) actually is. The
+    char-shingle unit is defined over this stream so word boundaries
+    (which those scripts don't write) play no part in the representation.
+    SQL twin: ``replace(<norm>, ' ', '')`` (normalized text has only
+    single-space separators by construction)."""
+    return F.replace(normalized_text(text), F.lit(" "), F.lit(""))
+
+
+def char_shingles(sq: Column, k: int = 5) -> Column:
+    """Distinct character k-grams of an (already squeezed) text column —
+    the MinHash/Jaccard unit for scripts where whitespace tokenization is
+    undefined. ``word_shingles`` sees one giant token per space-free
+    document and degrades to near-exact-dup detection; char k-grams keep
+    sub-document overlap visible regardless of script.
+
+    Empty result when the squeezed text has fewer than ``k`` chars.
+
+    ``sq`` must be materialized as its own projected column first (see
+    ``char_codes``: higher-order-function lambdas re-evaluate captured
+    composite subtrees PER ELEMENT, so passing ``squeezed_text(...)``
+    inline re-runs the normalize regex once per gram). ``substr``/
+    ``length`` count code points on both engines, so the grams agree on
+    astral-plane text too.
+    """
+    n = F.length(sq)
+    starts = F.sequence(F.lit(1), n - F.lit(k - 1))
+    grams = F.transform(starts, lambda i: sq.substr(i, F.lit(k)))
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def token_count(text: Column) -> Column:
     """BPE-ish token count: letter runs, digit runs, and single
     punctuation/symbol marks each count as one token. Unicode categories

