@@ -8050,3 +8050,82 @@ ORACLES.update(
         "dedup_jaccard_cjk": _jaccard_cjk_sql(),
     }
 )
+
+
+# ------------------------------------------------------------------------
+# NFKC compatibility folding, graded via invariants (round 12 — r11
+# VERDICT #3). DuckDB has no NFKC twin (only nfc_normalize), so the
+# kernel's GUARANTEES are graded instead of replaying the fold SQL-side:
+# the base text is forced to ASCII by construction (identical
+# regexp_replace on both engines; NFKC is the identity on ASCII), a
+# compatibility-variant suffix is appended, and the expected fold of that
+# suffix is a HAND-WRITTEN literal from the Unicode charts — not computed
+# by the same library the kernel uses — so md5/length equality between
+# the engines pins the kernel's output byte-for-byte. Two more invariants
+# are computed engine-side with real kernel calls and graded as booleans:
+# idempotence (NFKC∘NFKC = NFKC) and NFC-fixed-point (NFC∘NFKC = NFKC,
+# UAX #15: NFKC output is already canonically composed).
+
+# compatibility variants: LATIN SMALL LIGATURE FI/FL (U+FB01/FB02),
+# CIRCLED DIGIT TWO (U+2461), SQUARE KM (U+339E), ROMAN NUMERAL TWELVE
+# (U+216B), HALFWIDTH KATAKANA KA (U+FF76), SUPERSCRIPT TWO (U+00B2)
+_NFKC_SUFFIX = " ﬁﬂ ②㎞ Ⅻ ｶ x²"
+# their NFKC folds per the Unicode charts: fi fl / 2 km / XII / カ / 2
+_NFKC_FOLDED = " fifl 2km XII カ x2"
+
+
+def text_nfkc_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFKC compatibility normalization
+    (functions.text.unicode_normalize_arrow, form='NFKC'), graded on its
+    invariants per document: byte-identity of the fold against a
+    chart-derived literal (via md5 + lengths), idempotence, and
+    NFC-fixed-point. The dedup relevance: compatibility variants (ﬁ vs
+    fi, ｶ vs カ, ² vs 2) hash apart until an NFKC pass folds them — this
+    row proves the kernel a pipeline author must call actually delivers
+    UAX #15 on corpus-shaped data."""
+    from helixdb_spark.functions.text import unicode_normalize_arrow
+    from helixdb_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    ascii_text = F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", "")
+    raw = F.concat(ascii_text, F.lit(_NFKC_SUFFIX))
+    staged = docs.select(
+        "doc_id",
+        F.length(raw).alias("n_raw"),
+        unicode_normalize_arrow(raw, "NFKC").alias("_nfkc"),
+    )
+    return (
+        staged.select(
+            "doc_id",
+            "n_raw",
+            F.length("_nfkc").alias("n_nfkc"),
+            F.md5("_nfkc").alias("nfkc_md5"),
+            (
+                unicode_normalize_arrow(F.col("_nfkc"), "NFKC")
+                == F.col("_nfkc")
+            ).alias("idempotent"),
+            (
+                unicode_normalize_arrow(F.col("_nfkc"), "NFC")
+                == F.col("_nfkc")
+            ).alias("nfc_fixedpoint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_NFKC_SQL = f"""
+WITH a AS (SELECT doc_id,
+                  regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS at
+           FROM documents)
+SELECT doc_id,
+       length(at || '{_NFKC_SUFFIX}')::INT AS n_raw,
+       length(at || '{_NFKC_FOLDED}')::INT AS n_nfkc,
+       md5(at || '{_NFKC_FOLDED}') AS nfkc_md5,
+       true AS idempotent,
+       true AS nfc_fixedpoint
+FROM a ORDER BY doc_id
+"""
+
+
+QUERIES.update({"text_nfkc_invariants": text_nfkc_invariants})
+ORACLES.update({"text_nfkc_invariants": TEXT_NFKC_SQL})

@@ -168,3 +168,17 @@ def test_minhash_store_prime_staleness(spark, tmp_path):
     store._save_state()
     store2 = AnnIndexStore(spark, str(tmp_path / "store"))
     assert not store2.validate("minhash", docs)
+
+
+# ------------------------------------------------ NFKC invariants (r11 #3)
+def test_nfkc_invariants_row(spark):
+    """The graded NFKC row: every doc idempotent + NFC-fixed-point, and
+    the fold actually fires (n_nfkc = n_raw + 5 on the fixed suffix:
+    ﬁﬂ->fifl (+2), ㎞->km (+1), Ⅻ->XII (+2), ②->2, ｶ->カ, ²->2 (+0))."""
+    from helixdb_spark.plans.pipeline import text_nfkc_invariants
+
+    rows = text_nfkc_invariants(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["idempotent"] and r["nfc_fixedpoint"]
+        assert r["n_nfkc"] == r["n_raw"] + 5
