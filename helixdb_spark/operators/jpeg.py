@@ -8,9 +8,12 @@ PIL. This module implements the DCT processes of ITU-T T.81 (JFIF):
 subsampling, restart markers, in both the baseline sequential mode
 (SOF0/1) and the progressive mode (SOF2) — spectral-selection scans,
 successive-approximation DC/AC refinement with EOB runs and correction
-bits per Annex G, the mode a large share of real web JPEGs use.
-Arithmetic-coded, 12-bit and hierarchical modes raise
-NotImplementedError (the decode_bmp/decode_png guard discipline).
+bits per Annex G, the mode a large share of real web JPEGs use. Since
+r12 the 4-component Adobe CMYK/YCCK layout (APP14 color-transform
+marker, inverted-ink samples — the print/scan-corpus shape) encodes and
+decodes natively too. Arithmetic-coded, 12-bit, hierarchical and
+2-component modes raise NotImplementedError (the decode_bmp/decode_png
+guard discipline).
 
 JPEG is LOSSY, so unlike the PNG/BMP rows the graded query cannot demand
 a bit-exact round trip; it grades the CONTRACT instead (the
@@ -397,6 +400,38 @@ def _sos_segment(comp_ids, dc_sel, ac_sel, ss, se, ah, al) -> bytes:
     return struct.pack(">HH", 0xFFDA, len(body) + 2) + body
 
 
+def _encode_baseline_block(bw, zc, pred_val, dc_tab, ac_tab) -> int:
+    """Huffman-encode one zigzag-order block (baseline sequential, T.81
+    F.1.2): DC diff + RLE'd ACs with ZRL/EOB. Returns the new DC
+    predictor. Shared by encode_jpeg and encode_jpeg_cmyk."""
+    dc = int(zc[0])
+    diff = dc - pred_val
+    size, code = _magnitude(diff)
+    hc, hl = dc_tab[size]
+    bw.write(hc, hl)
+    if size:
+        bw.write(code, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zc[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            hc, hl = ac_tab[0xF0]  # ZRL
+            bw.write(hc, hl)
+            run -= 16
+        size, code = _magnitude(v)
+        hc, hl = ac_tab[(run << 4) | size]
+        bw.write(hc, hl)
+        bw.write(code, size)
+        run = 0
+    if run:
+        hc, hl = ac_tab[0x00]  # EOB
+        bw.write(hc, hl)
+    return dc
+
+
 def encode_jpeg(
     arr,
     quality: int = 90,
@@ -439,31 +474,9 @@ def encode_jpeg(
                 for by in range(sv):
                     for bx in range(sh):
                         zc = zblocks[ci][my * sv + by, mx * sh + bx]
-                        diff = int(zc[0]) - pred[ci]
-                        pred[ci] = int(zc[0])
-                        size, code = _magnitude(diff)
-                        hc, hl = dc_tabs[tsel][size]
-                        bw.write(hc, hl)
-                        if size:
-                            bw.write(code, size)
-                        run = 0
-                        for k in range(1, 64):
-                            v = int(zc[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                hc, hl = ac_tabs[tsel][0xF0]  # ZRL
-                                bw.write(hc, hl)
-                                run -= 16
-                            size, code = _magnitude(v)
-                            hc, hl = ac_tabs[tsel][(run << 4) | size]
-                            bw.write(hc, hl)
-                            bw.write(code, size)
-                            run = 0
-                        if run:
-                            hc, hl = ac_tabs[tsel][0x00]  # EOB
-                            bw.write(hc, hl)
+                        pred[ci] = _encode_baseline_block(
+                            bw, zc, pred[ci], dc_tabs[tsel], ac_tabs[tsel]
+                        )
     bw.flush()
 
     out = _headers(h, w, sampling, qt, gray, 0xFFC0, restart_interval)
@@ -475,6 +488,103 @@ def encode_jpeg(
     )
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_cmyk(arr, quality: int = 90, transform: int = 2) -> bytes:
+    """Encode an H×W×4 CMYK uint8 array (ink values) as a 4-component
+    Adobe JPEG. Per the Adobe convention (APP14, no JFIF APP0 — JFIF is
+    defined for 1/3 components only) the stored samples are the INVERTED
+    inks (255 - C, ...); ``transform`` picks the channel coding the APP14
+    marker declares:
+
+    - 2 (YCCK, the Photoshop default): the first three inverted-ink
+      channels pass through the usual RGB->YCbCr matrix, K̄ is stored
+      directly — chroma-decorrelated like a color photo;
+    - 0 (plain CMYK): all four inverted-ink channels stored directly.
+
+    4:4:4 sampling (4 blocks/MCU, inside the T.81 10-block limit);
+    quantization: luma table for the Y/K̄ channels, chroma for Cb/Cr
+    under YCCK, luma for everything under plain CMYK (the libjpeg
+    channel-table convention). Decodes in any Adobe-aware reader."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 4:
+        raise ValueError("encode_jpeg_cmyk expects an H x W x 4 array")
+    if transform not in (0, 2):
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    h, w = arr.shape[0], arr.shape[1]
+    inv = 255.0 - arr.astype(np.float64)  # Adobe inverted-ink samples
+    if transform == 2:
+        r, g, b = inv[:, :, 0], inv[:, :, 1], inv[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0, inv[:, :, 3] - 128.0]
+        tq_sel = [0, 1, 1, 0]
+    else:
+        planes = [inv[:, :, i] - 128.0 for i in range(4)]
+        tq_sel = [0, 0, 0, 0]
+
+    qt = _scaled_qtables(quality)
+    C = _dct_matrix()
+    zz = np.array(ZIGZAG)
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    zblocks = []
+    for ci, pplane in enumerate(planes):
+        ph, pw = mcuy * 8, mcux * 8
+        pplane = np.pad(
+            pplane,
+            ((0, ph - pplane.shape[0]), (0, pw - pplane.shape[1])),
+            mode="edge",
+        )
+        blocks = pplane.reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3)
+        coef = C @ blocks @ C.T
+        q = np.round(coef / qt[tq_sel[ci]].reshape(8, 8)).astype(np.int64)
+        zblocks.append(q.reshape(mcuy, mcux, 64)[:, :, zz])
+
+    dc_tabs = [_huff_encode_tables(*HUFF_DC_LUMA),
+               _huff_encode_tables(*HUFF_DC_CHROMA)]
+    ac_tabs = [_huff_encode_tables(*HUFF_AC_LUMA),
+               _huff_encode_tables(*HUFF_AC_CHROMA)]
+    bw = _BitWriter()
+    pred = [0] * 4
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(4):
+                pred[ci] = _encode_baseline_block(
+                    bw, zblocks[ci][my, mx], pred[ci],
+                    dc_tabs[tq_sel[ci]], ac_tabs[tq_sel[ci]],
+                )
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP14 "Adobe": version 100, flags 0/0, color-transform code
+    out += seg(
+        0xFFEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform)
+    )
+    for tid, tab in enumerate(qt):
+        zzt = tab.reshape(64)[zz].astype(np.uint8).tobytes()
+        out += seg(0xFFDB, bytes([tid]) + zzt)
+    sof = struct.pack(">BHHB", 8, h, w, 4)
+    for ci in range(4):
+        sof += bytes([ci + 1, 0x11, tq_sel[ci]])
+    out += seg(0xFFC0, sof)
+    for (cls, tid, (bits, values)) in (
+        (0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_LUMA),
+        (0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA),
+    ):
+        out += seg(
+            0xFFC4,
+            bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values),
+        )
+    out += _sos_segment([1, 2, 3, 4], tq_sel, tq_sel, 0, 63, 0, 0)
+    out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -732,6 +842,7 @@ def _decode_jpeg(payload: bytes):
     h = w = None
     progressive = False
     restart_interval = 0
+    adobe_transform = None
     scans: list = []
 
     def _skip_entropy(p: int) -> int:
@@ -784,12 +895,13 @@ def _decode_jpeg(payload: bytes):
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG")
-            if nc not in (1, 3):
-                # valid-but-unsupported layouts (4-component Adobe
-                # CMYK/YCCK, 2-component) — NotImplementedError so
-                # decode_image falls through to an injected decoder / PIL
+            if nc not in (1, 3, 4):
+                # valid-but-unsupported layouts (2-component, >4) —
+                # NotImplementedError so decode_image falls through to an
+                # injected decoder / PIL. 4-component Adobe CMYK/YCCK
+                # decodes natively since r12.
                 raise NotImplementedError(
-                    f"JPEG with {nc} components (only 1/3 supported)"
+                    f"JPEG with {nc} components (only 1/3/4 supported)"
                 )
             comps = []
             for i in range(nc):
@@ -815,6 +927,10 @@ def _decode_jpeg(payload: bytes):
                 p += 17 + nvals
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            # APP14: 'Adobe' + version(2) + flags0(2) + flags1(2) +
+            # color-transform code (0 CMYK/RGB, 1 YCbCr, 2 YCCK)
+            adobe_transform = body[11]
         elif marker == 0xDA:  # SOS — record the scan, then keep walking
             if comps is None:
                 raise ValueError("JPEG payload missing SOF before SOS")
@@ -900,6 +1016,29 @@ def _decode_jpeg(payload: bytes):
     if len(out_planes) == 1:
         yv = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
         return np.ascontiguousarray(np.repeat(yv[:, :, None], 3, axis=2))
+    if len(out_planes) == 4:
+        # Adobe 4-component frame: stored samples are the INVERTED inks
+        # (255-C, ...). APP14 transform 2 = YCCK (first three channels
+        # YCbCr-coded), 0 or absent = CMYK stored directly. Ink -> RGB by
+        # the naive multiplicative model over the inverted samples:
+        # R = C̄·K̄/255 (= 255·(1-C/255)(1-K/255)).
+        if adobe_transform == 2:
+            y4, cb4, cr4, kk = out_planes
+            cb4 = cb4 - 128.0
+            cr4 = cr4 - 128.0
+            cbar = y4 + 1.402 * cr4
+            mbar = y4 - 0.344136 * cb4 - 0.714136 * cr4
+            ybar = y4 + 1.772 * cb4
+        else:
+            cbar, mbar, ybar, kk = out_planes
+        cbar = np.clip(cbar, 0.0, 255.0)
+        mbar = np.clip(mbar, 0.0, 255.0)
+        ybar = np.clip(ybar, 0.0, 255.0)
+        kk = np.clip(kk, 0.0, 255.0)
+        rgb4 = np.stack([cbar * kk, mbar * kk, ybar * kk], axis=2) / 255.0
+        return np.ascontiguousarray(
+            np.clip(np.round(rgb4), 0, 255).astype(np.uint8)
+        )
     y, cb, cr = out_planes
     cb = cb - 128.0
     cr = cr - 128.0

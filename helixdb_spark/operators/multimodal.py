@@ -390,7 +390,7 @@ def decode_image(payload: bytes):
     progressive JFIF JPEG — ``operators.jpeg.decode_jpeg``, Huffman +
     batch IDCT + 4:2:0/4:2:2/4:4:4), then PIL if installed. Every
     mainstream raster container decodes natively; the PIL fallback now
-    covers only exotic formats (WebP, TIFF, CMYK JPEG)."""
+    covers only exotic formats (WebP, TIFF, 12-bit JPEG)."""
     if _DECODER is not None:
         return _DECODER(payload)
     if payload[:2] == b"BM":
@@ -405,7 +405,7 @@ def decode_image(payload: bytes):
         try:
             return decode_jpeg(payload)
         except (NotImplementedError, ValueError):
-            # progressive/12-bit/CMYK (NotImplementedError) or
+            # 12-bit/2-component/arithmetic (NotImplementedError) or
             # truncated/odd-but-PIL-decodable streams (ValueError):
             # fall through to PIL if present
             pass

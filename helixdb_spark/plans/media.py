@@ -693,6 +693,102 @@ QUERIES.update({"mm_decode_jpeg": mm_decode_jpeg})
 ORACLES.update({"mm_decode_jpeg": MM_DECODE_JPEG_SQL})
 
 
+CMYK_ERR_BOUND = 6  # measured worst 2.0 over the doc_id family (q90 4:4:4,
+# both transforms, dense sample to doc_id 5000); margin for unseen residues
+
+
+def mm_decode_jpeg_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-component Adobe CMYK/YCCK JPEG through the native codec
+    (operators.jpeg.encode_jpeg_cmyk / decode_jpeg — r11 VERDICT #4: the
+    print/scan-corpus layout that previously fell through to PIL). Per
+    document a smooth CMYK ink ramp is encoded as a real Adobe JPEG —
+    even doc_ids as plain CMYK (APP14 transform 0), odd as YCCK
+    (transform 2), so BOTH channel codings grade every round — decoded by
+    ``decode_image``'s native path to RGB, and checked against the
+    analytic ink->RGB conversion of the ORIGINAL ramp
+    (R = (255-C)(255-K)/255) within CMYK_ERR_BOUND. Same contract-grade
+    discipline as mm_decode_jpeg; same two-mapInPandas scale shape."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from helixdb_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        from helixdb_spark.operators.jpeg import encode_jpeg_cmyk
+
+        for pdf in batches:
+            payloads, refs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 12 + d % 7, 10 + d % 5
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(4)[None, None, :]
+                ink = np.clip(
+                    (d % 89) + r * 2 + c * 3 + ch * 7, 0, 255
+                ).astype("uint8")
+                payloads.append(
+                    encode_jpeg_cmyk(
+                        ink, quality=90, transform=2 if d % 2 else 0
+                    )
+                )
+                refs.append(ink.tobytes())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "ref": refs}
+            )
+
+    media = docs.mapInPandas(
+        synth, "doc_id long, payload binary, ref binary"
+    )
+
+    def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "within_bound")}
+            for doc_id, payload, ref in zip(
+                pdf["doc_id"], pdf["payload"], pdf["ref"]
+            ):
+                arr = mm.decode_image(bytes(payload)).astype(np.float64)
+                h, w = arr.shape[0], arr.shape[1]
+                ink = np.frombuffer(bytes(ref), dtype=np.uint8).reshape(
+                    h, w, 4
+                ).astype(np.float64)
+                inv = 255.0 - ink
+                exp = np.clip(np.round(np.stack(
+                    [inv[:, :, 0] * inv[:, :, 3],
+                     inv[:, :, 1] * inv[:, :, 3],
+                     inv[:, :, 2] * inv[:, :, 3]], axis=2) / 255.0),
+                    0, 255)
+                err = float(np.abs(arr - exp).max())
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["within_bound"].append(err <= CMYK_ERR_BOUND)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, within_bound boolean",
+    ).orderBy("doc_id")
+
+
+MM_DECODE_JPEG_CMYK_SQL = """
+SELECT doc_id, (12 + doc_id % 7)::INT AS width, (10 + doc_id % 5)::INT AS height,
+       true AS within_bound
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES.update({"mm_decode_jpeg_cmyk": mm_decode_jpeg_cmyk})
+ORACLES.update({"mm_decode_jpeg_cmyk": MM_DECODE_JPEG_CMYK_SQL})
+
+
 # ----------------------------- DCT pHash recompression gate (round 10)
 # Gate thresholds measured over the synthetic doc_id family AT sf0.1
 # (worst re-encode distance 10/63 bits; min inverted distance 62). Larger

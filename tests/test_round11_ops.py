@@ -26,10 +26,11 @@ def test_jpeg_truncated_scan_raises_clean_valueerror():
         decode_jpeg(spliced)
 
 
-def test_jpeg_four_component_raises_notimplemented():
-    """ADVICE r10 (medium): 4-component Adobe CMYK/YCCK frames are
-    valid-but-unsupported -> NotImplementedError (so decode_image falls
-    through to PIL), never ValueError/IndexError."""
+def test_jpeg_two_component_raises_notimplemented():
+    """ADVICE r10 (medium), narrowed in r12: 4-component Adobe CMYK/YCCK
+    decodes natively now, so the valid-but-unsupported layout left is
+    2-component -> NotImplementedError (so decode_image falls through to
+    PIL), never ValueError/IndexError."""
     from helixdb_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
     arr = np.full((8, 8, 3), 90, dtype=np.uint8)
@@ -38,8 +39,8 @@ def test_jpeg_four_component_raises_notimplemented():
     # h +5..6, w +7..8, nc at +9
     i = good.find(b"\xff\xc0")
     assert i > 0
-    good[i + 9] = 4
-    with pytest.raises(NotImplementedError, match="4 components"):
+    good[i + 9] = 2
+    with pytest.raises(NotImplementedError, match="2 components"):
         decode_jpeg(bytes(good))
 
 

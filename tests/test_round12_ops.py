@@ -182,3 +182,80 @@ def test_nfkc_invariants_row(spark):
     for r in rows:
         assert r["idempotent"] and r["nfc_fixedpoint"]
         assert r["n_nfkc"] == r["n_raw"] + 5
+
+
+# ------------------------------------------------ CMYK/YCCK JPEG (r11 #4)
+def test_cmyk_jpeg_roundtrip_both_transforms():
+    """Native 4-component Adobe JPEG: decode(encode_jpeg_cmyk(ink))
+    matches the analytic ink->RGB conversion within 2 levels on a smooth
+    ramp for BOTH channel codings (APP14 transform 0 = CMYK, 2 = YCCK)."""
+    from helixdb_spark.operators.jpeg import decode_jpeg, encode_jpeg_cmyk
+
+    h, w = 24, 31
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    ch = np.arange(4)[None, None, :]
+    ink = np.clip(20 + r * 2 + c * 3 + ch * 11, 0, 255).astype(np.uint8)
+    inv = 255.0 - ink.astype(np.float64)
+    exp = np.clip(np.round(np.stack(
+        [inv[:, :, 0] * inv[:, :, 3], inv[:, :, 1] * inv[:, :, 3],
+         inv[:, :, 2] * inv[:, :, 3]], axis=2) / 255.0), 0, 255)
+    for t in (0, 2):
+        out = decode_jpeg(encode_jpeg_cmyk(ink, quality=90, transform=t))
+        assert out.shape == (h, w, 3)
+        assert np.abs(out.astype(np.float64) - exp).max() <= 2.0, t
+
+
+def test_cmyk_jpeg_flat_color_near_exact():
+    """A flat CMYK block is DC-only: the only error left is the ink->RGB
+    rounding, so the round trip is within 1 level everywhere."""
+    from helixdb_spark.operators.jpeg import decode_jpeg, encode_jpeg_cmyk
+
+    ink = np.empty((16, 16, 4), dtype=np.uint8)
+    ink[:, :, 0], ink[:, :, 1], ink[:, :, 2], ink[:, :, 3] = 30, 60, 90, 40
+    inv = 255.0 - ink.astype(np.float64)
+    exp = np.round(np.stack(
+        [inv[:, :, 0] * inv[:, :, 3], inv[:, :, 1] * inv[:, :, 3],
+         inv[:, :, 2] * inv[:, :, 3]], axis=2) / 255.0)
+    for t in (0, 2):
+        out = decode_jpeg(encode_jpeg_cmyk(ink, quality=90, transform=t))
+        assert np.abs(out.astype(np.float64) - exp).max() <= 1.0, t
+
+
+def test_cmyk_without_app14_reads_as_plain_cmyk():
+    """A 4-component frame with the APP14 marker stripped decodes as
+    plain stored-CMYK (transform 0) — the documented default."""
+    from helixdb_spark.operators.jpeg import decode_jpeg, encode_jpeg_cmyk
+
+    ink = np.full((8, 8, 4), 70, dtype=np.uint8)
+    with_marker = encode_jpeg_cmyk(ink, quality=90, transform=0)
+    i = with_marker.find(b"\xff\xee")
+    assert i > 0
+    import struct as st
+
+    (ln,) = st.unpack_from(">H", with_marker, i + 2)
+    stripped = with_marker[:i] + with_marker[i + 2 + ln:]
+    assert (decode_jpeg(stripped) == decode_jpeg(with_marker)).all()
+
+
+def test_jpeg_fill_bytes_before_marker(  # r11 ADVICE: T.81 B.1.1.2
+):
+    """Optional 0xFF fill bytes padded ahead of a marker code must be
+    skipped, not parsed as a marker named 0xFF."""
+    from helixdb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    arr = np.clip(
+        np.arange(16)[:, None, None] * 3
+        + np.arange(20)[None, :, None] * 2
+        + np.arange(3)[None, None, :] * 10,
+        0, 255,
+    ).astype(np.uint8)
+    good = encode_jpeg(arr, quality=90)
+    ref = decode_jpeg(good)
+    # pad fill bytes ahead of DQT, DHT and SOS markers
+    padded = good
+    for m in (b"\xff\xdb", b"\xff\xc4", b"\xff\xda"):
+        i = padded.find(m)
+        assert i > 0
+        padded = padded[:i] + b"\xff\xff\xff" + padded[i:]
+    assert (decode_jpeg(padded) == ref).all()
