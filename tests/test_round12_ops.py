@@ -259,3 +259,115 @@ def test_jpeg_fill_bytes_before_marker(  # r11 ADVICE: T.81 B.1.1.2
         assert i > 0
         padded = padded[:i] + b"\xff\xff\xff" + padded[i:]
     assert (decode_jpeg(padded) == ref).all()
+
+
+# ------------------- independent progressive JPEG fixtures (r11 ADVICE)
+def _seg(marker: int, payload: bytes) -> bytes:
+    import struct as st
+
+    return st.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _idct_independent(F64):
+    """Reference IDCT written longhand from the T.81 A.3.3 formula —
+    independent of operators.jpeg.dct_matrix — so the fixtures' expected
+    pixels do not flow through the module under test."""
+    import math
+
+    out = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    au = math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+                    av = math.sqrt(1 / 8) if v == 0 else math.sqrt(2 / 8)
+                    acc += (
+                        au * av * F64[u, v]
+                        * math.cos((2 * y + 1) * u * math.pi / 16)
+                        * math.cos((2 * x + 1) * v * math.pi / 16)
+                    )
+            out[y, x] = acc
+    return out
+
+
+def test_progressive_fixture_hand_built_scans():
+    """r11 ADVICE (medium): progressive conformance was only self-verified
+    (decode(encode_progressive(x)) vs decode(encode(x)), both through the
+    module). This fixture is a progressive JPEG assembled BY HAND from
+    T.81 — DQT/SOF2/DHT bytes and four hand-Huffman-coded scans (DC first
+    at Al=1, AC first at Al=1, DC refinement, AC refinement with an EOB
+    correction bit) — with expected pixels from an independent IDCT. A
+    mirrored encoder/decoder misreading cannot pass it."""
+    from helixdb_spark.operators.jpeg import decode_jpeg
+
+    payload = b"\xff\xd8"
+    payload += _seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))  # q = all 1s
+    payload += _seg(0xFFC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    # DC table 0: one length-1 code -> symbol 4 (size of diff 8)
+    payload += _seg(
+        0xFFC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([4])
+    )
+    # AC table 0: len-1 code '0' -> 0x02 (run0,size2); len-2 '10' -> EOB
+    payload += _seg(
+        0xFFC4, bytes([0x10]) + bytes([1, 1] + [0] * 14) + bytes([2, 0])
+    )
+    # scan 1 — DC first, Al=1: code('0') + diff 8 in 4 bits '1000'
+    payload += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + b"\x47"
+    # scan 2 — AC first, Ss=1..63, Al=1: sym 0x02 ('0'), value +2 ('10'),
+    # EOB ('10') -> 01010 + pad = 0x57
+    payload += _seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + b"\x57"
+    # scan 3 — DC refinement (Ah=1, Al=0): one raw bit 0 -> 0x7F
+    payload += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + b"\x7f"
+    # scan 4 — AC refinement: EOB ('10') + correction bit 0 -> 0x9F
+    payload += _seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + b"\x9f"
+    payload += b"\xff\xd9"
+
+    got = decode_jpeg(payload)
+    # final coefficients: DC = (8<<1) | refinement bit 0 = 16;
+    # AC natural (0,1) = (2<<1) with correction bit 0 = 4; q = 1
+    F64 = np.zeros((8, 8))
+    F64[0, 0] = 16.0
+    F64[0, 1] = 4.0
+    exp = np.clip(np.round(_idct_independent(F64) + 128.0), 0, 255)
+    assert got.shape == (8, 8, 3)
+    assert (got[:, :, 0].astype(np.float64) == exp).all()
+    assert (got[:, :, 1] == got[:, :, 0]).all()
+
+
+def test_progressive_fixture_eobn_run_and_restarts():
+    """Hand-built progressive fixture for two features the module's own
+    encoder NEVER emits (so self-round-trip cannot cover them): EOBn
+    run symbols (r>0, with appended run-extension bits) spanning blocks,
+    and restart markers inside a progressive DC scan (DRI, predictor
+    reset, then a DRI=0 override for the AC scan)."""
+    from helixdb_spark.operators.jpeg import decode_jpeg
+
+    payload = b"\xff\xd8"
+    payload += _seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
+    payload += _seg(0xFFC2, bytes([8, 0, 8, 0, 16, 1, 1, 0x11, 0]))
+    # DC table: one len-1 code -> symbol 5 (diffs 16 and 24 are size 5)
+    payload += _seg(
+        0xFFC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([5])
+    )
+    # AC table: one len-1 code -> symbol 0x10 (EOB1: run of 2-3 blocks)
+    payload += _seg(
+        0xFFC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x10])
+    )
+    payload += _seg(0xFFDD, bytes([0, 1]))  # DRI = 1 MCU
+    # scan 1 — DC first Al=0, two blocks with RST0 between:
+    # blk0 diff 16: '0'+'10000' pad -> 0x43 ; RST0 ; blk1 diff 24 (pred
+    # reset): '0'+'11000' pad -> 0x63
+    payload += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    payload += b"\x43" + b"\xff\xd0" + b"\x63"
+    payload += _seg(0xFFDD, bytes([0, 0]))  # DRI off for the AC scan
+    # scan 2 — AC first: EOB1 code '0' + extension bit '0' covers BOTH
+    # all-zero blocks in one symbol -> 0x3F
+    payload += _seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + b"\x3f"
+    payload += b"\xff\xd9"
+
+    got = decode_jpeg(payload)
+    assert got.shape == (8, 16, 3)
+    # DC-only flat blocks: 16/8+128 = 130 left, 24/8+128 = 131 right
+    assert (got[:, :8, 0] == 130).all()
+    assert (got[:, 8:, 0] == 131).all()
