@@ -1507,7 +1507,7 @@ class HelixSpark:
                 self._fs.delete(f"{self.layout.cold_gen_path(old_gen)}/time_bucket={b}")
             for b in hot_dropped:
                 self._fs.delete(f"{self.layout.hot_path}/time_bucket={b}")
-        self._refresh_indexes()
+        self._refresh_indexes(bounds=(start_ts, end_ts))
 
     def rollback_compaction(self) -> bool:
         """Undo the most recent compaction commit — restore the previous
@@ -1794,6 +1794,7 @@ class HelixSpark:
         max_segments: int = 8,
         drift_threshold: float | None = None,
         drift_action: str = "invalidate",
+        delta_scan: bool = False,
         **append_kw,
     ) -> None:
         """Register a persisted ANN index for automatic maintenance: after
@@ -1856,7 +1857,21 @@ class HelixSpark:
         The reference never faces this choice because its on-disk index
         is exact (src/types/sstable.rs:115-121); bounding exactly this
         class of maintenance debt is what its compaction scheduler exists
-        for (src/compact_sched.rs:16-143)."""
+        for (src/compact_sched.rs:16-143).
+
+        ``delta_scan`` (r12, an optimization contract): promise that (a)
+        ``corpus_fn`` derives its rows 1:1 from ``db.scan`` ts ranges, and
+        (b) maintenance commits cover strictly increasing, never-repeated
+        ts ranges (the tumbling ``SimpleTimestampReviewer`` shape — NOT
+        manual re-compaction of old ranges). Under that promise each
+        refresh calls ``corpus_fn`` on a scan-restricted engine view of
+        the commit's ts range and appends with ``assume_new=True``: the
+        maintenance pass shingles/hashes only the commit's delta and never
+        re-scans the committed chain — O(commit) instead of O(corpus) per
+        cycle, bit-identical by the append functions' frozen-state
+        contract. Supported for lsh/ivf/minhash registrations; a violated
+        promise double-appends the re-committed rows (it never corrupts
+        committed segments)."""
         if drift_action not in ("invalidate", "refit"):
             raise ValueError(
                 f"drift_action must be 'invalidate' or 'refit', got "
@@ -1864,12 +1879,12 @@ class HelixSpark:
             )
         self._index_registry.append(
             (store, name, corpus_fn, max_segments, drift_threshold,
-             drift_action, append_kw)
+             drift_action, delta_scan, append_kw)
         )
 
-    def _refresh_indexes(self) -> None:
+    def _refresh_indexes(self, bounds: "tuple[int, int] | None" = None) -> None:
         for (store, name, corpus_fn, max_segments, drift_threshold,
-             drift_action, kw) in self._index_registry:
+             drift_action, delta_scan, kw) in self._index_registry:
             desc = store._state["indexes"].get(name)
             if desc is None or desc.get("stale"):
                 continue  # never built / invalidated — rebuilding is the
@@ -1881,7 +1896,22 @@ class HelixSpark:
                 "ivf": store.append_ivf,
                 "ivfpq": store.append_ivfpq,
             }[desc["kind"]]
-            new_desc = append(corpus_fn(self), name=name, **kw)
+            if delta_scan and bounds is not None and desc["kind"] in (
+                "lsh", "ivf", "minhash"
+            ):
+                # O(commit) refresh (r12): corpus_fn reads a scan-restricted
+                # view of the engine, so the append shingles/hashes ONLY the
+                # commit's ts range, and assume_new skips the committed-id
+                # anti-join — cost per maintenance cycle is the delta, not
+                # the corpus. Only valid under the delta_scan registration
+                # promise (corpus rows derive 1:1 from scan ts, commits are
+                # disjoint in ts).
+                new_desc = append(
+                    corpus_fn(_ScanRestrictedView(self, *bounds)),
+                    name=name, assume_new=True, **kw
+                )
+            else:
+                new_desc = append(corpus_fn(self), name=name, **kw)
             if drift_threshold is not None and self._drift_tripped(
                 store, name, new_desc, drift_threshold, drift_action, corpus_fn
             ):
@@ -1977,3 +2007,23 @@ class HelixSpark:
         self._invalidate_cache()
         self._closed = True
 
+
+
+class _ScanRestrictedView:
+    """Engine view whose ``scan`` intersects the caller's ts range with a
+    maintenance commit's range. ``_refresh_indexes`` hands this to
+    ``corpus_fn`` for ``delta_scan`` registrations so a refresh reads the
+    commit's delta instead of the whole corpus; every other attribute
+    forwards to the real engine."""
+
+    def __init__(self, db: "HelixSpark", lo: int, hi: int) -> None:
+        self._db, self._lo, self._hi = db, lo, hi
+
+    def scan(self, ts_range, *args, **kwargs):
+        lo, hi = ts_range
+        return self._db.scan(
+            (max(int(lo), self._lo), min(int(hi), self._hi)), *args, **kwargs
+        )
+
+    def __getattr__(self, item):
+        return getattr(self._db, item)

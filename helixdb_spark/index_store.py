@@ -335,24 +335,40 @@ class AnnIndexStore:
         partition_by: str | None = None,
         count: bool = True,
     ) -> int | None:
-        """Write one segment and return its row count (counted off the
-        written files, so the descriptor records what actually landed).
-        ``count=False`` skips the count-back job for tables whose row
+        """Write one segment and return its row count (observed on the
+        write job itself, so the descriptor records what the write landed).
+        ``count=False`` skips the count observation for tables whose row
         count the descriptor does not record (the bands table — its
         sibling shingles count is the bookkept one); a micro-batch append
         is fixed-job-latency-bound, so every skipped job matters."""
         path = self._seg_path(name, table, gen)
+        if count:
+            # the row count rides the write job as an Observation metric
+            # (r12) instead of a count-back read of the written files —
+            # every staged table costs ONE job, and micro-batch appends are
+            # fixed-job-latency-bound. A zero-row staged batch still
+            # observes 0 cleanly (the empty segment must stage so drift
+            # monitoring can show the stalled append).
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        if partition_by:
+            # cluster by the partition column before a partitionBy write:
+            # without this every task writes one file per partition value
+            # it touches (tasks × values tiny files per segment — measured
+            # ~1.4k files for one sf0.1 IVF lists segment), and every later
+            # probe/append/fold pays the listing + per-file open cost. One
+            # delta-sized hash exchange (AQE-coalesced) yields ~one file
+            # per partition value — the guide §6 partitioned-write shape.
+            df = df.repartition(F.col(partition_by))
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(partition_by)
         w.parquet(path)
         if not count:
             return None
-        # explicit schema: a zero-row staged batch writes only _SUCCESS and
-        # an inference read would raise UNABLE_TO_INFER_SCHEMA — the empty
-        # segment must stage cleanly (count 0) so drift monitoring can show
-        # the stalled append rather than the writer crashing
-        return self.spark.read.schema(df.schema).parquet(path).count()
+        return int(obs.get["n"])
 
     # -------------------------------------------------------------------- PQ
     def write_pq(
@@ -568,12 +584,17 @@ class AnnIndexStore:
         corpus: DataFrame,
         name: str = "lsh",
         fingerprint: str | None = None,
+        assume_new: bool = False,
     ) -> dict:
         """Incremental LSH maintenance: the hyperplanes are frozen
         (md5-derived, parameter-only state), so an ingest delta is a pure
         hash-and-append — new rows bucketed into a fresh segment, existing
         bucket files untouched. Bit-identical to a full rebuild because the
-        bucket of a row depends only on the row and the frozen planes."""
+        bucket of a row depends only on the row and the frozen planes.
+
+        ``assume_new=True`` skips the committed-id anti-join for sources
+        whose batches are disjoint by construction (see append_minhash) —
+        append cost becomes O(batch) independent of chain length."""
         desc, bucketed = self.read_lsh(name)
         if "segments" not in desc:
             return self.write_lsh(
@@ -582,10 +603,16 @@ class AnnIndexStore:
                 vec_col=desc["vec_col"], fingerprint=fingerprint,
             )
         id_col = desc["id_col"]
-        fresh = spread(corpus).join(
-            bucketed.select(id_col), id_col, "left_anti"
-        )
-        if fresh.isEmpty():
+        if assume_new:
+            fresh = spread(corpus)
+        else:
+            fresh = spread(corpus).join(
+                bucketed.select(id_col), id_col, "left_anti"
+            )
+        if not assume_new and fresh.isEmpty():
+            # assume_new callers promise non-empty disjoint batches, so the
+            # emptiness probe job is skipped; a violated promise stages an
+            # empty segment (one burned gen), never corrupts committed ones
             return desc
         gen = self._reserve_gen()
         staged = fresh.withColumn(
@@ -776,7 +803,10 @@ class AnnIndexStore:
             fresh = docs.join(
                 shingled_old.select(id_col), id_col, "left_anti"
             )
-        if fresh.isEmpty():
+        if not assume_new and fresh.isEmpty():
+            # assume_new callers promise non-empty disjoint batches, so the
+            # emptiness probe job is skipped; a violated promise stages an
+            # empty segment (one burned gen), never corrupts committed ones
             return desc
         caches: list = []
         stacked, shingles = self._minhash_tables(
@@ -967,7 +997,10 @@ class AnnIndexStore:
             fresh = spread(corpus).join(
                 assigned_old.select(id_col), id_col, "left_anti"
             )
-        if fresh.isEmpty():
+        if not assume_new and fresh.isEmpty():
+            # assume_new callers promise non-empty disjoint batches, so the
+            # emptiness probe job is skipped; a violated promise stages an
+            # empty segment (one burned gen), never corrupts committed ones
             return desc
         staged = assign_nearest_centroid(
             fresh, centroids, desc["vec_col"], id_col

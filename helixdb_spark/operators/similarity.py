@@ -405,15 +405,49 @@ def assign_nearest_centroids(
     """Attach the ``n_probe`` nearest (cosine) coarse centroids — the IVF
     list-assignment/probe-routing step. ``n_probe=1`` is list assignment;
     ``n_probe>1`` is multi-probe query routing (one output row per probed
-    list)."""
-    scored = df.join(F.broadcast(centroids)).withColumn(
-        "_csim", cosine_similarity(F.col(vcol), F.col("_cvec"))
+    list).
+
+    Zero-shuffle shape (r12): the centroid set rides a broadcast 1-row
+    ``collect_list`` aggregate and the per-row argmax runs as a JVM
+    ``transform``/``array_max`` fold — the old broadcast-cross-join +
+    ``row_number`` window shuffled n×nlist rows (each carrying BOTH the
+    vector and the candidate centroid vector) only to keep one per row.
+    Tie-break is identical to the window's (csim DESC, centroid_id ASC):
+    struct comparison on (csim, -centroid_id) picks the same winner, and a
+    null csim (zero-norm vector) loses to any non-null exactly as the
+    window's DESC NULLS LAST ranking did."""
+    cents = centroids.agg(
+        F.collect_list(F.struct("centroid_id", "_cvec")).alias("_cents")
     )
-    w = W.partitionBy(part_col).orderBy(F.desc("_csim"), F.asc("centroid_id"))
+    joined = df.join(F.broadcast(cents))
+    scored_arr = F.transform(
+        "_cents",
+        lambda c: F.struct(
+            cosine_similarity(F.col(vcol), c["_cvec"]).alias("_csim"),
+            (-c["centroid_id"]).alias("_negid"),
+            c["centroid_id"].alias("centroid_id"),
+        ),
+    )
+    if n_probe == 1:
+        return (
+            joined.where(F.size("_cents") > 0)
+            .withColumn("centroid_id", F.array_max(scored_arr)["centroid_id"])
+            .drop("_cents")
+        )
+    # n_probe > 1: ascending struct sort, keep the LAST n_probe (ascending
+    # keeps null csim at the front = least preferred, matching the window's
+    # DESC NULLS LAST), explode in best-first order
+    tail = F.reverse(
+        F.slice(
+            F.array_sort(scored_arr),
+            F.greatest(F.lit(1), F.size("_cents") - F.lit(n_probe) + 1),
+            n_probe,
+        )
+    )
     return (
-        scored.withColumn("_crk", F.row_number().over(w))
-        .where(F.col("_crk") <= n_probe)
-        .drop("_csim", "_crk", "_cvec")
+        joined.withColumn("_cand", F.explode(tail))
+        .withColumn("centroid_id", F.col("_cand")["centroid_id"])
+        .drop("_cents", "_cand")
     )
 
 
@@ -1453,33 +1487,40 @@ def pq_adc_from_codes(
     qrows = queries.select(
         query_id_col, F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv")
     ).collect()
-    luts = []
-    for j in range(m):
-        # LUT rows: raw squared distances; the 6 dp rounding happens in
-        # Spark expressions so both engines round the same way
-        rows = []
-        for r in qrows:
+    # ONE fused LUT table (r12): per (query, code_0 slot) row carrying all m
+    # per-subspace distance maps — a single broadcast-hash join on code_0
+    # replaces the old m chained per-subspace broadcast joins (same rows:
+    # the code_0 slots cover every code value, so the equi-join is the same
+    # disguised query fan-out). Raw squared distances ride the rows; the
+    # 6 dp rounding stays a Spark expression so both engines round the
+    # same way.
+    lut_rows = []
+    for r in qrows:
+        maps = []
+        for j in range(m):
             qslice = list(r["_qv"])[j * sub_d : (j + 1) * sub_d]
+            mj = {}
             for cid, cv in codebooks[j]:
                 s = 0.0
                 for a, b in zip(qslice, cv):
                     s += (a - b) * (a - b)
-                rows.append((r[query_id_col], int(cid), s))
-        luts.append(
-            spark.createDataFrame(
-                rows, f"{query_id_col} long, code_{j} int, _d2raw{j} double"
-            ).select(
-                query_id_col,
-                f"code_{j}",
-                F.round(F.col(f"_d2raw{j}") + F.lit(1e-9), 6).alias(f"_d2_{j}"),
-            )
+                mj[int(cid)] = s
+            maps.append(mj)
+        for cid0 in maps[0]:
+            lut_rows.append((r[query_id_col], int(cid0), maps))
+    luts = spark.createDataFrame(
+        lut_rows,
+        f"{query_id_col} long, code_0 int, _luts array<map<int,double>>",
+    )
+    scored = codes.join(F.broadcast(luts), "code_0")
+    d2 = [
+        F.round(
+            F.element_at(F.col("_luts")[j], F.col(f"code_{j}")) + F.lit(1e-9),
+            6,
         )
-    scored = codes.join(F.broadcast(luts[0]), f"code_0")
-    for j in range(1, m):
-        scored = scored.join(F.broadcast(luts[j]), [query_id_col, f"code_{j}"])
-    adc = F.round(
-        sum(F.col(f"_d2_{j}") for j in range(m)) + F.lit(1e-9), 6
-    ).alias("adc_dist")
+        for j in range(m)
+    ]
+    adc = F.round(sum(d2) + F.lit(1e-9), 6).alias("adc_dist")
     w = W.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
     return (
         scored.select(query_id_col, F.col(id_col), adc)
@@ -1659,41 +1700,44 @@ def ivfpq_adc_from_codes(
         .collect()
     )
     spark = codes.sparkSession
-    routing = spark.createDataFrame(
-        [(int(r[query_id_col]), int(r["centroid_id"])) for r in qrows],
-        f"{query_id_col} long, centroid_id long",
-    )
     # the probed list ids are driver-side already (they rode the LUT
     # collect), so prune the code scan with a STATIC partition filter —
     # on a partitionBy(centroid_id) layout only the probed lists' files
     # are planned, no dynamic-pruning machinery needed
     probe_ids = sorted({int(r["centroid_id"]) for r in qrows})
     codes = codes.where(F.col("centroid_id").isin(probe_ids))
-    luts = []
-    for j in range(m):
-        rows = []
-        for r in qrows:
+    # ONE fused routing+LUT broadcast (r12): each routing row carries the
+    # query's m per-subspace distance maps, so the single equi-join on
+    # centroid_id both routes the query to its list and delivers the LUTs —
+    # the old shape chained m more per-subspace broadcast joins after the
+    # routing join. Raw squared distances ride the rows; the 6 dp rounding
+    # stays a Spark expression so both engines round the same way.
+    rt_rows = []
+    for r in qrows:
+        maps = []
+        for j in range(m):
             qslice = list(r["_qrv"])[j * sub_d : (j + 1) * sub_d]
+            mj = {}
             for cid, cv in codebooks[j]:
                 s = 0.0
                 for a, b in zip(qslice, cv):
                     s += (a - b) * (a - b)
-                rows.append((int(r[query_id_col]), int(cid), s))
-        luts.append(
-            spark.createDataFrame(
-                rows, f"{query_id_col} long, code_{j} int, _d2raw{j} double"
-            ).select(
-                query_id_col,
-                f"code_{j}",
-                F.round(F.col(f"_d2raw{j}") + F.lit(1e-9), 6).alias(f"_d2_{j}"),
-            )
-        )
+                mj[int(cid)] = s
+            maps.append(mj)
+        rt_rows.append((int(r[query_id_col]), int(r["centroid_id"]), maps))
+    routing = spark.createDataFrame(
+        rt_rows,
+        f"{query_id_col} long, centroid_id long, _luts array<map<int,double>>",
+    )
     scored = codes.join(F.broadcast(routing), "centroid_id")
-    for j in range(m):
-        scored = scored.join(F.broadcast(luts[j]), [query_id_col, f"code_{j}"])
-    adc = F.round(
-        sum(F.col(f"_d2_{j}") for j in range(m)) + F.lit(1e-9), 6
-    ).alias("adc_dist")
+    d2 = [
+        F.round(
+            F.element_at(F.col("_luts")[j], F.col(f"code_{j}")) + F.lit(1e-9),
+            6,
+        )
+        for j in range(m)
+    ]
+    adc = F.round(sum(d2) + F.lit(1e-9), 6).alias("adc_dist")
     w = W.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
     return (
         scored.select(query_id_col, F.col(id_col), adc)

@@ -180,9 +180,22 @@ def spread(df: DataFrame) -> DataFrame:
     would serialize every downstream stage onto one core. The round-robin
     exchange carries only the narrow projected columns, so its cost is
     bounded by the data the stage needed to read anyway.
+
+    Inputs that already contain a SHUFFLE are returned as-is (r12): their
+    downstream parallelism is the session's shuffle partitioning, AQE
+    right-sizes small stages, and — the measured trap — asking such a plan
+    ``rdd.getNumPartitions()`` EXECUTES its query stages under AQE (a full
+    extra run of the input per spread call, since the materialized stage
+    is not reused by the later action) only to re-fan what AQE had
+    deliberately coalesced. The partition probe is only safe (job-free)
+    on exchange-free plans, which is exactly the narrow-scan case this
+    helper exists for.
     """
     ensure_session_tuned(df.sparkSession)
     target = df.sparkSession.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan.replace("BroadcastExchange", ""):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

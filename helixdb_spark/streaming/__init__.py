@@ -954,7 +954,12 @@ def stream_index_refresh(
     path = _emb_stream_dir(spark, sf_dir, bounds)
 
     def corpus_fn(db) -> DataFrame:
-        scanned = db.scan((0, n))
+        # NO_ORDER: index building hashes each row independently, so the
+        # comparator sort (an exchange, which every maintenance append
+        # would pay again) buys nothing (r12)
+        from helixdb_spark import comparators
+
+        scanned = db.scan((0, n), comparator=comparators.NO_ORDER)
         return scanned.select(
             F.decode("key", "utf-8").cast("long").alias("vec_id"),
             _unpack_f32(F.col("value")).alias("embedding"),
@@ -987,7 +992,11 @@ def stream_index_refresh(
     try:
         db.put(base)  # fires the quarter-0 compaction (registry empty yet)
         store.write_lsh(corpus_fn(db))
-        db.register_index(store, "lsh", corpus_fn, max_segments=2)
+        # delta_scan: vec_id==ts, the corpus_fn is a 1:1 scan decode, and
+        # the tumbling reviewer commits disjoint quarters — each refresh
+        # appends only its commit's scan range (O(batch), r12)
+        db.register_index(store, "lsh", corpus_fn, max_segments=2,
+                          delta_scan=True)
         schema = spark.read.parquet(path).schema
         stream = (
             spark.readStream.schema(schema)
