@@ -594,8 +594,12 @@ class AnnIndexStore:
 
         ``assume_new=True`` skips the committed-id anti-join for sources
         whose batches are disjoint by construction (see append_minhash) —
-        append cost becomes O(batch) independent of chain length."""
-        desc, bucketed = self.read_lsh(name)
+        append cost becomes O(batch) independent of chain length. The
+        committed buckets table is then never even OPENED (descriptor-only
+        read): constructing its DataFrame costs one distributed
+        file-listing job per committed segment — an O(chain) ladder the
+        whole point of assume_new is to avoid."""
+        desc = self._descriptor(name, "lsh")
         if "segments" not in desc:
             return self.write_lsh(
                 corpus, name=name, num_planes=int(desc["num_planes"]),
@@ -606,6 +610,7 @@ class AnnIndexStore:
         if assume_new:
             fresh = spread(corpus)
         else:
+            bucketed = self._read_table(name, desc, "buckets")
             fresh = spread(corpus).join(
                 bucketed.select(id_col), id_col, "left_anti"
             )
@@ -784,11 +789,14 @@ class AnnIndexStore:
         callers whose batches are disjoint from the committed set BY
         CONSTRUCTION (a streaming source with exactly-once micro-batches,
         a partitioned daily ingest): the committed chain's id column is
-        then never re-scanned per append, so append cost is O(batch)
-        regardless of chain length. A violated promise double-counts the
-        re-sent documents' shingles (it never corrupts committed
-        segments); leave False unless the source guarantees disjointness."""
-        desc, stacked_old, shingled_old = self.read_minhash(name)
+        then never re-scanned per append — nor even FILE-LISTED (the
+        descriptor-only read skips constructing both committed tables,
+        whose listing costs one distributed job per segment) — so append
+        cost is O(batch) regardless of chain length. A violated promise
+        double-counts the re-sent documents' shingles (it never corrupts
+        committed segments); leave False unless the source guarantees
+        disjointness."""
+        desc = self._descriptor(name, "minhash")
         if "segments" not in desc:
             return self.write_minhash(
                 docs, name=name, id_col=desc["id_col"],
@@ -800,6 +808,7 @@ class AnnIndexStore:
         if assume_new:
             fresh = docs
         else:
+            shingled_old = self._read_table(name, desc, "shingles")
             fresh = docs.join(
                 shingled_old.select(id_col), id_col, "left_anti"
             )
@@ -980,10 +989,14 @@ class AnnIndexStore:
 
         ``assume_new=True`` skips the committed-id anti-join for sources
         whose batches are disjoint by construction (see append_minhash) —
-        append cost becomes O(batch) independent of chain length."""
+        append cost becomes O(batch) independent of chain length; the
+        committed LISTS table is then never opened (descriptor-only read
+        skips its per-segment file-listing jobs — only the small centroids
+        table, which the assignment genuinely needs, is read)."""
         from helixdb_spark.operators.similarity import assign_nearest_centroid
 
-        desc, assigned_old, centroids = self.read_ivf(name)
+        desc = self._descriptor(name, "ivf")
+        centroids = self._read_table(name, desc, "centroids")
         if "segments" not in desc:
             return self.write_ivf(
                 corpus, name=name, stride=int(desc["stride"]),
@@ -994,6 +1007,7 @@ class AnnIndexStore:
         if assume_new:
             fresh = spread(corpus)
         else:
+            assigned_old = self._read_table(name, desc, "lists")
             fresh = spread(corpus).join(
                 assigned_old.select(id_col), id_col, "left_anti"
             )
