@@ -61,6 +61,15 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # list partitioned dirs on the driver up to 1024 paths: the default
+        # threshold (32) turns every probe of a 64-bucket LSH / √n-list IVF
+        # layout into a cores-wide distributed listing job (see
+        # operators.util.ensure_session_tuned, which applies the same conf
+        # to harness-owned sessions)
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "1024"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
