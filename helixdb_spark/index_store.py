@@ -81,6 +81,11 @@ class StaleIndexError(RuntimeError):
 # streaming micro-batches); larger deltas keep their write parallelism
 SINGLE_FILE_APPEND_ROWS = 100_000
 
+# per-list count metadata (ivf drift bookkeeping) is kept in the JSON
+# descriptor only while it stays driver-sized; past this many lists per
+# segment the drift statistics fall back to the lists-table scan path
+LIST_COUNT_META_CAP = 65536
+
 # parquet tables each index kind owns (segment dirs live under each)
 KIND_TABLES = {
     "pq": ("codes",),
@@ -369,6 +374,47 @@ class AnnIndexStore:
         if not count:
             return None
         return int(obs.get["n"])
+
+    def _list_counts_readback(
+        self, name: str, gen: int, n_rows: int | None
+    ) -> "dict[int, int] | None":
+        """Per-list row counts of ONE freshly staged lists segment, read
+        from the segment's parquet footers (count over the partition
+        column opens no data pages — ~one tiny task per file). This one
+        cheap job at write time buys every later drift check
+        (``ivf_share_drift*``) its zero-scan metadata path; ``None``
+        (above ``LIST_COUNT_META_CAP`` lists) keeps the descriptor
+        driver-sized and falls back to the scan path."""
+        if not n_rows:
+            # an empty staged segment has no readable parquet files; its
+            # counts are exactly {}
+            return {}
+        rows = (
+            self.spark.read.parquet(self._seg_path(name, "lists", gen))
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        if len(rows) > LIST_COUNT_META_CAP:
+            return None
+        return {int(r["centroid_id"]): int(r["_n"]) for r in rows}
+
+    def _list_counts_meta(
+        self, desc: dict
+    ) -> "dict[int, dict[int, int]] | None":
+        """Descriptor-recorded per-(segment, list) counts when they cover
+        EVERY committed segment, else ``None`` (drift statistics then scan
+        the lists table as before)."""
+        lc = desc.get("list_counts")
+        if lc is None:
+            return None
+        segs = self._segments(desc)
+        if any(str(s) not in lc for s in segs):
+            return None
+        return {
+            int(s): {int(c): int(n) for c, n in lc[str(s)].items()}
+            for s in segs
+        }
 
     # -------------------------------------------------------------------- PQ
     def write_pq(
@@ -900,6 +946,7 @@ class AnnIndexStore:
         gen = self._reserve_gen()
         n_rows = self._stage(assigned, name, "lists", gen, "centroid_id")
         self._stage(centroids, name, "centroids", gen)
+        cnts = self._list_counts_readback(name, gen, n_rows)
         desc = {
             "kind": "ivf",
             "gen": gen,
@@ -910,6 +957,10 @@ class AnnIndexStore:
             "n_rows": n_rows,
             "fingerprint": fingerprint,
         }
+        if cnts is not None:
+            desc["list_counts"] = {
+                str(gen): {str(c): n for c, n in cnts.items()}
+            }
         self._commit(name, desc)
         return desc
 
@@ -1030,6 +1081,18 @@ class AnnIndexStore:
                 "fingerprint": fingerprint or desc.get("fingerprint"),
             }
         )
+        old_lc = desc.get("list_counts")
+        cnts = (
+            self._list_counts_readback(name, gen, n_new)
+            if old_lc is not None
+            else None
+        )
+        if old_lc is not None and cnts is not None:
+            lc = dict(old_lc)
+            lc[str(gen)] = {str(c): n for c, n in cnts.items()}
+            new_desc["list_counts"] = lc
+        else:
+            new_desc.pop("list_counts", None)
         self._commit(name, new_desc)
         return new_desc
 
@@ -1261,8 +1324,11 @@ class AnnIndexStore:
         own assignment cosine looks normal (near-isotropic embeddings
         barely move the cosine; their list routing moves a lot —
         ``ann_ivf_drift_stats`` vs this row). Needs only the per-list
-        counts of two segments: one scan of the lists table's (seg,
-        centroid_id) pairs, combined map-side — no vectors, no truth tier.
+        counts of two segments — served from the descriptor's
+        ``list_counts`` metadata recorded at write time (r12: no scan at
+        all), falling back to one map-side-combined scan of the lists
+        table's (seg, centroid_id) pairs for legacy or over-cap indexes —
+        no vectors, no truth tier either way.
 
         Returns ONE row ``(n_fit, n_newest, share_drift)``; 0.0 when the
         chain has no appended segment yet. Shares quantize to 1e-9
@@ -1276,25 +1342,42 @@ class AnnIndexStore:
                 [(int(desc["n_rows"]), 0, 0.0)],
                 "n_fit long, n_newest long, share_drift double",
             )
-        lists = self.spark.read.parquet(self._table_root(name, "lists"))
-        counts = (
-            lists.where(F.col("seg").isin([segs[0], segs[-1]]))
-            .groupBy("seg", "centroid_id")
-            .agg(F.count("*").alias("_n"))
-        )
-        fit = counts.where(F.col("seg") == segs[0]).select(
-            "centroid_id", F.col("_n").alias("_nf")
-        )
-        new = counts.where(F.col("seg") == segs[-1]).select(
-            "centroid_id", F.col("_n").alias("_nn")
-        )
-        j = (
-            fit.join(new, "centroid_id", "full")
-            .select(
-                F.coalesce("_nf", F.lit(0)).alias("_nf"),
-                F.coalesce("_nn", F.lit(0)).alias("_nn"),
+        meta = self._list_counts_meta(desc)
+        if meta is not None:
+            # zero-scan path (r12): the per-(segment, list) counts were
+            # recorded at write time, so the statistic runs over a local
+            # relation — same expressions from here down, so the result is
+            # bit-identical to the scan path (counts are exact integers
+            # either way); the full outer join on centroid_id is the dict
+            # union below
+            fitc, newc = meta[segs[0]], meta[segs[-1]]
+            j = self.spark.createDataFrame(
+                [
+                    (fitc.get(c, 0), newc.get(c, 0))
+                    for c in sorted(set(fitc) | set(newc))
+                ],
+                "_nf long, _nn long",
             )
-        )
+        else:
+            lists = self.spark.read.parquet(self._table_root(name, "lists"))
+            counts = (
+                lists.where(F.col("seg").isin([segs[0], segs[-1]]))
+                .groupBy("seg", "centroid_id")
+                .agg(F.count("*").alias("_n"))
+            )
+            fit = counts.where(F.col("seg") == segs[0]).select(
+                "centroid_id", F.col("_n").alias("_nf")
+            )
+            new = counts.where(F.col("seg") == segs[-1]).select(
+                "centroid_id", F.col("_n").alias("_nn")
+            )
+            j = (
+                fit.join(new, "centroid_id", "full")
+                .select(
+                    F.coalesce("_nf", F.lit(0)).alias("_nf"),
+                    F.coalesce("_nn", F.lit(0)).alias("_nn"),
+                )
+            )
         tot = j.agg(
             F.sum("_nf").alias("_tf"), F.sum("_nn").alias("_tn")
         )
@@ -1325,10 +1408,9 @@ class AnnIndexStore:
         TIME SERIES a monitoring dashboard plots when appends arrive as
         streaming micro-batches: one row per segment with its per-list
         assignment-share TV distance from the fit segment (segment 0 =
-        the fit itself, drift 0.0 by definition). Same single scan of the
-        lists table's (seg, centroid_id) pairs and the same 1e-9
-        fixed-point TV discipline as the scalar statistic; cost is one
-        map-side-combined count per (segment, list), no vectors.
+        the fit itself, drift 0.0 by definition). Same descriptor-metadata
+        fast path / lists-table scan fallback and the same 1e-9
+        fixed-point TV discipline as the scalar statistic; no vectors.
 
         Returns (segment_idx, n_rows, share_drift) ordered by segment."""
         desc = self._descriptor(name, "ivf")
@@ -1338,44 +1420,74 @@ class AnnIndexStore:
                 [(0, int(desc["n_rows"]), 0.0)],
                 "segment_idx int, n_rows long, share_drift double",
             )
-        lists = self.spark.read.parquet(self._table_root(name, "lists"))
-        idx = F.array(*[F.lit(int(s)) for s in segs])
-        counts = (
-            lists.where(F.col("seg").isin(segs))
-            .groupBy("seg", "centroid_id")
-            .agg(F.count("*").alias("_n"))
-            .select(
-                (F.array_position(idx, F.col("seg")) - 1)
-                .cast("int")
-                .alias("segment_idx"),
-                "centroid_id",
-                "_n",
+        meta = self._list_counts_meta(desc)
+        if meta is not None:
+            # zero-scan path (r12): counts recorded at write time replace
+            # the lists-table scan; identical expressions below keep the
+            # result bit-identical. The descriptor-driven grid semantics
+            # (empty appends stay visible) are preserved: each segment
+            # contributes the union of its lists and the fit's.
+            fitc = meta[segs[0]]
+            rows = [
+                (i, fitc.get(c, 0), meta[segs[i]].get(c, 0))
+                for i in range(1, len(segs))
+                for c in sorted(set(fitc) | set(meta[segs[i]]))
+            ]
+            j = self.spark.createDataFrame(
+                rows, "segment_idx int, _nf long, _nn long"
             )
-        )
-        fit = counts.where(F.col("segment_idx") == 0).select(
-            "centroid_id", F.col("_n").alias("_nf")
-        )
-        # full outer per segment: lists hit by only one side count fully.
-        # Segment ids come from the DESCRIPTOR, not from observed list rows
-        # — an empty append (zero rows) has no list rows, and deriving the
-        # grid from rows would silently drop exactly the segment where
-        # ingest stalled from the drift series.
-        others = counts.where(F.col("segment_idx") > 0)
-        seg_ids = self.spark.createDataFrame(
-            [(i,) for i in range(1, len(segs))], "segment_idx int"
-        )
-        grid = seg_ids.crossJoin(F.broadcast(fit)).select(
-            "segment_idx", "centroid_id", "_nf"
-        )
-        j = grid.join(
-            others.select("segment_idx", "centroid_id", F.col("_n").alias("_nn")),
-            ["segment_idx", "centroid_id"],
-            "full",
-        ).select(
-            "segment_idx",
-            F.coalesce("_nf", F.lit(0)).alias("_nf"),
-            F.coalesce("_nn", F.lit(0)).alias("_nn"),
-        )
+            tf_val = sum(fitc.values()) if fitc else None
+            fit_row = self.spark.createDataFrame(
+                [(0, tf_val, 0.0)],
+                "segment_idx int, n_rows long, share_drift double",
+            )
+        else:
+            lists = self.spark.read.parquet(self._table_root(name, "lists"))
+            idx = F.array(*[F.lit(int(s)) for s in segs])
+            counts = (
+                lists.where(F.col("seg").isin(segs))
+                .groupBy("seg", "centroid_id")
+                .agg(F.count("*").alias("_n"))
+                .select(
+                    (F.array_position(idx, F.col("seg")) - 1)
+                    .cast("int")
+                    .alias("segment_idx"),
+                    "centroid_id",
+                    "_n",
+                )
+            )
+            fit = counts.where(F.col("segment_idx") == 0).select(
+                "centroid_id", F.col("_n").alias("_nf")
+            )
+            # full outer per segment: lists hit by only one side count
+            # fully. Segment ids come from the DESCRIPTOR, not from
+            # observed list rows — an empty append (zero rows) has no list
+            # rows, and deriving the grid from rows would silently drop
+            # exactly the segment where ingest stalled from the drift
+            # series.
+            others = counts.where(F.col("segment_idx") > 0)
+            seg_ids = self.spark.createDataFrame(
+                [(i,) for i in range(1, len(segs))], "segment_idx int"
+            )
+            grid = seg_ids.crossJoin(F.broadcast(fit)).select(
+                "segment_idx", "centroid_id", "_nf"
+            )
+            j = grid.join(
+                others.select(
+                    "segment_idx", "centroid_id", F.col("_n").alias("_nn")
+                ),
+                ["segment_idx", "centroid_id"],
+                "full",
+            ).select(
+                "segment_idx",
+                F.coalesce("_nf", F.lit(0)).alias("_nf"),
+                F.coalesce("_nn", F.lit(0)).alias("_nn"),
+            )
+            fit_row = fit.agg(F.sum("_nf").alias("n_rows")).select(
+                F.lit(0).cast("int").alias("segment_idx"),
+                F.col("n_rows").cast("long"),
+                F.lit(0.0).alias("share_drift"),
+            )
         tot = j.groupBy("segment_idx").agg(
             F.sum("_nf").alias("_tf"), F.sum("_nn").alias("_tn")
         )
@@ -1405,11 +1517,6 @@ class AnnIndexStore:
             )
             .alias("share_drift"),
         )
-        fit_row = fit.agg(F.sum("_nf").alias("n_rows")).select(
-            F.lit(0).cast("int").alias("segment_idx"),
-            F.col("n_rows").cast("long"),
-            F.lit(0.0).alias("share_drift"),
-        )
         return fit_row.unionByName(drifts).orderBy("segment_idx")
 
     def compact_index(self, name: str) -> dict:
@@ -1434,5 +1541,18 @@ class AnnIndexStore:
             self._stage(df, name, t, gen, part_by.get(t))
         new_desc = dict(desc)
         new_desc.update({"gen": gen, "segments": [gen]})
+        meta = self._list_counts_meta(desc) if kind == "ivf" else None
+        if meta is not None:
+            # a fold is a pure rewrite: the merged segment's per-list
+            # counts are the exact integer sums of the folded ones
+            merged: dict[int, int] = {}
+            for seg_counts in meta.values():
+                for c, n in seg_counts.items():
+                    merged[c] = merged.get(c, 0) + n
+            new_desc["list_counts"] = {
+                str(gen): {str(c): n for c, n in merged.items()}
+            }
+        else:
+            new_desc.pop("list_counts", None)
         self._commit(name, new_desc)
         return new_desc

@@ -371,3 +371,76 @@ def test_progressive_fixture_eobn_run_and_restarts():
     # DC-only flat blocks: 16/8+128 = 130 left, 24/8+128 = 131 right
     assert (got[:, :8, 0] == 130).all()
     assert (got[:, 8:, 0] == 131).all()
+
+
+# --------------------------- metadata-driven IVF drift statistics (r12) ----
+def test_ivf_drift_meta_path_matches_scan_path(spark, tmp_path):
+    """r12 optimization: per-list counts recorded in the descriptor at
+    write time serve ivf_share_drift / ivf_share_drift_by_segment without
+    scanning the lists table. The meta path must be BIT-identical to the
+    scan path (same downstream expressions over the same exact integer
+    counts), and compact_index must merge the counts exactly."""
+    from pyspark.sql import functions as F
+
+    from helixdb_spark.index_store import AnnIndexStore
+
+    def emb(lo, hi, shift=0):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 7 + 1 + shift).cast("float"),
+                (F.col("id") % 11 + 1).cast("float"),
+                ((F.col("id") + shift) % 13 + 1).cast("float"),
+            ).alias("embedding"),
+        )
+
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.write_ivf(emb(0, 300), name="ivf", stride=50)
+    store.append_ivf(emb(1000, 1150), name="ivf")
+    store.append_ivf(emb(2000, 2100, shift=5), name="ivf")  # drifted batch
+
+    desc = store._state["indexes"]["ivf"]
+    segs = store._segments(desc)
+    # counts recorded for every committed segment
+    meta = store._list_counts_meta(desc)
+    assert meta is not None and sorted(meta) == sorted(segs)
+    assert sum(meta[segs[0]].values()) == 300
+    assert sum(meta[segs[1]].values()) == 150
+
+    scalar_meta = store.ivf_share_drift("ivf").collect()
+    series_meta = store.ivf_share_drift_by_segment("ivf").collect()
+
+    # force the scan fallback by hiding the metadata
+    hidden = dict(desc)
+    del hidden["list_counts"]
+    store._state["indexes"]["ivf"] = hidden
+    scalar_scan = store.ivf_share_drift("ivf").collect()
+    series_scan = store.ivf_share_drift_by_segment("ivf").collect()
+    store._state["indexes"]["ivf"] = desc
+
+    assert [r.asDict() for r in scalar_meta] == [
+        r.asDict() for r in scalar_scan
+    ]
+    assert [r.asDict() for r in series_meta] == [
+        r.asDict() for r in series_scan
+    ]
+    assert scalar_meta[0]["n_fit"] == 300
+    assert scalar_meta[0]["n_newest"] == 100
+    assert scalar_meta[0]["share_drift"] > 0.0
+
+    # the meta path must not read the lists table at all
+    plan = store.ivf_share_drift("ivf")._jdf.queryExecution().toString()
+    assert "lists" not in plan
+
+    # compact_index folds the chain and merges the counts exactly
+    folded = store.compact_index("ivf")
+    fmeta = store._list_counts_meta(folded)
+    assert fmeta is not None and list(fmeta) == store._segments(folded)
+    merged = {}
+    for seg_counts in meta.values():
+        for c, n in seg_counts.items():
+            merged[c] = merged.get(c, 0) + n
+    assert fmeta[store._segments(folded)[0]] == merged
+    # single segment -> drift degenerates to the no-append answer
+    one = store.ivf_share_drift("ivf").collect()
+    assert one[0]["share_drift"] == 0.0
