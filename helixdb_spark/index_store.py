@@ -389,15 +389,48 @@ class AnnIndexStore:
             # an empty staged segment has no readable parquet files; its
             # counts are exactly {}
             return {}
-        rows = (
-            self.spark.read.parquet(self._seg_path(name, "lists", gen))
-            .groupBy("centroid_id")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .collect()
-        )
-        if len(rows) > LIST_COUNT_META_CAP:
+        path = self._seg_path(name, "lists", gen)
+        cnts = self._local_footer_counts(path)
+        if cnts is None:
+            rows = (
+                self.spark.read.parquet(path)
+                .groupBy("centroid_id")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            cnts = {int(r["centroid_id"]): int(r["_n"]) for r in rows}
+        if len(cnts) > LIST_COUNT_META_CAP:
             return None
-        return {int(r["centroid_id"]): int(r["_n"]) for r in rows}
+        return cnts
+
+    @staticmethod
+    def _local_footer_counts(path: str) -> "dict[int, int] | None":
+        """Zero-job readback for LOCAL segment dirs: walk the
+        ``centroid_id=…`` partition dirs on the driver and sum each
+        file's parquet-footer row count (pyarrow reads only the footer).
+        Returns ``None`` — caller falls back to a Spark job — for
+        non-local paths (object stores / HDFS) or anything unexpected in
+        the layout."""
+        p = path[7:] if path.startswith("file://") else path
+        if "://" in p or not os.path.isdir(p):
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            out: dict[int, int] = {}
+            for d in os.scandir(p):
+                if not (d.is_dir() and d.name.startswith("centroid_id=")):
+                    continue
+                cid = int(d.name.split("=", 1)[1])
+                n = 0
+                for f in os.scandir(d.path):
+                    if f.is_file() and f.name.endswith(".parquet"):
+                        n += pq.read_metadata(f.path).num_rows
+                if n:
+                    out[cid] = n
+            return out
+        except (ImportError, ValueError, OSError):
+            return None
 
     def _list_counts_meta(
         self, desc: dict
