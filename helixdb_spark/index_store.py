@@ -432,6 +432,35 @@ class AnnIndexStore:
         except (ImportError, ValueError, OSError):
             return None
 
+    @staticmethod
+    def _share_fp(n: int, t: int) -> int:
+        """Driver-side twin of the Spark fixed-point share expression
+        ``when(t > 0, round(lit(1e-9) + n/t * 1e9, 0).cast("long"))
+        .otherwise(0)``. Spark's ``round`` on a double is HALF_UP over the
+        value's shortest decimal representation (java
+        ``BigDecimal.valueOf(d)`` = ``Double.toString``); Python's
+        ``repr(float)`` is the same shortest-roundtrip decimal, so
+        ``Decimal(repr(x))`` reproduces it bit-for-bit. ``float(n)`` first
+        mirrors Spark's ``n.cast("double") / t`` (matters past 2^53)."""
+        if t <= 0:
+            return 0
+        from decimal import ROUND_HALF_UP, Decimal
+
+        x = 1e-9 + (float(n) / float(t)) * 1e9
+        return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    @staticmethod
+    def _round6(x: float) -> float:
+        """Driver-side twin of Spark's ``round(col, 6) + 0.0`` (HALF_UP
+        over shortest-decimal, then ``+ 0.0`` normalizes ``-0.0``)."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        ) + 0.0
+
     def _list_counts_meta(
         self, desc: dict
     ) -> "dict[int, dict[int, int]] | None":
@@ -1371,26 +1400,44 @@ class AnnIndexStore:
         desc = self._descriptor(name, "ivf")
         segs = self._segments(desc)
         if len(segs) <= 1:
+            # coalesce(1): createDataFrame slices even a 1-row list across
+            # defaultParallelism partitions, and first()/take pays the
+            # executeTake partition-probe ladder (measured 4 jobs for one
+            # local row); one partition makes it one job
             return self.spark.createDataFrame(
                 [(int(desc["n_rows"]), 0, 0.0)],
                 "n_fit long, n_newest long, share_drift double",
-            )
+            ).coalesce(1)
         meta = self._list_counts_meta(desc)
         if meta is not None:
-            # zero-scan path (r12): the per-(segment, list) counts were
-            # recorded at write time, so the statistic runs over a local
-            # relation — same expressions from here down, so the result is
-            # bit-identical to the scan path (counts are exact integers
-            # either way); the full outer join on centroid_id is the dict
-            # union below
+            # zero-JOB path (r12): the per-(segment, list) counts were
+            # recorded at write time, and the whole statistic is integer
+            # sums plus the two fixed-point helpers, so it runs on the
+            # driver — ``_share_fp``/``_round6`` mirror the Spark
+            # expressions of the scan fallback bit-for-bit (pinned by
+            # test_ivf_drift_meta_path_matches_scan_path and the
+            # randomized cross-check in tests/test_round12_ops.py); only
+            # the one-row result becomes a DataFrame. The full outer join
+            # on centroid_id is the dict union below; sums over the union
+            # equal sums over each dict (missing keys contribute 0).
             fitc, newc = meta[segs[0]], meta[segs[-1]]
-            j = self.spark.createDataFrame(
-                [
-                    (fitc.get(c, 0), newc.get(c, 0))
-                    for c in sorted(set(fitc) | set(newc))
-                ],
-                "_nf long, _nn long",
+            lists_union = set(fitc) | set(newc)
+            schema = "n_fit long, n_newest long, share_drift double"
+            if not lists_union:
+                # the scan path's final groupBy over an empty relation
+                # yields zero rows — preserve that degenerate shape
+                return self.spark.createDataFrame([], schema).coalesce(1)
+            tf, tn = sum(fitc.values()), sum(newc.values())
+            sd = sum(
+                abs(
+                    self._share_fp(fitc.get(c, 0), tf)
+                    - self._share_fp(newc.get(c, 0), tn)
+                )
+                for c in lists_union
             )
+            return self.spark.createDataFrame(
+                [(tf, tn, self._round6(1e-9 + sd / 2e9))], schema
+            ).coalesce(1)
         else:
             lists = self.spark.read.parquet(self._table_root(name, "lists"))
             counts = (
@@ -1452,28 +1499,45 @@ class AnnIndexStore:
             return self.spark.createDataFrame(
                 [(0, int(desc["n_rows"]), 0.0)],
                 "segment_idx int, n_rows long, share_drift double",
-            )
+            ).coalesce(1)
         meta = self._list_counts_meta(desc)
         if meta is not None:
-            # zero-scan path (r12): counts recorded at write time replace
-            # the lists-table scan; identical expressions below keep the
-            # result bit-identical. The descriptor-driven grid semantics
-            # (empty appends stay visible) are preserved: each segment
-            # contributes the union of its lists and the fit's.
+            # zero-JOB path (r12): counts recorded at write time replace
+            # the lists-table scan, and the whole series is computed on
+            # the driver with the ``_share_fp``/``_round6`` twins of the
+            # scan path's Spark expressions (bit-identical; pinned by
+            # test_ivf_drift_meta_path_matches_scan_path). The
+            # descriptor-driven grid semantics (empty appends stay
+            # visible) are preserved: each segment contributes the union
+            # of its lists and the fit's; a segment whose union with the
+            # fit is EMPTY has no per-list rows and (exactly like the
+            # scan path's groupBy) no drift row.
             fitc = meta[segs[0]]
-            rows = [
-                (i, fitc.get(c, 0), meta[segs[i]].get(c, 0))
-                for i in range(1, len(segs))
-                for c in sorted(set(fitc) | set(meta[segs[i]]))
-            ]
-            j = self.spark.createDataFrame(
-                rows, "segment_idx int, _nf long, _nn long"
-            )
-            tf_val = sum(fitc.values()) if fitc else None
-            fit_row = self.spark.createDataFrame(
-                [(0, tf_val, 0.0)],
-                "segment_idx int, n_rows long, share_drift double",
-            )
+            tf = sum(fitc.values())
+            out_rows = [(0, tf if fitc else None, 0.0)]
+            for i in range(1, len(segs)):
+                segc = meta[segs[i]]
+                union = set(fitc) | set(segc)
+                if not union:
+                    continue
+                tn = sum(segc.values())
+                sd = sum(
+                    abs(
+                        self._share_fp(fitc.get(c, 0), tf)
+                        - self._share_fp(segc.get(c, 0), tn)
+                    )
+                    for c in union
+                )
+                out_rows.append(
+                    (
+                        i,
+                        tn,
+                        0.0 if tn == 0 else self._round6(1e-9 + sd / 2e9),
+                    )
+                )
+            return self.spark.createDataFrame(
+                out_rows, "segment_idx int, n_rows long, share_drift double"
+            ).coalesce(1)
         else:
             lists = self.spark.read.parquet(self._table_root(name, "lists"))
             idx = F.array(*[F.lit(int(s)) for s in segs])

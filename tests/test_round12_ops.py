@@ -444,3 +444,59 @@ def test_ivf_drift_meta_path_matches_scan_path(spark, tmp_path):
     # single segment -> drift degenerates to the no-append answer
     one = store.ivf_share_drift("ivf").collect()
     assert one[0]["share_drift"] == 0.0
+
+
+def test_share_fp_round6_match_spark_expressions(spark):
+    """The driver-side fixed-point twins (_share_fp/_round6) must be
+    bit-identical to the Spark expressions the scan fallback evaluates —
+    Spark's round() is HALF_UP over the double's shortest decimal repr,
+    which Decimal(repr(x)) reproduces. Randomized counts plus adversarial
+    near-tie ratios."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from helixdb_spark.index_store import AnnIndexStore
+
+    rng = random.Random(1207)
+    cases = [(0, 0), (0, 5), (5, 5), (1, 3), (2, 3), (1, 7)]
+    # adversarial: ratios that land near .5 boundaries of the 1e9 grid
+    cases += [(k, 2_000_000_000) for k in (1, 3, 5, 999_999_999)]
+    cases += [
+        (rng.randint(0, 10**6), rng.randint(1, 10**6)) for _ in range(400)
+    ]
+    cases += [
+        (rng.randint(0, 10**12), rng.randint(10**9, 10**12))
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame(
+        [(i, n, t) for i, (n, t) in enumerate(cases)],
+        "i int, _n long, _t long",
+    )
+    share_fp = F.when(
+        F.col("_t") > 0,
+        F.round(
+            F.lit(1e-9) + F.col("_n").cast("double") / F.col("_t") * 1e9, 0
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    got = {
+        r["i"]: r["fp"]
+        for r in df.select("i", share_fp.alias("fp")).collect()
+    }
+    for i, (n, t) in enumerate(cases):
+        assert got[i] == AnnIndexStore._share_fp(n, t), (n, t)
+
+    sds = [0, 1, 2, 499, 500, 501, 999, 1000, 1001, 1_999_999_999] + [
+        rng.randint(0, 2 * 10**9) for _ in range(400)
+    ]
+    df2 = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sds)], "i int, _sd long"
+    )
+    expr = F.round(F.lit(1e-9) + F.col("_sd") / 2e9, 6) + F.lit(0.0)
+    got2 = {
+        r["i"]: r["d"] for r in df2.select("i", expr.alias("d")).collect()
+    }
+    for i, s in enumerate(sds):
+        assert repr(got2[i]) == repr(
+            AnnIndexStore._round6(1e-9 + s / 2e9)
+        ), s
