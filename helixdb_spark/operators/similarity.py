@@ -771,10 +771,24 @@ def kmeans_fit_full(
     )
     centroids = [(i, list(r["v"])) for i, r in enumerate(init)]
     # training rounds assign + re-mean the (possibly sampled) fit set only
-    assigned = kmeans_assign(fit_pts, centroids, id_col, vec_col)
+    dim = len(centroids[0][1]) if centroids else 0
     for _ in range(n_iter - 1):
+        if len(centroids) <= 256 and dim <= BROADCAST_DIM_THRESHOLD:
+            # the inline-literal assignment is a pure projection, so the
+            # means round reads (cluster_id, vec) straight off the corpus
+            # scan — no (id,cluster)⋈(id,vec) self-join, one shuffle per
+            # round (the groupBy's k×dim partial aggregates) instead of two
+            labeled = fit_pts.select(
+                assign_struct(F.col(vec_col), centroids)["cluster_id"]
+                .alias("cluster_id"),
+                F.col(vec_col),
+            )
+        else:
+            labeled = kmeans_assign(fit_pts, centroids, id_col, vec_col).join(
+                fit_pts, id_col
+            )
         means = (
-            assigned.join(fit_pts, id_col)
+            labeled
             .select("cluster_id", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cluster_id", "pos")
             .agg(F.round(F.lit(1e-9) + F.avg("x"), 4).alias("m"))
@@ -788,10 +802,10 @@ def kmeans_fit_full(
             .collect()
         )
         centroids = [(r["cluster_id"], list(r["cvec"])) for r in means]
-        assigned = kmeans_assign(fit_pts, centroids, id_col, vec_col)
-    if fit_pts is not pts:
-        # one full-corpus pass: the broadcast-centroid assign, no shuffle
-        assigned = kmeans_assign(pts, centroids, id_col, vec_col)
+    # one full-corpus pass with the final centroids: the broadcast-centroid
+    # assign, no shuffle (when training was sampled, this is also the only
+    # pass that touches the unsampled corpus)
+    assigned = kmeans_assign(pts, centroids, id_col, vec_col)
     return assigned, centroids
 
 
