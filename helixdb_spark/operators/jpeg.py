@@ -149,17 +149,45 @@ def _huff_encode_tables(bits, values):
     return codes
 
 
+class _HuffTable(dict):
+    """(length, code) -> symbol mapping plus a flat 16-bit-peek LUT
+    (``lut[peek16] = (symbol << 5) | code_length``, 0 = no code) so the
+    decoder resolves one symbol with ONE list index instead of up to 16
+    per-bit dict probes (r12 — the per-bit loop was the decode hot spot)."""
+
+    __slots__ = ("lut",)
+
+
+# (bits, values) -> built table; JFIF streams overwhelmingly carry the four
+# Annex K tables, so this is built once per process, not once per image.
+# Bounded so adversarial many-table inputs cannot grow it without limit.
+_HUFF_TABLE_CACHE: dict = {}
+_HUFF_TABLE_CACHE_MAX = 64
+
+
 def _huff_decode_tables(bits, values):
-    """(length, code) -> symbol."""
-    table = {}
+    """(length, code) -> symbol, with the peek LUT attached (cached)."""
+    key = (bytes(bits), bytes(values))
+    cached = _HUFF_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    table = _HuffTable()
+    lut = [0] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             table[(length, code)] = values[k]
+            start = code << (16 - length)
+            span = 1 << (16 - length)
+            lut[start : start + span] = [(values[k] << 5) | length] * span
             code += 1
             k += 1
         code <<= 1
+    table.lut = lut
+    if len(_HUFF_TABLE_CACHE) >= _HUFF_TABLE_CACHE_MAX:
+        _HUFF_TABLE_CACHE.clear()
+    _HUFF_TABLE_CACHE[key] = table
     return table
 
 
@@ -187,6 +215,10 @@ class _BitWriter:
 
 
 class _BitReader:
+    """Entropy-data bit reader. ``acc`` always holds exactly ``nbits``
+    valid low bits (consumed high bits are masked off), so a 16-bit peek
+    for the Huffman LUT is one shift."""
+
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
@@ -205,20 +237,71 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 1  # stuffed
             else:  # any real marker mid-entropy-data ends the segment
+                self.pos -= 1  # leave pos at the 0xFF for sync_restart
                 raise _EndOfScan()
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+
+    def _top_up16(self) -> None:
+        """Best-effort bulk fill to >= 16 buffered bits; stops QUIETLY
+        (pos at the 0xFF) when a real marker or the payload end is
+        reached — near the end of a scan/restart interval a symbol may
+        still complete from the already-buffered bits."""
+        data, pos, n = self.data, self.pos, len(self.data)
+        acc, nbits = self.acc, self.nbits
+        while nbits < 16:
+            if pos >= n:
+                break
+            b = data[pos]
+            if b == 0xFF:
+                if pos + 1 >= n or data[pos + 1] != 0x00:
+                    break  # marker (or dangling 0xFF): stop before it
+                pos += 2  # stuffed 0xFF
+            else:
+                pos += 1
+            acc = (acc << 8) | b
+            nbits += 8
+        self.acc, self.nbits, self.pos = acc, nbits, pos
+
+    def read_symbol(self, table: "_HuffTable") -> int:
+        """One Huffman symbol via the table's 16-bit peek LUT."""
+        if table is None:
+            raise ValueError("scan references undefined Huffman table")
+        nbits = self.nbits
+        if nbits < 16:
+            self._top_up16()
+            nbits = self.nbits
+        if nbits >= 16:
+            peek = self.acc >> (nbits - 16)
+        else:
+            peek = (self.acc << (16 - nbits)) & 0xFFFF
+        packed = table.lut[peek]
+        length = packed & 31
+        if length == 0 or length > nbits:
+            if length == 0 and nbits >= 16:
+                raise ValueError("invalid Huffman code in scan")
+            # the entropy data ended (marker / EOF) mid-code
+            raise _EndOfScan()
+        self.nbits = nbits - length
+        self.acc &= (1 << self.nbits) - 1
+        return packed >> 5
 
     def read_bit(self) -> int:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return bit
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def sync_restart(self) -> None:
@@ -403,8 +486,11 @@ def _sos_segment(comp_ids, dc_sel, ac_sel, ss, se, ah, al) -> bytes:
 def _encode_baseline_block(bw, zc, pred_val, dc_tab, ac_tab) -> int:
     """Huffman-encode one zigzag-order block (baseline sequential, T.81
     F.1.2): DC diff + RLE'd ACs with ZRL/EOB. Returns the new DC
-    predictor. Shared by encode_jpeg and encode_jpeg_cmyk."""
-    dc = int(zc[0])
+    predictor. Shared by encode_jpeg and encode_jpeg_cmyk. One
+    ``tolist()`` replaces 64 numpy scalar reads (r12 — this loop is the
+    encode hot path; byte-identical output)."""
+    vals = zc.tolist() if hasattr(zc, "tolist") else list(zc)
+    dc = vals[0]
     diff = dc - pred_val
     size, code = _magnitude(diff)
     hc, hl = dc_tab[size]
@@ -413,7 +499,7 @@ def _encode_baseline_block(bw, zc, pred_val, dc_tab, ac_tab) -> int:
         bw.write(code, size)
     run = 0
     for k in range(1, 64):
-        v = int(zc[k])
+        v = vals[k]
         if v == 0:
             run += 1
             continue
@@ -666,6 +752,8 @@ def _write_dc_scan(bw, comp_ids, zblocks, sampling, mcux, mcuy, dc_tabs,
     arithmetic-shifted DC (T.81 G.1.2.1); refinement emits raw bit
     ``al`` per block in the same interleaved MCU order."""
     preds = {ci: 0 for ci in comp_ids}
+    # one C call per component instead of a numpy scalar read per block
+    dc_planes = {ci: zblocks[ci][:, :, 0].tolist() for ci in comp_ids}
     for my in range(mcuy):
         for mx in range(mcux):
             for ci in comp_ids:
@@ -674,7 +762,7 @@ def _write_dc_scan(bw, comp_ids, zblocks, sampling, mcux, mcuy, dc_tabs,
                 for by in range(sv):
                     for bx in range(sh):
                         row, col = my * sv + by, mx * sh + bx
-                        dc = int(zblocks[ci][row, col, 0])
+                        dc = dc_planes[ci][row][col]
                         if ah == 0:
                             v = dc >> al  # arithmetic shift per spec
                             diff = v - preds[ci]
@@ -719,7 +807,7 @@ def _write_ac_scan(bw, zb, samp, w, h, maxh, maxv, ac_tab, ss, se, ah, al):
 
     for by in range(bh_):
         for bx in range(bw_):
-            zc = zb[by, bx]
+            zc = zb[by, bx].tolist()  # one C call vs 64 numpy scalar reads
             if ah == 0:
                 ks = [
                     k for k in range(ss, se + 1)
@@ -1051,19 +1139,6 @@ def _decode_jpeg(payload: bytes):
     )
 
 
-def _read_symbol(br: "_BitReader", table) -> int:
-    if table is None:
-        raise ValueError("scan references undefined Huffman table")
-    length, code = 0, 0
-    while length < 16:
-        code = (code << 1) | br.read_bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in scan")
-
-
 def _decode_scan(
     payload, scan, coefs, progressive, w, h, maxh, maxv, mcux, mcuy
 ):
@@ -1083,7 +1158,7 @@ def _decode_scan(
     state = {"eobrun": 0}
 
     def dc_first(sc, blk):
-        size = _read_symbol(br, sc["dct"])
+        size = br.read_symbol(sc["dct"])
         diff = _extend(br.receive(size), size)
         preds[sc["c"]["id"]] += diff
         blk[0] = preds[sc["c"]["id"]] << al
@@ -1098,7 +1173,7 @@ def _decode_scan(
             return
         k = ss
         while k <= se:
-            rs = _read_symbol(br, sc["act"])
+            rs = br.read_symbol(sc["act"])
             r, s = rs >> 4, rs & 0xF
             if s == 0:
                 if r == 15:  # ZRL
@@ -1114,25 +1189,30 @@ def _decode_scan(
             blk[k] = _extend(br.receive(s), s) << al
             k += 1
 
-    def _refine_nonzero(blk, k):
+    def _refine_vals(vals, k):
         """Correction bit for an already-nonzero coefficient
         (T.81 G.1.2.3): move the magnitude up by one Al-step when the
         bit is set and that step isn't already present."""
         if br.read_bit():
-            v = int(blk[k])
+            v = vals[k]
             if (abs(v) >> al) & 1 == 0:
-                blk[k] = v + (1 << al) if v > 0 else v - (1 << al)
+                vals[k] = v + (1 << al) if v > 0 else v - (1 << al)
 
     def ac_refine(sc, blk):
+        # operate on a plain list (one tolist + one writeback): this
+        # branch touches every position in the band per block, and numpy
+        # scalar reads were the progressive-decode hot spot (r12)
+        vals = blk.tolist()
         if state["eobrun"] > 0:
             state["eobrun"] -= 1
             for k in range(ss, se + 1):
-                if blk[k] != 0:
-                    _refine_nonzero(blk, k)
+                if vals[k] != 0:
+                    _refine_vals(vals, k)
+            blk[:] = vals
             return
         k = ss
         while k <= se:
-            rs = _read_symbol(br, sc["act"])
+            rs = br.read_symbol(sc["act"])
             r, s = rs >> 4, rs & 0xF
             newval = 0
             if s == 0:
@@ -1147,29 +1227,30 @@ def _decode_scan(
                     raise ValueError("AC refinement magnitude must be 1")
                 newval = (1 << al) if br.read_bit() else -(1 << al)
             while k <= se:
-                if blk[k] != 0:
-                    _refine_nonzero(blk, k)
+                if vals[k] != 0:
+                    _refine_vals(vals, k)
                 else:
                     if r == 0:
                         if newval:
-                            blk[k] = newval
+                            vals[k] = newval
                         k += 1
                         break
                     r -= 1
                 k += 1
         # correction bits for the tail after an EOB symbol
         for k2 in range(k, se + 1):
-            if blk[k2] != 0:
-                _refine_nonzero(blk, k2)
+            if vals[k2] != 0:
+                _refine_vals(vals, k2)
+        blk[:] = vals
 
     def baseline_block(sc, blk):
-        size = _read_symbol(br, sc["dct"])
+        size = br.read_symbol(sc["dct"])
         diff = _extend(br.receive(size), size)
         preds[sc["c"]["id"]] += diff
         blk[0] = preds[sc["c"]["id"]]
         k = 1
         while k < 64:
-            rs = _read_symbol(br, sc["act"])
+            rs = br.read_symbol(sc["act"])
             if rs == 0x00:  # EOB
                 break
             if rs == 0xF0:  # ZRL

@@ -72,6 +72,39 @@ def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
     return spark.table(name)
 
 
+def _ship_batch_files(
+    df: DataFrame, bucket, n_batches: int, stream_dir: str
+) -> None:
+    """Land ``n_batches`` single-file parquet micro-batches (``b{i}.parquet``,
+    strictly increasing mtimes — the file stream source's arrival order) in
+    ONE Spark job: a ``partitionBy`` write over the ``bucket`` index column
+    (0..n_batches-1), instead of one filtered scan + ``coalesce(1)`` write
+    per batch. ``repartition(bucket)`` puts each batch's rows in exactly one
+    task, so every partition dir holds exactly one file (r12 — the per-batch
+    loop paid N full input scans + N write jobs for the same files)."""
+    import glob
+    import os
+    import shutil
+
+    root = os.path.dirname(stream_dir.rstrip("/"))
+    tmp = f"{root}/slices_tmp"
+    (
+        df.withColumn("_b", bucket.cast("int"))
+        .repartition(F.col("_b"))
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(tmp)
+    )
+    for i in range(n_batches):
+        parts = glob.glob(f"{tmp}/_b={i}/part-*.parquet")
+        assert len(parts) == 1, f"batch {i}: expected 1 file, got {parts}"
+        dst = f"{stream_dir}/b{i}.parquet"
+        shutil.move(parts[0], dst)
+        mtime = 1_000_000_000 + i * 500
+        os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed aggregation over the event stream (complete
     mode so every window is emitted deterministically on a bounded source)."""
@@ -319,7 +352,6 @@ def _ingest_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     way a live ingest's would."""
     if sf_dir in _INGEST_DIRS:
         return _INGEST_DIRS[sf_dir]
-    import glob
     import os
     import shutil
     import tempfile
@@ -337,23 +369,16 @@ def _ingest_stream_dir(spark: SparkSession, sf_dir: str) -> str:
         F.col("props").alias("value"),
     )
     d2, d4, d7 = (LATE_LO + k * LATE_DAY for k in (2, 4, 7))
-    chunks = [
-        ("a", entries.where(F.col("ts") < d2)),
-        ("b", entries.where((F.col("ts") >= d2) & (F.col("ts") < d4))),
-        ("c", entries.where((F.col("ts") >= d4) & (F.col("ts") < d7))),
-        ("d", entries.where(F.col("ts") >= d7)),
-    ]
     stream_dir = f"{root}/stream"
     os.makedirs(stream_dir)
-    for i, (name, df) in enumerate(chunks):
-        tmp = f"{root}/{name}_tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{stream_dir}/{name}.parquet"
-        shutil.move(part, dst)
-        mtime = 1_000_000_000 + i * 500
-        os.utime(dst, (mtime, mtime))
-        shutil.rmtree(tmp, ignore_errors=True)
+    # one partitioned write lands all four batch files (r12)
+    bucket = (
+        F.when(F.col("ts") < d2, F.lit(0))
+        .when(F.col("ts") < d4, F.lit(1))
+        .when(F.col("ts") < d7, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    _ship_batch_files(entries, bucket, 4, stream_dir)
     _INGEST_DIRS[sf_dir] = stream_dir
     return stream_dir
 
@@ -759,7 +784,6 @@ def _late_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     file mtimes order the micro-batches oldest-first."""
     if sf_dir in _LATE_DIRS:
         return _LATE_DIRS[sf_dir]
-    import glob
     import os
     import shutil
     import tempfile
@@ -773,23 +797,14 @@ def _late_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     ev = load_table(spark, sf_dir, "events")
     es = F.unix_timestamp("ts")
     d2, d5, d7 = (LATE_LO + k * LATE_DAY for k in (2, 5, 7))
-    ontime = ev.where((es >= d2) & (es < d5))
-    late_plus_tail = ev.where(
-        ((es >= LATE_LO) & (es < d2)) | ((es >= d5) & (es < d7))
-    )
     stream_dir = f"{root}/stream"
     os.makedirs(stream_dir)
-    for name, df, mtime in (
-        ("a_ontime", ontime, 1_000_000_000),
-        ("b_late_and_tail", late_plus_tail, 1_000_000_500),
-    ):
-        tmp = f"{root}/{name}_tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{stream_dir}/{name}.parquet"
-        shutil.move(part, dst)
-        os.utime(dst, (mtime, mtime))
-        shutil.rmtree(tmp, ignore_errors=True)
+    # one partitioned write lands both batch files (r12): batch 0 = on-time
+    # days 2-5, batch 1 = the late head (days 0-2) plus the tail (days 5-7)
+    bucket = F.when((es >= d2) & (es < d5), F.lit(0)).otherwise(F.lit(1))
+    _ship_batch_files(
+        ev.where((es >= LATE_LO) & (es < d7)), bucket, 2, stream_dir
+    )
     _LATE_DIRS[sf_dir] = stream_dir
     return stream_dir
 
@@ -875,7 +890,6 @@ def _emb_stream_dir(spark: SparkSession, sf_dir: str, bounds) -> str:
     entry rows (ts=vec_id, key=str(vec_id), value=packed float32 blob),
     one file per consecutive vec_id range."""
     import atexit
-    import glob
     import os
     import shutil
     import tempfile
@@ -899,17 +913,19 @@ def _emb_stream_dir(spark: SparkSession, sf_dir: str, bounds) -> str:
     )
     stream_dir = f"{root}/stream"
     os.makedirs(stream_dir)
-    for i, (lo, hi) in enumerate(bounds):
-        tmp = f"{root}/b{i}_tmp"
-        entries.where((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(
-            1
-        ).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{stream_dir}/b{i}.parquet"
-        shutil.move(part, dst)
-        mtime = 1_000_000_000 + i * 500
-        os.utime(dst, (mtime, mtime))
-        shutil.rmtree(tmp, ignore_errors=True)
+    # one partitioned write lands every batch file (r12): membership by
+    # chained range CASE over the contiguous bounds
+    bucket = F.lit(len(bounds) - 1)
+    for i in reversed(range(len(bounds) - 1)):
+        bucket = F.when(F.col("ts") < bounds[i][1], F.lit(i)).otherwise(bucket)
+    _ship_batch_files(
+        entries.where(
+            (F.col("ts") >= bounds[0][0]) & (F.col("ts") < bounds[-1][1])
+        ),
+        bucket,
+        len(bounds),
+        stream_dir,
+    )
     _EMB_STREAM_DIRS[key] = stream_dir
     return stream_dir
 
@@ -1043,7 +1059,6 @@ def stream_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combined (seg, centroid_id) count scan — no vectors, no
     truth tier, per-commit cost independent of corpus size."""
     import atexit
-    import glob
     import os
     import shutil
     import tempfile
@@ -1064,26 +1079,26 @@ def stream_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     stream_dir = f"{root}/stream"
     os.makedirs(stream_dir)
-    for i, (lo, hi) in enumerate(bounds):
-        batch = emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
-        if i == len(bounds) - 1:
-            batch = batch.select(
-                "vec_id",
-                F.transform("embedding", lambda x: F.abs(x)).alias("embedding"),
-            )
-        entries = batch.select(
-            F.col("vec_id").cast("long").alias("ts"),
-            F.col("vec_id").cast("string").alias("key"),
-            _pack_f32(F.col("embedding")).alias("value"),
-        )
-        tmp = f"{root}/b{i}_tmp"
-        entries.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{stream_dir}/b{i}.parquet"
-        shutil.move(part, dst)
-        mtime = 1_000_000_000 + i * 500
-        os.utime(dst, (mtime, mtime))
-        shutil.rmtree(tmp, ignore_errors=True)
+    # one partitioned write lands all three batch files (r12): the last
+    # batch's vectors are |x|-folded in the same pass
+    folded = F.when(
+        F.col("vec_id") >= bounds[-1][0],
+        F.transform("embedding", lambda x: F.abs(x)),
+    ).otherwise(F.col("embedding"))
+    entries = emb.where(F.col("vec_id") >= bounds[0][0]).select(
+        F.col("vec_id").cast("long").alias("ts"),
+        F.col("vec_id").cast("string").alias("key"),
+        _pack_f32(folded).alias("value"),
+    )
+    _ship_batch_files(
+        entries,
+        F.least(
+            ((F.col("ts") - bounds[0][0]) / q).cast("int"),
+            F.lit(len(bounds) - 1),
+        ),
+        len(bounds),
+        stream_dir,
+    )
 
     store = AnnIndexStore(spark, _scratch_dir("anndriftstream"))
     # fit at full parallelism; 8 shuffle partitions only for the
@@ -1148,7 +1163,6 @@ def stream_dedup_lsh(
     per-batch segment count and the per-batch NEW-vs-KNOWN duplicate
     counts a live dedup dashboard would chart."""
     import atexit
-    import glob
     import os
     import shutil
     import tempfile
@@ -1166,17 +1180,17 @@ def stream_dedup_lsh(
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     stream_dir = f"{root}/stream"
     os.makedirs(stream_dir)
-    for i, (lo, hi) in enumerate(bounds):
-        tmp = f"{root}/b{i}_tmp"
-        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
-            1
-        ).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{stream_dir}/b{i}.parquet"
-        shutil.move(part, dst)
-        mtime = 1_000_000_000 + i * 500
-        os.utime(dst, (mtime, mtime))
-        shutil.rmtree(tmp, ignore_errors=True)
+    # one partitioned write lands all three batch files (r12) instead of a
+    # filtered corpus scan + coalesce(1) write per batch
+    _ship_batch_files(
+        docs.where(F.col("doc_id") >= bounds[0][0]),
+        F.least(
+            ((F.col("doc_id") - bounds[0][0]) / q).cast("int"),
+            F.lit(len(bounds) - 1),
+        ),
+        len(bounds),
+        stream_dir,
+    )
 
     store = AnnIndexStore(spark, _scratch_dir("minhashstream"))
     batch_stats: list = []
