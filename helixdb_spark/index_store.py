@@ -206,6 +206,19 @@ class AnnIndexStore:
     def _segments(desc: dict) -> list[int]:
         return [int(s) for s in desc.get("segments", [desc["gen"]])]
 
+    def _local_df(self, rows, schema: str) -> DataFrame:
+        """Driver-sized result relation with ONE partition.
+        ``createDataFrame(list)`` slices even a 1-row list across
+        defaultParallelism Python-backed partitions; any single-task
+        consumer (``coalesce(1)``, ``first()``'s take-ladder) then
+        evaluates those partitions SEQUENTIALLY through the Python
+        worker — measured ~5 s for ONE row at local[32] (r12).
+        ``parallelize(rows, 1)`` keeps it one partition: one job, one
+        worker pass, ~0.2 s."""
+        return self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(rows, 1), schema
+        )
+
     def _read_table(self, name: str, desc: dict, table: str) -> DataFrame:
         """One scan of the table root filtered to the COMMITTED segments —
         ``seg IN (...)`` resolves to partition pruning, so superseded or
@@ -1400,14 +1413,10 @@ class AnnIndexStore:
         desc = self._descriptor(name, "ivf")
         segs = self._segments(desc)
         if len(segs) <= 1:
-            # coalesce(1): createDataFrame slices even a 1-row list across
-            # defaultParallelism partitions, and first()/take pays the
-            # executeTake partition-probe ladder (measured 4 jobs for one
-            # local row); one partition makes it one job
-            return self.spark.createDataFrame(
+            return self._local_df(
                 [(int(desc["n_rows"]), 0, 0.0)],
                 "n_fit long, n_newest long, share_drift double",
-            ).coalesce(1)
+            )
         meta = self._list_counts_meta(desc)
         if meta is not None:
             # zero-JOB path (r12): the per-(segment, list) counts were
@@ -1426,7 +1435,7 @@ class AnnIndexStore:
             if not lists_union:
                 # the scan path's final groupBy over an empty relation
                 # yields zero rows — preserve that degenerate shape
-                return self.spark.createDataFrame([], schema).coalesce(1)
+                return self._local_df([], schema)
             tf, tn = sum(fitc.values()), sum(newc.values())
             sd = sum(
                 abs(
@@ -1435,9 +1444,9 @@ class AnnIndexStore:
                 )
                 for c in lists_union
             )
-            return self.spark.createDataFrame(
+            return self._local_df(
                 [(tf, tn, self._round6(1e-9 + sd / 2e9))], schema
-            ).coalesce(1)
+            )
         else:
             lists = self.spark.read.parquet(self._table_root(name, "lists"))
             counts = (
@@ -1496,10 +1505,10 @@ class AnnIndexStore:
         desc = self._descriptor(name, "ivf")
         segs = self._segments(desc)
         if len(segs) <= 1:
-            return self.spark.createDataFrame(
+            return self._local_df(
                 [(0, int(desc["n_rows"]), 0.0)],
                 "segment_idx int, n_rows long, share_drift double",
-            ).coalesce(1)
+            )
         meta = self._list_counts_meta(desc)
         if meta is not None:
             # zero-JOB path (r12): counts recorded at write time replace
@@ -1535,9 +1544,9 @@ class AnnIndexStore:
                         0.0 if tn == 0 else self._round6(1e-9 + sd / 2e9),
                     )
                 )
-            return self.spark.createDataFrame(
+            return self._local_df(
                 out_rows, "segment_idx int, n_rows long, share_drift double"
-            ).coalesce(1)
+            )
         else:
             lists = self.spark.read.parquet(self._table_root(name, "lists"))
             idx = F.array(*[F.lit(int(s)) for s in segs])
@@ -1563,7 +1572,7 @@ class AnnIndexStore:
             # exactly the segment where ingest stalled from the drift
             # series.
             others = counts.where(F.col("segment_idx") > 0)
-            seg_ids = self.spark.createDataFrame(
+            seg_ids = self._local_df(
                 [(i,) for i in range(1, len(segs))], "segment_idx int"
             )
             grid = seg_ids.crossJoin(F.broadcast(fit)).select(

@@ -4069,8 +4069,11 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from helixdb_spark.operators.text_analysis import bpe_train_merges
 
     rows = bpe_train_merges(load_table(spark, sf_dir, "documents"))
+    # parallelize(rows, 1): a plain createDataFrame slices the driver list
+    # across defaultParallelism Python-backed partitions and the downstream
+    # sort/collect pays one Python worker pass per slice (r12)
     return spark.createDataFrame(
-        rows,
+        spark.sparkContext.parallelize(rows, 1),
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, pair_count long",
     ).orderBy("merge_rank")
@@ -4648,8 +4651,11 @@ def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = bpe_train_merges(
         load_table(spark, sf_dir, "documents"), batch=BPE_TRAIN_BATCH
     )
+    # parallelize(rows, 1): a plain createDataFrame slices the driver list
+    # across defaultParallelism Python-backed partitions and the downstream
+    # sort/collect pays one Python worker pass per slice (r12)
     return spark.createDataFrame(
-        rows,
+        spark.sparkContext.parallelize(rows, 1),
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, pair_count long",
     ).orderBy("merge_rank")
@@ -6751,8 +6757,11 @@ def text_bpe_merges_64(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_merges=BPE_PROD_MERGES,
         batch=BPE_PROD_BATCH,
     )
+    # parallelize(rows, 1): a plain createDataFrame slices the driver list
+    # across defaultParallelism Python-backed partitions and the downstream
+    # sort/collect pays one Python worker pass per slice (r12)
     return spark.createDataFrame(
-        rows,
+        spark.sparkContext.parallelize(rows, 1),
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, pair_count long",
     ).orderBy("merge_rank")
