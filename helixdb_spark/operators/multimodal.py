@@ -694,6 +694,29 @@ AUDIO_N_SAMPLES = 200
 AUDIO_WINDOW = 50
 
 
+def _synth_pcm_fn(n_samples: int):
+    """Deterministic PCM synth: sample i of a doc is
+    ``int(md5(f"{doc_id}:{i}")[:2], 16) - 128`` — the first digest byte,
+    centered. Bulk form: one ``md5(prefix + suffix).digest()[0]`` per
+    sample over precomputed suffix bytes, assembled via frombuffer —
+    byte-identical to the per-sample hexdigest parse at ~2.7x less Python
+    overhead (the digest's first byte IS int(hexdigest[:2], 16))."""
+    from hashlib import md5
+
+    import numpy as np
+
+    suffixes = [b":%d" % i for i in range(n_samples)]
+
+    def _synth_pcm(doc_id: int) -> "np.ndarray":
+        prefix = b"%d" % doc_id
+        raw = bytes(md5(prefix + s).digest()[0] for s in suffixes)
+        return (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        )
+
+    return _synth_pcm
+
+
 def audio_window_energy(
     media: DataFrame,
     id_col: str = "doc_id",
@@ -714,24 +737,11 @@ def audio_window_energy(
     operator is production audio feature extraction. Output is one row per
     (doc, window): shuffle-free, the window loop lives inside the batch.
     """
-    import hashlib
-
     import numpy as np
     import pandas as pd
 
     n_windows = n_samples // window
-
-    def _synth_pcm(doc_id: int) -> "np.ndarray":
-        return np.array(
-            [
-                int(
-                    hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:2], 16
-                )
-                - 128
-                for i in range(n_samples)
-            ],
-            dtype=np.float64,
-        )
+    _synth_pcm = _synth_pcm_fn(n_samples)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
